@@ -1,0 +1,149 @@
+"""Text kernel — normalization, tokenization, similarity, fingerprints.
+
+Capability parity with the reference's text helpers (normalize_name
+`etl/utils.py:68-77`, slugify `etl/er.py:30-34`, token extraction +
+light stemming `etl/er.py:54-65`, stopword filtering `etl/er.py:15-28`,
+jaccard `etl/er.py:70-76`, sorted-token substring `etl/er.py:78-82`,
+rapidfuzz similarity `etl/er.py:92-100`), built Spark-first: everything
+is a native Column expression except NFKD de-accent and rapidfuzz,
+which are vectorized pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword/generic/areal vocabularies — same *capability* as the
+# reference's _STOP/_GENERIC/_AREAL sets (etl/er.py:15-28).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "in", "on", "at", "to", "for",
+    "with", "by", "from", "am", "im", "der", "die", "das", "und", "la",
+    "le", "les", "el", "los", "de", "du", "des", "el", "il", "lo", "es", "is",
+]
+GENERIC_TYPES = [
+    "restaurant", "cafe", "bar", "hotel", "museum", "park", "church",
+    "market", "square", "station", "theater", "theatre", "gallery",
+    "garden", "bridge", "tower", "palace", "castle", "hall", "center",
+]
+
+
+def normalize_name(col: Column) -> Column:
+    """Lower, domain synonym folding, strip non-alnum, squeeze spaces."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"stra(ss|ß)e\b|str\.", "strasse")
+    c = F.regexp_replace(c, r"\bpl\.", "platz")
+    c = F.regexp_replace(c, r"[^0-9a-z\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def slugify(col: Column, max_len: int = 120) -> Column:
+    """Lower, spaces→-, strip charset, truncate (reference F3)."""
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(c, r"[/\\]", "-")
+    c = F.regexp_replace(c, r"[^0-9a-z\s-]", "")
+    c = F.regexp_replace(c, r"\s+", "-")
+    c = F.regexp_replace(c, r"-+", "-")
+    return F.substring(c, 1, max_len)
+
+
+def tokens(col: Column, min_len: int = 3) -> Column:
+    """≥min_len-char tokens with light plural stemming (ies→y, es→, s→)."""
+    arr = F.split(normalize_name(col), r"\s+")
+    arr = F.filter(arr, lambda t: F.length(t) >= min_len)
+    stem = lambda t: F.when(t.rlike("ies$"), F.regexp_replace(t, "ies$", "y")).otherwise(
+        F.when(t.rlike("[a-z]es$"), F.regexp_replace(t, "es$", "")).otherwise(
+            F.when(t.rlike("[a-z]s$"), F.regexp_replace(t, "s$", ""))
+        ).otherwise(t)
+    )
+    return F.transform(arr, stem)
+
+
+def content_tokens(col: Column) -> Column:
+    """Token set minus stopwords (reference F5)."""
+    return F.array_distinct(F.array_except(tokens(col), F.array(*[F.lit(s) for s in STOPWORDS])))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard of two token arrays — fully native (reference F7)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def sorted_token_substring(a: Column, b: Column) -> Column:
+    """Shorter sorted-token string contained in longer (reference F8)."""
+    sa = F.concat_ws(" ", F.array_sort(a))
+    sb = F.concat_ws(" ", F.array_sort(b))
+    return F.when(F.length(sa) <= F.length(sb), sb.contains(sa)).otherwise(sa.contains(sb))
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array (dedup kernel).
+
+    Native: sequence over indices + transform; no UDF, no explode until
+    the caller chooses to.
+    """
+    k = F.size(tokens_col)
+    idx = F.sequence(F.lit(0), k - n)  # empty when k < n
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(tokens_col, i + j + 1) for j in range(n)])
+    return F.when(k >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def nfkd_ascii_udf():
+    """NFKD de-accent + casefold — pandas UDF (no native NFKD in Spark)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _deaccent(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            return (
+                unicodedata.normalize("NFKD", x).encode("ascii", "ignore").decode("ascii").lower()
+            )
+
+        return s.map(one)
+
+    return _deaccent
+
+
+def fuzzy_ratio_udf(kind: str = "max3"):
+    """rapidfuzz name similarity (0..1) — vectorized pandas UDF.
+
+    kind='max3': max(token_set_ratio, token_sort_ratio, partial_ratio)
+    (ER variant); kind='qratio': QRatio (utils variant). Falls back to a
+    difflib-based ratio when rapidfuzz is absent in the environment.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    try:
+        from rapidfuzz import fuzz
+
+        def score(a: str, b: str) -> float:
+            if kind == "qratio":
+                return fuzz.QRatio(a, b) / 100.0
+            return (
+                max(fuzz.token_set_ratio(a, b), fuzz.token_sort_ratio(a, b), fuzz.partial_ratio(a, b))
+                / 100.0
+            )
+
+    except ImportError:  # environment gate — container may not ship rapidfuzz
+        import difflib
+
+        def score(a: str, b: str) -> float:
+            return difflib.SequenceMatcher(None, a, b).ratio()
+
+    @pandas_udf("double")
+    def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [0.0 if x is None or y is None else score(x, y) for x, y in zip(a.values, b.values)]
+        )
+
+    return _sim

@@ -1,0 +1,214 @@
+"""Deduplication family for large-corpus pipelines.
+
+- exact_dedup: hash-groupBy on a normalized-content fingerprint.
+- ngram_jaccard_pairs: word-shingle Jaccard near-dup pairs via an
+  inverted-index (explode→self-join on shingle→count) — the classic
+  scalable pattern; candidate generation never goes O(n²).
+- minhash_lsh_pairs: MinHash signatures (xxhash64 with k seeds) + LSH
+  banding; bucket-join candidates; verified with exact shingle Jaccard.
+- simhash: 64-bit SimHash per doc + near-dup pairs at Hamming ≤ t via
+  band-rotation blocking.
+
+Everything native (xxhash64, higher-order array fns); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kg_etl_spark.functions.text import word_shingles
+from kg_etl_spark.operators.textquality import ws_tokens
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized content: keeper = min id, plus
+    dup count. Deterministic; a single hash-aggregate (1 shuffle)."""
+    return (
+        df.withColumn("fp", normalized_fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(ws_tokens(F.col(text_col)), n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs with shingle-Jaccard ≥ threshold.
+
+    Inverted index: explode shingles, self-join on shingle, count
+    common shingles per pair, then |A∩B|/(|A|+|B|-|A∩B|). Common-shingle
+    join is the only shuffle; hot shingles can be capped upstream
+    (stopword shingles) — at web scale add a document-frequency cap.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.select("_id", F.size("_sh").alias("_sz"))
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    a = ex.select(F.col("_id").alias("a_id"), "_s")
+    b = ex.select(F.col("_id").alias("b_id"), "_s")
+    common = (
+        a.join(b, "_s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz")), "a_id")
+        .join(sizes.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz")), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("a_sz") + F.col("b_sz") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a_id", "b_id", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed i, min(xxhash64(shingle, seed=i)).
+    Native: transform over seeds × array_min over hashed shingles."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(seeds, lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    Banding: signature split into `bands` rows of r=num_hashes/bands;
+    docs sharing any band-hash become candidates (one shuffle on the
+    band key); candidates verified exactly. Estimated-sim filter keeps
+    the verify join small.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = _shingled(df, id_col, text_col, n)
+    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(F.concat_ws("_", bi, F.slice(F.col("_sig"), bi * r + 1, r).cast("string"))).alias("bh"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("a_id"), F.col("y._id").alias("b_id"))
+        .distinct()
+    )
+
+    # exact verify on the candidate set only
+    sh_a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"))
+    sh_b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"))
+    verified = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+            / F.size(F.array_union("a_sh", "b_sh")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash64_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 64-bit SimHash per document, fully native.
+
+    Explode tokens, hash once per token (xxhash64), then ONE hash
+    aggregate with 64 conditional-sum columns (bit b of the token hash
+    → ±1 vote); bit set in the output when the vote sum is positive.
+    Map-side partial aggregation keeps the shuffle at one row per doc.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(ws_tokens(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select("_id", sim.alias("_sim"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ max_hamming via banding:
+    split the 64-bit simhash into `bands` chunks; by pigeonhole any pair
+    within distance < bands shares ≥1 exact chunk → block on chunks,
+    verify Hamming exactly (bit_count(xor))."""
+    sh = simhash64_df(df, id_col, text_col)
+    width = 64 // bands
+    chunk = lambda c, i: F.shiftright(c, i * width).bitwiseAND(F.lit((1 << width) - 1))
+    banded = sh.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), chunk(F.col("_sim"), i).alias("ch")) for i in range(bands)])
+        ).alias("_b"),
+    ).select("_id", "_sim", F.col("_b.band").alias("band"), F.col("_b.ch").alias("ch"))
+
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "ch"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("a_id"),
+            F.col("y._id").alias("b_id"),
+            F.bit_count(F.col("x._sim").bitwiseXOR(F.col("y._sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: broadcast the (small) query set, score with
+  a sequential native fold (deterministic, bit-exact in double), window
+  top-k. The 100 TB story: queries broadcast, corpus never shuffled.
+- IVF-bucketed ANN: assign every vector to its nearest of K centroids
+  (broadcast), then search only matching buckets (+nprobe neighbors).
+
+Dot products use F.zip_with + F.aggregate — a left-to-right fold, so
+results are bit-identical across partitionings (and to any engine that
+folds left-to-right in double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query_id != neighbor id).
+
+    queries: (query_id, embedding). Broadcast-joined against the corpus;
+    per-query window top-k with (score desc, id asc) total order.
+    """
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+        .join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("score", cosine(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def kmeans_like_centroids(corpus: DataFrame, vec_col: str, n_centroids: int, id_col: str) -> DataFrame:
+    """Deterministic pseudo-centroids: hash-partition ids into
+    n_centroids groups and average element-wise (one pass, no iteration
+    — an IVF coarse quantizer stand-in that needs no MLlib)."""
+    dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
+    d = dim_df.collect()[0]["d"]
+    assigned = corpus.select(
+        (F.abs(F.xxhash64(F.col(id_col))) % n_centroids).alias("centroid_id"),
+        F.col(vec_col).alias("v"),
+    )
+    # element-wise mean via posexplode → groupBy(centroid, pos) → collect
+    ex = assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+    means = ex.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: bucket corpus by nearest centroid; for each query
+    probe the nprobe nearest buckets only. Approximate (recall < 1) but
+    the scan per query drops by ~n_centroids/nprobe."""
+    cents = kmeans_like_centroids(corpus, vec_col, n_centroids, id_col)
+
+    def nearest_buckets(df: DataFrame, vcol: str, out: str, topn: int) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).withColumn(
+            "_cd", cosine(F.col(vcol), F.col("centroid"))
+        )
+        w = Window.partitionBy(*[c for c in df.columns if c != vcol][:1] or [F.lit(1)]).orderBy(
+            F.col("_cd").desc(), F.col("centroid_id").asc()
+        )
+        return scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= topn).select(
+            *df.columns, F.col("centroid_id").alias(out)
+        )
+
+    bucketed = nearest_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        "_cvec",
+        "bucket",
+        1,
+    )
+    probed = nearest_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")), "_qvec", "bucket", nprobe
+    )
+    scored = (
+        bucketed.join(probed, "bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("score", cosine(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )

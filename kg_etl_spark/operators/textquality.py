@@ -1,0 +1,117 @@
+"""Text-analysis operators for a training-data pipeline: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+All native column expressions (JVM-side, codegen'd) — these run over
+every document of a 100 TB corpus, so no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small + deterministic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "in", "on", "at", "to", "is"]
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token hygiene (works on
+    leading/trailing space; deterministic across engines)."""
+    return F.filter(F.split(F.trim(F.lower(text)), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count word pieces of ≤4 chars — ceil(len/4) summed
+    over whitespace tokens. A cheap, deterministic token estimator."""
+    return F.aggregate(
+        ws_tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio features + a blended
+    quality score in [0,1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(ws_tokens(t), lambda tok: F.array_contains(stop_arr, tok)))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")).otherwise(0.0)
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(ws_tokens(t), F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast("double")
+        / n_tokens.cast("double"),
+    ).otherwise(0.0)
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_token_len", F.round(mean_tok_len, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-marker language ID: argmax over per-language marker hit
+    counts; tie → lexicographically smallest language; no hits → 'und'."""
+    toks = ws_tokens(text)
+    scored = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda tok: F.array_contains(markers, tok)))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max over (hits, lang) picks max hits; on tie the LARGEST
+    # lang string — invert by ordering on (hits, negated-rank) instead:
+    # simpler: reduce with explicit comparison keeping strictly-greater.
+    best = F.aggregate(
+        F.array(*scored),
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, algo: str = "md5") -> Column:
+    """Normalized-content fingerprint: lower, collapse whitespace, hash.
+    (md5 is available in both Spark and DuckDB for oracle parity.)"""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    if algo == "md5":
+        return F.md5(norm)
+    if algo == "sha256":
+        return F.sha2(norm, 256)
+    raise ValueError(algo)
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8, mod: int = 1 << 31) -> Column:
+    """Polynomial rolling-hash document fingerprint: min rolling hash
+    over character windows of the normalized text (a winnowing-style
+    signature). Native via transform over substring windows."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    piece = lambda i: F.substring(norm, 1, window) if False else F.substr(norm, i, F.lit(window))
+    h = lambda i: F.abs(F.hash(piece(i))).cast("long") % mod
+    return F.when(n >= window, F.array_min(F.transform(idx, h))).otherwise(
+        F.abs(F.hash(norm)).cast("long") % mod
+    )

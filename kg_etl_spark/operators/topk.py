@@ -1,0 +1,60 @@
+"""Top-k per group and greedy top-k-distinct (reference W1-W3, X5).
+
+Plain top-k is a window rank with a total tie-break; the greedy
+near-duplicate-suppressed variant (reference `etl/reviews_jsonl.py:316-325`)
+is inherently stateful → applyInPandas per group.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int, out_rank: str = "rank"
+) -> DataFrame:
+    """row_number ≤ k over (group, total order). Callers must include a
+    unique-id tie-break in order_cols for determinism."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(out_rank, F.row_number().over(w)).filter(F.col(out_rank) <= k)
+
+
+def topk_distinct_texts(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 2,
+    sim_cutoff: float = 0.90,
+) -> DataFrame:
+    """Greedy: longest-first, keep a text only if fuzzy-sim < cutoff vs
+    every already-kept text (reference X5). Output: (group, texts array).
+    """
+    try:
+        from rapidfuzz import fuzz
+
+        def sim(a: str, b: str) -> float:
+            return fuzz.token_set_ratio(a, b) / 100.0
+
+    except ImportError:
+        import difflib
+
+        def sim(a: str, b: str) -> float:
+            return difflib.SequenceMatcher(None, a, b).ratio()
+
+    out_schema = f"{group_col} string, texts array<string>"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = sorted(
+            [t for t in pdf[text_col] if t], key=lambda t: (-len(t), t)
+        )  # longest-first, lexicographic tie-break (totalized vs reference)
+        kept: list[str] = []
+        for t in texts:
+            if len(kept) >= k:
+                break
+            if all(sim(t, s) < sim_cutoff for s in kept):
+                kept.append(t)
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], "texts": [kept]})
+
+    return df.groupBy(group_col).applyInPandas(pick, schema=out_schema)

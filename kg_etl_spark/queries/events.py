@@ -1,0 +1,140 @@
+"""Event-stream catalog (batch semantics; the Structured Streaming
+variant of the same pipeline lives in kg_etl_spark.streaming).
+
+Time arithmetic is done in integer microseconds (Spark unix_micros ↔
+DuckDB epoch_us) — bit-exact across engines, no double-epoch rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kg_etl_spark.session import read_table
+
+DEC = "decimal(28,6)"
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def q_hourly_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_HOURLY = """
+SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH t AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM t GROUP BY user_id
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return pivoted.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_rolling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type daily totals + 3-day trailing moving sum (window
+    frame op, W-pattern)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("_dsum"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    return daily.select(
+        "event_type",
+        F.unix_micros(F.col("day")).alias("day_us"),
+        F.round(F.col("_dsum").cast("double"), 2).alias("day_value"),
+        F.round(F.sum("_dsum").over(w).cast("double"), 2).alias("trailing3_value"),
+    )
+
+
+ORACLE_ROLLING = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, SUM(CAST(value AS DECIMAL(28,6))) AS dsum
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, epoch_us(day) AS day_us,
+       ROUND(CAST(dsum AS DOUBLE), 2) AS day_value,
+       ROUND(CAST(SUM(dsum) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS trailing3_value
+FROM d
+"""
+
+
+QUERIES = {
+    "hourly_event_agg": q_hourly_event_agg,
+    "sessionize": q_sessionize,
+    "event_type_pivot": q_event_type_pivot,
+    "rolling_daily_value": q_rolling_daily_value,
+}
+
+ORACLES = {
+    "hourly_event_agg": ORACLE_HOURLY,
+    "sessionize": ORACLE_SESSIONIZE,
+    "event_type_pivot": ORACLE_PIVOT,
+    "rolling_daily_value": ORACLE_ROLLING,
+}

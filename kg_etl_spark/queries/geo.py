@@ -1,0 +1,254 @@
+"""Geospatial operator catalog (SURVEY §2: P5–P8, F9–F11, J5/J6/J9,
+A16, X2) with DuckDB oracles.
+
+The testdata has no coordinates, so every query derives deterministic
+synthetic WGS84 coords from integer keys — identical integer+double
+arithmetic on both engines, so inputs are bit-exact. Trig (sin/cos/asin)
+can differ between JVM Math and libm in the last ulp, so distance
+outputs are rounded coarsely and thresholds sit far from representable
+boundary values.
+
+Oracles are brute-force O(n²) cross joins — same *semantics*, while the
+Spark side uses the scalable grid-blocked plans from
+`kg_etl_spark.operators`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_etl_spark.functions.geo import equirect_m, grid_bin, haversine_m, in_bbox, point_in_polygon_udf
+from kg_etl_spark.operators.blocking import blocked_pairs
+from kg_etl_spark.operators.components import components_iterative
+from kg_etl_spark.operators.nearest import nearest_within, radius_join
+from kg_etl_spark.session import read_table
+
+# synthetic coordinate grid: ~300×300 cells of 0.001° over a ~33 km box
+_LAT0, _LON0, _CELLS, _STEP = 50.0, 8.0, 300, 0.001
+
+
+def synth_lat(key: Column) -> Column:
+    return F.lit(_LAT0) + (key * 7919 % _CELLS) * F.lit(_STEP)
+
+
+def synth_lon(key: Column) -> Column:
+    return F.lit(_LON0) + (key * 104729 % _CELLS) * F.lit(_STEP)
+
+
+# CAST the step to DOUBLE: DuckDB would otherwise do DECIMAL arithmetic
+# (its float literals are decimals) and disagree with Spark's doubles.
+def _sql_lat(key: str) -> str:
+    return f"({_LAT0} + (({key} * 7919) % {_CELLS}) * CAST({_STEP} AS DOUBLE))"
+
+
+def _sql_lon(key: str) -> str:
+    return f"({_LON0} + (({key} * 104729) % {_CELLS}) * CAST({_STEP} AS DOUBLE))"
+
+
+def _with_coords(df: DataFrame, key: str) -> DataFrame:
+    return df.withColumn("lat", synth_lat(F.col(key))).withColumn("lon", synth_lon(F.col(key)))
+
+
+_SQL_EQUIRECT = (
+    "6371000.0 * sqrt("
+    "(radians({lon2} - {lon1}) * cos(radians(({lat1} + {lat2}) / 2))) * (radians({lon2} - {lon1}) * cos(radians(({lat1} + {lat2}) / 2)))"
+    " + radians({lat2} - {lat1}) * radians({lat2} - {lat1}))"
+)
+
+
+def _sql_cust_coords(alias: str = "customer") -> str:
+    return (
+        f"SELECT c_custkey, {_sql_lat('c_custkey')} AS lat, {_sql_lon('c_custkey')} AS lon FROM {alias}"
+    )
+
+
+# --- haversine distance join (F9, J1-shape) ---------------------------
+
+
+def q_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey").select(
+        "c_custkey", "c_nationkey", F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon")
+    )
+    supp = _with_coords(read_table(spark, sf_dir, "supplier"), "s_suppkey").select(
+        "s_suppkey", "s_nationkey", F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")
+    )
+    return (
+        cust.join(F.broadcast(supp), cust.c_nationkey == supp.s_nationkey)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(
+                haversine_m(F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon")), 0
+            ).alias("dist_m"),
+        )
+    )
+
+
+ORACLE_HAVERSINE = f"""
+WITH c AS (SELECT c_custkey, c_nationkey, {_sql_lat('c_custkey')} AS lat, {_sql_lon('c_custkey')} AS lon FROM customer),
+     s AS (SELECT s_suppkey, s_nationkey, {_sql_lat('s_suppkey')} AS lat, {_sql_lon('s_suppkey')} AS lon FROM supplier)
+SELECT c.c_custkey, s.s_suppkey,
+       ROUND(12742000.0 * asin(sqrt(
+         sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+         + cos(radians(c.lat)) * cos(radians(s.lat)) * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)
+       )), 0) AS dist_m
+FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+"""
+
+
+# --- bbox containment filter with buffer (P5, F11) ---------------------
+
+
+def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    return cust.filter(
+        in_bbox(
+            F.col("lat"), F.col("lon"),
+            F.lit(50.05), F.lit(8.05), F.lit(50.25), F.lit(8.25),
+            buffer_km=1.0,
+        )
+    ).select("c_custkey", "lat", "lon")
+
+
+ORACLE_BBOX = f"""
+WITH c AS ({_sql_cust_coords()})
+SELECT c_custkey, lat, lon FROM c
+WHERE lat >= 50.05 - 1.0 / CAST(111.32 AS DOUBLE) AND lat <= 50.25 + 1.0 / CAST(111.32 AS DOUBLE)
+  AND lon >= 8.05 - 1.0 / (CAST(111.32 AS DOUBLE) * greatest(cos(radians(lat)), 0.01))
+  AND lon <= 8.25 + 1.0 / (CAST(111.32 AS DOUBLE) * greatest(cos(radians(lat)), 0.01))
+"""
+
+
+# --- grid-blocked spatial self-join (J6) -------------------------------
+
+
+def q_blocked_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=250.0)
+    return pairs.select(
+        F.col("a_c_custkey").alias("a_id"),
+        F.col("b_c_custkey").alias("b_id"),
+        F.round("meters", 1).alias("meters"),
+    )
+
+
+ORACLE_BLOCKED_PAIRS = f"""
+WITH c AS ({_sql_cust_coords()})
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       ROUND({_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 1) AS meters
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+WHERE {_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 250.0
+"""
+
+
+# --- nearest-neighbor within threshold (J5/J9/W1) ----------------------
+
+
+def q_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    supp = _with_coords(read_table(spark, sf_dir, "supplier"), "s_suppkey")
+    nn = nearest_within(cust, supp, "c_custkey", "s_suppkey", threshold_m=5000.0)
+    return nn.select("c_custkey", "s_suppkey", F.round("meters", 1).alias("meters"))
+
+
+_D_CS = _SQL_EQUIRECT.format(lat1="c.lat", lon1="c.lon", lat2="s.lat", lon2="s.lon")
+ORACLE_NEAREST = f"""
+WITH c AS ({_sql_cust_coords()}),
+     s AS (SELECT s_suppkey, {_sql_lat('s_suppkey')} AS lat, {_sql_lon('s_suppkey')} AS lon FROM supplier),
+     d AS (SELECT c.c_custkey, s.s_suppkey, {_D_CS} AS m FROM c, s WHERE {_D_CS} <= 5000.0)
+SELECT c_custkey, s_suppkey, ROUND(m, 1) AS meters FROM (
+  SELECT c_custkey, s_suppkey, m, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY m ASC, s_suppkey ASC) AS rn FROM d
+) WHERE rn = 1
+"""
+
+
+# --- connected components over spatial links (A7/X6) -------------------
+
+
+def q_spatial_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    edges = blocked_pairs(cust, id_col="c_custkey", max_dist_m=150.0).select(
+        F.col("a_c_custkey").alias("src"), F.col("b_c_custkey").alias("dst")
+    )
+    return components_iterative(edges).select("node", "comp")
+
+
+ORACLE_COMPONENTS = f"""
+WITH RECURSIVE c AS ({_sql_cust_coords()}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 150.0
+),
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+)
+SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+"""
+
+
+# --- count-within-radius per entity (A16) ------------------------------
+
+
+def q_near_count_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _with_coords(read_table(spark, sf_dir, "supplier"), "s_suppkey")
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = radius_join(supp, cust, "s_suppkey", "c_custkey", threshold_m=2000.0)
+    return pairs.groupBy("s_suppkey").agg(F.countDistinct("c_custkey").alias("n_near"))
+
+
+_D_SC = _SQL_EQUIRECT.format(lat1="s.lat", lon1="s.lon", lat2="c.lat", lon2="c.lon")
+ORACLE_NEAR_COUNT = f"""
+WITH c AS ({_sql_cust_coords()}),
+     s AS (SELECT s_suppkey, {_sql_lat('s_suppkey')} AS lat, {_sql_lon('s_suppkey')} AS lon FROM supplier)
+SELECT s.s_suppkey, COUNT(DISTINCT c.c_custkey) AS n_near
+FROM s JOIN c ON {_D_SC} <= 2000.0
+GROUP BY s.s_suppkey
+"""
+
+
+# --- point-in-polygon UDF (X2/P6) --------------------------------------
+
+# Diamond (convex) polygon centered off the coordinate grid so no point
+# sits on the boundary; the oracle uses the equivalent L1 half-plane
+# test, the Spark side runs the general ray-casting pandas UDF.
+_DIAMOND = [(50.2504, 8.1501), (50.1501, 8.2504), (50.0498, 8.1501), (50.1501, 8.0498)]
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pip = point_in_polygon_udf(_DIAMOND)
+    return cust.select(
+        "c_custkey", pip(F.col("lat"), F.col("lon")).alias("inside")
+    )
+
+
+ORACLE_PIP = f"""
+WITH c AS ({_sql_cust_coords()})
+SELECT c_custkey, (abs(lat - 50.1501) + abs(lon - 8.1501)) < 0.1003 AS inside FROM c
+"""
+
+
+QUERIES = {
+    "haversine_pairs": q_haversine_pairs,
+    "bbox_filter": q_bbox_filter,
+    "blocked_spatial_pairs": q_blocked_spatial_pairs,
+    "nearest_supplier": q_nearest_supplier,
+    "spatial_components": q_spatial_components,
+    "near_count_per_supplier": q_near_count_per_supplier,
+    "point_in_polygon": q_point_in_polygon,
+}
+
+ORACLES = {
+    "haversine_pairs": ORACLE_HAVERSINE,
+    "bbox_filter": ORACLE_BBOX,
+    "blocked_spatial_pairs": ORACLE_BLOCKED_PAIRS,
+    "nearest_supplier": ORACLE_NEAREST,
+    "spatial_components": ORACLE_COMPONENTS,
+    "near_count_per_supplier": ORACLE_NEAR_COUNT,
+    "point_in_polygon": ORACLE_PIP,
+}

@@ -1,0 +1,519 @@
+"""Relational operator catalog (SURVEY §2.3–2.9) over the TPC-H-ish
+testdata, each with a DuckDB oracle.
+
+Determinism: money aggregates go through decimal sums (order-independent
+under Spark's arbitrary partial-agg order) and are cast to double at the
+edge; ranks always carry a unique-id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kg_etl_spark.functions.ids import SEP
+from kg_etl_spark.functions.stats import bucket, group_zscore
+from kg_etl_spark.functions.text import slugify
+from kg_etl_spark.session import read_table
+
+DEC = "decimal(28,6)"
+
+
+def _dsum(c) -> F.Column:
+    """Order-independent sum of a double column, returned as double."""
+    return F.sum(F.col(c).cast(DEC)).cast("double")
+
+
+# --- Q: pricing summary (TPC-H Q1 shape; A2/A13, F14) -----------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- filter + project (P1–P3) -----------------------------------------
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 10)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(rev.cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10
+"""
+
+
+# --- semi / anti joins (P4, J10, J11, U2) ------------------------------
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    big = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+ORACLE_SEMI = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- broadcast dim join (J1/J3) ---------------------------------------
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_BROADCAST = """
+SELECT p_brand,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --- multi-hop join (J8; TPC-H Q5 shape) ------------------------------
+
+
+def q_multi_hop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_MULTI_HOP = """
+SELECT r_name, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- top-k per group (W1/W3/O1/O4) ------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), orders.o_custkey == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+ORACLE_TOPK = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 5
+"""
+
+
+# --- nearest-per-entity / min_by (W1) ---------------------------------
+
+
+def q_min_item_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").asc(), F.col("l_linenumber").asc())
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+ORACLE_MIN_ITEM = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --- per-group z-score + bucketing (A10–A12, W4) -----------------------
+
+
+def q_zscore_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    z = group_zscore(cust, "c_nationkey", "c_acctbal", out_col="z")
+    return z.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("z", 6).alias("z"),
+        bucket(F.col("z")).alias("tier"),
+    )
+
+
+ORACLE_ZSCORE = """
+WITH s AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)) * CAST(c_acctbal AS DECIMAL(28,6))) OVER w AS DOUBLE) AS ss
+  FROM customer WINDOW w AS (PARTITION BY c_nationkey)
+)
+SELECT c_custkey, c_nationkey,
+       ROUND(z, 6) AS z,
+       CASE WHEN z >= 1 THEN 'high' WHEN z >= 0 THEN 'medium' ELSE 'low' END AS tier
+FROM (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN n > 1 AND (ss - s*s/n) / (n-1) > 0
+              THEN (c_acctbal - s/n) / SQRT(GREATEST((ss - s*s/n) / (n-1), 0.0))
+              ELSE 0.0 END AS z
+  FROM s
+)
+"""
+
+
+# --- representative-per-group (A4/O2) ---------------------------------
+
+
+def q_longest_name_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.length("c_name").desc(), F.col("c_name").asc())
+    return (
+        cust.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("c_nationkey", F.col("c_name").alias("rep_name"))
+    )
+
+
+ORACLE_LONGEST_NAME = """
+SELECT c_nationkey, c_name AS rep_name FROM (
+  SELECT c_nationkey, c_name,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY LENGTH(c_name) DESC, c_name ASC) AS rn
+  FROM customer
+) WHERE rn = 1
+"""
+
+
+# --- distinct / dedup-groupBy (A5) ------------------------------------
+
+
+def q_distinct_status_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.min("o_orderkey").alias("first_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_DISTINCT_PAIRS = """
+SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS first_order, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey, o_orderstatus
+"""
+
+
+# --- countDistinct (A6) -----------------------------------------------
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total"),
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- union of heterogeneous sources (U1, F13) --------------------------
+
+
+def q_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("source"),
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supp:"), F.col("s_suppkey").cast("string")).alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("source"),
+    )
+    return cust.unionByName(supp)
+
+
+ORACLE_UNION = """
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_id, c_name AS name, c_acctbal AS acctbal, 'customer' AS source FROM customer
+UNION ALL
+SELECT 'supp:' || CAST(s_suppkey AS VARCHAR) AS entity_id, s_name AS name, s_acctbal AS acctbal, 'supplier' AS source FROM supplier
+"""
+
+
+# --- sorted collect_list (A3) -----------------------------------------
+
+
+def q_collect_names_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = read_table(spark, sf_dir, "supplier")
+    return supp.groupBy("s_nationkey").agg(
+        F.concat_ws("|", F.array_sort(F.collect_list("s_name"))).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_COLLECT = """
+SELECT s_nationkey, STRING_AGG(s_name, '|' ORDER BY s_name) AS names, COUNT(*) AS n
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# --- conditional cast / coalesce / json extract (F14/F20/F23, S10) ----
+
+
+def q_try_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.when(F.col("value") > 100, "big").otherwise("small").alias("size_tier"),
+        F.col("event_type").isin("signup", "purchase").alias("is_conversion"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+    )
+
+
+ORACLE_TRY_CAST = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CASE WHEN value > 100 THEN 'big' ELSE 'small' END AS size_tier,
+       event_type IN ('signup', 'purchase') AS is_conversion,
+       COALESCE(value, 0.0) AS value_filled
+FROM events
+"""
+
+
+# --- slugify / name normalization (F2/F3) ------------------------------
+
+
+def q_slugify_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        slugify(F.col("p_name")).alias("name_slug"),
+        slugify(F.col("p_type")).alias("type_slug"),
+    )
+
+
+ORACLE_SLUGIFY = r"""
+SELECT p_partkey,
+       substr(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(trim(p_name)), '[/\\]', '-', 'g'), '[^0-9a-z\s-]', '', 'g'), '\s+', '-', 'g'), '-+', '-', 'g'), 1, 120) AS name_slug,
+       substr(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(trim(p_type)), '[/\\]', '-', 'g'), '[^0-9a-z\s-]', '', 'g'), '\s+', '-', 'g'), '-+', '-', 'g'), 1, 120) AS type_slug
+FROM part
+"""
+
+
+# --- regex extraction (F15/F19) ---------------------------------------
+
+
+def q_extract_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1).cast("int").alias("prio_num"),
+    )
+
+
+ORACLE_EXTRACT = """
+SELECT o_orderkey, TRY_CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS INTEGER) AS prio_num
+FROM orders
+"""
+
+
+# --- surrogate ids (F12/F13) ------------------------------------------
+
+
+def q_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(SEP, F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string"))
+        ).alias("sid"),
+    )
+
+
+ORACLE_SURROGATE = """
+SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR) || chr(31) || CAST(o_custkey AS VARCHAR)) AS sid
+FROM orders
+"""
+
+
+# --- priority-coalesced group average (A8) -----------------------------
+
+
+def q_priority_coalesced_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+
+    def seg_avg(seg: str):
+        s = F.sum(F.when(F.col("c_mktsegment") == seg, F.col("c_acctbal").cast(DEC))).cast("double")
+        n = F.count(F.when(F.col("c_mktsegment") == seg, F.lit(1)))
+        return F.when(n > 0, F.round(s / n, 6))
+
+    any_avg = F.round(F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1)), 6)
+    return cust.groupBy("c_nationkey").agg(
+        F.coalesce(seg_avg("BUILDING"), seg_avg("AUTOMOBILE"), any_avg).alias("canonical_bal")
+    )
+
+
+ORACLE_PRIORITY_AVG = """
+SELECT c_nationkey,
+       COALESCE(
+         CASE WHEN COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) > 0
+              THEN ROUND(CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(28,6)) END) AS DOUBLE)
+                         / COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END), 6) END,
+         CASE WHEN COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) > 0
+              THEN ROUND(CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(28,6)) END) AS DOUBLE)
+                         / COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END), 6) END,
+         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+       ) AS canonical_bal
+FROM customer GROUP BY c_nationkey
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "multi_hop_revenue": q_multi_hop_revenue,
+    "topk_per_group": q_topk_per_group,
+    "min_item_per_order": q_min_item_per_order,
+    "zscore_bucket": q_zscore_bucket,
+    "longest_name_per_nation": q_longest_name_per_nation,
+    "distinct_status_pairs": q_distinct_status_pairs,
+    "count_distinct": q_count_distinct,
+    "union_entities": q_union_entities,
+    "collect_names_per_nation": q_collect_names_per_nation,
+    "try_cast_json": q_try_cast_json,
+    "slugify_parts": q_slugify_parts,
+    "extract_priority": q_extract_priority,
+    "surrogate_ids": q_surrogate_ids,
+    "priority_coalesced_avg": q_priority_coalesced_avg,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING,
+    "filter_project": ORACLE_FILTER_PROJECT,
+    "semi_join": ORACLE_SEMI,
+    "anti_join": ORACLE_ANTI,
+    "broadcast_dim_join": ORACLE_BROADCAST,
+    "multi_hop_revenue": ORACLE_MULTI_HOP,
+    "topk_per_group": ORACLE_TOPK,
+    "min_item_per_order": ORACLE_MIN_ITEM,
+    "zscore_bucket": ORACLE_ZSCORE,
+    "longest_name_per_nation": ORACLE_LONGEST_NAME,
+    "distinct_status_pairs": ORACLE_DISTINCT_PAIRS,
+    "count_distinct": ORACLE_COUNT_DISTINCT,
+    "union_entities": ORACLE_UNION,
+    "collect_names_per_nation": ORACLE_COLLECT,
+    "try_cast_json": ORACLE_TRY_CAST,
+    "slugify_parts": ORACLE_SLUGIFY,
+    "extract_priority": ORACLE_EXTRACT,
+    "surrogate_ids": ORACLE_SURROGATE,
+    "priority_coalesced_avg": ORACLE_PRIORITY_AVG,
+}

@@ -1,0 +1,233 @@
+"""Text-analysis + dedup catalog over the `documents` table: token
+counting, quality scoring, language-ID, fingerprinting, exact dedup,
+n-gram-Jaccard near-dup pairs (oracle-checked), MinHash-LSH and SimHash
+(Spark-only: hash functions are engine-specific → rows-only check),
+and the greedy top-k-distinct picker (reference X5, Spark-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kg_etl_spark.operators.textquality import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+    ws_tokens,
+)
+from kg_etl_spark.operators.topk import topk_distinct_texts
+from kg_etl_spark.session import read_table
+
+# shared DuckDB snippets mirroring ws_tokens / shingles
+_SQL_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens
+FROM t
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len", "quality_score"
+    )
+
+
+_STOP_SQL = "['the','a','an','and','or','of','in','on','at','to','is']"
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars, {_SQL_TOKS} AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+), u AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_chars
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END, 6) AS mean_token_len,
+       ROUND(
+         least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+         + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+         + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+       , 6) AS quality_score
+FROM u
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("lang").alias("lang_given"), language_id(F.col("text")).alias("lang_pred"))
+
+
+_M = {
+    "de": "['der','die','das','und','ist']",
+    "en": "['the','and','of','is','to']",
+    "es": "['el','los','las','es','y']",
+    "fr": "['le','la','les','et','est']",
+}
+ORACLE_LANG = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains({_M['de']}, x))) AS h_de,
+         len(list_filter(toks, x -> list_contains({_M['en']}, x))) AS h_en,
+         len(list_filter(toks, x -> list_contains({_M['es']}, x))) AS h_es,
+         len(list_filter(toks, x -> list_contains({_M['fr']}, x))) AS h_fr
+  FROM t
+)
+SELECT doc_id, lang AS lang_given,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) > 0 THEN
+         CASE WHEN h_de >= greatest(h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en >= greatest(h_es, h_fr) THEN 'en'
+              WHEN h_es >= h_fr THEN 'es'
+              ELSE 'fr' END
+       ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id").select("fp", "keeper_id", "n_dups")
+
+
+ORACLE_EXACT_DEDUP = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text"), "md5").alias("fp_md5"),
+        fingerprint(F.col("text"), "sha256").alias("fp_sha256"),
+    )
+
+
+ORACLE_FINGERPRINTS = r"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+       sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_sha256
+FROM documents
+"""
+
+
+def q_word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+ORACLE_WORD_FREQ = f"""
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest({_SQL_TOKS}) AS word FROM documents
+) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.8)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.sh, b.sh)) AS n_common,
+         len(a.sh) AS a_sz, len(b.sh) AS b_sz
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common), 6) AS jaccard
+FROM p
+WHERE n_common > 0 AND CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common) >= 0.8
+"""
+
+
+# --- Spark-only (engine-specific hashes / stateful greedy): rows-only --
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", max_hamming=3, bands=4)
+
+
+def q_topk_distinct_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "grp", F.concat_ws("_", "lang", "source")
+    )
+    picked = topk_distinct_texts(docs, "grp", "text", k=2, sim_cutoff=0.90)
+    return picked.select("grp", F.concat_ws("␟", "texts").alias("texts_joined"))
+
+
+QUERIES = {
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "language_id": q_language_id,
+    "exact_dedup": q_exact_dedup,
+    "fingerprints": q_fingerprints,
+    "word_freq_top20": q_word_freq_top20,
+    "ngram_jaccard_dedup": q_ngram_jaccard,
+    "minhash_lsh_dedup": q_minhash_lsh,
+    "simhash_dedup": q_simhash_pairs,
+    "topk_distinct_texts": q_topk_distinct_texts,
+}
+
+ORACLES = {
+    "token_stats": ORACLE_TOKEN_STATS,
+    "quality_score": ORACLE_QUALITY,
+    "language_id": ORACLE_LANG,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "fingerprints": ORACLE_FINGERPRINTS,
+    "word_freq_top20": ORACLE_WORD_FREQ,
+    "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
+    # minhash/simhash/topk_distinct: engine-specific → rows-only check
+}

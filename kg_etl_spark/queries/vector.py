@@ -1,0 +1,87 @@
+"""Embedding similarity-search catalog over the `embeddings` table.
+
+Scores are computed as a sequential left fold in double on both engines
+(Spark F.aggregate vs DuckDB list_reduce) so dot products are
+bit-identical; output rounded to 6 as belt-and-suspenders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+from kg_etl_spark.session import read_table
+
+_N_QUERIES = 8
+_K = 5
+
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=_K)
+
+
+ORACLE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_SQL_DOT.format(a='q.qe', b='e.embedding')}
+           / ({_SQL_NORM.format(a='q.qe')} * {_SQL_NORM.format(a='e.embedding')}) AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= {_K}
+"""
+
+
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+ORACLE_CENTROID = """
+SELECT label, dim, ROUND(AVG(v), 6) AS centroid_val FROM (
+  SELECT label, d.dim AS dim, CAST(embedding[d.dim] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) d
+) GROUP BY label, dim
+"""
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (IVF buckets) — Spark-only, rows-only check."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=_K, n_centroids=16, nprobe=4)
+
+
+QUERIES = {
+    "embedding_topk": q_embedding_topk,
+    "centroid_per_label": q_centroid_per_label,
+    "ivf_ann_topk": q_ivf_ann_topk,
+}
+
+ORACLES = {
+    "embedding_topk": ORACLE_TOPK,
+    "centroid_per_label": ORACLE_CENTROID,
+}

@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing uses ``local[$SPARK_GRAFT_CPUS]``; the same configs
+are cluster-safe (AQE, Arrow, sane shuffle partitioning). On a real
+1000-executor cluster only master/memory change — the query code does
+not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# AQE coalesces small post-shuffle partitions at runtime, so a value
+# sized for the largest stage is safe for the small ones too.
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "kg_etl_spark", shuffle_partitions: str | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism. All knobs here
+    are standard Apache Spark configs; nothing environment-specific.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata parquet uses TIMESTAMP(NANOS) (pandas/pyarrow default),
+        # which Spark rejects; read as long and convert in read_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# nanosecond-timestamp columns per table (read as long-nanos under
+# nanosAsLong, converted losslessly to timestamp — data is µs-aligned).
+_NANOS_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Scan one testdata table (plain parquet; pushdown/pruning native).
+
+    Nanos-timestamp columns come back as LongType and are converted via
+    integer division (`div 1000`) — double math would lose precision at
+    1e18 epoch-nanos.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
