@@ -21,7 +21,7 @@ def group_zscore(df: DataFrame, group_col: str, value_col: str, out_col: str = "
     Uses decimal sum/sumsq for order-independent μ/σ.
     """
     w = Window.partitionBy(group_col)
-    dec = F.col(value_col).cast("decimal(28,6)")
+    dec = F.col(value_col).cast("decimal(18,6)")
     n = F.count(value_col).over(w).cast("double")
     s = F.sum(dec).over(w).cast("double")
     ss = F.sum(dec * dec).over(w).cast("double")

@@ -83,15 +83,18 @@ def sorted_token_substring(a: Column, b: Column) -> Column:
 def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array (dedup kernel).
 
-    Native: sequence over indices + transform; no UDF, no explode until
-    the caller chooses to.
+    Implemented as arrays_zip over n shifted slices + one transform —
+    the token array is referenced O(n) times, not O(n·len) as an
+    element_at-per-index formulation would be (which defeats Catalyst
+    subexpression elimination inside lambda bodies and was ~100×
+    slower).
     """
     k = F.size(tokens_col)
-    idx = F.sequence(F.lit(0), k - n)  # empty when k < n
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(tokens_col, i + j + 1) for j in range(n)])
-    return F.when(k >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.greatest(k - (n - 1), F.lit(0))  # shingle count (0 if too short)
+    parts = [F.slice(tokens_col, j + 1, m).alias(f"t{j}") for j in range(n)]
+    zipped = F.arrays_zip(*parts)
+    gram = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)]))
+    return F.array_distinct(gram)
 
 
 def nfkd_ascii_udf():

@@ -39,10 +39,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(ws_tokens(F.col(text_col)), n).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    # two projection steps: CollapseProject won't inline the (expensive,
+    # multiply-referenced) token expression into the shingle lambda.
+    toks = df.select(F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks"))
+    return toks.select("_id", word_shingles(F.col("_toks"), n).alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
 
 
 def ngram_jaccard_pairs(

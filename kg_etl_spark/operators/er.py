@@ -1,0 +1,131 @@
+"""Entity resolution engine (reference centerpiece: `etl/er.py:152-248`
+re-expressed Spark-first, see SURVEY §7.2 step 5).
+
+Pipeline: grid-blocked candidate pairs (J6) → native similarity columns
+(token-set Jaccard F7; optional rapidfuzz pandas UDF X1) → accept rule
+(distance/similarity when-tree, X7) → connected components (A7) →
+canonical representative per cluster (A4: longest name, totalized
+tie-break) → assignment of every input row to a canonical id.
+
+All scalable pieces are pure DataFrame ops: one shuffle for blocking,
+one for components per iteration, one for the canonical window. The
+reference's per-city Python loops disappear; per-city parallelism falls
+out of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg_etl_spark.functions.text import fuzzy_ratio_udf, jaccard
+from kg_etl_spark.operators.blocking import blocked_pairs
+from kg_etl_spark.operators.components import components_iterative
+from kg_etl_spark.operators.textquality import ws_tokens
+
+# Distance-banded accept rule shaped like the reference's
+# `_accept_pair` (etl/er.py:102-132): closer pairs need less name
+# evidence. (band_max_meters, min_similarity), evaluated in order.
+DEFAULT_BANDS: list[tuple[float, float]] = [
+    (65.0, 0.05),
+    (95.0, 0.15),
+    (130.0, 0.25),
+    (250.0, 0.35),
+]
+
+
+def banded_accept(meters: Column, sim: Column, bands=None) -> Column:
+    cond = None
+    for band_m, min_sim in bands or DEFAULT_BANDS:
+        this = (meters <= band_m) & (sim >= min_sim)
+        cond = this if cond is None else cond | this
+    return cond
+
+
+def candidate_links(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    partition_col: str | None = None,
+    bin_deg: float = 0.01,
+    max_dist_m: float = 250.0,
+    use_fuzzy: bool = False,
+) -> DataFrame:
+    """Scored candidate pairs: a_id, b_id, meters, name_jac[, fuzzy_sim].
+
+    name_jac is a native token-set Jaccard (no Python); fuzzy_sim adds
+    the rapidfuzz pandas UDF when requested.
+    """
+    pairs = blocked_pairs(
+        df,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        partition_col=partition_col,
+        bin_deg=bin_deg,
+        max_dist_m=max_dist_m,
+        carry_cols=(name_col,),
+    )
+    a_name, b_name = F.col(f"a_{name_col}"), F.col(f"b_{name_col}")
+    out = pairs.withColumn("name_jac", jaccard(ws_tokens(a_name), ws_tokens(b_name)))
+    if use_fuzzy:
+        out = out.withColumn("fuzzy_sim", fuzzy_ratio_udf()(a_name, b_name))
+    return out.select(
+        F.col(f"a_{id_col}").alias("a_id"),
+        F.col(f"b_{id_col}").alias("b_id"),
+        a_name.alias("a_name"),
+        b_name.alias("b_name"),
+        "meters",
+        "name_jac",
+        *(["fuzzy_sim"] if use_fuzzy else []),
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    partition_col: str | None = None,
+    bin_deg: float = 0.01,
+    max_dist_m: float = 250.0,
+    bands=None,
+    sim_col: str = "name_jac",
+    use_fuzzy: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Full ER: returns (links, assignments).
+
+    links: accepted pairs with scores.
+    assignments: every input row → (id, canonical_id, canonical_name,
+    n_members); canonical_id = min member id of the connected component
+    (order-independent, unlike the reference's union-find root);
+    canonical_name = longest member name, ties broken (name asc, id asc).
+    """
+    cands = candidate_links(
+        df, id_col, name_col, lat_col, lon_col, partition_col, bin_deg, max_dist_m, use_fuzzy
+    )
+    links = cands.filter(banded_accept(F.col("meters"), F.col(sim_col), bands))
+
+    comp = components_iterative(links.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")))
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    asg = base.join(comp.withColumnRenamed("node", "id"), "id", "left").withColumn(
+        "canonical_id", F.coalesce(F.col("comp"), F.col("id"))
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.length("name").desc(), F.col("name").asc(), F.col("id").asc()
+    )
+    rep = (
+        asg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("canonical_id"), F.col("name").alias("canonical_name"))
+    )
+    members = asg.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("n_members"))
+    assignments = (
+        asg.join(rep, "canonical_id")
+        .join(members, "canonical_id")
+        .select("id", "canonical_id", "canonical_name", "n_members")
+    )
+    return links, assignments

@@ -1,0 +1,133 @@
+"""Entity-resolution catalog: the reference's centerpiece pipeline
+(blocking → scoring → accept → components → canonical representative)
+run over `part` rows with synthetic coordinates.
+
+The oracle-checked variant uses a single accept band (meters ≤ 250 AND
+token-Jaccard ≥ 0.25) so the DuckDB mirror stays tractable; the
+rapidfuzz-scored variant is Spark-only (rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.er import candidate_links, resolve_entities
+from kg_etl_spark.queries.geo import _sql_lat, _sql_lon, _SQL_EQUIRECT, synth_lat, synth_lon
+from kg_etl_spark.session import read_table
+
+_ACCEPT_M = 250.0
+_ACCEPT_JAC = 0.25
+_BANDS = [(_ACCEPT_M, _ACCEPT_JAC)]
+
+_SQL_TOKS = "list_filter(string_split_regex(trim(lower({c})), '\\s+'), x -> len(x) > 0)"
+_SQL_JAC = (
+    "CASE WHEN len(list_distinct(list_intersect({a}, {b}))) + len(list_distinct(list_concat({a}, {b}))) > 0 "
+    "THEN CAST(len(list_distinct(list_intersect({a}, {b}))) AS DOUBLE) / len(list_distinct(list_concat({a}, {b}))) "
+    "ELSE 0.0 END"
+)
+
+
+def _parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.withColumn("lat", synth_lat(F.col("p_partkey"))).withColumn(
+        "lon", synth_lon(F.col("p_partkey"))
+    )
+
+
+_SQL_PARTS = (
+    f"SELECT p_partkey, p_name, {_sql_lat('p_partkey')} AS lat, {_sql_lon('p_partkey')} AS lon FROM part"
+)
+_D_AB = _SQL_EQUIRECT.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")
+_J_AB = _SQL_JAC.format(a="a.toks", b="b.toks")
+
+_SQL_LINKS = f"""
+WITH p AS ({_SQL_PARTS}),
+t AS (SELECT p_partkey, p_name, lat, lon, {_SQL_TOKS.format(c='p_name')} AS toks FROM p),
+cand AS (
+  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id, a.p_name AS a_name, b.p_name AS b_name,
+         {_D_AB} AS meters, {_J_AB} AS name_jac
+  FROM t a JOIN t b ON a.p_partkey < b.p_partkey
+  WHERE {_D_AB} <= {_ACCEPT_M}
+)
+SELECT a_id, b_id, a_name, b_name, ROUND(meters, 1) AS meters, ROUND(name_jac, 6) AS name_jac
+FROM cand WHERE name_jac >= {_ACCEPT_JAC}
+"""
+
+
+def q_er_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _parts(spark, sf_dir)
+    links = candidate_links(parts, "p_partkey", "p_name").filter(
+        (F.col("meters") <= _ACCEPT_M) & (F.col("name_jac") >= _ACCEPT_JAC)
+    )
+    return links.select(
+        "a_id", "b_id", "a_name", "b_name",
+        F.round("meters", 1).alias("meters"),
+        F.round("name_jac", 6).alias("name_jac"),
+    )
+
+
+ORACLE_ER_LINKS = _SQL_LINKS
+
+
+def q_er_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _parts(spark, sf_dir)
+    _links, assignments = resolve_entities(
+        parts, "p_partkey", "p_name", bands=_BANDS, sim_col="name_jac"
+    )
+    return assignments.select("id", "canonical_id", "canonical_name", "n_members")
+
+
+ORACLE_ER_CANONICAL = f"""
+WITH RECURSIVE p AS ({_SQL_PARTS}),
+t AS (SELECT p_partkey, p_name, lat, lon, {_SQL_TOKS.format(c='p_name')} AS toks FROM p),
+links AS (
+  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id
+  FROM t a JOIN t b ON a.p_partkey < b.p_partkey
+  WHERE {_D_AB} <= {_ACCEPT_M} AND {_J_AB} >= {_ACCEPT_JAC}
+),
+edges AS (SELECT a_id AS s, b_id AS d FROM links UNION ALL SELECT b_id, a_id FROM links),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+asg AS (
+  SELECT p.p_partkey AS id, p.p_name AS name, COALESCE(c.comp, p.p_partkey) AS canonical_id
+  FROM p LEFT JOIN comp c ON c.node = p.p_partkey
+),
+rep AS (
+  SELECT canonical_id, name AS canonical_name FROM (
+    SELECT canonical_id, name,
+           ROW_NUMBER() OVER (PARTITION BY canonical_id ORDER BY LENGTH(name) DESC, name ASC, id ASC) AS rn
+    FROM asg
+  ) WHERE rn = 1
+),
+members AS (SELECT canonical_id, COUNT(*) AS n_members FROM asg GROUP BY canonical_id)
+SELECT a.id, a.canonical_id, r.canonical_name, m.n_members
+FROM asg a JOIN rep r USING (canonical_id) JOIN members m USING (canonical_id)
+"""
+
+
+def q_er_fuzzy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rapidfuzz-scored candidate pairs (X1 pandas UDF) — Spark-only."""
+    parts = _parts(spark, sf_dir)
+    links = candidate_links(parts, "p_partkey", "p_name", use_fuzzy=True).filter(
+        (F.col("meters") <= _ACCEPT_M) & (F.col("fuzzy_sim") >= 0.5)
+    )
+    return links.select(
+        "a_id", "b_id", F.round("meters", 1).alias("meters"), F.round("fuzzy_sim", 3).alias("fuzzy_sim")
+    )
+
+
+QUERIES = {
+    "er_links": q_er_links,
+    "er_canonical": q_er_canonical,
+    "er_fuzzy_links": q_er_fuzzy_links,
+}
+
+ORACLES = {
+    "er_links": ORACLE_ER_LINKS,
+    "er_canonical": ORACLE_ER_CANONICAL,
+}

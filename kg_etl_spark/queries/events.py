@@ -25,7 +25,7 @@ def q_hourly_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -34,7 +34,7 @@ def q_hourly_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HOURLY = """
 SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """
@@ -108,8 +108,8 @@ def q_rolling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type",
         F.unix_micros(F.col("day")).alias("day_us"),
-        F.round(F.col("_dsum").cast("double"), 2).alias("day_value"),
-        F.round(F.sum("_dsum").over(w).cast("double"), 2).alias("trailing3_value"),
+        F.round(F.col("_dsum"), 2).cast("double").alias("day_value"),
+        F.round(F.sum("_dsum").over(w), 2).cast("double").alias("trailing3_value"),
     )
 
 
@@ -119,8 +119,8 @@ WITH d AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, epoch_us(day) AS day_us,
-       ROUND(CAST(dsum AS DOUBLE), 2) AS day_value,
-       ROUND(CAST(SUM(dsum) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS trailing3_value
+       CAST(ROUND(dsum, 2) AS DOUBLE) AS day_value,
+       CAST(ROUND(SUM(dsum) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing3_value
 FROM d
 """
 

@@ -24,26 +24,32 @@ from kg_etl_spark.operators.components import components_iterative
 from kg_etl_spark.operators.nearest import nearest_within, radius_join
 from kg_etl_spark.session import read_table
 
-# synthetic coordinate grid: ~300×300 cells of 0.001° over a ~33 km box
-_LAT0, _LON0, _CELLS, _STEP = 50.0, 8.0, 300, 0.001
+# Synthetic coordinate grid: ~300×307 cells of 0.001° over a ~33 km
+# box. Keys are scrambled with a multiply + double-mod (large prime,
+# then grid size) — a plain linear-congruential map puts all points on
+# a sparse lattice with no close pairs; the second mod breaks the
+# linearity so near-neighbor pairs exist at every scale factor.
+_LAT0, _LON0, _STEP = 50.0, 8.0, 0.001
+_MIX_A, _PRIME_A, _CELLS_LAT = 2654435761, 1000003, 300
+_MIX_B, _PRIME_B, _CELLS_LON = 2246822519, 1000033, 307
 
 
 def synth_lat(key: Column) -> Column:
-    return F.lit(_LAT0) + (key * 7919 % _CELLS) * F.lit(_STEP)
+    return F.lit(_LAT0) + (key * _MIX_A % _PRIME_A % _CELLS_LAT) * F.lit(_STEP)
 
 
 def synth_lon(key: Column) -> Column:
-    return F.lit(_LON0) + (key * 104729 % _CELLS) * F.lit(_STEP)
+    return F.lit(_LON0) + (key * _MIX_B % _PRIME_B % _CELLS_LON) * F.lit(_STEP)
 
 
 # CAST the step to DOUBLE: DuckDB would otherwise do DECIMAL arithmetic
 # (its float literals are decimals) and disagree with Spark's doubles.
 def _sql_lat(key: str) -> str:
-    return f"({_LAT0} + (({key} * 7919) % {_CELLS}) * CAST({_STEP} AS DOUBLE))"
+    return f"({_LAT0} + ((({key} * {_MIX_A}) % {_PRIME_A}) % {_CELLS_LAT}) * CAST({_STEP} AS DOUBLE))"
 
 
 def _sql_lon(key: str) -> str:
-    return f"({_LON0} + (({key} * 104729) % {_CELLS}) * CAST({_STEP} AS DOUBLE))"
+    return f"({_LON0} + ((({key} * {_MIX_B}) % {_PRIME_B}) % {_CELLS_LON}) * CAST({_STEP} AS DOUBLE))"
 
 
 def _with_coords(df: DataFrame, key: str) -> DataFrame:

@@ -17,6 +17,7 @@ from kg_etl_spark.functions.text import slugify
 from kg_etl_spark.session import read_table
 
 DEC = "decimal(28,6)"
+DECP = "decimal(18,6)"  # for products: (18,6)x(18,6)=(37,12) fits precision 38 in both engines
 
 
 def _dsum(c) -> F.Column:
@@ -29,15 +30,15 @@ def _dsum(c) -> F.Column:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc_price = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    disc_price = (F.col("l_extendedprice").cast(DECP) * (F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -47,9 +48,9 @@ ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -62,7 +63,7 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    rev = (F.col("l_extendedprice").cast(DECP) * (F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)))
     return (
         li.filter(
             (F.col("l_shipdate") >= "1995-01-01")
@@ -73,14 +74,14 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(rev.cast("double"), 2).alias("revenue"),
+            F.round(rev, 2).cast("double").alias("revenue"),
         )
     )
 
 
 ORACLE_FILTER_PROJECT = """
 SELECT l_orderkey, l_linenumber,
-       ROUND(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10
@@ -106,15 +107,15 @@ WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantit
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    pending = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
 
 ORACLE_ANTI = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
 """
 
 
@@ -124,12 +125,12 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    rev = (F.col("l_extendedprice").cast(DECP) * (F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -137,7 +138,7 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BROADCAST = """
 SELECT p_brand,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -153,7 +154,7 @@ def q_multi_hop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    rev = (F.col("l_extendedprice").cast(DECP) * (F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -161,7 +162,7 @@ def q_multi_hop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -169,7 +170,7 @@ def q_multi_hop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MULTI_HOP = """
 SELECT r_name, n_name,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -235,7 +236,7 @@ def q_zscore_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "c_custkey",
         "c_nationkey",
-        F.round("z", 6).alias("z"),
+        "z",
         bucket(F.col("z")).alias("tier"),
     )
 
@@ -244,12 +245,12 @@ ORACLE_ZSCORE = """
 WITH s AS (
   SELECT c_custkey, c_nationkey, c_acctbal,
          COUNT(*) OVER w AS n,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)) * CAST(c_acctbal AS DECIMAL(28,6))) OVER w AS DOUBLE) AS ss
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6)) * CAST(c_acctbal AS DECIMAL(19,6))) OVER w AS DOUBLE) AS ss
   FROM customer WINDOW w AS (PARTITION BY c_nationkey)
 )
 SELECT c_custkey, c_nationkey,
-       ROUND(z, 6) AS z,
+       z,
        CASE WHEN z >= 1 THEN 'high' WHEN z >= 0 THEN 'medium' ELSE 'low' END AS tier
 FROM (
   SELECT c_custkey, c_nationkey,
@@ -451,9 +452,9 @@ def q_priority_coalesced_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def seg_avg(seg: str):
         s = F.sum(F.when(F.col("c_mktsegment") == seg, F.col("c_acctbal").cast(DEC))).cast("double")
         n = F.count(F.when(F.col("c_mktsegment") == seg, F.lit(1)))
-        return F.when(n > 0, F.round(s / n, 6))
+        return F.when(n > 0, s / n)
 
-    any_avg = F.round(F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1)), 6)
+    any_avg = F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))
     return cust.groupBy("c_nationkey").agg(
         F.coalesce(seg_avg("BUILDING"), seg_avg("AUTOMOBILE"), any_avg).alias("canonical_bal")
     )
@@ -463,12 +464,12 @@ ORACLE_PRIORITY_AVG = """
 SELECT c_nationkey,
        COALESCE(
          CASE WHEN COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) > 0
-              THEN ROUND(CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(28,6)) END) AS DOUBLE)
-                         / COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END), 6) END,
+              THEN CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(28,6)) END) AS DOUBLE)
+                         / COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) END,
          CASE WHEN COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) > 0
-              THEN ROUND(CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(28,6)) END) AS DOUBLE)
-                         / COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END), 6) END,
-         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+              THEN CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(28,6)) END) AS DOUBLE)
+                         / COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) END,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
        ) AS canonical_bal
 FROM customer GROUP BY c_nationkey
 """
