@@ -1,0 +1,112 @@
+"""Unit tests for the scalar kernels (geo/text/ids/stats)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kg_etl_spark.functions.geo import equirect_m, haversine_m, in_bbox, point_in_polygon_udf
+from kg_etl_spark.functions.ids import canonical_id_str, prefixed_id, sha1_id
+from kg_etl_spark.functions.stats import bucket, group_zscore
+from kg_etl_spark.functions.text import (
+    jaccard,
+    normalize_name,
+    slugify,
+    sorted_token_substring,
+    word_shingles,
+)
+from kg_etl_spark.operators.textquality import ws_tokens
+
+
+def test_haversine_known_distance(spark):
+    # Paris → London ≈ 343-344 km
+    df = spark.range(1).select(
+        haversine_m(F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)).alias("m")
+    )
+    m = df.collect()[0]["m"]
+    assert 342_000 < m < 345_000
+
+
+def test_equirect_close_to_haversine_short_range(spark):
+    df = spark.range(1).select(
+        haversine_m(F.lit(50.0), F.lit(8.0), F.lit(50.001), F.lit(8.001)).alias("h"),
+        equirect_m(F.lit(50.0), F.lit(8.0), F.lit(50.001), F.lit(8.001)).alias("e"),
+    )
+    r = df.collect()[0]
+    assert abs(r["h"] - r["e"]) < 0.5  # sub-meter agreement under 2 km
+
+
+def test_bbox_buffer(spark):
+    df = spark.createDataFrame([(50.0, 8.0)], "lat double, lon double")
+    inside = df.select(
+        in_bbox(F.col("lat"), F.col("lon"), F.lit(50.005), F.lit(8.0), F.lit(50.01), F.lit(8.01),
+                buffer_km=1.0).alias("x")
+    ).collect()[0]["x"]
+    assert inside  # 50.005 south edge buffered ~0.009° past 50.0
+
+
+def test_point_in_polygon(spark):
+    square = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    df = spark.createDataFrame(
+        [(5.0, 5.0, True), (15.0, 5.0, False), (None, 5.0, False)],
+        "lat double, lon double, expect boolean",
+    )
+    pip = point_in_polygon_udf(square)
+    rows = df.select(pip(F.col("lat"), F.col("lon")).alias("got"), "expect").collect()
+    assert all(r["got"] == r["expect"] for r in rows)
+
+
+def test_text_kernels(spark):
+    df = spark.createDataFrame([("Große Str. Café!!",)], "s string")
+    r = df.select(
+        normalize_name(F.col("s")).alias("n"), slugify(F.col("s")).alias("slug")
+    ).collect()[0]
+    assert "strasse" in r["n"] and " " in r["n"]
+    assert r["slug"] == "groe-str-caf"  # non-ascii stripped, spaces dashed
+
+
+def test_jaccard_and_substring(spark):
+    df = spark.createDataFrame([("red widget deluxe", "red widget")], "a string, b string")
+    r = df.select(
+        jaccard(ws_tokens(F.col("a")), ws_tokens(F.col("b"))).alias("j"),
+        sorted_token_substring(ws_tokens(F.col("a")), ws_tokens(F.col("b"))).alias("sub"),
+    ).collect()[0]
+    assert abs(r["j"] - 2 / 3) < 1e-12
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "s string")
+    rows = df.select(word_shingles(ws_tokens(F.col("s")), 3).alias("sh")).collect()
+    assert sorted(rows[0]["sh"]) == ["a b c", "b c d"]
+    assert rows[1]["sh"] == []
+
+
+def test_ids(spark):
+    df = spark.createDataFrame([("42.0", "biz1")], "raw string, bid string")
+    r = df.select(
+        canonical_id_str(F.col("raw")).alias("cid"),
+        prefixed_id("yelp", F.col("bid")).alias("pid"),
+        sha1_id(F.col("bid"), F.lit("x" * 600), text_trunc=512).alias("h1"),
+        sha1_id(F.col("bid"), F.lit("x" * 512), text_trunc=512).alias("h2"),
+    ).collect()[0]
+    assert r["cid"] == "42"
+    assert r["pid"] == "yelp:biz1"
+    assert r["h1"] == r["h2"]  # truncation applied before hashing
+
+
+def test_group_zscore_sigma_zero(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 3.0)], "g string, v double"
+    )
+    rows = group_zscore(df, "g", "v").select("g", "v", "z").collect()
+    za = [r["z"] for r in rows if r["g"] == "a"]
+    zb = sorted(r["z"] for r in rows if r["g"] == "b")
+    assert za == [0.0, 0.0]  # σ=0 → z=0
+    assert abs(zb[0] + math.sqrt(0.5)) < 1e-9 and abs(zb[1] - math.sqrt(0.5)) < 1e-9
+
+
+def test_bucket(spark):
+    df = spark.createDataFrame([(1.5,), (0.2,), (-0.1,)], "z double")
+    got = [r["t"] for r in df.select(bucket(F.col("z")).alias("t")).collect()]
+    assert got == ["high", "medium", "low"]

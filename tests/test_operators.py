@@ -1,0 +1,175 @@
+"""Operator tests: blocking join vs brute force, components vs a
+reference union-find, nearest determinism, dedup families, similarity."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.blocking import blocked_pairs
+from kg_etl_spark.operators.components import components_grouped_unionfind, components_iterative
+from kg_etl_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from kg_etl_spark.operators.nearest import nearest_within, radius_join
+from kg_etl_spark.operators.similarity import brute_force_topk
+from kg_etl_spark.operators.topk import topk_distinct_texts, topk_per_group
+
+
+def _equirect(a, b):
+    R = 6371000.0
+    dx = math.radians(b[1] - a[1]) * math.cos(math.radians((a[0] + b[0]) / 2))
+    dy = math.radians(b[0] - a[0])
+    return R * math.sqrt(dx * dx + dy * dy)
+
+
+def _random_points(n, seed=7):
+    rng = random.Random(seed)
+    return [(i, 50.0 + rng.random() * 0.05, 8.0 + rng.random() * 0.05) for i in range(n)]
+
+
+def test_blocked_pairs_matches_brute_force(spark):
+    pts = _random_points(120)
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in blocked_pairs(df, "id", max_dist_m=250.0, bin_deg=0.01).collect()
+    }
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if _equirect((a[1], a[2]), (b[1], b[2])) <= 250.0
+    }
+    assert got == want and len(want) > 5
+
+
+def test_radius_join_and_nearest(spark):
+    left = spark.createDataFrame([(1, 50.0, 8.0)], "id long, lat double, lon double")
+    right = spark.createDataFrame(
+        [(10, 50.0005, 8.0), (11, 50.001, 8.0), (12, 51.0, 8.0)],
+        "rid long, lat double, lon double",
+    )
+    rj = radius_join(left, right, "id", "rid", threshold_m=200.0)
+    assert {r["rid"] for r in rj.collect()} == {10, 11}
+    nn = nearest_within(left, right, "id", "rid", threshold_m=200.0).collect()
+    assert len(nn) == 1 and nn[0]["rid"] == 10
+
+
+def test_nearest_tie_break(spark):
+    left = spark.createDataFrame([(1, 50.0, 8.0)], "id long, lat double, lon double")
+    right = spark.createDataFrame(
+        [(20, 50.001, 8.0), (10, 49.999, 8.0)], "rid long, lat double, lon double"
+    )  # equidistant → smaller rid wins
+    nn = nearest_within(left, right, "id", "rid", threshold_m=300.0).collect()
+    assert nn[0]["rid"] == 10
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component
+    comp = {}
+    for n in parent:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(m) for r, m in comp.items() for n in m}
+
+
+def test_components_iterative_matches_unionfind(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["comp"] for r in components_iterative(df).collect()}
+    want = _py_components(edges)
+    assert got == want
+
+
+def test_components_grouped_unionfind(spark):
+    df = spark.createDataFrame(
+        [("c1", "a", "b"), ("c1", "b", "c"), ("c1", "x", "y"), ("c2", "a", "z")],
+        "city string, src string, dst string",
+    )
+    rows = components_grouped_unionfind(df, "src", "dst", "city").collect()
+    by = {(r["city"], r["node"]): r["comp"] for r in rows}
+    assert by[("c1", "a")] == by[("c1", "c")] == "a"
+    assert by[("c1", "x")] == by[("c1", "y")] == "x"
+    assert by[("c2", "z")] == "a"  # same letters, different city partition
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", 3, 1), ("g", 2, 2), ("g", 3, 0), ("h", 1, 9)], "g string, v long, id long"
+    )
+    rows = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=2).collect()
+    got = {(r["g"], r["id"], r["rank"]) for r in rows}
+    assert got == {("g", 0, 1), ("g", 1, 2), ("h", 9, 1)}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different")], "id long, text string"
+    )
+    rows = {r["keeper_id"]: r["n_dups"] for r in exact_dedup(df, "id").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words here that share nothing at all with it"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    rows = ngram_jaccard_pairs(df, "id", threshold=0.5).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok39", "tokX")
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    rows = minhash_lsh_pairs(df, "id", threshold=0.5).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+    assert rows[0]["jaccard"] > 0.9
+
+
+def test_simhash_pairs(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok59", "tokX")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    rows = simhash_pairs(df, "id", max_hamming=8).collect()
+    assert (1, 2) in {(r["a_id"], r["b_id"]) for r in rows}
+
+
+def test_brute_force_topk(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = brute_force_topk(corpus, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [3, 1]
+
+
+def test_topk_distinct_texts(spark):
+    df = spark.createDataFrame(
+        [("p", "the best place ever really"), ("p", "the best place ever truly"), ("p", "bad")],
+        "grp string, text string",
+    )
+    rows = topk_distinct_texts(df, "grp", "text", k=2, sim_cutoff=0.9).collect()
+    texts = rows[0]["texts"]
+    assert len(texts) == 2 and "bad" in texts  # near-dup suppressed

@@ -1,0 +1,154 @@
+"""Sources (CSV repair, JSONL, SQLite, Wikivoyage XML), multimodal
+plumbing and the streaming seam."""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kg_etl_spark.operators.multimodal import attach_binary_payload, extract_features
+from kg_etl_spark.schemas import REVIEWS, normalize_columns
+from kg_etl_spark.sources.csvsrc import read_csv, read_csv_repaired
+from kg_etl_spark.sources.jsonl import read_jsonl, write_jsonl, write_partitioned_parquet
+from kg_etl_spark.sources.sqlite_src import load_pois, load_reviews_joined
+from kg_etl_spark.sources.xml_wikivoyage import load_wikivoyage_listings, parse_page
+from kg_etl_spark.streaming.reviews_stream import (
+    dedup_reviews,
+    read_review_stream,
+    windowed_place_counts,
+)
+
+
+def test_read_csv_id_canonicalization(spark, tmp_path):
+    p = tmp_path / "l_listings.csv"
+    p.write_text("listing_id,name\n123.0,Flat A\n456,Flat B\n")
+    df = read_csv(spark, str(p), id_cols=("listing_id",), required=("listing_id", "name"))
+    assert {r["listing_id"] for r in df.collect()} == {"123", "456"}
+
+
+def test_read_csv_repaired(spark, tmp_path):
+    p = tmp_path / "broken.csv"
+    p.write_text('id,txt\r\n1,"hello" ,\r\n'.replace('" ,', '" ,'))
+    schema = T.StructType([T.StructField("id", T.StringType()), T.StructField("txt", T.StringType())])
+    df = read_csv_repaired(spark, str(p), schema)
+    rows = df.collect()
+    assert rows[0]["id"] == "1"
+
+
+def test_jsonl_roundtrip_and_partitioned_parquet(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("r1", "yelp", "p1", 4.0, "good", "2024-01-01", "alpha")], REVIEWS
+    )
+    out = str(tmp_path / "reviews_jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, REVIEWS)
+    assert back.count() == 1
+    pq = str(tmp_path / "reviews_pq")
+    write_partitioned_parquet(df, pq)
+    write_partitioned_parquet(df.withColumn("review_id", F.lit("r2")), pq, mode="append")
+    assert spark.read.parquet(pq).count() == 2
+    assert os.path.isdir(os.path.join(pq, "city_slug=alpha"))
+
+
+def test_normalize_columns_aliases(spark):
+    raw = spark.createDataFrame(
+        [("r1", "yelp", "p1", "4.5", "ok", "2024", "Alpha", "ignored")],
+        "review_id string, source string, placeid string, rating string, text string, scraped_at string, city string, junk string",
+    )
+    norm = normalize_columns(raw, REVIEWS)
+    r = norm.collect()[0]
+    assert r["place_id"] == "p1" and r["city_slug"] == "Alpha" and r["rating"] == 4.5
+
+
+def test_sqlite_sources(spark, tmp_path):
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE biz (business_id TEXT, name TEXT, latitude REAL, longitude REAL)")
+        c.execute("INSERT INTO biz VALUES ('b1','Cafe',50.0,8.0), ('b2','NoCoords',NULL,NULL)")
+        c.execute("CREATE TABLE rev (business_id TEXT, rating REAL, review_text TEXT)")
+        c.execute("INSERT INTO rev VALUES ('b1', 5.0, 'great'), ('b1', 'bad', 'junk rating')")
+    pois = load_pois(spark, db, "biz", "business_id", "yelp", "name")
+    rows = pois.collect()
+    assert len(rows) == 1 and rows[0]["place_id"] == "yelp:b1"  # NULL-pruned
+    joined = load_reviews_joined(spark, db, "rev", "biz", "business_id", "yelp")
+    got = {r["text"]: r["rating"] for r in joined.collect()}
+    assert got["great"] == 5.0 and got["junk rating"] is None  # try_cast
+
+
+WIKI_XML = """<mediawiki>
+<page><title>Alpha</title><ns>0</ns><revision><text>
+{{see|name=Old Tower|lat=50.1|long=8.1|content=A tower.}}
+{{eat|name=Best Cafe|lat=48.2°N|long=8.2|address=Main St 1}}
+{{infobox|name=Not a listing}}
+</text></revision></page>
+<page><title>Redirected</title><ns>0</ns><redirect title="Alpha"/><revision><text>
+{{see|name=Should Skip|lat=1|long=2}}
+</text></revision></page>
+<page><title>Talk:Alpha</title><ns>1</ns><revision><text>
+{{see|name=Wrong NS|lat=1|long=2}}
+</text></revision></page>
+</mediawiki>"""
+
+
+def test_parse_page_unit():
+    rows = parse_page(WIKI_XML.split("</page>")[0] + "</page>")
+    assert [r["name"] for r in rows] == ["Old Tower", "Best Cafe"]
+    assert rows[1]["lat"] == 48.2  # messy float
+    assert rows[1]["address"] == "Main St 1"
+
+
+def test_load_wikivoyage_listings(spark, tmp_path):
+    p = tmp_path / "dump.xml"
+    p.write_text(WIKI_XML)
+    df = load_wikivoyage_listings(spark, str(p))
+    rows = df.collect()
+    assert {r["name"] for r in rows} == {"Old Tower", "Best Cafe"}  # ns/redirect filtered
+    assert all(r["page_title"] == "Alpha" for r in rows)
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id long, text string")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = extract_features(media, fake=True, dim=4).collect()
+    assert len(feats) == 2
+    by = {r["media_id"]: r for r in feats}
+    assert by["1"]["n_bytes"] == 5 and len(by["1"]["feature"]) == 4
+    # deterministic
+    feats2 = extract_features(media, fake=True, dim=4).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    try:
+        extract_features(media, fake=False)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_streaming_dedup_windowed(spark, tmp_path):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    rows = [
+        {"review_id": "r1", "place_id": "p1", "rating": 4.0, "text": "a",
+         "event_time": "2024-01-01T00:01:00.000Z"},
+        {"review_id": "r1", "place_id": "p1", "rating": 4.0, "text": "a",
+         "event_time": "2024-01-01T00:01:00.000Z"},  # dup
+        {"review_id": "r2", "place_id": "p1", "rating": 2.0, "text": "b",
+         "event_time": "2024-01-01T00:03:00.000Z"},
+    ]
+    (src / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = read_review_stream(spark, str(src))
+    out = windowed_place_counts(dedup_reviews(stream))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    assert len(got) == 1
+    assert got[0]["n_reviews"] == 2 and abs(got[0]["avg_rating"] - 3.0) < 1e-9
