@@ -40,7 +40,7 @@ def components_iterative(
         .withColumn("comp", F.col("node"))
     )
 
-    for i in range(max_iter):
+    for _ in range(max_iter):
         # neighborhood min: for each node, min(comp of node, comp of neighbors)
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "d").withColumnRenamed("comp", "ncomp"), "d")
@@ -48,26 +48,83 @@ def components_iterative(
             .agg(F.min("ncomp").alias("nbr_comp"))
             .withColumnRenamed("s", "node")
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
+        # carry a changed flag so convergence needs no extra join
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+            (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias("_changed"),
+        )
+        # pointer jumping: comp ← comp(comp), collapsing label chains so
+        # convergence is O(log diameter) instead of O(diameter)
+        lookup = stepped.select(F.col("node").alias("_c"), F.col("comp").alias("_cc"))
+        stepped = (
+            stepped.join(lookup, stepped.comp == lookup._c, "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce(F.col("_cc"), F.col("comp"))).alias("comp"),
+                "_changed",
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("_changed")).limit(1).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     sym.unpersist()
     return labels
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    small_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Size-adaptive components: below `small_threshold` edges the whole
+    edge list fits one task → exact union-find via applyInPandas (a
+    coarsened local solve, the standard cutover trick); above it, the
+    distributed min-label iteration. Both return (node, comp) with
+    comp = min node id — identical, order-independent semantics.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e.cache()
+    n = e.count()
+    if n > small_threshold:
+        out = components_iterative(e)
+        e.unpersist()
+        return out
+
+    node_type = dict(e.dtypes)["src"]
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        # second pass: full path compression → min-id roots
+        rows = [(v, find(v)) for v in parent]
+        return pd.DataFrame(rows, columns=["node", "comp"])
+
+    out = (
+        e.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(uf, schema=f"node {node_type}, comp {node_type}")
+    )
+    e.unpersist()
+    return out
 
 
 def components_grouped_unionfind(

@@ -85,11 +85,23 @@ def ngram_jaccard_pairs(
     return out.select("a_id", "b_id", "n_common", F.round("jaccard", 6).alias("jaccard"))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed i, min(xxhash64(shingle, seed=i)).
-    Native: transform over seeds × array_min over hashed shingles."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(seeds, lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))))
+def minhash_signatures_df(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(_id, _sig): MinHash signature per doc — per seed i,
+    min(xxhash64(shingle, i)).
+
+    Computed explode-side (one row per doc×shingle, 64 hash columns,
+    then ONE hash-aggregate of 64 mins). The aggregate is a hard
+    attribute boundary, so downstream banding expressions reference the
+    materialized signature instead of re-inlining 64×|shingles| hash
+    evals per use (an array-expression formulation was ~30× slower for
+    exactly that reason). Map-side partial aggregation keeps the
+    shuffle at one row per doc.
+    """
+    ex = shingled.select("_id", F.explode("_sh").alias("_s"))
+    mins = ex.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return mins.select("_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
 
 
 def minhash_lsh_pairs(
@@ -111,7 +123,7 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sh = _shingled(df, id_col, text_col, n)
-    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    sig = minhash_signatures_df(sh, num_hashes)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from kg_etl_spark.functions.text import fuzzy_ratio_udf, jaccard
 from kg_etl_spark.operators.blocking import blocked_pairs
-from kg_etl_spark.operators.components import components_iterative
+from kg_etl_spark.operators.components import connected_components
 from kg_etl_spark.operators.textquality import ws_tokens
 
 # Distance-banded accept rule shaped like the reference's
@@ -109,7 +109,7 @@ def resolve_entities(
     )
     links = cands.filter(banded_accept(F.col("meters"), F.col(sim_col), bands))
 
-    comp = components_iterative(links.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")))
+    comp = connected_components(links.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")))
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     asg = base.join(comp.withColumnRenamed("node", "id"), "id", "left").withColumn(
         "canonical_id", F.coalesce(F.col("comp"), F.col("id"))

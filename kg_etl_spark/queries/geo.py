@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from kg_etl_spark.functions.geo import equirect_m, grid_bin, haversine_m, in_bbox, point_in_polygon_udf
 from kg_etl_spark.operators.blocking import blocked_pairs
-from kg_etl_spark.operators.components import components_iterative
+from kg_etl_spark.operators.components import connected_components
 from kg_etl_spark.operators.nearest import nearest_within, radius_join
 from kg_etl_spark.session import read_table
 
@@ -177,7 +177,7 @@ def q_spatial_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = blocked_pairs(cust, id_col="c_custkey", max_dist_m=150.0).select(
         F.col("a_c_custkey").alias("src"), F.col("b_c_custkey").alias("dst")
     )
-    return components_iterative(edges).select("node", "comp")
+    return connected_components(edges).select("node", "comp")
 
 
 ORACLE_COMPONENTS = f"""
