@@ -62,19 +62,24 @@ def assign_city(
     lat, lon = F.col(lat_col), F.col(lon_col)
     has_coords = lat.isNotNull() & lon.isNotNull()
 
-    cand = places.crossJoin(F.broadcast(cities))
-    dist = haversine_m(lat, lon, F.col("center_lat"), F.col("center_lon"))
-    poly_hit = has_coords & _polygon_contains(lat, lon, F.col("polygon"))
+    # prefix every city column so the cross join can't collide with
+    # place columns (both sides naturally carry `name`)
+    c = cities.select(*[F.col(col).alias(f"_ct_{col}") for col in cities.columns])
+    cand = places.crossJoin(F.broadcast(c))
+    dist = haversine_m(lat, lon, F.col("_ct_center_lat"), F.col("_ct_center_lon"))
+    poly_hit = has_coords & _polygon_contains(lat, lon, F.col("_ct_polygon"))
     bbox_hit = has_coords & in_bbox(
-        lat, lon, F.col("bbox_south"), F.col("bbox_west"), F.col("bbox_north"), F.col("bbox_east")
+        lat, lon,
+        F.col("_ct_bbox_south"), F.col("_ct_bbox_west"),
+        F.col("_ct_bbox_north"), F.col("_ct_bbox_east"),
     )
-    radius_hit = has_coords & (dist <= F.col("radius_km") * 1000.0)
+    radius_hit = has_coords & (dist <= F.col("_ct_radius_km") * 1000.0)
     if hint_col:
         hint_norm = normalize_name(F.col(hint_col))
         alias_hit = (~has_coords) & (
-            (hint_norm == normalize_name(F.col("name")))
-            | (hint_norm == normalize_name(F.col("slug")))
-            | F.exists(F.col("aliases"), lambda a: normalize_name(a) == hint_norm)
+            (hint_norm == normalize_name(F.col("_ct_name")))
+            | (hint_norm == normalize_name(F.col("_ct_slug")))
+            | F.exists(F.col("_ct_aliases"), lambda a: normalize_name(a) == hint_norm)
         )
     else:
         alias_hit = F.lit(False)
@@ -90,13 +95,13 @@ def assign_city(
         F.col("_prio").isNotNull()
     )
     w = Window.partitionBy(id_col).orderBy(
-        F.col("_prio").asc(), F.col("_dist_m").asc_nulls_last(), F.col("slug").asc()
+        F.col("_prio").asc(), F.col("_dist_m").asc_nulls_last(), F.col("_ct_slug").asc()
     )
     best = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .filter((F.col("_dist_m").isNull()) | (F.col("_dist_m") <= max_km * 1000.0))
-        .select(F.col(id_col).alias("_aid"), F.col("slug").alias("city_slug"))
+        .select(F.col(id_col).alias("_aid"), F.col("_ct_slug").alias("city_slug"))
     )
     return places.join(best, places[id_col] == F.col("_aid"), "left").drop("_aid")
 

@@ -133,3 +133,36 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, score) with
+    a_id < b_id and cosine >= threshold — the vector leg of the dedup
+    family (exact / n-gram / MinHash / SimHash / embedding).
+
+    Norms are precomputed once per side so the pair loop is a single
+    fold per pair. Exact all-pairs with the smaller side broadcast —
+    right for corpora up to ~1M vectors per executor-broadcast budget.
+    The 100 TB path swaps the broadcast self-join for a blocker
+    (random-hyperplane LSH bands or the IVF assignment above) before
+    the same scoring/filter — identical downstream semantics, candidate
+    generation becomes sub-quadratic.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    a = base.select(F.col("_id").alias("a_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("_id").alias("b_id"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn("score", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("score") >= threshold)
+        .select("a_id", "b_id", F.round("score", 6).alias("score"))
+    )

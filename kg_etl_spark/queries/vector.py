@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kg_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+from kg_etl_spark.operators.similarity import brute_force_topk, cosine_neardup_pairs, ivf_topk
 from kg_etl_spark.session import read_table
 
 _N_QUERIES = 8
@@ -75,13 +75,39 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=_K, n_centroids=16, nprobe=4)
 
 
+_NEARDUP_T = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family, vector leg)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=_NEARDUP_T)
+
+
+# Oracle uses the SAME sequential left-fold dot/norm as the Spark side
+# (not list_cosine_similarity, whose summation order is unspecified) so
+# scores are bit-identical before rounding.
+ORACLE_NEARDUP = f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6) AS score
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= {_NEARDUP_T}
+"""
+
+
 QUERIES = {
     "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
     "centroid_per_label": q_centroid_per_label,
     "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 ORACLES = {
     "embedding_topk": ORACLE_TOPK,
+    "embedding_neardup": ORACLE_NEARDUP,
     "centroid_per_label": ORACLE_CENTROID,
 }
