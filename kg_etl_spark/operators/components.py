@@ -87,12 +87,13 @@ def connected_components(
     comp = min node id — identical, order-independent semantics.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e.cache()
+    # localCheckpoint, not cache: the caller's actions run after this
+    # function returns, and an unpersisted cache would silently re-run
+    # the (possibly expensive) edge-producing lineage on every one.
+    e = e.localCheckpoint(eager=True)
     n = e.count()
     if n > small_threshold:
-        out = components_iterative(e)
-        e.unpersist()
-        return out
+        return components_iterative(e)
 
     node_type = dict(e.dtypes)["src"]
 
@@ -118,13 +119,11 @@ def connected_components(
         rows = [(v, find(v)) for v in parent]
         return pd.DataFrame(rows, columns=["node", "comp"])
 
-    out = (
+    return (
         e.withColumn("_g", F.lit(1))
         .groupBy("_g")
         .applyInPandas(uf, schema=f"node {node_type}, comp {node_type}")
     )
-    e.unpersist()
-    return out
 
 
 def components_grouped_unionfind(

@@ -61,7 +61,10 @@ def ngram_jaccard_pairs(
     join is the only shuffle; hot shingles can be capped upstream
     (stopword shingles) — at web scale add a document-frequency cap.
     """
-    sh = _shingled(df, id_col, text_col, n)
+    # materialize the shingle set once: it feeds both sides of the
+    # inverted-index self-join AND the size lookup — without a cut the
+    # (CPU-heavy) tokenize+shingle projection runs once per branch
+    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.select("_id", F.size("_sh").alias("_sz"))
     ex = sh.select("_id", F.explode("_sh").alias("_s"))
     a = ex.select(F.col("_id").alias("a_id"), "_s")
@@ -122,8 +125,11 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = _shingled(df, id_col, text_col, n)
-    sig = minhash_signatures_df(sh, num_hashes)
+    # same branch-reuse cuts as ngram_jaccard_pairs: sh feeds the
+    # signature build and both exact-verify sides; sig feeds both sides
+    # of the band self-join
+    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sig = minhash_signatures_df(sh, num_hashes).localCheckpoint(eager=True)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(

@@ -107,9 +107,16 @@ def resolve_entities(
     cands = candidate_links(
         df, id_col, name_col, lat_col, lon_col, partition_col, bin_deg, max_dist_m, use_fuzzy
     )
-    links = cands.filter(banded_accept(F.col("meters"), F.col(sim_col), bands))
+    # Materialize the (small) link set once: everything downstream —
+    # components, the canonical window, the members count — re-reads it,
+    # and without a cut here each action re-runs the blocking self-join.
+    links = cands.filter(banded_accept(F.col("meters"), F.col(sim_col), bands)).localCheckpoint(
+        eager=True
+    )
 
-    comp = connected_components(links.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")))
+    comp = connected_components(
+        links.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    ).localCheckpoint(eager=True)
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     asg = base.join(comp.withColumnRenamed("node", "id"), "id", "left").withColumn(
         "canonical_id", F.coalesce(F.col("comp"), F.col("id"))
