@@ -150,3 +150,20 @@ def fuzzy_ratio_udf(kind: str = "max3"):
         )
 
     return _sim
+
+
+def title_candidates(col: Column) -> Column:
+    """F21 — match-key expansion for MediaWiki page titles (reference
+    `etl/utils.py:15-37`): [full, pre-'/' root, sans trailing
+    parenthetical, sans admin suffix], lowercased, deduped in order,
+    empties pruned. Fully native (array_distinct preserves first
+    occurrence); compose with nfkd_ascii_udf upstream when accents
+    matter.
+    """
+    t0 = F.trim(F.lower(col))
+    root = F.trim(F.substring_index(t0, "/", 1))
+    noparen = F.trim(F.regexp_replace(t0, r"\s*\([^)]*\)\s*$", ""))
+    nosuffix = F.trim(
+        F.regexp_replace(t0, r"\b(district|province|region|prefecture|county)$", "")
+    )
+    return F.filter(F.array_distinct(F.array(t0, root, noparen, nosuffix)), lambda c: c != "")

@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+running per-user session aggregates over an event stream.
+
+This is the streaming form of the batch `sessionize` query: state per
+user (event count, value sum, last event time) survives across
+micro-batches; an idle-timeout closes the session and evicts state, so
+memory is bounded by *active* users — the scalable replacement for any
+driver-side dict of sessions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+SESSION_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+    T.StructField("closed", T.BooleanType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(EVENT_SCHEMA).json(path)
+
+
+def sessionize_stateful(
+    events: DataFrame, idle_timeout_ms: int = 30_000
+) -> DataFrame:
+    """Per-user running session aggregate; emits an updated row per
+    user per micro-batch, and a final `closed=true` row when the idle
+    timeout fires (state evicted)."""
+
+    def update(
+        key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, n, total, True)],
+                columns=["user_id", "n_events", "total_value", "closed"],
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [(user_id, n, total, False)],
+            columns=["user_id", "n_events", "total_value", "closed"],
+        )
+
+    return events.groupBy(F.col("user_id")).applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -110,3 +110,17 @@ def test_bucket(spark):
     df = spark.createDataFrame([(1.5,), (0.2,), (-0.1,)], "z double")
     got = [r["t"] for r in df.select(bucket(F.col("z")).alias("t")).collect()]
     assert got == ["high", "medium", "low"]
+
+
+def test_title_candidates(spark):
+    from kg_etl_spark.functions.text import title_candidates
+
+    df = spark.createDataFrame(
+        [("Paris/1st arrondissement",), ("Porto (Portugal)",), ("Rome/Trevi",), ("Tuscany region",)],
+        "t string",
+    )
+    got = [r["c"] for r in df.select(title_candidates(F.col("t")).alias("c")).collect()]
+    assert got[0] == ["paris/1st arrondissement", "paris"]
+    assert got[1] == ["porto (portugal)", "porto"]
+    assert got[2] == ["rome/trevi", "rome"]
+    assert got[3] == ["tuscany region", "tuscany"]

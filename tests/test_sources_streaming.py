@@ -152,3 +152,43 @@ def test_streaming_dedup_windowed(spark, tmp_path):
     got = spark.sql("SELECT * FROM win_counts").collect()
     assert len(got) == 1
     assert got[0]["n_reviews"] == 2 and abs(got[0]["avg_rating"] - 3.0) < 1e-9
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    from kg_etl_spark.streaming.stateful import read_event_stream, sessionize_stateful
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    b1 = [
+        {"event_id": 1, "user_id": 10, "event_type": "click", "value": 1.0,
+         "ts": "2024-01-01T00:00:00.000Z"},
+        {"event_id": 2, "user_id": 10, "event_type": "click", "value": 2.0,
+         "ts": "2024-01-01T00:00:10.000Z"},
+        {"event_id": 3, "user_id": 20, "event_type": "view", "value": 5.0,
+         "ts": "2024-01-01T00:00:20.000Z"},
+    ]
+    b2 = [
+        {"event_id": 4, "user_id": 10, "event_type": "buy", "value": 4.0,
+         "ts": "2024-01-01T00:01:00.000Z"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    out = sessionize_stateful(read_event_stream(spark, str(src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # last open-session row per user carries the accumulated state
+    final = {}
+    for r in rows:
+        if not r["closed"]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[10] == (3, 7.0)
+    assert final[20] == (1, 5.0)
