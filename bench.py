@@ -36,6 +36,8 @@ HEADLINE = [
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",
     "embedding_topk",
+    "embedding_neardup",
+    "media_features",
     "sessionize",
 ]
 

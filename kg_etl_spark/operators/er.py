@@ -52,11 +52,14 @@ def candidate_links(
     bin_deg: float = 0.01,
     max_dist_m: float = 250.0,
     use_fuzzy: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Scored candidate pairs: a_id, b_id, meters, name_jac[, fuzzy_sim].
+    """Scored candidate pairs: a_id, b_id, meters, name_jac[, fuzzy_sim]
+    [, a_<c>/b_<c> for each carry col].
 
     name_jac is a native token-set Jaccard (no Python); fuzzy_sim adds
-    the rapidfuzz pandas UDF when requested.
+    the rapidfuzz pandas UDF when requested. carry_cols (e.g. `source`)
+    ride along for diagnostics.
     """
     pairs = blocked_pairs(
         df,
@@ -66,7 +69,7 @@ def candidate_links(
         partition_col=partition_col,
         bin_deg=bin_deg,
         max_dist_m=max_dist_m,
-        carry_cols=(name_col,),
+        carry_cols=(name_col, *carry_cols),
     )
     a_name, b_name = F.col(f"a_{name_col}"), F.col(f"b_{name_col}")
     out = pairs.withColumn("name_jac", jaccard(ws_tokens(a_name), ws_tokens(b_name)))
@@ -80,6 +83,7 @@ def candidate_links(
         "meters",
         "name_jac",
         *(["fuzzy_sim"] if use_fuzzy else []),
+        *[c for cc in carry_cols for c in (f"a_{cc}", f"b_{cc}")],
     )
 
 

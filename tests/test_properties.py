@@ -1,0 +1,90 @@
+"""Randomized property tests (SURVEY §5 strategy #4): operators checked
+against independent pure-Python references on seeded random inputs —
+multiple seeds per property, one spark session."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.blocking import blocked_pairs
+from kg_etl_spark.operators.components import connected_components
+from kg_etl_spark.operators.skew import salted_join
+
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: min-reachable-node labels via BFS."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label: dict[int, int] = {}
+    for start in adj:
+        if start in label:
+            continue
+        seen, queue = {start}, [start]
+        while queue:
+            v = queue.pop()
+            for n in adj[v] - seen:
+                seen.add(n)
+                queue.append(n)
+        root = min(seen)
+        for v in seen:
+            label[v] = root
+    return label
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_components_match_bfs_reference(spark, seed):
+    rng = random.Random(seed)
+    n_nodes, n_edges = 60, 45
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
+    expect = _py_components(edges)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    for thresh in (10**9, 0):  # union-find path and iterative path
+        got = {r["node"]: r["comp"] for r in connected_components(edf, small_threshold=thresh).collect()}
+        assert got == expect, f"seed={seed} threshold={thresh}"
+
+
+def _equirect_m(lat1, lon1, lat2, lon2):
+    import math
+
+    x = math.radians(lon2 - lon1) * math.cos(math.radians((lat1 + lat2) / 2))
+    y = math.radians(lat2 - lat1)
+    return 6371000.0 * math.sqrt(x * x + y * y)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_blocked_pairs_match_brute_force(spark, seed):
+    rng = random.Random(seed)
+    pts = [
+        (i, 50.0 + rng.uniform(0, 0.02), 8.0 + rng.uniform(0, 0.02))
+        for i in range(80)
+    ]
+    thresh = 300.0
+    expect = {
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+        if _equirect_m(a[1], a[2], b[1], b[2]) <= thresh
+    }
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in blocked_pairs(df, id_col="id", max_dist_m=thresh).collect()
+    }
+    assert got == expect, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_salted_join_equals_plain_join(spark, seed):
+    rng = random.Random(seed)
+    probe = [(rng.randrange(5), rng.randrange(100)) for _ in range(200)]
+    build = [(k, f"v{k}") for k in range(5)]
+    pdf = spark.createDataFrame(probe, "k long, payload long")
+    bdf = spark.createDataFrame(build, "k long, label string")
+    plain = sorted(tuple(r) for r in pdf.join(bdf, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(pdf, bdf, "k", salt=8).collect())
+    assert salted == plain
