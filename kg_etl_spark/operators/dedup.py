@@ -39,6 +39,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # spread rows first: a small corpus often arrives as one input
+    # split, which would serialize all the tokenize/shingle/hash work
+    # onto a single task
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(npart, F.col(id_col))
     # two projection steps: CollapseProject won't inline the (expensive,
     # multiply-referenced) token expression into the shingle lambda.
     toks = df.select(F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks"))
@@ -100,9 +105,14 @@ def minhash_signatures_df(shingled: DataFrame, num_hashes: int = 64) -> DataFram
     exactly that reason). Map-side partial aggregation keeps the
     shuffle at one row per doc.
     """
-    ex = shingled.select("_id", F.explode("_sh").alias("_s"))
+    # hash the (variable-length) shingle string ONCE, then derive the
+    # hash family by re-hashing the resulting fixed 8-byte long with
+    # per-family seeds — ~num_hashes× less string hashing
+    ex = shingled.select("_id", F.explode("_sh").alias("_s")).select(
+        "_id", F.xxhash64(F.col("_s")).alias("_hs")
+    )
     mins = ex.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
     )
     return mins.select("_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
 
