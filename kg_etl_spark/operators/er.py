@@ -125,18 +125,16 @@ def resolve_entities(
     asg = base.join(comp.withColumnRenamed("node", "id"), "id", "left").withColumn(
         "canonical_id", F.coalesce(F.col("comp"), F.col("id"))
     )
-    w = Window.partitionBy("canonical_id").orderBy(
-        F.length("name").desc(), F.col("name").asc(), F.col("id").asc()
+    # representative + member count as window functions over ONE
+    # partitioning (single shuffle) instead of two self-joins
+    w = Window.partitionBy("canonical_id")
+    ordered = w.orderBy(F.length("name").desc(), F.col("name").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    rep = (
-        asg.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("canonical_id"), F.col("name").alias("canonical_name"))
-    )
-    members = asg.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("n_members"))
-    assignments = (
-        asg.join(rep, "canonical_id")
-        .join(members, "canonical_id")
-        .select("id", "canonical_id", "canonical_name", "n_members")
+    assignments = asg.select(
+        "id",
+        "canonical_id",
+        F.first("name").over(ordered).alias("canonical_name"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
     )
     return links, assignments

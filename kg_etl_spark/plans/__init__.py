@@ -23,6 +23,18 @@ def assert_in_plan(df: DataFrame, *needles: str) -> None:
         raise AssertionError(f"plan missing {missing}:\n{plan}")
 
 
+def codegen_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    return buf.getvalue()
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    out = codegen_plan(df)
+    return "WholeStageCodegen subtrees" in out and "Found 0" not in out.split("\n")[1]
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     return "PushedFilters: [" in physical_plan(df) and "PushedFilters: []" not in physical_plan(df)
 
