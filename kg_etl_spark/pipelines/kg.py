@@ -33,6 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kg_etl_spark.functions.coerce import parse_bool, parse_price
 from kg_etl_spark.functions.ids import sha1_id
 from kg_etl_spark.operators.cityassign import assign_city, geometry_guard
 from kg_etl_spark.operators.er import resolve_entities
@@ -115,14 +116,31 @@ def run_kg_pipeline(
         out["reviews"] = revs
         out["lifted_reviews"] = lifted
 
-    # -- 4. listing NEAR place ----------------------------------------
+    # -- 4. listings: stage (messy-field coercion F15/F24), city attach,
+    #       hosts distinct, NEAR join -----------------------------------
     near = None
+    hosts = None
+    listing_city = None
     if listings is not None:
         lst = (
             listings.withColumn("lat", F.col("lat").cast("double"))
             .withColumn("lon", F.col("lon").cast("double"))
             .na.drop(subset=["lat", "lon"])
         )
+        if "price" in lst.columns:
+            lst = lst.withColumn("price", parse_price(F.col("price")))
+        if "host_is_superhost" in lst.columns:
+            lst = lst.withColumn("host_is_superhost", parse_bool(F.col("host_is_superhost")))
+        lst = assign_city(lst, cities, id_col="listing_id", hint_col=None, max_km=max_city_km)
+        listing_city = lst.filter(F.col("city_slug").isNotNull()).select(
+            "listing_id", "city_slug"
+        )
+        if "host_id" in lst.columns:
+            host_cols = [c for c in ("host_id", "host_name", "host_is_superhost") if c in lst.columns]
+            hosts = lst.select(*host_cols).dropDuplicates(["host_id"])
+            out["hosts"] = hosts
+        out["staged_listings"] = lst
+        out["listing_city"] = listing_city
         near = nearest_within(
             lst,
             staged.select("place_id", "lat", "lon"),
@@ -198,6 +216,15 @@ def run_kg_pipeline(
                 os.path.join(out_dir, "listing_near_place.csv"),
                 order_by=["listing_id"],
             )
+            write_contract_csv(
+                listing_city,
+                os.path.join(out_dir, "listing_city.csv"),
+                order_by=["listing_id"],
+            )
+            if hosts is not None:
+                write_contract_csv(
+                    hosts, os.path.join(out_dir, "hosts.csv"), order_by=["host_id"]
+                )
         if lifted is not None:
             write_jsonl(
                 lifted.select(

@@ -124,3 +124,20 @@ def test_title_candidates(spark):
     assert got[1] == ["porto (portugal)", "porto"]
     assert got[2] == ["rome/trevi", "rome"]
     assert got[3] == ["tuscany region", "tuscany"]
+
+
+def test_coerce_kernels(spark):
+    from kg_etl_spark.functions.coerce import coerce_double, empty_to_null, parse_bool, parse_price
+
+    df = spark.createDataFrame(
+        [("$1,234.50 /n", "TRUE", "12.5", "  "), ("oops", "no", "abc", "x")],
+        "p string, b string, d string, e string",
+    )
+    rows = df.select(
+        parse_price(F.col("p")).alias("p"),
+        parse_bool(F.col("b")).alias("b"),
+        coerce_double(F.col("d")).alias("d"),
+        empty_to_null(F.col("e")).alias("e"),
+    ).collect()
+    assert rows[0]["p"] == 1234.5 and rows[0]["b"] is True and rows[0]["d"] == 12.5 and rows[0]["e"] is None
+    assert rows[1]["p"] is None and rows[1]["b"] is False and rows[1]["d"] is None and rows[1]["e"] == "x"

@@ -63,10 +63,15 @@ def _reviews(spark):
 
 def _listings(spark):
     rows = [
-        ("l1", 50.0001, 8.0001),   # ~13 m from p1 → NEAR p1
-        ("l2", 50.03, 8.03),       # >300 m from everything → no NEAR
+        ("l1", 50.0001, 8.0001, "$1,250.00 night", "h1", "Ana", "t"),   # ~13 m from p1 → NEAR p1
+        ("l2", 50.03, 8.03, "80", "h2", "Bo", "FALSE"),                 # >300 m → no NEAR
+        ("l3", 50.031, 8.031, "no price", "h2", "Bo", ""),              # same host, null bool
     ]
-    return spark.createDataFrame(rows, "listing_id string, lat double, lon double")
+    return spark.createDataFrame(
+        rows,
+        "listing_id string, lat double, lon double, price string, "
+        "host_id string, host_name string, host_is_superhost string",
+    )
 
 
 def test_pipeline_end_to_end(spark, tmp_path):
@@ -98,6 +103,18 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # NEAR: l1→p1 only
     near = {(r["listing_id"], r["place_id"]) for r in res["listing_near_place"].collect()}
     assert near == {("l1", "p1")}
+
+    # listing staging: price parse, superhost parse, hosts distinct
+    lst = {r["listing_id"]: r for r in res["staged_listings"].collect()}
+    assert lst["l1"]["price"] == 1250.0 and lst["l2"]["price"] == 80.0
+    assert lst["l3"]["price"] is None
+    assert lst["l1"]["host_is_superhost"] is True
+    assert lst["l2"]["host_is_superhost"] is False
+    assert lst["l3"]["host_is_superhost"] is None
+    hosts = {r["host_id"] for r in res["hosts"].collect()}
+    assert hosts == {"h1", "h2"}
+    lc = {r["listing_id"]: r["city_slug"] for r in res["listing_city"].collect()}
+    assert lc == {"l1": "alpha", "l2": "alpha", "l3": "alpha"}
 
     # analytics: canonical table has coords, counts, z, flag
     canon = {r["canonical_id"]: r for r in res["canonical_places"].collect()}
