@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kg_etl_spark.functions.geo import equirect_m, grid_bin
+from kg_etl_spark.operators.util import spread
 
 
 def neighbor_bins(lat_bin, lon_bin):
@@ -43,7 +44,9 @@ def blocked_pairs(
     """
     lat, lon = F.col(lat_col), F.col(lon_col)
     lb, nb = grid_bin(lat, lon, bin_deg)
-    base = df.withColumn("_lat_bin", lb).withColumn("_lon_bin", nb)
+    # spread first: with a single-split input and a broadcast bin join,
+    # the whole explode+pair-filter pass would otherwise run in ONE task
+    base = spread(df, F.col(id_col)).withColumn("_lat_bin", lb).withColumn("_lon_bin", nb)
 
     keep = [id_col, lat_col, lon_col, *carry_cols]
     if partition_col:

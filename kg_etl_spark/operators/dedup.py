@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from kg_etl_spark.functions.text import word_shingles
 from kg_etl_spark.operators.textquality import ws_tokens
+from kg_etl_spark.operators.util import spread
 
 
 def normalized_fingerprint(text: Column) -> Column:
@@ -42,8 +43,7 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # spread rows first: a small corpus often arrives as one input
     # split, which would serialize all the tokenize/shingle/hash work
     # onto a single task
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(npart, F.col(id_col))
+    df = spread(df, F.col(id_col))
     # two projection steps: CollapseProject won't inline the (expensive,
     # multiply-referenced) token expression into the shingle lambda.
     toks = df.select(F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks"))

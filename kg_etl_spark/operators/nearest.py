@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kg_etl_spark.functions.geo import DEG_KM, equirect_m
+from kg_etl_spark.operators.util import spread
 
 
 def radius_bins(threshold_m: float, max_abs_lat: float = 66.0) -> tuple[float, float]:
@@ -58,6 +59,10 @@ def radius_join(
     """All (left, right) pairs with equirect distance ≤ threshold.
     Output: <left_id>, <right_id>, meters. One shuffle on the bin key."""
     lat_deg, lon_deg = radius_bins(threshold_m, max_abs_lat)
+
+    # spread the exploded/streamed side: single-split inputs would
+    # otherwise run the whole pair-filter pass in one task
+    left = spread(left, F.col(left_id))
 
     lb, nb = _bin_cols(F.col(lat_col), F.col(lon_col), lat_deg, lon_deg)
     lft = left.withColumn("_nb", _explode_neighbors(lb, nb)).select(

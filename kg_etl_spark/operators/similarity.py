@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from kg_etl_spark.operators.util import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -185,8 +187,7 @@ def cosine_neardup_pairs(
                 {"a_id": a_ids[ai], "b_id": ids_b[bj], "score": scores[ai, bj]}
             )
 
-    npart = sc.defaultParallelism
-    out = corpus.select(id_col, vec_col).repartition(npart).mapInPandas(
+    out = spread(corpus.select(id_col, vec_col)).mapInPandas(
         gen, schema=f"a_id {id_type}, b_id {id_type}, score double"
     )
     return out.select("a_id", "b_id", F.round("score", 6).alias("score"))
