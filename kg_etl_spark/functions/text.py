@@ -167,3 +167,18 @@ def title_candidates(col: Column) -> Column:
         F.regexp_replace(t0, r"\b(district|province|region|prefecture|county)$", "")
     )
     return F.filter(F.array_distinct(F.array(t0, root, noparen, nosuffix)), lambda c: c != "")
+
+
+def normalize_newlines(col: Column) -> Column:
+    """F17 — CRLF/CR → LF (reference `etl/reviews_jsonl.py:48-52`)."""
+    return F.regexp_replace(F.regexp_replace(col, "\r\n", "\n"), "\r", "\n")
+
+
+def clean_wikitext(col: Column) -> Column:
+    """F18 — wikitext → plain text (reference
+    `etl/reviews_jsonl.py:302-314`): [[T|Alt]]→Alt, [[T]]→T, strip
+    {{templates}}, squeeze whitespace."""
+    c = F.regexp_replace(col, r"\[\[[^\]|]*\|([^\]]*)\]\]", r"$1")
+    c = F.regexp_replace(c, r"\[\[([^\]]*)\]\]", r"$1")
+    c = F.regexp_replace(c, r"\{\{[^}]*\}\}", "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

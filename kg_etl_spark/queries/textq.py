@@ -208,8 +208,47 @@ def q_topk_distinct_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("grp", F.concat_ws("␟", "texts").alias("texts_joined"))
 
 
+def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/F18 — wikitext cleanup + newline normalization over a
+    synthesized wiki-markup column (documents.text carries no markup,
+    so markup is constructed deterministically from data columns)."""
+    from kg_etl_spark.functions.text import clean_wikitext, normalize_newlines
+
+    docs = read_table(spark, sf_dir, "documents")
+    wiki = F.concat(
+        F.lit("See [[City|"), F.col("source"), F.lit("]] and [[") , F.col("lang"),
+        F.lit("]] {{tmpl|x}}\r\n"), F.substring("text", 1, 80),
+    )
+    return docs.select(
+        "doc_id", clean_wikitext(normalize_newlines(wiki)).alias("clean")
+    )
+
+
+# DuckDB mirrors: RE2 backrefs are \1 and replacement needs the 'g'
+# flag (Spark replaces globally by default).
+ORACLE_CLEAN_WIKITEXT = r"""
+WITH w AS (
+  SELECT doc_id,
+         'See [[City|' || source || ']] and [[' || lang || ']] {{tmpl|x}}' || chr(13) || chr(10) || substr(text, 1, 80) AS wiki
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(regexp_replace(wiki, chr(13) || chr(10), chr(10), 'g'), chr(13), chr(10), 'g'),
+               '\[\[[^\]|]*\|([^\]]*)\]\]', '\1', 'g'),
+             '\[\[([^\]]*)\]\]', '\1', 'g'),
+           '\{\{[^}]*\}\}', '', 'g'),
+         '\s+', ' ', 'g')) AS clean
+FROM w
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
+    "clean_wikitext": q_clean_wikitext,
     "quality_score": q_quality_score,
     "language_id": q_language_id,
     "exact_dedup": q_exact_dedup,
@@ -223,6 +262,7 @@ QUERIES = {
 
 ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
+    "clean_wikitext": ORACLE_CLEAN_WIKITEXT,
     "quality_score": ORACLE_QUALITY,
     "language_id": ORACLE_LANG,
     "exact_dedup": ORACLE_EXACT_DEDUP,
