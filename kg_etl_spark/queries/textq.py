@@ -187,6 +187,39 @@ WHERE n_common > 0 AND CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common) >= 0.
 """
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of ngram_jaccard: shingles whose document frequency
+    exceeds max_df are dropped before the inverted-index self-join (a
+    shingle in d docs yields d² candidate rows, so boilerplate dominates
+    quadratically). Jaccard is over the capped shingle universe."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5, max_df=5)
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+keep AS (SELECT sg FROM e GROUP BY sg HAVING COUNT(*) <= 5),
+f AS (SELECT e.doc_id, e.sg FROM e JOIN keep USING (sg)),
+sz AS (SELECT doc_id, COUNT(*) AS _sz FROM f GROUP BY doc_id),
+c AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+  FROM f a JOIN f b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa._sz + sb._sz - n_common), 6) AS jaccard
+FROM c JOIN sz sa ON sa.doc_id = c.a_id JOIN sz sb ON sb.doc_id = c.b_id
+WHERE CAST(n_common AS DOUBLE) / (sa._sz + sb._sz - n_common) >= 0.5
+"""
+
+
 # --- Spark-only (engine-specific hashes / stateful greedy): rows-only --
 
 
@@ -255,6 +288,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "word_freq_top20": q_word_freq_top20,
     "ngram_jaccard_dedup": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "minhash_lsh_dedup": q_minhash_lsh,
     "simhash_dedup": q_simhash_pairs,
     "topk_distinct_texts": q_topk_distinct_texts,
@@ -269,5 +303,6 @@ ORACLES = {
     "fingerprints": ORACLE_FINGERPRINTS,
     "word_freq_top20": ORACLE_WORD_FREQ,
     "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
+    "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     # minhash/simhash/topk_distinct: engine-specific → rows-only check
 }

@@ -136,6 +136,20 @@ def test_ngram_jaccard_pairs(spark):
     assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
 
 
+def test_ngram_jaccard_max_df_caps_boilerplate(spark):
+    # 20 distinct docs sharing heavy boilerplate + one exact dup of doc 0.
+    # With the DF cap, boilerplate-only pairs disappear and the true dup
+    # still scores 1.0 (Jaccard over the capped shingle universe).
+    boiler = "all rights reserved contact us about terms of service privacy policy"
+    rows = [(i, f"document number {i} unique content alpha beta gamma {i * 7} delta " + boiler) for i in range(20)]
+    rows.append((99, rows[0][1]))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = ngram_jaccard_pairs(df, "id", threshold=0.5, max_df=5).collect()
+    assert [(r["a_id"], r["b_id"], r["jaccard"]) for r in got] == [(0, 99, 1.0)]
+    # uncapped: every pair crosses the threshold via boilerplate alone
+    assert ngram_jaccard_pairs(df, "id", threshold=0.5).count() == 21 * 20 // 2
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     base = " ".join(f"tok{i}" for i in range(40))
     near = base.replace("tok39", "tokX")
