@@ -76,20 +76,22 @@ def brute_force_topk(
 def kmeans_like_centroids(corpus: DataFrame, vec_col: str, n_centroids: int, id_col: str) -> DataFrame:
     """Deterministic pseudo-centroids: hash-partition ids into
     n_centroids groups and average element-wise (one pass, no iteration
-    — an IVF coarse quantizer stand-in that needs no MLlib)."""
-    dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
-    d = dim_df.collect()[0]["d"]
+    — an IVF coarse quantizer stand-in that needs no MLlib).
+
+    One groupBy with d avg-columns: map-side partial aggregation means
+    the shuffle carries n_centroids rows × d columns — NOT the
+    |corpus|×d exploded rows a posexplode formulation shuffles (that
+    version was the bottleneck of the whole IVF path)."""
+    d = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
     assigned = corpus.select(
         (F.abs(F.xxhash64(F.col(id_col))) % n_centroids).alias("centroid_id"),
         F.col(vec_col).alias("v"),
     )
-    # element-wise mean via posexplode → groupBy(centroid, pos) → collect
-    ex = assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
-    means = ex.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
-    return (
-        means.groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    means = assigned.groupBy("centroid_id").agg(
+        *[F.avg(F.col("v")[i].cast("double")).alias(f"_m{i}") for i in range(d)]
+    )
+    return means.select(
+        "centroid_id", F.array(*[F.col(f"_m{i}") for i in range(d)]).alias("centroid")
     )
 
 
@@ -105,31 +107,49 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: bucket corpus by nearest centroid; for each query
     probe the nprobe nearest buckets only. Approximate (recall < 1) but
-    the scan per query drops by ~n_centroids/nprobe."""
-    cents = kmeans_like_centroids(corpus, vec_col, n_centroids, id_col)
+    the scan per query drops by ~n_centroids/nprobe.
 
-    def nearest_buckets(df: DataFrame, vcol: str, out: str, topn: int) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).withColumn(
-            "_cd", cosine(F.col(vcol), F.col("centroid"))
-        )
-        w = Window.partitionBy(*[c for c in df.columns if c != vcol][:1] or [F.lit(1)]).orderBy(
-            F.col("_cd").desc(), F.col("centroid_id").asc()
-        )
-        return scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= topn).select(
-            *df.columns, F.col("centroid_id").alias(out)
-        )
-
-    bucketed = nearest_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
-        "_cvec",
-        "bucket",
-        1,
+    Bucket assignment is a pure map-side expression: the (tiny)
+    centroid table is collected and inlined as literals, and per-row
+    nearest-centroid is an array argsort — no join, no window, no
+    shuffle on the corpus. (The previous window-per-row formulation
+    shuffled |corpus|×n_centroids rows and made IVF *slower* than
+    brute force.) Ranking uses dot/|c| which orders identically to
+    cosine — the row-norm factor is constant per row."""
+    cents_rows = sorted(
+        kmeans_like_centroids(corpus, vec_col, n_centroids, id_col).collect(),
+        key=lambda r: r["centroid_id"],
     )
-    probed = nearest_buckets(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")), "_qvec", "bucket", nprobe
+
+    def bucket_ranks(vcol: Column) -> Column:
+        # array of (-(dot/|c|), centroid_id) structs, ascending sort ≡
+        # (score desc, centroid_id asc) — the original tie-break
+        scored = []
+        for row in cents_rows:
+            c = row["centroid"]
+            nrm = float(np.sqrt(sum(x * x for x in c))) or 1.0
+            dot = F.aggregate(
+                F.zip_with(vcol, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            scored.append(F.struct((-dot / F.lit(nrm)).alias("neg"), F.lit(row["centroid_id"]).alias("cid")))
+        return F.array_sort(F.array(*scored))
+
+    bucketed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        bucket_ranks(F.col(vec_col))[0]["cid"].alias("bucket"),
+    )
+    probed = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.transform(F.slice(bucket_ranks(F.col(vec_col)), 1, nprobe), lambda s: s["cid"])
+        ).alias("bucket"),
     )
     scored = (
-        bucketed.join(probed, "bucket")
+        bucketed.join(F.broadcast(probed), "bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("score", cosine(F.col("_qvec"), F.col("_cvec")))
     )
