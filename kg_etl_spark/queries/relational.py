@@ -475,6 +475,30 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+# --- SQL surface (SURVEY §7.2 step 9): one SQL text, both engines -----
+
+# ANSI SQL that parses identically in Spark SQL and DuckDB: the Spark
+# side registers the testdata tables as temp views and runs THIS string
+# verbatim — demonstrating the spark.sql(...) surface over the same
+# pushdown/pruned scans the DataFrame path uses.
+SQL_EXISTS_AGG = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg_etl_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_EXISTS_AGG)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -495,6 +519,7 @@ QUERIES = {
     "extract_priority": q_extract_priority,
     "surrogate_ids": q_surrogate_ids,
     "priority_coalesced_avg": q_priority_coalesced_avg,
+    "sql_exists_agg": q_sql_exists_agg,
 }
 
 ORACLES = {
@@ -517,4 +542,5 @@ ORACLES = {
     "extract_priority": ORACLE_EXTRACT,
     "surrogate_ids": ORACLE_SURROGATE,
     "priority_coalesced_avg": ORACLE_PRIORITY_AVG,
+    "sql_exists_agg": SQL_EXISTS_AGG,
 }

@@ -45,6 +45,20 @@ def get_spark(app_name: str = "kg_etl_spark", shuffle_partitions: str | None = N
     return spark
 
 
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL surface (SURVEY §7.2 step 9): register every testdata table
+    as a temp view so `spark.sql(...)` works directly over the same
+    scans (pushdown/pruning identical to the DataFrame path)."""
+    for name in TESTDATA_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 # nanosecond-timestamp columns per table (read as long-nanos under
 # nanosAsLong, converted losslessly to timestamp — data is µs-aligned).
 _NANOS_TS_COLS = {
