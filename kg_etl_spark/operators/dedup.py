@@ -141,6 +141,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
 
@@ -148,6 +149,14 @@ def minhash_lsh_pairs(
     docs sharing any band-hash become candidates (one shuffle on the
     band key); candidates verified exactly. Estimated-sim filter keeps
     the verify join small.
+
+    max_bucket caps band-bucket size: a bucket of d docs yields d²/2
+    candidate pairs, and massive buckets are near-exclusively exact-dup
+    clusters (boilerplate, error pages) — a 2k-copy cluster alone
+    produced 2M pairs. Oversized buckets are skipped; run exact_dedup
+    first (one hash-aggregate) to collapse those clusters. Pairs missed
+    by the cap are only those whose EVERY shared band is oversized —
+    i.e. members of such clusters. None = no cap.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -170,6 +179,14 @@ def minhash_lsh_pairs(
             )
         ).alias("_b"),
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+
+    if max_bucket is not None:
+        over = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+        )
+        banded = banded.join(F.broadcast(over), ["band", "bh"], "left_anti")
 
     cand = (
         banded.alias("x")

@@ -160,6 +160,21 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert rows[0]["jaccard"] > 0.9
 
 
+def test_minhash_max_bucket_skips_giant_clusters(spark):
+    # 30 copies of one doc (a giant LSH bucket) + one genuine near-dup
+    # pair of a different doc. With the cap, the copy-cluster pairs are
+    # skipped (exact_dedup territory) but the near-dup pair survives.
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok39", "tokX")
+    other = " ".join(f"boil{i}" for i in range(40))
+    rows = [(1, base), (2, near)] + [(100 + i, other) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    capped = minhash_lsh_pairs(df, "id", threshold=0.5, max_bucket=10).collect()
+    assert [(r["a_id"], r["b_id"]) for r in capped] == [(1, 2)]
+    uncapped = minhash_lsh_pairs(df, "id", threshold=0.5).count()
+    assert uncapped == 1 + 30 * 29 // 2
+
+
 def test_simhash_pairs(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = base.replace("tok59", "tokX")
