@@ -246,11 +246,16 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ max_hamming via banding:
     split the 64-bit simhash into `bands` chunks; by pigeonhole any pair
     within distance < bands shares ≥1 exact chunk → block on chunks,
-    verify Hamming exactly (bit_count(xor))."""
+    verify Hamming exactly (bit_count(xor)).
+
+    max_bucket: same giant-bucket cap as minhash_lsh_pairs — identical
+    docs share every chunk, so exact-dup clusters explode the chunk
+    join quadratically; collapse them with exact_dedup first."""
     sh = simhash64_df(df, id_col, text_col)
     width = 64 // bands
     chunk = lambda c, i: F.shiftright(c, i * width).bitwiseAND(F.lit((1 << width) - 1))
@@ -261,6 +266,14 @@ def simhash_pairs(
             F.array(*[F.struct(F.lit(i).alias("band"), chunk(F.col("_sim"), i).alias("ch")) for i in range(bands)])
         ).alias("_b"),
     ).select("_id", "_sim", F.col("_b.band").alias("band"), F.col("_b.ch").alias("ch"))
+
+    if max_bucket is not None:
+        over = (
+            banded.groupBy("band", "ch")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+        )
+        banded = banded.join(F.broadcast(over), ["band", "ch"], "left_anti")
 
     pairs = (
         banded.alias("x")

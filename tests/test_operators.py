@@ -184,6 +184,16 @@ def test_simhash_pairs(spark):
     assert (1, 2) in {(r["a_id"], r["b_id"]) for r in rows}
 
 
+def test_simhash_max_bucket_skips_giant_clusters(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok59", "tokX")
+    other = " ".join(f"boil{i}" for i in range(60))
+    rows = [(1, base), (2, near)] + [(100 + i, other) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    capped = simhash_pairs(df, "id", max_hamming=8, max_bucket=10).collect()
+    assert [(r["a_id"], r["b_id"]) for r in capped] == [(1, 2)]
+
+
 def test_brute_force_topk(spark):
     vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])]
     corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
