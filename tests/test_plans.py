@@ -43,3 +43,30 @@ def test_no_python_in_relational_hot_paths(spark):
 
 def test_whole_stage_codegen_present(spark):
     assert has_whole_stage_codegen(QUERIES["pricing_summary"](spark, SF))
+
+
+def test_no_cartesian_anywhere_in_pair_generators(spark):
+    # blocking/LSH/inverted-index pair generation must stay equi-join
+    # shaped; a CartesianProduct or BroadcastNestedLoopJoin here is the
+    # O(n²) failure mode these operators exist to avoid.
+    for name in ("blocked_spatial_pairs", "nearest_supplier", "er_links",
+                 "ngram_jaccard_dedup", "ngram_jaccard_capped",
+                 "minhash_lsh_dedup", "simhash_dedup"):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+
+
+def test_ivf_corpus_assignment_is_map_side(spark):
+    # corpus→bucket assignment must be a pure projection: the only
+    # shuffles allowed in the IVF plan are the final top-k window and
+    # aggregations of tiny (centroid-count) data. No Exchange may sit
+    # between the corpus scan and the probe join.
+    from kg_etl_spark.session import read_table
+    from kg_etl_spark.operators.similarity import kmeans_like_centroids
+
+    emb = read_table(spark, SF, "embeddings")
+    cents = kmeans_like_centroids(emb, "embedding", 8, "vec_id")
+    # centroid agg: one partial-agg shuffle, no explode
+    cplan = physical_plan(cents)
+    assert "Generate" not in cplan, "centroid computation explodes vectors"
