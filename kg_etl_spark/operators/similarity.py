@@ -121,20 +121,39 @@ def ivf_topk(
         key=lambda r: r["centroid_id"],
     )
 
+    # one literal array of {c, nrm, cid} structs + transform — a
+    # per-centroid unrolled expression tree pays heavy Catalyst
+    # analysis/codegen time (see hyperplane_lsh_neardup_pairs)
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in row["centroid"]]).alias("c"),
+                F.lit(float(np.sqrt(sum(x * x for x in row["centroid"]))) or 1.0).alias("nrm"),
+                F.lit(row["centroid_id"]).alias("cid"),
+            )
+            for row in cents_rows
+        ]
+    )
+
     def bucket_ranks(vcol: Column) -> Column:
         # array of (-(dot/|c|), centroid_id) structs, ascending sort ≡
         # (score desc, centroid_id asc) — the original tie-break
-        scored = []
-        for row in cents_rows:
-            c = row["centroid"]
-            nrm = float(np.sqrt(sum(x * x for x in c))) or 1.0
-            dot = F.aggregate(
-                F.zip_with(vcol, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+        return F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda s: F.struct(
+                    (
+                        -F.aggregate(
+                            F.zip_with(vcol, s["c"], lambda a, b: a.cast("double") * b),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                        / s["nrm"]
+                    ).alias("neg"),
+                    s["cid"].alias("cid"),
+                ),
             )
-            scored.append(F.struct((-dot / F.lit(nrm)).alias("neg"), F.lit(row["centroid_id"]).alias("cid")))
-        return F.array_sort(F.array(*scored))
+        )
 
     bucketed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -159,6 +178,107 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def hyperplane_lsh_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH — the
+    sub-quadratic scale path for cosine_neardup_pairs (whose broadcast
+    matrix caps out around ~1M vectors).
+
+    sign(v·h_j) bits for n_planes seeded-deterministic Gaussian
+    hyperplanes; bits grouped into `bands` bands of r=n_planes/bands;
+    vectors sharing any exact band become candidates (equi-join on the
+    band key — the corpus never broadcasts and never cross-joins);
+    candidates verified with exact cosine, same threshold semantics as
+    the exact operator. Approximate: a θ-apart pair shares a band with
+    prob 1-(1-p^r)^bands, p = 1-θ/π — ≥0.99 for cosine ≥ 0.9 at the
+    defaults, lower for weak similarities (tune bands/r per threshold).
+
+    Bit computation is a native fold per plane (inlined literal
+    hyperplanes — no join, no shuffle, map-side only, like ivf_topk's
+    bucket assignment). max_bucket caps giant buckets (exact-dup
+    clusters) exactly as in minhash_lsh_pairs.
+    """
+    assert n_planes % bands == 0
+    r = n_planes // bands
+    rng = np.random.RandomState(seed)
+    # one 2D array literal + transform: a per-plane unrolled formulation
+    # (n_planes separate fold expressions over n_planes×d scalar
+    # literals) spent ~45 s per query in Catalyst analysis/codegen
+    # before a single row moved; this tree is O(1) operators deep and
+    # codegen loops instead
+    d = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in rng.standard_normal((n_planes, d))]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda h: (
+            F.aggregate(
+                F.zip_with(F.col(vec_col), h, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0
+        ).cast("long"),
+    )
+    # two projection steps so the (expensive) bits array is a
+    # materialized attribute, not re-inlined into every band key
+    with_bits = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bits.alias("_bits")
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(r)])
+    band_keys = [
+        F.aggregate(
+            F.zip_with(F.slice(F.col("_bits"), b * r + 1, r), weights, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"_bk{b}")
+        for b in range(bands)
+    ]
+    sig = with_bits.select("_id", "_v", *band_keys)
+    sig = sig.localCheckpoint(eager=True)
+
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_bk{b}").alias("bk")) for b in range(bands)])
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bk").alias("bk"))
+
+    if max_bucket is not None:
+        over = (
+            banded.groupBy("band", "bk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+        )
+        banded = banded.join(F.broadcast(over), ["band", "bk"], "left_anti")
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bk"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("a_id"), F.col("y._id").alias("b_id"))
+        .distinct()
+    )
+    va = sig.select(F.col("_id").alias("a_id"), F.col("_v").alias("_va"))
+    vb = sig.select(F.col("_id").alias("b_id"), F.col("_v").alias("_vb"))
+    verified = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("score") >= threshold)
+    )
+    return verified.select("a_id", "b_id", F.round("score", 6).alias("score"))
 
 
 def cosine_neardup_pairs(

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kg_etl_spark.operators.similarity import brute_force_topk, cosine_neardup_pairs, ivf_topk
+from kg_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    hyperplane_lsh_neardup_pairs,
+    ivf_topk,
+)
 from kg_etl_spark.session import read_table
 
 _N_QUERIES = 8
@@ -99,9 +104,17 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs — the sub-quadratic scale path of
+    embedding_neardup (approximate recall → Spark-only, rows-only)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_neardup_pairs(emb, threshold=_NEARDUP_T)
+
+
 QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "centroid_per_label": q_centroid_per_label,
     "ivf_ann_topk": q_ivf_ann_topk,
 }

@@ -13,7 +13,11 @@ from kg_etl_spark.operators.blocking import blocked_pairs
 from kg_etl_spark.operators.components import components_grouped_unionfind, components_iterative
 from kg_etl_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
 from kg_etl_spark.operators.nearest import nearest_within, radius_join
-from kg_etl_spark.operators.similarity import brute_force_topk
+from kg_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    hyperplane_lsh_neardup_pairs,
+)
 from kg_etl_spark.operators.topk import topk_distinct_texts, topk_per_group
 
 
@@ -202,6 +206,31 @@ def test_brute_force_topk(spark):
     )
     rows = brute_force_topk(corpus, q, k=2).orderBy("rank").collect()
     assert [r["neighbor_id"] for r in rows] == [3, 1]
+
+
+def test_hyperplane_lsh_neardup(spark):
+    # 3 tight clusters + isolated vectors; high-sim pairs must be found
+    # (band-collision prob ≥0.99 at cos≥0.95), results ⊆ exact pairs.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(3):
+        center = rng.standard_normal(16)
+        for _ in range(4):
+            v = center + rng.standard_normal(16) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(20):
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["a_id"], r["b_id"]) for r in cosine_neardup_pairs(corpus, threshold=0.95).collect()}
+    lsh = {(r["a_id"], r["b_id"]) for r in hyperplane_lsh_neardup_pairs(corpus, threshold=0.95).collect()}
+    assert lsh <= exact
+    # every within-cluster pair is cos≈1; all 3×C(4,2)=18 must be found
+    assert len(exact) == 18 and len(lsh) == 18
 
 
 def test_topk_distinct_texts(spark):
