@@ -48,3 +48,23 @@ def write_nested_json(df: DataFrame, path: str, order_by: list[str] | None = Non
     serialize natively via the json sink."""
     out = df.orderBy(*order_by) if order_by else df
     out.write.mode("overwrite").json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, bucket_cols: list[str], num_buckets: int = 32
+) -> None:
+    """Co-location sink for repeatedly-joined fact tables: bucket (and
+    sort) by the join key so every subsequent equi-join or aggregation
+    on that key runs WITHOUT a shuffle exchange — at 100 TB the shuffle
+    is the cost, and bucketing pays it once at write time instead of
+    once per query. Both join sides must be bucketed on the join key
+    with compatible bucket counts. Parquet + saveAsTable (bucket
+    metadata lives in the catalog; plain .parquet() cannot carry it).
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
