@@ -167,6 +167,9 @@ def minhash_lsh_pairs(
     sig = minhash_signatures_df(sh, num_hashes).localCheckpoint(eager=True)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    # xxhash64 hashes the (int, array<long>) pair natively — no
+    # stringification of the slice; hash collisions across distinct
+    # slices only ADD candidates (verified exactly below), never drop
     banded = sig.select(
         "_id",
         F.explode(
@@ -174,7 +177,7 @@ def minhash_lsh_pairs(
                 band_idx,
                 lambda bi: F.struct(
                     bi.alias("band"),
-                    F.xxhash64(F.concat_ws("_", bi, F.slice(F.col("_sig"), bi * r + 1, r).cast("string"))).alias("bh"),
+                    F.xxhash64(bi, F.slice(F.col("_sig"), bi * r + 1, r)).alias("bh"),
                 ),
             )
         ).alias("_b"),
