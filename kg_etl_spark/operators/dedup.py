@@ -59,12 +59,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with shingle-Jaccard ≥ threshold.
 
     Inverted index: explode shingles, self-join on shingle, count
     common shingles per pair, then |A∩B|/(|A|+|B|-|A∩B|). Common-shingle
     join is the only shuffle.
+
+    hash_shingles joins on xxhash64(shingle) longs instead of shingle
+    strings — fixed 8-byte shuffle keys instead of full n-grams (the
+    dominant shuffle payload). Collision tolerance is the same 2⁻⁶⁴
+    MinHash already accepts; keep False where bit-exact Jaccard is
+    contracted (the DuckDB-oracle path).
 
     max_df caps shingle document frequency: a shingle shared by d docs
     contributes d² candidate rows, so boilerplate shingles dominate the
@@ -80,6 +87,8 @@ def ngram_jaccard_pairs(
     # (CPU-heavy) tokenize+shingle projection runs once per branch
     sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=True)
     ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    if hash_shingles:
+        ex = ex.select("_id", F.xxhash64("_s").alias("_s"))
     if max_df is not None:
         dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
         ex = ex.join(

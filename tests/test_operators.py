@@ -152,6 +152,9 @@ def test_ngram_jaccard_max_df_caps_boilerplate(spark):
     assert [(r["a_id"], r["b_id"], r["jaccard"]) for r in got] == [(0, 99, 1.0)]
     # uncapped: every pair crosses the threshold via boilerplate alone
     assert ngram_jaccard_pairs(df, "id", threshold=0.5).count() == 21 * 20 // 2
+    # hashed-shingle join: identical pairs and scores
+    hashed = ngram_jaccard_pairs(df, "id", threshold=0.5, max_df=5, hash_shingles=True).collect()
+    assert [(r["a_id"], r["b_id"], r["jaccard"]) for r in hashed] == [(0, 99, 1.0)]
 
 
 def test_minhash_lsh_finds_near_dups(spark):
