@@ -106,9 +106,21 @@ WHERE a.vec_id < b.vec_id
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup pairs — the sub-quadratic scale path of
-    embedding_neardup (approximate recall → Spark-only, rows-only)."""
+    embedding_neardup (approximate recall → Spark-only, rows-only).
+
+    The synthetic embeddings contain no true near-dups (max pairwise
+    cosine ≈ 0.5, below the regime sign-LSH can block), so the query
+    plants one deterministic near-dup per vector: a copy with ±1%
+    per-dimension perturbation (cos ≈ 0.9999). The operator must
+    recover essentially all planted pairs at threshold 0.9."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_neardup_pairs(emb, threshold=_NEARDUP_T)
+    jitter = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + x * (F.pmod(F.xxhash64(F.col("vec_id") * 1000 + i), F.lit(100)) - 50).cast("double") / F.lit(5000.0),
+    )
+    planted = emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"), jitter.alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return hyperplane_lsh_neardup_pairs(corpus, threshold=0.9)
 
 
 QUERIES = {
