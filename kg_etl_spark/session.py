@@ -54,9 +54,16 @@ TESTDATA_TABLES = (
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """SQL surface (SURVEY §7.2 step 9): register every testdata table
     as a temp view so `spark.sql(...)` works directly over the same
-    scans (pushdown/pruning identical to the DataFrame path)."""
+    scans (pushdown/pruning identical to the DataFrame path).
+
+    Soft-fails per table: one unreadable/absent table must not take
+    down SQL queries over the others.
+    """
     for name in TESTDATA_TABLES:
-        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        try:
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception:  # noqa: BLE001 - missing/corrupt table is non-fatal
+            continue
 
 
 # nanosecond-timestamp columns per table (read as long-nanos under
@@ -74,7 +81,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     Nanos-timestamp columns come back as LongType and are converted via
     integer division (`div 1000`) — double math would lose precision at
     1e18 epoch-nanos.
+
+    ``nanosAsLong`` is set defensively at runtime: callers (e.g. an
+    external driver) may inject a session built without ``get_spark``,
+    and it is a runtime-settable SQL conf.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
 

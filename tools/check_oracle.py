@@ -5,7 +5,11 @@ given SF, compare row count, column names, and an order-insensitive
 value comparison (columns sorted by name, rows sorted, values
 stringified). Prints one line per query.
 
-Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [name_filter...]
+
+--vanilla builds a bare SparkSession (no get_spark configs), replicating
+the external driver's injected session — catches configs our queries
+wrongly assume were set at builder time.
 """
 
 from __future__ import annotations
@@ -44,14 +48,26 @@ def frame_repr(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filter = sys.argv[2:]
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    name_filter = argv[1:]
 
     sys.path.insert(0, ".")
     from kg_etl_spark.queries import ORACLES, QUERIES
     from kg_etl_spark.session import get_spark
 
-    spark = get_spark("oracle_check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
