@@ -53,10 +53,11 @@ def tokens(col: Column, min_len: int = 3) -> Column:
     """≥min_len-char tokens with light plural stemming (ies→y, es→, s→)."""
     arr = F.split(normalize_name(col), r"\s+")
     arr = F.filter(arr, lambda t: F.length(t) >= min_len)
-    stem = lambda t: F.when(t.rlike("ies$"), F.regexp_replace(t, "ies$", "y")).otherwise(
-        F.when(t.rlike("[a-z]es$"), F.regexp_replace(t, "es$", "")).otherwise(
-            F.when(t.rlike("[a-z]s$"), F.regexp_replace(t, "s$", ""))
-        ).otherwise(t)
+    stem = lambda t: (
+        F.when(t.rlike("ies$"), F.regexp_replace(t, "ies$", "y"))
+        .when(t.rlike("[a-z]es$"), F.regexp_replace(t, "es$", ""))
+        .when(t.rlike("[a-z]s$"), F.regexp_replace(t, "s$", ""))
+        .otherwise(t)
     )
     return F.transform(arr, stem)
 

@@ -10,10 +10,12 @@ from kg_etl_spark.functions.geo import equirect_m, haversine_m, in_bbox, point_i
 from kg_etl_spark.functions.ids import canonical_id_str, prefixed_id, sha1_id
 from kg_etl_spark.functions.stats import bucket, group_zscore
 from kg_etl_spark.functions.text import (
+    content_tokens,
     jaccard,
     normalize_name,
     slugify,
     sorted_token_substring,
+    tokens,
     word_shingles,
 )
 from kg_etl_spark.operators.textquality import ws_tokens
@@ -64,6 +66,20 @@ def test_text_kernels(spark):
     ).collect()[0]
     assert "strasse" in r["n"] and " " in r["n"]
     assert r["slug"] == "groe-str-caf"  # non-ascii stripped, spaces dashed
+
+
+def test_tokens_stemming(spark):
+    # F4: ≥3-char tokens, light plural stemming — ies→y, Xes→X, Xs→X.
+    df = spark.createDataFrame([("Berries boxes towers of it",)], "s string")
+    r = df.select(tokens(F.col("s")).alias("t")).collect()[0]
+    assert r["t"] == ["berry", "box", "tower"]  # 'of'/'it' dropped (<3 chars)
+
+
+def test_content_tokens_stopwords(spark):
+    # F5: stopwords removed after stemming; dedup preserves content set.
+    df = spark.createDataFrame([("The Towers and the tower",)], "s string")
+    r = df.select(content_tokens(F.col("s")).alias("t")).collect()[0]
+    assert r["t"] == ["tower"]
 
 
 def test_jaccard_and_substring(spark):
