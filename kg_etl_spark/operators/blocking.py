@@ -49,7 +49,7 @@ def blocked_pairs(
     base = spread(df, F.col(id_col)).withColumn("_lat_bin", lb).withColumn("_lon_bin", nb)
 
     keep = [id_col, lat_col, lon_col, *carry_cols]
-    if partition_col:
+    if partition_col and partition_col not in keep:
         keep.append(partition_col)
 
     left = (
@@ -60,13 +60,21 @@ def blocked_pairs(
         *keep, F.col("_lat_bin").alias("_jb_lat"), F.col("_lon_bin").alias("_jb_lon")
     )
 
-    a = left.select([F.col(c).alias(f"a_{c}") for c in keep] + [F.col("_jb_lat"), F.col("_jb_lon")])
-    b = right.select([F.col(c).alias(f"b_{c}") for c in keep] + [F.col("_jb_lat"), F.col("_jb_lon")])
+    # partition_col goes INTO the equi-join key (not a post-join filter):
+    # the shuffle then hashes on (partition, bin), which both shrinks the
+    # joined row set and spreads one hot geographic bin shared by many
+    # partitions across reducers.
+    extra = [F.col(partition_col).alias("_jp")] if partition_col else []
+    a = left.select(
+        [F.col(c).alias(f"a_{c}") for c in keep] + [F.col("_jb_lat"), F.col("_jb_lon")] + extra
+    )
+    b = right.select(
+        [F.col(c).alias(f"b_{c}") for c in keep] + [F.col("_jb_lat"), F.col("_jb_lon")] + extra
+    )
 
-    on = ["_jb_lat", "_jb_lon"]
+    on = (["_jp"] if partition_col else []) + ["_jb_lat", "_jb_lon"]
     pairs = a.join(b, on=on, how="inner").filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
-    if partition_col:
-        pairs = pairs.filter(F.col(f"a_{partition_col}") == F.col(f"b_{partition_col}"))
+    pairs = pairs.drop("_jp")
 
     pairs = pairs.withColumn(
         "meters",

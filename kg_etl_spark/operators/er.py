@@ -106,17 +106,21 @@ def resolve_entities(
     bands=None,
     sim_col: str = "name_jac",
     use_fuzzy: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Full ER: returns (links, assignments).
 
-    links: accepted pairs with scores.
+    links: accepted pairs with scores (plus a_<c>/b_<c> for carry_cols —
+    e.g. carry `source` to emit the reference's src_a/src_b link
+    contract, `etl/er.py` links_all).
     assignments: every input row → (id, canonical_id, canonical_name,
     n_members); canonical_id = min member id of the connected component
     (order-independent, unlike the reference's union-find root);
     canonical_name = longest member name, ties broken (name asc, id asc).
     """
     cands = candidate_links(
-        df, id_col, name_col, lat_col, lon_col, partition_col, bin_deg, max_dist_m, use_fuzzy
+        df, id_col, name_col, lat_col, lon_col, partition_col, bin_deg, max_dist_m, use_fuzzy,
+        carry_cols=carry_cols,
     )
     # Materialize the (small) link set once: everything downstream —
     # components, the canonical window, the members count — re-reads it,

@@ -69,7 +69,7 @@ def radius_join(
         F.col(left_id).alias("_lid"),
         F.col(lat_col).alias("_llat"),
         F.col(lon_col).alias("_llon"),
-        *([F.col(partition_col).alias("_lpart")] if partition_col else []),
+        *([F.col(partition_col).alias("_jp")] if partition_col else []),
         F.col("_nb.b_lat").alias("_jb_lat"),
         F.col("_nb.b_lon").alias("_jb_lon"),
     )
@@ -78,14 +78,16 @@ def radius_join(
         F.col(right_id).alias("_rid"),
         F.col(lat_col).alias("_rlat"),
         F.col(lon_col).alias("_rlon"),
-        *([F.col(partition_col).alias("_rpart")] if partition_col else []),
+        *([F.col(partition_col).alias("_jp")] if partition_col else []),
         r_lb.alias("_jb_lat"),
         r_nb.alias("_jb_lon"),
     )
 
-    joined = lft.join(rgt, ["_jb_lat", "_jb_lon"], "inner")
-    if partition_col:
-        joined = joined.filter(F.col("_lpart") == F.col("_rpart"))
+    # partition_col is part of the equi-join key: the shuffle hashes on
+    # (partition, bin) so a hot bin shared by many partitions spreads
+    # across reducers instead of post-join filtering one fat bucket.
+    on = (["_jp"] if partition_col else []) + ["_jb_lat", "_jb_lon"]
+    joined = lft.join(rgt, on, "inner")
     return (
         joined.withColumn(
             "meters", equirect_m(F.col("_llat"), F.col("_llon"), F.col("_rlat"), F.col("_rlon"))

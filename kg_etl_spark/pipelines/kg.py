@@ -87,7 +87,13 @@ def run_kg_pipeline(
 
     # -- 2. entity resolution per city --------------------------------
     links, assignments = resolve_entities(
-        staged, id_col="place_id", name_col="name", partition_col="city_slug"
+        staged,
+        id_col="place_id",
+        name_col="name",
+        partition_col="city_slug",
+        # carried through the pair join so place_links.csv can emit the
+        # reference's 7-column contract (schemas.PLACE_LINKS).
+        carry_cols=("source", "city_slug"),
     )
     variant_of = assignments.select(
         F.col("id").alias("source_place_id"), "canonical_id", "canonical_name"
@@ -104,8 +110,11 @@ def run_kg_pipeline(
     # -- 3. reviews: semi-join valid places, ids, lift ----------------
     lifted = None
     if reviews_raw is not None:
+        # No broadcast hint: staged places are export-scale here but
+        # unbounded in general, and a forced hint overrides Catalyst even
+        # when the side is huge. AQE picks broadcast when it is small.
         valid = staged.select("place_id", "city_slug")
-        revs = reviews_raw.join(F.broadcast(valid), "place_id", "inner")
+        revs = reviews_raw.join(valid, "place_id", "inner")
         if "review_id" not in revs.columns:
             revs = revs.withColumn(
                 "review_id",
@@ -198,9 +207,17 @@ def run_kg_pipeline(
             order_by=["city_slug", "place_id"],
         )
         write_contract_csv(
-            links.select("a_id", "b_id", F.round("meters", 2).alias("meters"), "name_jac"),
+            links.select(
+                F.col("a_id").alias("a"),
+                F.col("b_id").alias("b"),
+                F.col("a_source").alias("src_a"),
+                F.col("b_source").alias("src_b"),
+                F.col("name_jac").alias("name_sim"),
+                F.round("meters", 2).alias("meters"),
+                F.col("a_city_slug").alias("city_slug"),
+            ),
             os.path.join(out_dir, "place_links.csv"),
-            order_by=["a_id", "b_id"],
+            order_by=["a", "b"],
         )
         write_contract_csv(
             variant_of.join(

@@ -134,6 +134,17 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # deterministic order: (city_slug, place_id)
     assert [r["place_id"] for r in rows] == ["p1", "p2", "p3", "p4"]
 
+    # place_links.csv carries the reference's 7-column link contract
+    # (etl/er.py links_all / schemas.PLACE_LINKS)
+    with open(os.path.join(out_dir, "place_links.csv")) as f:
+        lrows = list(csv.DictReader(f))
+    assert list(lrows[0].keys()) == [
+        "a", "b", "src_a", "src_b", "name_sim", "meters", "city_slug",
+    ]
+    assert {(r["a"], r["b"]) for r in lrows} == {("p1", "p2")}
+    assert lrows[0]["src_a"] == "yelp" and lrows[0]["src_b"] == "wikivoyage"
+    assert lrows[0]["city_slug"] == "alpha"
+
     with open(os.path.join(out_dir, "place_canonical_map.csv")) as f:
         cmap = list(csv.DictReader(f))
     assert {r["source_place_id"] for r in cmap} == {"p1", "p2", "p3", "p4"}

@@ -57,6 +57,31 @@ def test_no_cartesian_anywhere_in_pair_generators(spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
 
 
+def test_partition_col_in_blocking_join_key(spark):
+    # the partition column must be part of the equi-join key (hashed
+    # into the shuffle), not a post-join filter — spreads hot bins
+    # shared across partitions over reducers.
+    from kg_etl_spark.operators.blocking import blocked_pairs
+    from kg_etl_spark.operators.nearest import radius_join
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0, "x"), ("b", 1.0001, 1.0001, "x"), ("c", 1.0, 1.0, "y")],
+        "id string, lat double, lon double, part string",
+    )
+    for pairs in (
+        blocked_pairs(df, id_col="id", partition_col="part"),
+        radius_join(df, df.withColumnRenamed("id", "rid"), "id", "rid", 300.0,
+                    partition_col="part"),
+    ):
+        plan = physical_plan(pairs)
+        # the join key column _jp appears inside the hash-partitioning /
+        # join condition, and no post-join equality filter on part remains
+        assert "_jp" in plan
+    # cross-partition co-located points must not pair
+    bp = blocked_pairs(df, id_col="id", partition_col="part").collect()
+    assert {(r["a_id"], r["b_id"]) for r in bp} == {("a", "b")}
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     # bucketing is the pay-once co-location path: a fact-fact equi-join
     # on the bucket key must plan a SortMergeJoin with NO Exchange on
