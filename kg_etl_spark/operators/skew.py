@@ -27,7 +27,14 @@ def salted_join(
 
     Use when one side is small enough to replicate but too big (or the
     key too hot) to broadcast outright.
+
+    Restricted to inner/left/left_semi: for right/full outer joins the
+    unmatched *build* rows would surface once per salt replica, so the
+    plain-join equivalence would not hold.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
     salted_build = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -28,9 +28,14 @@ def read_review_stream(spark: SparkSession, path: str) -> DataFrame:
 def dedup_reviews(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-per-review within the watermark horizon: state is
     bounded (old review_ids age out) — the scalable form of the
-    reference's in-memory `seen` sets."""
-    return stream.withWatermark("event_time", watermark).dropDuplicates(
-        ["review_id", "event_time"]
+    reference's in-memory `seen` sets.
+
+    Keyed on review_id ALONE: a re-arrival with a different event_time
+    is still the same review and must be dropped.
+    ``dropDuplicatesWithinWatermark`` evicts state by watermark without
+    needing the event-time column in the dedup key."""
+    return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["review_id"]
     )
 
 

@@ -135,6 +135,8 @@ def test_streaming_dedup_windowed(spark, tmp_path):
          "event_time": "2024-01-01T00:01:00.000Z"},
         {"review_id": "r1", "place_id": "p1", "rating": 4.0, "text": "a",
          "event_time": "2024-01-01T00:01:00.000Z"},  # dup
+        {"review_id": "r1", "place_id": "p1", "rating": 4.0, "text": "a",
+         "event_time": "2024-01-01T00:02:00.000Z"},  # same review, later ts → still dup
         {"review_id": "r2", "place_id": "p1", "rating": 2.0, "text": "b",
          "event_time": "2024-01-01T00:03:00.000Z"},
     ]
