@@ -288,6 +288,41 @@ def hyperplane_lsh_neardup_pairs(
     return verified.select("a_id", "b_id", F.round("score", 6).alias("score"))
 
 
+def cosine_neardup_pairs_adaptive(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    exact_max_rows: int = 1_000_000,
+    n_planes: int = 256,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Size-adaptive embedding near-dup dispatch (same contract as
+    `cosine_neardup_pairs`: a_id < b_id, cosine >= threshold).
+
+    Below `exact_max_rows` the exact broadcast-matmul path runs
+    (bit-identical to the all-pairs oracle). Above it — where that
+    path's driver collect/broadcast (~0.5 GB per 1M×64 float64
+    vectors) stops being sane — candidates come from random-hyperplane
+    LSH bands and only candidates are exact-cosine verified: the corpus
+    never leaves the executors and pair generation is sub-quadratic.
+    Mirrors `connected_components`' small/iterative cutover.
+
+    Caveat carried from the LSH operator: sign-LSH blocks well in the
+    near-dup regime (threshold ≳ 0.8); weak thresholds (≲ 0.5) on a
+    >exact_max_rows corpus have reduced recall — raise `bands` (more
+    probes) or shrink the corpus first in that case.
+    """
+    if corpus.count() <= exact_max_rows:
+        return cosine_neardup_pairs(corpus, id_col, vec_col, threshold)
+    return hyperplane_lsh_neardup_pairs(
+        corpus, id_col, vec_col, threshold,
+        n_planes=n_planes, bands=bands, seed=seed, max_bucket=max_bucket,
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

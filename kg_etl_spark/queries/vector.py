@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from kg_etl_spark.operators.similarity import (
     brute_force_topk,
-    cosine_neardup_pairs,
+    cosine_neardup_pairs_adaptive,
     hyperplane_lsh_neardup_pairs,
     ivf_topk,
 )
@@ -84,9 +84,13 @@ _NEARDUP_T = 0.35
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (dedup family, vector leg)."""
+    """Embedding-cosine near-dup pairs (dedup family, vector leg).
+
+    Size-adaptive: exact broadcast-matmul below 1M vectors (the regime
+    this oracle checks — bit-identical), hyperplane-LSH + exact verify
+    above (no driver collect of the corpus)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=_NEARDUP_T)
+    return cosine_neardup_pairs_adaptive(emb, threshold=_NEARDUP_T)
 
 
 # Oracle uses the SAME sequential left-fold dot/norm as the Spark side

@@ -236,6 +236,40 @@ def test_hyperplane_lsh_neardup(spark):
     assert len(exact) == 18 and len(lsh) == 18
 
 
+def test_cosine_neardup_adaptive_dispatch(spark):
+    # below the cutoff: exact path (MapInPandas over the broadcast
+    # matrix), identical pairs to cosine_neardup_pairs; above: the LSH
+    # plan — no driver collect / MapInPandas of the corpus — and the
+    # same high-sim pairs in the near-dup regime.
+    import numpy as np
+
+    from kg_etl_spark.operators.similarity import cosine_neardup_pairs_adaptive
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for c in range(3):
+        center = rng.standard_normal(16)
+        for _ in range(4):
+            v = center + rng.standard_normal(16) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(20):
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact_df = cosine_neardup_pairs_adaptive(corpus, threshold=0.95, exact_max_rows=1000)
+    assert "MapInPandas" in exact_df._jdf.queryExecution().executedPlan().toString()
+    exact = {(r["a_id"], r["b_id"]) for r in exact_df.collect()}
+
+    lsh_df = cosine_neardup_pairs_adaptive(corpus, threshold=0.95, exact_max_rows=10)
+    assert "MapInPandas" not in lsh_df._jdf.queryExecution().executedPlan().toString()
+    lsh = {(r["a_id"], r["b_id"]) for r in lsh_df.collect()}
+
+    assert exact == lsh and len(exact) == 18
+
+
 def test_topk_distinct_texts(spark):
     df = spark.createDataFrame(
         [("p", "the best place ever really"), ("p", "the best place ever truly"), ("p", "bad")],
