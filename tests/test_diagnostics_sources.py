@@ -13,6 +13,8 @@ from kg_etl_spark.diagnostics import (
     promotion_suggestions,
     riskiest_pairs,
     same_source_near_dupes,
+    stage_trace,
+    suggest_aliases,
 )
 from kg_etl_spark.operators.er import candidate_links, resolve_entities
 from kg_etl_spark.sources.parquet_dataset import read_places_dataset
@@ -59,6 +61,47 @@ def test_spotcheck_diagnostics(spark):
 
     stats = cluster_stats(asg).collect()[0]
     assert stats["n_clusters"] >= 4 and stats["max_cluster_size"] >= 2
+
+
+def test_suggest_aliases_recall(spark):
+    # 9 unassigned WV rows titled "Mainhattan" near alpha's center and
+    # 2 titled "Elseburg" → only the ≥8-count title is proposed, and
+    # only for the city whose center is within near_km.
+    curated_rows = (
+        [(f"w{i}", "wikivoyage", f"poi {i}", 50.0 + i * 1e-4, 8.0, "Mainhattan") for i in range(9)]
+        + [(f"x{i}", "wikivoyage", f"poi x{i}", 50.001, 8.001, "Elseburg") for i in range(2)]
+        + [("y0", "yelp", "not wv", 50.0, 8.0, "Mainhattan")]
+        + [("w9", "wikivoyage", "assigned one", 50.0, 8.0, "Mainhattan")]
+        + [("far", "wikivoyage", "far away", 10.0, 10.0, "Mainhattan")]
+    )
+    curated = spark.createDataFrame(
+        curated_rows,
+        "place_id string, source string, name string, lat double, lon double, city_hint string",
+    )
+    staged = spark.createDataFrame(
+        [("w9", "wikivoyage")], "place_id string, source string"
+    )
+    cities = spark.createDataFrame(
+        [("alpha", 50.0, 8.0), ("omega", 30.0, 30.0)],
+        "slug string, center_lat double, center_lon double",
+    )
+    got = suggest_aliases(curated, staged, cities, min_count=8).collect()
+    assert [(r["slug"], r["alias"], r["n_hits"]) for r in got] == [("alpha", "mainhattan", 9)]
+
+
+def test_stage_trace(spark):
+    parsed = spark.createDataFrame(
+        [("a", "wikivoyage"), ("b", "wikivoyage"), ("c", "yelp")], "id string, source string"
+    )
+    staged = spark.createDataFrame([("a", "wikivoyage")], "id string, source string")
+    nosrc = spark.createDataFrame([(1,), (2,)], "v int")
+    rows = stage_trace({"parsed": parsed, "staged": staged, "other": nosrc}).collect()
+    got = [(r["stage"], r["source"], r["n_rows"]) for r in rows]
+    assert got == [
+        ("parsed", "wikivoyage", 2), ("parsed", "yelp", 1),
+        ("staged", "wikivoyage", 1),
+        ("other", "(all)", 2),
+    ]
 
 
 def test_read_places_dataset_layouts(spark, tmp_path):
