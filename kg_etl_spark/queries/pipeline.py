@@ -1,0 +1,226 @@
+"""Training-data pipeline catalog over `documents`: PII redaction,
+deterministic splits/samples, domain quota mixing, repetition stats,
+benchmark contamination.
+
+Sampling/splitting uses Knuth multiplicative hashing on doc_id — pure
+BIGINT arithmetic, bit-identical in Spark and DuckDB (no rand()), so
+every query here has a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.datapipe import (
+    _KNUTH_A,
+    _M32,
+    benchmark_contamination,
+    quota_sample,
+    redact_pii,
+    repetition_stats,
+    stratified_sample,
+    train_val_test_split,
+)
+from kg_etl_spark.session import read_table
+
+_BUCKET_SQL = f"(doc_id * {_KNUTH_A}) % {_M32} % 100"
+
+_PII_TAIL = " contact bob@example.com or +1 555-123-4567"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant a deterministic PII tail on every 7th doc, then redact;
+    checks masking and per-doc counts."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_PII_TAIL)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    red = redact_pii(docs)
+    return red.select("doc_id", F.col("text").alias("redacted"), "n_emails", "n_phones")
+
+
+ORACLE_PII = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_TAIL}' ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+       len(regexp_extract_all(text, '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS n_phones
+FROM planted
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment + per-split counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_SPLIT = f"""
+SELECT CASE WHEN {_BUCKET_SQL} < 10 THEN 'test'
+            WHEN {_BUCKET_SQL} < 20 THEN 'val'
+            ELSE 'train' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% deterministic sample, proportional within each lang."""
+    docs = read_table(spark, sf_dir, "documents")
+    samp = stratified_sample(docs, "lang", pct=20)
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+ORACLE_STRATIFIED = f"""
+SELECT lang, COUNT(*) AS n_sampled, SUM(doc_id) AS id_sum
+FROM documents WHERE {_BUCKET_SQL} < 20 GROUP BY lang
+"""
+
+
+_QUOTA = 15
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: cap every source at _QUOTA docs, hash-ordered."""
+    docs = read_table(spark, sf_dir, "documents")
+    return quota_sample(docs, "source", quota=_QUOTA).select("doc_id", "source")
+
+
+ORACLE_QUOTA = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {_KNUTH_A}) % {_M32} ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_QUOTA}
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features per doc."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs).select("doc_id", "dup_trigram_frac", "top_word_frac")
+
+
+# DuckDB mirror: same whitespace tokens, word trigrams via range() list
+# comprehension, top token share via unnest + max count.
+ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), tri AS (
+  SELECT doc_id, tk,
+         list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
+  FROM toks
+), dup AS (
+  SELECT doc_id,
+         CASE WHEN len(tg) > 0
+              THEN ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+              ELSE 0.0 END AS dup_trigram_frac
+  FROM tri
+), flat AS (
+  SELECT doc_id, unnest(tk) AS tok FROM toks
+), top AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM flat GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT toks.doc_id AS doc_id, dup.dup_trigram_frac,
+       CASE WHEN len(toks.tk) > 0
+            THEN ROUND(CAST(COALESCE(top.topc, 0) AS DOUBLE) / len(toks.tk), 6)
+            ELSE 0.0 END AS top_word_frac
+FROM toks JOIN dup ON toks.doc_id = dup.doc_id
+LEFT JOIN top ON toks.doc_id = top.doc_id
+"""
+
+_N_BENCH = 5
+_PLANT_EVERY = 97
+_PROBE_CHARS = 50
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: benchmark = docs 0..4; every 97th corpus
+    doc gets a planted probe suffix; the operator must flag exactly the
+    planted (and any organic) containments."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < _N_BENCH).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, _PROBE_CHARS).alias("probe_text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") >= _N_BENCH)
+        .withColumn("_b", F.col("doc_id") % _PLANT_EVERY)
+        .join(
+            F.broadcast(bench.withColumnRenamed("bench_id", "_b")),
+            "_b",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % _PLANT_EVERY < _N_BENCH) & F.col("probe_text").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("probe_text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    bench_full = docs.filter(F.col("doc_id") < _N_BENCH).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return benchmark_contamination(
+        corpus, bench_full, probe_chars=_PROBE_CHARS
+    ).select("doc_id", "bench_id")
+
+
+ORACLE_CONTAMINATION = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, text, substr(text, 1, {_PROBE_CHARS}) AS probe
+  FROM documents WHERE doc_id < {_N_BENCH}
+), corpus AS (
+  SELECT c.doc_id,
+         CASE WHEN c.doc_id % {_PLANT_EVERY} < {_N_BENCH}
+              THEN c.text || ' ' || (SELECT probe FROM bench b WHERE b.bench_id = c.doc_id % {_PLANT_EVERY})
+              ELSE c.text END AS text
+  FROM documents c WHERE c.doc_id >= {_N_BENCH}
+)
+SELECT corpus.doc_id, bench.bench_id
+FROM corpus, bench
+WHERE position(bench.probe IN corpus.text) > 0
+"""
+
+QUERIES = {
+    "pii_redact": q_pii_redact,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "quota_sample": q_quota_sample,
+    "repetition_stats": q_repetition_stats,
+    "contamination": q_contamination,
+}
+
+ORACLES = {
+    "pii_redact": ORACLE_PII,
+    "hash_split": ORACLE_SPLIT,
+    "stratified_sample": ORACLE_STRATIFIED,
+    "quota_sample": ORACLE_QUOTA,
+    "repetition_stats": ORACLE_REPETITION,
+    "contamination": ORACLE_CONTAMINATION,
+}

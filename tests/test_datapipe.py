@@ -1,0 +1,103 @@
+"""Training-data pipeline operator tests (datapipe.py): determinism of
+hash splits/samples, quota binding, PII masking, repetition features,
+contamination flagging."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.datapipe import (
+    benchmark_contamination,
+    hash_bucket,
+    quota_sample,
+    redact_pii,
+    repetition_stats,
+    stratified_sample,
+    train_val_test_split,
+)
+
+
+def test_hash_split_stable_and_partitioned(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    out = train_val_test_split(df)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # pseudo-uniform: each 10% slice within a tolerance band
+    assert 800 < counts["test"] < 1200 and 800 < counts["val"] < 1200
+    # stability: same assignment on a subset (growth never reshuffles)
+    sub = train_val_test_split(df.filter(F.col("doc_id") < 100))
+    full = {r["doc_id"]: r["split"] for r in out.filter(F.col("doc_id") < 100).collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_stratified_sample_proportional(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("lang")
+    )
+    samp = stratified_sample(df, "lang", pct=20)
+    per = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert 350 < n < 650, (lang, n)  # ~500 each
+
+
+def test_quota_sample_binds_deterministically(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("source")
+    )
+    out = quota_sample(df, "source", quota=10)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"0": 10, "1": 10, "2": 10}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in quota_sample(df.repartition(13), "source", quota=10).collect())
+    assert a == b  # partitioning-independent pick
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@example.org or call 555-123-4567 now"),
+         (2, "clean text")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in rows[1]["text"] and "<PHONE>" in rows[1]["text"]
+    assert "example.org" not in rows[1]["text"]
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[2]["text"] == "clean text" and rows[2]["n_emails"] == 0
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),      # one token repeated
+         (2, "all words here are unique now"),
+         (3, "hi")],                           # < 3 tokens → no trigrams
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # 3 trigrams, all "spam spam spam" → dup 1 - 1/3; top word 5/5
+    assert abs(rows[1]["dup_trigram_frac"] - (1 - 1 / 3)) < 1e-6
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert abs(rows[2]["top_word_frac"] - 1 / 6) < 1e-6
+    assert rows[3]["dup_trigram_frac"] == 0.0 and rows[3]["top_word_frac"] == 1.0
+
+
+def test_benchmark_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "prefix text the quick brown fox jumps over the lazy dog suffix"),
+         (2, "totally unrelated content with nothing shared at all")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["bench_id"]) for r in
+           benchmark_contamination(corpus, bench, probe_chars=20).collect()}
+    assert got == {(1, 100)}
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(0, 1000).select(hash_bucket(F.col("id")).alias("b"))
+    mm = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).collect()[0]
+    assert 0 <= mm["lo"] and mm["hi"] <= 99
