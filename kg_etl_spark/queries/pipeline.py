@@ -207,7 +207,75 @@ FROM corpus, bench
 WHERE position(bench.probe IN corpus.text) > 0
 """
 
+_MIN_QUALITY = 0.5
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the end-to-end corpus-prep DAG as ONE
+    Catalyst plan — quality gate → exact dedup (keep min-id doc per
+    normalized fingerprint) → deterministic split → per-(split, lang)
+    counts. Everything before the dedup groupBy is map-side; the dedup
+    shuffle and the final count aggregate are the only exchanges."""
+    from kg_etl_spark.operators.dedup import normalized_fingerprint
+    from kg_etl_spark.operators.textquality import quality_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    good = quality_features(docs).filter(F.col("quality_score") >= _MIN_QUALITY)
+    keep = (
+        good.withColumn("fp", normalized_fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        # lang re-attached by joining the keeper ids back (deterministic,
+        # unlike first() over a grouped agg)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        train_val_test_split(keep)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+_QUALITY_SQL = """
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0)) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> list_contains(['the','a','an','and','or','of','in','on','at','to','is'], t))) AS n_stop
+  FROM documents
+"""
+
+ORACLE_CORPUS_PREP = f"""
+WITH q AS ({_QUALITY_SQL}),
+scored AS (
+  SELECT doc_id, lang, text,
+         least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+         + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+         + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+           AS quality_score
+  FROM q
+),
+good AS (SELECT * FROM scored WHERE quality_score >= {_MIN_QUALITY}),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM good GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+),
+split AS (
+  SELECT k.doc_id, d.lang,
+         CASE WHEN {_BUCKET_SQL.replace('doc_id', 'k.doc_id')} < 10 THEN 'test'
+              WHEN {_BUCKET_SQL.replace('doc_id', 'k.doc_id')} < 20 THEN 'val'
+              ELSE 'train' END AS split
+  FROM keep k JOIN documents d ON k.doc_id = d.doc_id
+)
+SELECT split, lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+FROM split GROUP BY split, lang
+"""
+
+
 QUERIES = {
+    "corpus_prep": q_corpus_prep,
     "pii_redact": q_pii_redact,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
@@ -217,6 +285,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_prep": ORACLE_CORPUS_PREP,
     "pii_redact": ORACLE_PII,
     "hash_split": ORACLE_SPLIT,
     "stratified_sample": ORACLE_STRATIFIED,
