@@ -125,7 +125,84 @@ FROM d
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase → the user's latest click at-or-before it
+    (merge-sort as-of join; one shuffle). Checked against DuckDB's
+    native ASOF LEFT JOIN."""
+    from kg_etl_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", right_cols=("event_id", "value")
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_asof").alias("click_id"),
+        F.round(F.col("value_asof"), 6).alias("click_value"),
+        F.unix_micros(F.col("ts_asof")).alias("click_ts_us"),
+    )
+
+
+ORACLE_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.event_id AS click_id, ROUND(c.value, 6) AS click_value,
+       epoch_us(c.ts) AS click_ts_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases landing inside the hour after a signup of the same
+    user (1-D interval blocking — the temporal twin of the spatial grid
+    join; pure equi-join plan)."""
+    from kg_etl_spark.operators.temporal import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(3600 * 1_000_000)).alias("e_us"),
+    )
+    pairs = range_join(
+        purchases,
+        signups.withColumnRenamed("s_user", "user_id"),
+        on="user_id",
+        point_col="p_us",
+        start_col="s_us",
+        end_col="e_us",
+        bucket_width=3600 * 1_000_000,
+    )
+    return pairs.select("purchase_id", "signup_id", "user_id")
+
+
+ORACLE_RANGE = """
+SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+FROM events p JOIN events s
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase' AND s.event_type = 'signup'
+ AND epoch_us(p.ts) >= epoch_us(s.ts)
+ AND epoch_us(p.ts) < epoch_us(s.ts) + CAST(3600 AS BIGINT) * 1000000
+"""
+
+
 QUERIES = {
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "hourly_event_agg": q_hourly_event_agg,
     "sessionize": q_sessionize,
     "event_type_pivot": q_event_type_pivot,
@@ -133,6 +210,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "asof_join": ORACLE_ASOF,
+    "range_join": ORACLE_RANGE,
     "hourly_event_agg": ORACLE_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
     "event_type_pivot": ORACLE_PIVOT,
