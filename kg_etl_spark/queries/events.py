@@ -200,8 +200,65 @@ FROM events p JOIN events s
 """
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain continuous-aggregate shape: ROLLUP over
+    (event_type, day) — per-day, per-type subtotals and grand total in
+    one pass (grouping-sets partial aggregation; map-side combine on
+    every grain)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day_us", F.unix_micros(F.date_trunc("day", F.col("ts"))))
+        .rollup("event_type", "day_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day_us", F.lit(-1)).alias("day_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_ROLLUP_GRAIN = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(day_us, -1) AS day_us,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, value FROM events)
+GROUP BY ROLLUP (event_type, day_us)
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (p50/p90/p99).
+    Spark `percentile` and DuckDB `quantile_cont` both use linear
+    interpolation — values match to rounding. At 100 TB swap for
+    `percentile_approx` (t-digest-style sketch, map-side mergeable);
+    the exact form is the oracle-able reference."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
+    "event_rollup": q_event_rollup,
+    "value_percentiles": q_value_percentiles,
     "range_join": q_range_join,
     "hourly_event_agg": q_hourly_event_agg,
     "sessionize": q_sessionize,
@@ -211,6 +268,8 @@ QUERIES = {
 
 ORACLES = {
     "asof_join": ORACLE_ASOF,
+    "event_rollup": ORACLE_ROLLUP_GRAIN,
+    "value_percentiles": ORACLE_PERCENTILES,
     "range_join": ORACLE_RANGE,
     "hourly_event_agg": ORACLE_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
