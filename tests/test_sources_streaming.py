@@ -127,6 +127,39 @@ def test_multimodal_plumbing(spark):
         pass
 
 
+def test_multimodal_resize_and_frames(spark):
+    from kg_etl_spark.operators.multimodal import resize_images, sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, "hello world this is a longer payload"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    media = attach_binary_payload(docs, "text", "doc_id")
+
+    resized = {r["media_id"]: r for r in resize_images(media, 16, 16, fake=True).collect()}
+    n_out = 16 * 16 // 64
+    assert all(len(r["payload"]) == n_out for r in resized.values())
+    assert resized["1"]["meta"]["width"] == "16" and resized["1"]["meta"]["height"] == "16"
+    # deterministic
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 16, 16, fake=True).collect()}
+    assert {k: bytes(v["payload"]) for k, v in resized.items()} == again
+
+    frames = sample_frames(media, every_n=2, fake=True).collect()
+    assert len(frames) >= 2
+    assert all(r["frame_idx"] % 2 == 0 for r in frames)
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert set(by_media) == {"1", "2"}  # one-to-many per input row
+
+    for fn in (lambda: resize_images(media, 8, 8), lambda: sample_frames(media)):
+        try:
+            fn()
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError:
+            pass
+
+
 def test_streaming_dedup_windowed(spark, tmp_path):
     src = tmp_path / "stream_in"
     src.mkdir()
