@@ -44,6 +44,31 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EVENT_SCHEMA).json(path)
 
 
+def windowed_event_agg(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch `hourly_event_agg` query: tumbling
+    per-(window, event_type) counts and value sums with late data
+    handled by the watermark. The SAME groupBy/agg expression tree as
+    the batch plan — readStream/writeStream are the only difference,
+    which is the whole §2.10 argument: one declarative definition, two
+    execution modes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_stateful(
     events: DataFrame, idle_timeout_ms: int = 30_000
 ) -> DataFrame:

@@ -189,6 +189,44 @@ def test_streaming_dedup_windowed(spark, tmp_path):
     assert got[0]["n_reviews"] == 2 and abs(got[0]["avg_rating"] - 3.0) < 1e-9
 
 
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    # batch/stream parity: the same expression tree over the same rows
+    # must produce identical aggregates in both execution modes.
+    from kg_etl_spark.streaming.stateful import read_event_stream, windowed_event_agg
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "click", "value": 1.5,
+         "ts": "2024-01-01T00:10:00.000Z"},
+        {"event_id": 2, "user_id": 2, "event_type": "click", "value": 2.5,
+         "ts": "2024-01-01T00:50:00.000Z"},
+        {"event_id": 3, "user_id": 1, "event_type": "view", "value": 7.0,
+         "ts": "2024-01-01T01:10:00.000Z"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    q = (
+        windowed_event_agg(read_event_stream(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("hourly_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["hour_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM hourly_stream").collect()}
+
+    batch_df = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, ts timestamp"
+    ).json(str(src))
+    want = {(r["hour_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in windowed_event_agg(batch_df).collect()}
+    assert got == want
+    assert got[(1704067200000000, "click")] == (2, 4.0)
+
+
 def test_stateful_sessionize_across_batches(spark, tmp_path):
     from kg_etl_spark.streaming.stateful import read_event_stream, sessionize_stateful
 
