@@ -255,10 +255,25 @@ FROM events GROUP BY event_type
 """
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch leg of the stats family (rows-only: sketch internals are
+    engine-specific): HLL++ distinct users and t-digest-style
+    percentile per event type — mergeable map-side sketches, the form
+    `value_percentiles`/`count_distinct` take at 100 TB. Accuracy vs
+    the exact twins is property-tested (`test_sketch_error_bounds`)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "event_rollup": q_event_rollup,
     "value_percentiles": q_value_percentiles,
+    "sketch_stats": q_sketch_stats,
     "range_join": q_range_join,
     "hourly_event_agg": q_hourly_event_agg,
     "sessionize": q_sessionize,

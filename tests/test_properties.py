@@ -88,3 +88,26 @@ def test_salted_join_equals_plain_join(spark, seed):
     plain = sorted(tuple(r) for r in pdf.join(bdf, "k").collect())
     salted = sorted(tuple(r) for r in salted_join(pdf, bdf, "k", salt=8).collect())
     assert salted == plain
+
+
+def test_sketch_error_bounds(spark):
+    # approx sketches must track their exact twins within stated error:
+    # HLL++ rsd=0.02 → allow 5·rsd; percentile_approx accuracy=10k on
+    # 50k rows → near-exact (allow 2% of the value range).
+    from pyspark.sql import functions as F
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 9973).alias("u"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    got = df.groupBy("g").agg(
+        F.approx_count_distinct("u", rsd=0.02).alias("au"),
+        F.countDistinct("u").alias("eu"),
+        F.percentile_approx("v", 0.5, 10_000).alias("ap50"),
+        F.expr("percentile(v, 0.5)").alias("ep50"),
+    ).collect()
+    for r in got:
+        assert abs(r["au"] - r["eu"]) <= 0.10 * r["eu"], r
+        assert abs(r["ap50"] - r["ep50"]) <= 20.0, r
