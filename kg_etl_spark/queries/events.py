@@ -269,11 +269,92 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → purchase funnel per user: first signup, first purchase
+    at-or-after it, delay. One aggregation pass (conditional mins), no
+    self-join — the scalable funnel shape."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("first_signup_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    first_after = (
+        per_user.join(purchases, "user_id", "left")
+        .groupBy("user_id", "first_signup_us")
+        .agg(
+            F.min(
+                F.when(F.col("p_us") >= F.col("first_signup_us"), F.col("p_us"))
+            ).alias("first_purchase_us")
+        )
+    )
+    return first_after.select(
+        "user_id",
+        "first_signup_us",
+        "first_purchase_us",
+        (F.col("first_purchase_us") - F.col("first_signup_us")).alias("delay_us"),
+    ).filter(F.col("first_signup_us").isNotNull())
+
+
+ORACLE_FUNNEL = """
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+  SELECT su.user_id, su.first_signup_us,
+         MIN(CASE WHEN p.event_type = 'purchase' AND epoch_us(p.ts) >= su.first_signup_us
+                  THEN epoch_us(p.ts) END) AS first_purchase_us
+  FROM su LEFT JOIN events p ON p.user_id = su.user_id
+  GROUP BY su.user_id, su.first_signup_us
+)
+SELECT user_id, first_signup_us, first_purchase_us,
+       first_purchase_us - first_signup_us AS delay_us
+FROM fp
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active day,
+    distinct active users per (cohort_day, day_offset). Two shuffles
+    (per-user min, then the cohort-offset count) — no self-join of the
+    event log against itself. Days are UTC epoch-day integers
+    (unix_micros div 86400e6) — independent of session timezone, which
+    an injected session may set arbitrarily."""
+    us_per_day = 86_400 * 1_000_000
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / us_per_day).cast("long").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_COHORT = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+fd AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT fd.cohort_day, d.day - fd.cohort_day AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_active
+FROM d JOIN fd ON d.user_id = fd.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "event_rollup": q_event_rollup,
     "value_percentiles": q_value_percentiles,
     "sketch_stats": q_sketch_stats,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
     "range_join": q_range_join,
     "hourly_event_agg": q_hourly_event_agg,
     "sessionize": q_sessionize,
@@ -285,6 +366,8 @@ ORACLES = {
     "asof_join": ORACLE_ASOF,
     "event_rollup": ORACLE_ROLLUP_GRAIN,
     "value_percentiles": ORACLE_PERCENTILES,
+    "funnel_conversion": ORACLE_FUNNEL,
+    "cohort_retention": ORACLE_COHORT,
     "range_join": ORACLE_RANGE,
     "hourly_event_agg": ORACLE_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
