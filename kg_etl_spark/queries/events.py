@@ -14,6 +14,16 @@ from kg_etl_spark.session import read_table
 
 DEC = "decimal(28,6)"
 SESSION_GAP_US = 1800 * 1_000_000
+HOUR_US = 3600 * 1_000_000
+DAY_US = 86_400 * 1_000_000
+
+
+def _trunc_us(ts, unit_us: int):
+    """Truncate a timestamp column to a unit boundary in integer epoch
+    micros — tz-FREE, unlike date_trunc, which truncates in the session
+    timezone (an injected driver session may not be UTC)."""
+    u = F.unix_micros(ts)
+    return u - u % F.lit(unit_us)
 
 
 def q_hourly_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -21,7 +31,7 @@ def q_hourly_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(
             "event_type",
-            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            _trunc_us(F.col("ts"), HOUR_US).alias("hour_us"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -101,13 +111,13 @@ def q_rolling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame op, W-pattern)."""
     ev = read_table(spark, sf_dir, "events")
     daily = (
-        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        ev.groupBy("event_type", _trunc_us(F.col("ts"), DAY_US).alias("day"))
         .agg(F.sum(F.col("value").cast(DEC)).alias("_dsum"))
     )
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
     return daily.select(
         "event_type",
-        F.unix_micros(F.col("day")).alias("day_us"),
+        F.col("day").alias("day_us"),
         F.round(F.col("_dsum"), 2).cast("double").alias("day_value"),
         F.round(F.sum("_dsum").over(w), 2).cast("double").alias("trailing3_value"),
     )
@@ -207,7 +217,7 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every grain)."""
     ev = read_table(spark, sf_dir, "events")
     return (
-        ev.withColumn("day_us", F.unix_micros(F.date_trunc("day", F.col("ts"))))
+        ev.withColumn("day_us", _trunc_us(F.col("ts"), DAY_US))
         .rollup("event_type", "day_us")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
