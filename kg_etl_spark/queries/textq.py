@@ -24,6 +24,7 @@ from kg_etl_spark.operators.textquality import (
     token_count,
     ws_tokens,
 )
+from kg_etl_spark.operators.search import bm25_topk, tfidf_topk
 from kg_etl_spark.operators.topk import topk_distinct_texts
 from kg_etl_spark.session import read_table
 
@@ -279,6 +280,78 @@ FROM w
 """
 
 
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 retrieval for a fixed 3-term query (reference has no
+    search operator — this is a training-data-pipeline capability; see
+    operators/search.py for the no-explode scale shape)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=25)
+
+
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, _BM25_TERMS, k=25)
+
+
+def _tf_sql(i: int, term: str) -> str:
+    return f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE) AS tf_{i}"
+
+
+_BM25_PARTS = " + ".join(
+    f"(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+    f" * (tf_{i} * 2.2) / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))))"
+    for i in range(3)
+)
+
+ORACLE_BM25 = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         {", ".join(_tf_sql(i, t) for i, t in enumerate(_BM25_TERMS))}
+  FROM t
+),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         {", ".join(f"sum(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}" for i in range(3))}
+  FROM s
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       {", ".join(f"CAST(tf_{i} AS BIGINT) AS tf_{i}" for i in range(3))},
+       ROUND(0.0 + {_BM25_PARTS}, 6) AS bm25
+FROM s, g
+ORDER BY bm25 DESC, doc_id
+LIMIT 25
+"""
+
+_TFIDF_PARTS = " + ".join(
+    f"(CASE WHEN tf_{i} > 0 THEN (1.0 + ln(tf_{i})) * ln(1.0 + n_docs / df_{i}) ELSE 0.0 END)"
+    for i in range(3)
+)
+
+ORACLE_TFIDF = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         {", ".join(_tf_sql(i, t) for i, t in enumerate(_BM25_TERMS))}
+  FROM t
+),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         {", ".join(f"sum(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}" for i in range(3))}
+  FROM s
+)
+SELECT doc_id,
+       {", ".join(f"CAST(tf_{i} AS BIGINT) AS tf_{i}" for i in range(3))},
+       ROUND(0.0 + {_TFIDF_PARTS}, 6) AS tfidf
+FROM s, g
+ORDER BY tfidf DESC, doc_id
+LIMIT 25
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "clean_wikitext": q_clean_wikitext,
@@ -292,6 +365,8 @@ QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh,
     "simhash_dedup": q_simhash_pairs,
     "topk_distinct_texts": q_topk_distinct_texts,
+    "bm25_search": q_bm25_search,
+    "tfidf_search": q_tfidf_search,
 }
 
 ORACLES = {
@@ -305,4 +380,6 @@ ORACLES = {
     "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     # minhash/simhash/topk_distinct: engine-specific → rows-only check
+    "bm25_search": ORACLE_BM25,
+    "tfidf_search": ORACLE_TFIDF,
 }
