@@ -499,6 +499,69 @@ def q_sql_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_EXISTS_AGG)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the symmetrized customer↔supplier
+    trade graph (who-bought-from-whom via orders⋈lineitem). The
+    deterministic fold makes per-node sums bit-identical to the
+    oracle's unrolled iterations (see operators/pagerank.py)."""
+    from kg_etl_spark.operators.pagerank import pagerank
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, deterministic=True)
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled power iterations; per-node sums left-fold over
+    contributions ordered by src, matching Spark's deterministic path."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS node,
+         list_reduce(list_prepend(0.0, list(r.rank / o.outdeg ORDER BY e.src)),
+                     (acc, x) -> acc + x) AS s
+  FROM edges e JOIN r{i-1} r ON e.src = r.node JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node, (1.0 - 0.85) / n + 0.85 * coalesce(c{i}.s, 0.0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node
+)""")
+    return head + "".join(steps) + f"""
+SELECT node, ROUND(rank, 6) AS pagerank FROM r{iterations}
+"""
+
+
+ORACLE_PAGERANK = _pagerank_oracle(3)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -520,6 +583,7 @@ QUERIES = {
     "surrogate_ids": q_surrogate_ids,
     "priority_coalesced_avg": q_priority_coalesced_avg,
     "sql_exists_agg": q_sql_exists_agg,
+    "pagerank": q_pagerank,
 }
 
 ORACLES = {
@@ -543,4 +607,5 @@ ORACLES = {
     "surrogate_ids": ORACLE_SURROGATE,
     "priority_coalesced_avg": ORACLE_PRIORITY_AVG,
     "sql_exists_agg": SQL_EXISTS_AGG,
+    "pagerank": ORACLE_PAGERANK,
 }
