@@ -1,0 +1,109 @@
+"""K-means (Lloyd) over an embedding column, the Spark way.
+
+Shape per iteration (the same reduce-collect loop MLlib's KMeans runs):
+
+1. **Assign** — map-side only. The k×d centroid matrix is inlined as ONE
+   2-D array literal (one Literal node per centroid row — the scalar-
+   per-literal form costs ~10 s of Catalyst analysis at 256×64, see
+   operators/similarity.py); per-row nearest centroid is
+   ``array_position(dists, array_min(dists))`` over an ordered
+   ``zip_with`` fold. No join, no window, no corpus shuffle.
+2. **Update** — one groupBy with d avg-columns + count. Map-side partial
+   aggregation means the shuffle carries k rows × d columns, NOT
+   |corpus|×d exploded rows.
+3. **Collect** — k×d doubles (the model, not the data) return to the
+   driver to become the next iteration's literals.
+
+100 TB reasoning: the corpus is touched exactly ``iterations`` times,
+each a single codegen'd scan + tiny-key aggregate; driver traffic is
+k×d floats per iteration regardless of corpus size.
+
+Cross-engine determinism (DuckDB oracle): per-row distances are
+sequential dim-order folds (bit-identical both engines); argmin ties
+break to the smallest cluster id on both sides; centroid means are
+rounded to 6 dp after EVERY update so engine-specific sum fold order
+cannot drift across iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _assign_expr(centers: list[list[float]], vec_col: str) -> F.Column:
+    """0-based nearest-centroid id as a pure map-side expression."""
+    v = F.col(vec_col).cast("array<double>")
+    cent_lit = F.array(*[F.lit(np.asarray(c, dtype="float64")) for c in centers])
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def kmeans_lloyd(
+    spark: SparkSession,
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iterations`` Lloyd steps from a deterministic init (the k
+    lowest-id vectors) and return the fitted model in long form:
+    (cluster_id, dim, centroid_val, n_members), dim 1-based, centroid
+    values rounded to 6 dp, n_members from the final assignment.
+
+    Empty clusters keep their previous centroid (n_members = 0).
+    """
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    centers = [[float(x) for x in r[vec_col]] for r in init]
+    d = len(centers[0])
+    counts = [0] * k
+
+    for _ in range(iterations):
+        assigned = corpus.select(
+            _assign_expr(centers, vec_col).alias("cluster_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        agg = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(d)],
+        )
+        counts = [0] * k
+        for row in agg.collect():  # ≤ k rows: model state, not data
+            cid = int(row["cluster_id"])
+            counts[cid] = int(row["n"])
+            centers[cid] = [row[f"m{i}"] for i in range(d)]
+
+    rows = [
+        (cid, dim + 1, centers[cid][dim], counts[cid])
+        for cid in range(k)
+        for dim in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id long, dim long, centroid_val double, n_members long"
+    )
+
+
+def kmeans_inertia(corpus: DataFrame, centers: list[list[float]], vec_col: str = "embedding") -> float:
+    """Σ min-distance² over the corpus (model quality): one scan, one
+    scalar back — used by tests to assert Lloyd monotonicity."""
+    v = F.col(vec_col).cast("array<double>")
+    cent_lit = F.array(*[F.lit(np.asarray(c, dtype="float64")) for c in centers])
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return corpus.select(F.sum(F.array_min(dists)).alias("s")).collect()[0]["s"]

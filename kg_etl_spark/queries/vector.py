@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kg_etl_spark.operators.clustering import kmeans_lloyd
 from kg_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs_adaptive,
@@ -127,16 +128,72 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_neardup_pairs(corpus, threshold=0.9)
 
 
+_KM_K = 8
+_KM_ITERS = 2
+_KM_D = 64
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration Lloyd k-means (k=8) from the k lowest-vec_id init;
+    returns the fitted centroids in long form. Oracle unrolls the same
+    iterations; init cluster ids coincide with vec_id 0..k-1 because
+    testdata ids are contiguous from 0."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(spark, emb, k=_KM_K, iterations=_KM_ITERS)
+
+
+def _kmeans_oracle(k: int, iterations: int, d: int) -> str:
+    """Unrolled Lloyd steps; distance folds and 6-dp centroid rounding
+    mirror operators/clustering.py exactly."""
+    dist = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {d + 1}), "
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), (acc, x) -> acc + x)"
+    )
+    sql = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {k})"""
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        mexprs = ", ".join(f"ROUND(AVG(v[{i}]), 6) AS m{i}" for i in range(1, d + 1))
+        newlist = "[" + ", ".join(f"u{it}.m{i}" for i in range(1, d + 1)) + "]"
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{it} AS (SELECT cid, count(*) AS n, {mexprs} FROM a{it} GROUP BY cid),
+c{it} AS (
+  SELECT {prev}.cid, CASE WHEN u{it}.cid IS NULL THEN {prev}.c ELSE {newlist} END AS c
+  FROM {prev} LEFT JOIN u{it} ON {prev}.cid = u{it}.cid
+)"""
+    sql += f"""
+SELECT c{iterations}.cid AS cluster_id, dd.dim AS dim,
+       c{iterations}.c[dd.dim] AS centroid_val, COALESCE(u{iterations}.n, 0) AS n_members
+FROM c{iterations}
+CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS dim) dd
+LEFT JOIN u{iterations} ON c{iterations}.cid = u{iterations}.cid
+"""
+    return sql
+
+
+ORACLE_KMEANS = _kmeans_oracle(_KM_K, _KM_ITERS, _KM_D)
+
+
 QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "centroid_per_label": q_centroid_per_label,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "kmeans_centroids": q_kmeans_centroids,
 }
 
 ORACLES = {
     "embedding_topk": ORACLE_TOPK,
     "embedding_neardup": ORACLE_NEARDUP,
     "centroid_per_label": ORACLE_CENTROID,
+    "kmeans_centroids": ORACLE_KMEANS,
 }

@@ -1,0 +1,66 @@
+"""K-means Lloyd tests (operators/clustering.py): exact centroids on a
+separable toy set, inertia monotonicity, and the empty-cluster
+keep-previous fallback."""
+
+from __future__ import annotations
+
+import math
+
+from kg_etl_spark.operators.clustering import kmeans_inertia, kmeans_lloyd
+
+# two tight groups on a line; ids 0 and 1 seed one centroid in each
+TOY = [
+    (0, [0.0, 0.0]),
+    (1, [10.0, 10.0]),
+    (2, [1.0, 0.0]),
+    (3, [0.0, 1.0]),
+    (4, [11.0, 10.0]),
+    (5, [10.0, 11.0]),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(TOY, ["vec_id", "embedding"])
+
+
+def test_separable_groups_converge_to_means(spark):
+    out = kmeans_lloyd(spark, _df(spark), k=2, iterations=2).collect()
+    cent = {(r["cluster_id"], r["dim"]): r["centroid_val"] for r in out}
+    n = {r["cluster_id"]: r["n_members"] for r in out}
+    assert n == {0: 3, 1: 3}
+    # cluster 0 = mean of (0,0),(1,0),(0,1); cluster 1 = mean of the 10s
+    assert math.isclose(cent[(0, 1)], 1.0 / 3, abs_tol=1e-6)
+    assert math.isclose(cent[(0, 2)], 1.0 / 3, abs_tol=1e-6)
+    assert math.isclose(cent[(1, 1)], 31.0 / 3, abs_tol=1e-6)
+    assert math.isclose(cent[(1, 2)], 31.0 / 3, abs_tol=1e-6)
+
+
+def test_inertia_never_increases(spark):
+    df = spark.createDataFrame(
+        [(i, [float((i * 7) % 13), float((i * 3) % 11)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    def centers_after(iters):
+        out = kmeans_lloyd(spark, df, k=4, iterations=iters).collect()
+        cs = {}
+        for r in out:
+            cs.setdefault(r["cluster_id"], {})[r["dim"]] = r["centroid_val"]
+        return [[cs[c][d] for d in sorted(cs[c])] for c in sorted(cs)]
+
+    i1 = kmeans_inertia(df, centers_after(1))
+    i3 = kmeans_inertia(df, centers_after(3))
+    assert i3 <= i1 + 1e-9
+
+
+def test_empty_cluster_keeps_seed_centroid(spark):
+    # seed 1 sits alone far away, but seed 0's group swallows everything
+    # closer to it; with k=2 and all points nearer seed 0 than seed 1's
+    # position after the first update, cluster 1 can empty out — the
+    # centroid must then stay put instead of going NaN.
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [100.0]), (2, [1.0]), (3, [2.0])], ["vec_id", "embedding"]
+    )
+    out = kmeans_lloyd(spark, df, k=2, iterations=3).collect()
+    cent = {(r["cluster_id"], r["dim"]): r["centroid_val"] for r in out}
+    for v in cent.values():
+        assert not math.isnan(v)
