@@ -1,0 +1,96 @@
+"""Data-quality audit operators: referential-integrity (FK orphan)
+checks, per-column profiling, and equi-width value histograms.
+
+These are the health checks a 100 TB ingest runs before anything else,
+so every kernel is shaped to scan each table once:
+
+* ``fk_orphan_counts`` — each relationship is a LEFT ANTI join (the
+  parent key side is dimension-scale in all TPC-H-ish FKs, so Catalyst
+  broadcasts it; a huge parent degrades gracefully to a shuffled anti
+  join) followed by a count; results union to one tiny frame.
+* ``column_profile`` — ONE aggregate pass computes count/nulls/distinct
+  for every column, then unpivots k rows. Exact multi-column distinct
+  uses Spark's Expand (×n_cols row amplification before partial agg) —
+  acceptable for profiling runs; swap in approx_count_distinct for
+  routine monitoring at full scale.
+* ``equi_width_histogram`` — global min/max is a one-row aggregate
+  broadcast back over the scan; bucketing is a map-side expression and
+  the final count groups on ≤ n_buckets keys.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def fk_orphan_counts(
+    pairs: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """For each (name, child_df, child_key, parent_df, parent_key),
+    count child rows whose key has no parent (NULL keys are orphans of
+    record-keeping, not referential integrity — they are excluded, as
+    with SQL NOT EXISTS semantics on non-null keys)."""
+    out = None
+    for name, child, ck, parent, pk in pairs:
+        orphans = child.filter(F.col(ck).isNotNull()).join(
+            parent.select(F.col(pk).alias("__pk")).distinct(),
+            F.col(ck) == F.col("__pk"),
+            "left_anti",
+        )
+        row = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("relationship"),
+            "n_orphans",
+        )
+        total = child.agg(F.count(F.lit(1)).alias("n_child")).select(
+            F.lit(name).alias("relationship"), "n_child"
+        )
+        joined = total.join(row, "relationship")
+        out = joined if out is None else out.unionByName(joined)
+    return out
+
+
+def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """(column_name, n_rows, n_nulls, n_distinct) per column in one
+    aggregate pass + a driver-free unpivot."""
+    cols = list(columns or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', __null_{c}, __dist_{c}" for c in cols)
+    return wide.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack}) as (column_name, n_nulls, n_distinct)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equal-width histogram over [min, max]: returns (bucket, lo, hi,
+    n) with bucket in [0, n_buckets) and the max value folded into the
+    last bucket. Width math is plain double arithmetic so an ANSI-SQL
+    oracle reproduces the exact bucket edges."""
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    j = df.select(v.alias("__v")).crossJoin(F.broadcast(stats))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = F.least(
+        F.floor((F.col("__v") - F.col("__lo")) / width).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.round(F.col("__lo") + bucket * width, 6)).alias("lo"),
+            F.min(F.round(F.col("__lo") + (bucket + 1) * width, 6)).alias("hi"),
+        )
+        .select("bucket", "lo", "hi", "n")
+    )

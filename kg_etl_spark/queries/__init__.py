@@ -11,10 +11,10 @@ Determinism contract (so the driver's value-hash matches):
 
 from __future__ import annotations
 
-from kg_etl_spark.queries import er, events, geo, media, pipeline, relational, textq, vector
+from kg_etl_spark.queries import er, events, geo, media, pipeline, quality, relational, textq, vector
 
 QUERIES = {}
 ORACLES = {}
-for mod in (relational, geo, er, textq, vector, events, media, pipeline):
+for mod in (relational, geo, er, textq, vector, events, media, pipeline, quality):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,94 @@
+"""Data-quality audit catalog (operators/audit.py): referential
+integrity across every TPC-H-ish FK edge, single-pass column profiling,
+and an equi-width price histogram. The pre-flight checks a 100 TB
+ingest runs before heavier processing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kg_etl_spark.operators.audit import (
+    column_profile,
+    equi_width_histogram,
+    fk_orphan_counts,
+)
+from kg_etl_spark.session import read_table
+
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = [
+        (name, read_table(spark, sf_dir, child), ck, read_table(spark, sf_dir, parent), pk)
+        for name, child, ck, parent, pk in _FK_EDGES
+    ]
+    return fk_orphan_counts(pairs)
+
+
+ORACLE_FK_ORPHANS = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relationship,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} c
+         WHERE c.{ck} IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS n_orphans"""
+    for name, child, ck, parent, pk in _FK_EDGES
+)
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return column_profile(orders, _PROFILE_COLS)
+
+
+ORACLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return equi_width_histogram(orders, "o_totalprice", n_buckets=10)
+
+
+ORACLE_HISTOGRAM = """
+WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+b AS (
+  SELECT least(CAST(floor((o_totalprice - s.lo) / ((s.hi - s.lo) / 10.0)) AS BIGINT), 9) AS bucket,
+         s.lo AS glo, (s.hi - s.lo) / 10.0 AS width
+  FROM orders CROSS JOIN s
+)
+SELECT bucket,
+       min(ROUND(glo + bucket * width, 6)) AS lo,
+       min(ROUND(glo + (bucket + 1) * width, 6)) AS hi,
+       count(*) AS n
+FROM b
+GROUP BY bucket
+"""
+
+
+QUERIES = {
+    "fk_orphans": q_fk_orphans,
+    "column_profile": q_column_profile,
+    "price_histogram": q_price_histogram,
+}
+
+ORACLES = {
+    "fk_orphans": ORACLE_FK_ORPHANS,
+    "column_profile": ORACLE_PROFILE,
+    "price_histogram": ORACLE_HISTOGRAM,
+}

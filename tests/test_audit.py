@@ -1,0 +1,44 @@
+"""Audit operator tests (operators/audit.py): orphan detection actually
+fires, NULL keys are excluded, profiling counts are exact, histogram
+buckets partition the range with the max folded into the last bucket."""
+
+from __future__ import annotations
+
+from kg_etl_spark.operators.audit import (
+    column_profile,
+    equi_width_histogram,
+    fk_orphan_counts,
+)
+
+
+def test_fk_orphans_detects_and_ignores_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    out = fk_orphan_counts([("child->parent", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["relationship"] == "child->parent"
+    assert r["n_child"] == 4
+    assert r["n_orphans"] == 1  # fk=99; the NULL fk is not an orphan
+
+
+def test_column_profile_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["k", "v"]
+    )
+    rows = {r["column_name"]: r for r in column_profile(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 0 and rows["k"]["n_distinct"] == 4
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["n_distinct"] == 2
+
+
+def test_histogram_covers_range_and_counts(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["x"])
+    out = sorted(equi_width_histogram(df, "x", n_buckets=10).collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in out] == list(range(10))
+    assert sum(r["n"] for r in out) == 100
+    # max value (99.0) folds into bucket 9, which spans [89.1, 99.0]
+    assert out[-1]["n"] == 10 and out[-1]["hi"] == 99.0
+    # equal widths
+    assert all(abs((r["hi"] - r["lo"]) - 9.9) < 1e-9 for r in out)
