@@ -300,3 +300,53 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def neardup_canonical(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Collapse near-duplicate clusters, keeping the highest-quality
+    member — the step a training-data pipeline runs after pair
+    generation: pairs → connected components → per-cluster argmax on
+    quality_score (ties to the smallest id).
+
+    Returns one row per input doc: (doc_id, cluster_id, canonical_id,
+    is_kept, quality_score). Filtering is_kept gives the deduplicated
+    corpus; the full mapping supports lineage/audit.
+
+    Scale shape: reuses the inverted-index pair generator (capped via
+    max_df), the size-adaptive components kernel, and ONE window pass
+    over the cluster partitioning — no joins beyond the cluster
+    assignment itself. Quality scores are per-row arithmetic (no
+    cross-row floats), so the argmax is engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.components import connected_components
+    from kg_etl_spark.operators.textquality import quality_features
+
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, max_df)
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    q = quality_features(df).select(id_col, "quality_score")
+    asg = q.join(comp.withColumnRenamed("node", id_col), id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id"),
+        "quality_score",
+    )
+    w = Window.partitionBy("cluster_id")
+    ordered = w.orderBy(F.col("quality_score").desc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return asg.select(
+        id_col,
+        "cluster_id",
+        F.first(F.col(id_col)).over(ordered).alias("canonical_id"),
+        "quality_score",
+    ).withColumn("is_kept", F.col(id_col) == F.col("canonical_id"))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from kg_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    neardup_canonical,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -280,6 +281,75 @@ FROM w
 """
 
 
+def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collapse keeping the best-quality doc per cluster
+    (pairs → components → argmax window; operators/dedup.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return neardup_canonical(docs, "doc_id", n=3, threshold=0.8)
+
+
+# quality-score CTE identical to ORACLE_QUALITY's math (rounded 6dp,
+# matching the rounded quality_score column the Spark window orders by)
+_SQL_QSCORE_CTE = f"""
+qt AS (
+  SELECT doc_id, text, length(text) AS n_chars, {_SQL_TOKS} AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+), qu AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+  FROM qt
+), q AS (
+  SELECT doc_id, ROUND(
+    least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+    + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+  , 6) AS quality_score
+  FROM qu
+)"""
+
+ORACLE_NEARDUP_CANON = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+p AS (
+  SELECT a_id, b_id FROM (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.sh, b.sh)) AS n_common,
+           len(a.sh) AS a_sz, len(b.sh) AS b_sz
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE n_common > 0 AND CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common) >= 0.8
+),
+edges AS (SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+{_SQL_QSCORE_CTE},
+asg AS (
+  SELECT q.doc_id, COALESCE(comp.comp, q.doc_id) AS cluster_id, q.quality_score
+  FROM q LEFT JOIN comp ON q.doc_id = comp.node
+),
+canon AS (
+  SELECT cluster_id, doc_id AS canonical_id FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id ASC) AS rn
+    FROM asg
+  ) WHERE rn = 1
+)
+SELECT asg.doc_id, asg.cluster_id, canon.canonical_id, asg.quality_score,
+       asg.doc_id = canon.canonical_id AS is_kept
+FROM asg JOIN canon ON asg.cluster_id = canon.cluster_id
+"""
+
+
 _BM25_TERMS = ("spark", "join", "window")
 
 
@@ -367,6 +437,7 @@ QUERIES = {
     "topk_distinct_texts": q_topk_distinct_texts,
     "bm25_search": q_bm25_search,
     "tfidf_search": q_tfidf_search,
+    "neardup_canonical": q_neardup_canonical,
 }
 
 ORACLES = {
@@ -382,4 +453,5 @@ ORACLES = {
     # minhash/simhash/topk_distinct: engine-specific → rows-only check
     "bm25_search": ORACLE_BM25,
     "tfidf_search": ORACLE_TFIDF,
+    "neardup_canonical": ORACLE_NEARDUP_CANON,
 }

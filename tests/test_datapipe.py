@@ -101,3 +101,23 @@ def test_hash_bucket_range(spark):
     df = spark.range(0, 1000).select(hash_bucket(F.col("id")).alias("b"))
     mm = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).collect()[0]
     assert 0 <= mm["lo"] and mm["hi"] <= 99
+
+
+def test_neardup_canonical_keeps_best_quality(spark):
+    from kg_etl_spark.operators.dedup import neardup_canonical
+
+    near_a = "the quick brown fox jumps over the lazy dog again and again ok"
+    near_b = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about databases and query planning"
+    df = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, other)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in neardup_canonical(df, threshold=0.5).collect()}
+    # 1 and 2 cluster together under min-id label; 3 is a singleton
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[3]["cluster_id"] == 3 and out[3]["is_kept"]
+    # exactly one keeper per cluster, and it's the argmax-quality member
+    keep = [r for r in out.values() if r["is_kept"]]
+    assert len(keep) == 2
+    best = max((out[1], out[2]), key=lambda r: (r["quality_score"], -r["doc_id"]))
+    assert out[best["doc_id"]]["is_kept"]
