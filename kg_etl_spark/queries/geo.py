@@ -197,6 +197,39 @@ SELECT node, MIN(r) AS comp FROM reach GROUP BY node
 """
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the 800 m customer proximity graph —
+    degree-oriented distributed enumeration (operators/triangles.py),
+    oracled by plain a<b SQL enumeration (result is orientation-
+    independent)."""
+    from kg_etl_spark.operators.triangles import triangle_counts
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    # bin must cover the radius in LONGITUDE too: 0.01° lon ≈ 715 m at
+    # lat 50 < 800 m, so the default bin would drop east-west pairs
+    pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
+        F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
+    )
+    return triangle_counts(pairs)
+
+
+ORACLE_TRIANGLES = f"""
+WITH c AS ({_sql_cust_coords()}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 800.0
+),
+tri AS (
+  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+  FROM pairs e1 JOIN pairs e2 ON e1.a_id = e2.a_id AND e1.b_id < e2.b_id
+  JOIN pairs e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id
+),
+n AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+"""
+
+
 # --- count-within-radius per entity (A16) ------------------------------
 
 
@@ -247,6 +280,7 @@ QUERIES = {
     "spatial_components": q_spatial_components,
     "near_count_per_supplier": q_near_count_per_supplier,
     "point_in_polygon": q_point_in_polygon,
+    "triangle_counts": q_triangle_counts,
 }
 
 ORACLES = {
@@ -257,4 +291,5 @@ ORACLES = {
     "spatial_components": ORACLE_COMPONENTS,
     "near_count_per_supplier": ORACLE_NEAR_COUNT,
     "point_in_polygon": ORACLE_PIP,
+    "triangle_counts": ORACLE_TRIANGLES,
 }

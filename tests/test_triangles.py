@@ -1,0 +1,30 @@
+"""Triangle-count tests (operators/triangles.py): hand-checked counts
+on K4, a braced square, and triangle-free graphs (star, cycle)."""
+
+from __future__ import annotations
+
+from kg_etl_spark.operators.triangles import triangle_counts
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs, ["a_id", "b_id"])
+    return {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    out = _run(spark, k4)
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_braced_square(spark):
+    # square 1-2-3-4 plus diagonal 1-3: triangles (1,2,3) and (1,3,4)
+    out = _run(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)])
+    assert out == {1: 2, 2: 1, 3: 2, 4: 1}
+
+
+def test_star_and_cycle_are_triangle_free(spark):
+    star = [(1, i) for i in range(2, 12)]
+    assert _run(spark, star) == {}
+    cycle = [(i, i + 1) for i in range(1, 6)] + [(1, 6)]
+    assert _run(spark, cycle) == {}
