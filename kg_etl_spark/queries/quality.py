@@ -81,14 +81,45 @@ GROUP BY bucket
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the skewed event-value stream:
+    |x − median| > 3·1.4826·MAD. Two one-row aggregates (exact
+    interpolated medians, same semantics as DuckDB quantile_cont)
+    broadcast back over the scan; at 100 TB swap the exact percentile
+    for percentile_approx — the filter shape is unchanged."""
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    med = ev.agg(F.expr("percentile(value, 0.5)").alias("med"))
+    j = ev.crossJoin(F.broadcast(med))
+    mad = j.agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        j.crossJoin(F.broadcast(mad))
+        .filter(dev > F.lit(3.0) * F.lit(1.4826) * F.col("mad"))
+        .select("event_id", "value", F.round(dev, 6).alias("deviation"))
+    )
+
+
+ORACLE_MAD = """
+WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+d AS (SELECT event_id, value, abs(value - m.med) AS dev FROM events, m),
+s AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+SELECT event_id, value, ROUND(dev, 6) AS deviation
+FROM d, s WHERE dev > 3.0 * 1.4826 * s.mad
+"""
+
+
 QUERIES = {
     "fk_orphans": q_fk_orphans,
     "column_profile": q_column_profile,
     "price_histogram": q_price_histogram,
+    "mad_outliers": q_mad_outliers,
 }
 
 ORACLES = {
     "fk_orphans": ORACLE_FK_ORPHANS,
     "column_profile": ORACLE_PROFILE,
     "price_histogram": ORACLE_HISTOGRAM,
+    "mad_outliers": ORACLE_MAD,
 }

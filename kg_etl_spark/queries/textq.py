@@ -281,6 +281,31 @@ FROM w
 """
 
 
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: (term, df, sorted posting list). One
+    explode of per-doc DISTINCT terms + one groupBy — the standard
+    index-construction shuffle, partitioned by term. At 100 TB the
+    posting arrays for stop-word-like terms are the skew risk: cap with
+    a df filter (cf. max_df in the dedup family) or store postings as
+    bucketed term-sharded tables instead of in-row arrays."""
+    docs = read_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("term")
+    )
+    return ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+    )
+
+
+ORACLE_POSTING = f"""
+WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS term FROM t)
+SELECT term, count(*) AS df, list_sort(list(doc_id)) AS doc_ids
+FROM u GROUP BY term
+"""
+
+
 def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup collapse keeping the best-quality doc per cluster
     (pairs → components → argmax window; operators/dedup.py)."""
@@ -438,6 +463,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "tfidf_search": q_tfidf_search,
     "neardup_canonical": q_neardup_canonical,
+    "posting_lists": q_posting_lists,
 }
 
 ORACLES = {
@@ -454,4 +480,5 @@ ORACLES = {
     "bm25_search": ORACLE_BM25,
     "tfidf_search": ORACLE_TFIDF,
     "neardup_canonical": ORACLE_NEARDUP_CANON,
+    "posting_lists": ORACLE_POSTING,
 }
