@@ -192,3 +192,29 @@ def benchmark_contamination(
         .filter(F.col("_t").contains(F.col("_probe")))
         .select(id_col, bench_id_col)
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row gets key u^(1/w) with u a hash-derived
+    uniform; the k largest keys are the sample, giving inclusion odds
+    proportional to weight. Ordering uses ln(u)/w (monotone transform,
+    no tiny-exponent underflow).
+
+    Map-side key computation + TakeOrdered top-k: no shuffle of the
+    corpus, reproducible across engines/partitionings/runs because u
+    comes from the Knuth hash of the row id, not rand(). Rows with
+    non-positive weight are excluded (their key is undefined)."""
+    u = (
+        ((F.col(id_col).cast("long") * F.lit(_KNUTH_A)) % F.lit(_M32) + 1).cast("double")
+        / F.lit(float(_M32 + 1))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -21,6 +21,7 @@ from kg_etl_spark.operators.datapipe import (
     repetition_stats,
     stratified_sample,
     train_val_test_split,
+    weighted_sample,
 )
 from kg_etl_spark.session import read_table
 
@@ -274,6 +275,28 @@ FROM split GROUP BY split, lang
 """
 
 
+_WS_K = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample (A-ES): longer documents enter the
+    sample proportionally more often, deterministically."""
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", k=_WS_K).select(
+        "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars, ROUND(raw_key, 6) AS sample_key FROM (
+  SELECT doc_id, n_chars,
+         ln(CAST((doc_id * {_KNUTH_A}) % {_M32} + 1 AS DOUBLE) / {float(_M32 + 1)})
+           / CAST(n_chars AS DOUBLE) AS raw_key
+  FROM documents WHERE n_chars > 0
+) ORDER BY raw_key DESC, doc_id ASC LIMIT {_WS_K}
+"""
+
+
 QUERIES = {
     "corpus_prep": q_corpus_prep,
     "pii_redact": q_pii_redact,
@@ -282,6 +305,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "repetition_stats": q_repetition_stats,
     "contamination": q_contamination,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES = {
@@ -292,4 +316,5 @@ ORACLES = {
     "quota_sample": ORACLE_QUOTA,
     "repetition_stats": ORACLE_REPETITION,
     "contamination": ORACLE_CONTAMINATION,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }

@@ -121,3 +121,21 @@ def test_neardup_canonical_keeps_best_quality(spark):
     assert len(keep) == 2
     best = max((out[1], out[2]), key=lambda r: (r["quality_score"], -r["doc_id"]))
     assert out[best["doc_id"]]["is_kept"]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from kg_etl_spark.operators.datapipe import weighted_sample
+
+    # weight 1000 vs weight 1: heavy rows should dominate a small sample
+    rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_sample(df, "w", k=20).collect()
+    heavy = sum(1 for r in out if r["w"] == 1000)
+    assert heavy >= 15  # inclusion odds proportional to weight
+    # deterministic: same sample on re-run
+    again = weighted_sample(df, "w", k=20).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in again]
+    # non-positive weights never sampled
+    df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], ["doc_id", "w"])
+    ids = [r["doc_id"] for r in weighted_sample(df2, "w", k=3).collect()]
+    assert ids == [3]
