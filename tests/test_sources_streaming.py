@@ -265,3 +265,51 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
             final[r["user_id"]] = (r["n_events"], r["total_value"])
     assert final[10] == (3, 7.0)
     assert final[20] == (1, 5.0)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from kg_etl_spark.streaming.joins import (
+        CLICK_SCHEMA,
+        IMPRESSION_SCHEMA,
+        attribute_clicks,
+        read_click_stream,
+        read_impression_stream,
+    )
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    imps = [
+        {"imp_id": 1, "user_id": 7, "campaign": "a", "imp_time": "2024-01-01T00:00:00.000Z"},
+        {"imp_id": 2, "user_id": 7, "campaign": "b", "imp_time": "2024-01-01T01:00:00.000Z"},
+        {"imp_id": 3, "user_id": 9, "campaign": "a", "imp_time": "2024-01-01T00:00:00.000Z"},
+    ]
+    clks = [
+        {"click_id": 10, "user_id": 7, "click_time": "2024-01-01T00:10:00.000Z"},  # -> imp 1
+        {"click_id": 11, "user_id": 7, "click_time": "2024-01-01T01:29:00.000Z"},  # -> imp 2
+        {"click_id": 12, "user_id": 9, "click_time": "2024-01-01T02:00:00.000Z"},  # too late
+        {"click_id": 13, "user_id": 8, "click_time": "2024-01-01T00:05:00.000Z"},  # no imp
+    ]
+    (imp_dir / "i.json").write_text("\n".join(json.dumps(r) for r in imps))
+    (clk_dir / "c.json").write_text("\n".join(json.dumps(r) for r in clks))
+
+    out = attribute_clicks(
+        read_impression_stream(spark, str(imp_dir)), read_click_stream(spark, str(clk_dir))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["imp_id"], r["click_id"]): r["delay_s"]
+           for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == {(1, 10): 600, (2, 11): 1740}
+
+    batch = attribute_clicks(
+        spark.read.schema(IMPRESSION_SCHEMA).json(str(imp_dir)),
+        spark.read.schema(CLICK_SCHEMA).json(str(clk_dir)),
+    )
+    want = {(r["imp_id"], r["click_id"]): r["delay_s"] for r in batch.collect()}
+    assert got == want
