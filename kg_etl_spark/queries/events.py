@@ -358,6 +358,44 @@ GROUP BY 1, 2
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over user journeys: per user, events in
+    (ts, event_id) order; count each consecutive type pair and
+    row-normalize. One window shuffle on user_id + one small aggregate
+    — the per-user ordering is exactly the sessionize partitioning, so
+    at scale the two share a co-partitioned exchange."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf).cast("double"), 6).alias("p"),
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "event_rollup": q_event_rollup,
@@ -370,6 +408,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "event_type_pivot": q_event_type_pivot,
     "rolling_daily_value": q_rolling_daily_value,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLES = {
@@ -383,4 +422,5 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "event_type_pivot": ORACLE_PIVOT,
     "rolling_daily_value": ORACLE_ROLLING,
+    "event_transitions": ORACLE_TRANSITIONS,
 }

@@ -499,6 +499,62 @@ def q_sql_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_EXISTS_AGG)
 
 
+_Q3_CUTOFF = "1998-06-01 00:00:00"
+
+
+def _ts_lit(df: DataFrame, col: str) -> F.Column:
+    """Cutoff literal typed to match the scanned column (parquet ms
+    timestamps surface as TIMESTAMP_NTZ under Spark 4's NTZ inference;
+    an LTZ-configured session would surface TIMESTAMP) — a typed
+    literal keeps the comparison pushable to the scan."""
+    t = dict(df.dtypes)[col]
+    kind = "TIMESTAMP_NTZ" if t == "timestamp_ntz" else "TIMESTAMP"
+    return F.expr(f"{kind} '{_Q3_CUTOFF}'")
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 still-unshipped BUILDING-segment orders by
+    revenue. Filters push to all three scans before the joins; the
+    top-10 is TakeOrdered on the (exact decimal) revenue. The order
+    date is emitted as a formatted wall-clock string — tz-free on both
+    engines."""
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf_dir, "orders")
+    orders = orders.filter(F.col("o_orderdate") < _ts_lit(orders, "o_orderdate"))
+    li = read_table(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") > _ts_lit(li, "l_shipdate"))
+    rev = F.col("l_extendedprice").cast(DECP) * (F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the symmetrized customer↔supplier
     trade graph (who-bought-from-whom via orders⋈lineitem). The
@@ -584,6 +640,7 @@ QUERIES = {
     "priority_coalesced_avg": q_priority_coalesced_avg,
     "sql_exists_agg": q_sql_exists_agg,
     "pagerank": q_pagerank,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES = {
@@ -608,4 +665,5 @@ ORACLES = {
     "priority_coalesced_avg": ORACLE_PRIORITY_AVG,
     "sql_exists_agg": SQL_EXISTS_AGG,
     "pagerank": ORACLE_PAGERANK,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
 }

@@ -306,6 +306,52 @@ FROM u GROUP BY term
 """
 
 
+_KW_K = 3
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf (smoothed
+    idf, cf. tfidf_search). Shape: one explode → (doc, term) counts →
+    tiny term-stats aggregate broadcast back → one window over the
+    doc partitioning. The explode is the posting-list shuffle; the
+    rank never re-shuffles the corpus."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    j = tf.join(F.broadcast(stats), "term").crossJoin(F.broadcast(ndocs))
+    score = F.col("tf").cast("double") * F.log(
+        F.lit(1.0) + F.col("n_docs") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KW_K)
+        .select("doc_id", "rank", "term", "tf", F.round(score, 6).alias("score"))
+    )
+
+
+ORACLE_KEYWORDS = f"""
+WITH t AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+st AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf AS DOUBLE) * ln(1.0 + nd.n_docs / CAST(st.df AS DOUBLE)) AS score
+  FROM tf JOIN st ON tf.term = st.term CROSS JOIN nd
+)
+SELECT doc_id, rank, term, tf, ROUND(score, 6) AS score FROM (
+  SELECT doc_id, term, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM s
+) WHERE rank <= {_KW_K}
+"""
+
+
 def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup collapse keeping the best-quality doc per cluster
     (pairs → components → argmax window; operators/dedup.py)."""
@@ -464,6 +510,7 @@ QUERIES = {
     "tfidf_search": q_tfidf_search,
     "neardup_canonical": q_neardup_canonical,
     "posting_lists": q_posting_lists,
+    "doc_keywords": q_doc_keywords,
 }
 
 ORACLES = {
@@ -481,4 +528,5 @@ ORACLES = {
     "tfidf_search": ORACLE_TFIDF,
     "neardup_canonical": ORACLE_NEARDUP_CANON,
     "posting_lists": ORACLE_POSTING,
+    "doc_keywords": ORACLE_KEYWORDS,
 }
