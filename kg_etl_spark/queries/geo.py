@@ -230,6 +230,51 @@ SELECT node, count(*) AS n_triangles FROM n GROUP BY node
 """
 
 
+def q_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round deterministic label propagation on the 800 m customer
+    proximity graph (operators/communities.py) — integer-only, so the
+    unrolled SQL oracle matches exactly."""
+    from kg_etl_spark.operators.communities import label_propagation
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
+        F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
+    )
+    return label_propagation(pairs, iterations=2)
+
+
+def _lpa_oracle(iterations: int = 2) -> str:
+    head = f"""
+WITH c AS ({_sql_cust_coords()}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 800.0
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+n{i} AS (
+  SELECT e.u AS n, l.label, count(*) AS cnt
+  FROM edges e JOIN l{i-1} l ON e.v = l.node
+  GROUP BY e.u, l.label
+),
+l{i} AS (
+  SELECT n AS node, label FROM (
+    SELECT n, label, ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, label ASC) AS rn
+    FROM n{i}
+  ) WHERE rn = 1
+)""")
+    return head + "".join(steps) + f"""
+SELECT node, label FROM l{iterations}
+"""
+
+
+ORACLE_LPA = _lpa_oracle(2)
+
+
 # --- count-within-radius per entity (A16) ------------------------------
 
 
@@ -281,6 +326,7 @@ QUERIES = {
     "near_count_per_supplier": q_near_count_per_supplier,
     "point_in_polygon": q_point_in_polygon,
     "triangle_counts": q_triangle_counts,
+    "label_communities": q_label_communities,
 }
 
 ORACLES = {
@@ -292,4 +338,5 @@ ORACLES = {
     "near_count_per_supplier": ORACLE_NEAR_COUNT,
     "point_in_polygon": ORACLE_PIP,
     "triangle_counts": ORACLE_TRIANGLES,
+    "label_communities": ORACLE_LPA,
 }

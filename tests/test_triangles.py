@@ -28,3 +28,21 @@ def test_star_and_cycle_are_triangle_free(spark):
     assert _run(spark, star) == {}
     cycle = [(i, i + 1) for i in range(1, 6)] + [(1, 6)]
     assert _run(spark, cycle) == {}
+
+
+def test_label_propagation_two_cliques(spark):
+    from kg_etl_spark.operators.communities import label_propagation
+
+    # two triangles bridged by one edge: labels converge within cliques
+    clique1 = [(1, 2), (1, 3), (2, 3)]
+    clique2 = [(7, 8), (7, 9), (8, 9)]
+    bridge = [(3, 7)]
+    df = spark.createDataFrame(clique1 + clique2 + bridge, ["a_id", "b_id"])
+    out = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    # min-label tie rule pulls both cliques toward small ids, and
+    # every clique-1 member ends on the same label
+    assert out[1] == out[2] == out[3]
+    assert out[8] == out[9]
+    # deterministic across runs
+    again = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    assert out == again
