@@ -313,3 +313,39 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     want = {(r["imp_id"], r["click_id"]): r["delay_s"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    # restartable query: same checkpoint across restarts → batch 1 is
+    # not reprocessed when batch 2 arrives (exactly-once file sink)
+    src = tmp_path / "ckpt_src"; src.mkdir()
+    out = str(tmp_path / "ckpt_out")
+    ckpt = str(tmp_path / "ckpt_meta")
+    stream = read_review_stream(spark, str(src))
+
+    def run_once():
+        q = (
+            dedup_reviews(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"review_id": "r1", "place_id": "p1", "rating": 4.0, "text": "a",
+         "event_time": "2024-01-01T00:01:00.000Z"},
+        {"review_id": "r2", "place_id": "p1", "rating": 2.0, "text": "b",
+         "event_time": "2024-01-01T00:02:00.000Z"},
+    ]))
+    run_once()
+    (src / "b2.json").write_text(json.dumps(
+        {"review_id": "r3", "place_id": "p2", "rating": 5.0, "text": "c",
+         "event_time": "2024-01-01T00:03:00.000Z"}))
+    run_once()
+
+    got = sorted(r["review_id"] for r in spark.read.parquet(out).collect())
+    assert got == ["r1", "r2", "r3"]  # each exactly once across restarts
