@@ -1,0 +1,78 @@
+"""Slowly-changing-dimension type-2 merge (warehouse upsert with
+history): given the current SCD2 table and an update batch, expire
+changed rows, append new versions, and keep history immutable.
+
+Spark shape: ONE full-outer join between the current slice and the
+update batch on the business key decides everything (expired /
+unchanged / new-version / brand-new); history rows pass through
+untouched. At 100 TB the dimension is bucketed/partitioned on the key,
+so the join co-locates; the update batch is usually small enough to
+broadcast — exactly the MERGE INTO pattern lakehouse formats run, but
+expressed as pure DataFrame algebra with deterministic integer
+versioning (batch ids, not wall-clock), so an ANSI-SQL oracle can
+replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_init(snapshot: DataFrame, key: str, tracked: Sequence[str], batch_id: int = 0) -> DataFrame:
+    """Bootstrap an SCD2 table from a plain snapshot: every row current
+    as of ``batch_id`` (valid_to NULL = open)."""
+    return snapshot.select(
+        key,
+        *tracked,
+        F.lit(batch_id).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    batch_id: int,
+) -> DataFrame:
+    """Apply one upsert batch. Updates carry (key, tracked...); a row
+    whose tracked values differ from the open version expires it
+    (valid_to = batch_id) and opens a new version; identical rows are
+    no-ops; unseen keys insert. Deletes are out of scope (soft-delete
+    via a tracked flag)."""
+    cur = dim.filter(F.col("valid_to").isNull())
+    hist = dim.filter(F.col("valid_to").isNotNull())
+
+    u = updates.select(
+        F.col(key).alias("_uk"), *[F.col(c).alias(f"_u_{c}") for c in tracked]
+    )
+    j = cur.join(u, cur[key] == u["_uk"], "full_outer")
+
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~(
+            F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+        )
+    has_cur = F.col(key).isNotNull()
+    has_upd = F.col("_uk").isNotNull()
+
+    # open rows that survive this batch unchanged
+    unchanged = j.filter(has_cur & (~has_upd | ~changed)).select(
+        key, *tracked, "valid_from", "valid_to"
+    )
+    # open rows superseded by a differing update -> closed at batch_id
+    expired = j.filter(has_cur & has_upd & changed).select(
+        key, *tracked, "valid_from", F.lit(batch_id).cast("long").alias("valid_to")
+    )
+    # new versions: differing updates + brand-new keys
+    opened = j.filter(has_upd & (~has_cur | changed)).select(
+        F.col("_uk").alias(key),
+        *[F.col(f"_u_{c}").alias(c) for c in tracked],
+        F.lit(batch_id).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    return hist.unionByName(unchanged).unionByName(expired).unionByName(opened)

@@ -618,6 +618,62 @@ SELECT node, ROUND(rank, 6) AS pagerank FROM r{iterations}
 ORACLE_PAGERANK = _pagerank_oracle(3)
 
 
+def q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (operators/scd.py): bootstrap the customer dimension
+    at batch 0, then apply a deterministic update batch (balance bumps
+    for key%10==0, no-op re-sends for key%10==1, brand-new keys for
+    key%97==0) at batch 1. Returns the full versioned table."""
+    from kg_etl_spark.operators.scd import scd2_apply, scd2_init
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    dim = scd2_init(cust, "c_custkey", ["c_acctbal", "c_mktsegment"], batch_id=0)
+    mods = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    noops = cust.filter(F.col("c_custkey") % 10 == 1)
+    news = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    updates = mods.unionByName(noops).unionByName(news)
+    return scd2_apply(dim, updates, "c_custkey", ["c_acctbal", "c_mktsegment"], batch_id=1)
+
+
+ORACLE_SCD2 = """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, CAST(0 AS BIGINT) AS valid_from FROM customer
+),
+upd AS (
+  SELECT c_custkey AS uk, c_acctbal + 100.0 AS u_bal, c_mktsegment AS u_seg
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 0.0, 'NEW' FROM customer WHERE c_custkey % 97 = 0
+),
+j AS (
+  SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment, cur.valid_from,
+         upd.uk, upd.u_bal, upd.u_seg,
+         NOT (cur.c_acctbal IS NOT DISTINCT FROM upd.u_bal
+              AND cur.c_mktsegment IS NOT DISTINCT FROM upd.u_seg) AS changed
+  FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.uk
+)
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM j WHERE c_custkey IS NOT NULL AND (uk IS NULL OR NOT changed)
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, CAST(1 AS BIGINT)
+FROM j WHERE c_custkey IS NOT NULL AND uk IS NOT NULL AND changed
+UNION ALL
+SELECT uk, u_bal, u_seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+FROM j WHERE uk IS NOT NULL AND (c_custkey IS NULL OR changed)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -641,6 +697,7 @@ QUERIES = {
     "sql_exists_agg": q_sql_exists_agg,
     "pagerank": q_pagerank,
     "shipping_priority": q_shipping_priority,
+    "scd2_customer": q_scd2_customer,
 }
 
 ORACLES = {
@@ -666,4 +723,5 @@ ORACLES = {
     "sql_exists_agg": SQL_EXISTS_AGG,
     "pagerank": ORACLE_PAGERANK,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "scd2_customer": ORACLE_SCD2,
 }

@@ -1,0 +1,50 @@
+"""SCD2 merge tests (operators/scd.py): change expiry, no-op identity,
+inserts, NULL-safe comparison, and multi-batch history growth."""
+
+from __future__ import annotations
+
+from kg_etl_spark.operators.scd import scd2_apply, scd2_init
+
+
+def _rows(df):
+    return {
+        (r["k"], r["valid_from"], r["valid_to"]): (r["v"], r["seg"]) for r in df.collect()
+    }
+
+
+def test_scd2_expire_insert_noop_and_nulls(spark):
+    snap = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c")], ["k", "v", "seg"]
+    )
+    dim = scd2_init(snap, "k", ["v", "seg"], batch_id=0)
+
+    updates = spark.createDataFrame(
+        [
+            (1, 11.0, "a"),   # changed -> expire + new version
+            (2, 20.0, "b"),   # identical -> no-op
+            (3, None, "c"),   # identical incl. NULL -> no-op (eqNullSafe)
+            (4, 40.0, "d"),   # brand-new key
+        ],
+        ["k", "v", "seg"],
+    )
+    out = _rows(scd2_apply(dim, updates, "k", ["v", "seg"], batch_id=1))
+    assert out[(1, 0, 1)] == (10.0, "a")       # expired old version
+    assert out[(1, 1, None)] == (11.0, "a")    # opened new version
+    assert out[(2, 0, None)] == (20.0, "b")    # untouched
+    assert out[(3, 0, None)] == (None, "c")    # NULL == NULL -> untouched
+    assert out[(4, 1, None)] == (40.0, "d")    # insert
+    assert len(out) == 5
+
+
+def test_scd2_history_accumulates_over_batches(spark):
+    snap = spark.createDataFrame([(1, 1.0, "x")], ["k", "v", "seg"])
+    dim = scd2_init(snap, "k", ["v", "seg"], batch_id=0)
+    for b, val in ((1, 2.0), (2, 3.0)):
+        upd = spark.createDataFrame([(1, val, "x")], ["k", "v", "seg"])
+        dim = scd2_apply(dim, upd, "k", ["v", "seg"], batch_id=b)
+    out = _rows(dim)
+    assert out == {
+        (1, 0, 1): (1.0, "x"),
+        (1, 1, 2): (2.0, "x"),
+        (1, 2, None): (3.0, "x"),
+    }
