@@ -349,3 +349,42 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     got = sorted(r["review_id"] for r in spark.read.parquet(out).collect())
     assert got == ["r1", "r2", "r3"]  # each exactly once across restarts
+
+
+def test_streaming_scd2_upsert_foreachbatch(spark, tmp_path):
+    # lakehouse MERGE pattern: a stream of dimension updates folds into
+    # an SCD2 table inside foreachBatch, checkpoint carrying batch ids
+    # across restarts
+    from kg_etl_spark.operators.scd import scd2_apply, scd2_init
+
+    src = tmp_path / "scd_src"; src.mkdir()
+    ckpt = str(tmp_path / "scd_ckpt")
+    init = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    state = {"dim": scd2_init(init, "k", ["v"], batch_id=0)}
+
+    def apply_batch(batch_df, bid):
+        state["dim"] = scd2_apply(
+            state["dim"], batch_df, "k", ["v"], batch_id=int(bid) + 1
+        ).localCheckpoint(eager=True)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, v double").json(str(src))
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text('{"k": 1, "v": 11.0}\n{"k": 3, "v": 30.0}')
+    drain()
+    (src / "b2.json").write_text('{"k": 1, "v": 12.0}')
+    drain()
+
+    rows = {(r["k"], r["valid_from"], r["valid_to"]): r["v"] for r in state["dim"].collect()}
+    assert rows[(1, 0, 1)] == 10.0    # expired by batch 1
+    assert rows[(1, 1, 2)] == 11.0    # expired by batch 2
+    assert rows[(1, 2, None)] == 12.0 # current
+    assert rows[(2, 0, None)] == 20.0 # never touched
+    assert rows[(3, 1, None)] == 30.0 # inserted in batch 1
