@@ -1,0 +1,37 @@
+"""Fixed-depth BFS (multi-source shortest hops) as iterated joins.
+
+Per hop: frontier ⋈ edges (shuffle on the node key), then a min-
+aggregate folds newly-reached nodes into the distance table — the
+Pregel BFS lowered to DataFrame algebra, with constant lineage depth
+because hops is a small Python constant. Integer-only, so the unrolled
+SQL oracle matches exactly.
+
+100 TB shape: each hop touches only the frontier × its edges (not the
+whole graph); distances/edges share the node-key partitioning across
+hops. For huge diameters use iterate-with-localCheckpoint like
+operators/components.py's iterative path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Min-hop distance (≤ max_hops) from any source: (node, dist).
+    ``edges``: unique undirected (a_id, b_id); ``sources``: (node)."""
+    sym = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).union(
+        edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    )
+    dist = sources.select("node", F.lit(0).cast("long").alias("dist"))
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym["u"] == frontier["node"])
+            .select(F.col("v").alias("node"), F.lit(h).cast("long").alias("dist"))
+            .distinct()
+        )
+        dist = dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist"))
+        frontier = dist.filter(F.col("dist") == h)
+    return dist

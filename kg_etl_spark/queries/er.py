@@ -121,13 +121,45 @@ def q_er_fuzzy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_levenshtein_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance candidate links between supplier names, blocked by
+    nation (native F.levenshtein — JVM-side, no UDF; complements the
+    Jaccard/rapidfuzz legs of the ER family). Nation blocking bounds the
+    pair count the same way the geo grid does for spatial ER."""
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    a = s.select(
+        F.col("s_suppkey").alias("a_id"), F.col("s_name").alias("a_name"), F.col("s_nationkey").alias("nk")
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("b_id"), F.col("s_name").alias("b_name"), F.col("s_nationkey").alias("nk")
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("lev", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("lev") <= 2)
+        .select("a_id", "b_id", "lev")
+    )
+
+
+ORACLE_LEVENSHTEIN = """
+SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS lev
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
 QUERIES = {
     "er_links": q_er_links,
     "er_canonical": q_er_canonical,
     "er_fuzzy_links": q_er_fuzzy_links,
+    "levenshtein_links": q_levenshtein_links,
 }
 
 ORACLES = {
     "er_links": ORACLE_ER_LINKS,
     "er_canonical": ORACLE_ER_CANONICAL,
+    "levenshtein_links": ORACLE_LEVENSHTEIN,
 }

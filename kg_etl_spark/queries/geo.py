@@ -275,6 +275,53 @@ SELECT node, label FROM l{iterations}
 ORACLE_LPA = _lpa_oracle(2)
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (≤3 hops) on the 800 m proximity graph from
+    every 500th customer (operators/bfs.py)."""
+    from kg_etl_spark.operators.bfs import bfs_hops
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
+        F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
+    )
+    sources = cust.filter(F.col("c_custkey") % 500 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return bfs_hops(pairs, sources, max_hops=3)
+
+
+def _bfs_oracle(max_hops: int = 3) -> str:
+    head = f"""
+WITH c AS ({_sql_cust_coords()}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 800.0
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+d0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist FROM customer WHERE c_custkey % 500 = 0)"""
+    steps = []
+    for h in range(1, max_hops + 1):
+        prev_f = f"d{h-1}" if h == 1 else f"f{h-1}"
+        steps.append(f""",
+n{h} AS (
+  SELECT DISTINCT e.v AS node, CAST({h} AS BIGINT) AS dist
+  FROM edges e JOIN {prev_f} f ON e.u = f.node
+),
+d{h} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d{h-1} UNION ALL SELECT * FROM n{h}
+  ) GROUP BY node
+),
+f{h} AS (SELECT node, dist FROM d{h} WHERE dist = {h})""")
+    return head + "".join(steps) + f"""
+SELECT node, dist FROM d{max_hops}
+"""
+
+
+ORACLE_BFS = _bfs_oracle(3)
+
+
 # --- count-within-radius per entity (A16) ------------------------------
 
 
@@ -327,6 +374,7 @@ QUERIES = {
     "point_in_polygon": q_point_in_polygon,
     "triangle_counts": q_triangle_counts,
     "label_communities": q_label_communities,
+    "bfs_distances": q_bfs_distances,
 }
 
 ORACLES = {
@@ -339,4 +387,5 @@ ORACLES = {
     "point_in_polygon": ORACLE_PIP,
     "triangle_counts": ORACLE_TRIANGLES,
     "label_communities": ORACLE_LPA,
+    "bfs_distances": ORACLE_BFS,
 }

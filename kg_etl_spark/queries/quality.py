@@ -110,11 +110,42 @@ FROM d, s WHERE dev > 3.0 * 1.4826 * s.mad
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization: clip event values into [p01, p99] —
+    the standard tail-taming step before training-statistics. One
+    one-row exact-percentile aggregate broadcast over the scan; clip is
+    map-side (swap percentile_approx at full scale)."""
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    pct = ev.agg(
+        F.expr("percentile(value, 0.01)").alias("p_lo"),
+        F.expr("percentile(value, 0.99)").alias("p_hi"),
+    )
+    return ev.crossJoin(F.broadcast(pct)).select(
+        "event_id",
+        "value",
+        F.round(F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi")), 6).alias(
+            "clipped"
+        ),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH p AS (
+  SELECT quantile_cont(value, 0.01) AS p_lo, quantile_cont(value, 0.99) AS p_hi FROM events
+)
+SELECT event_id, value, ROUND(least(greatest(value, p_lo), p_hi), 6) AS clipped
+FROM events, p
+"""
+
+
 QUERIES = {
     "fk_orphans": q_fk_orphans,
     "column_profile": q_column_profile,
     "price_histogram": q_price_histogram,
     "mad_outliers": q_mad_outliers,
+    "winsorize": q_winsorize,
 }
 
 ORACLES = {
@@ -122,4 +153,5 @@ ORACLES = {
     "column_profile": ORACLE_PROFILE,
     "price_histogram": ORACLE_HISTOGRAM,
     "mad_outliers": ORACLE_MAD,
+    "winsorize": ORACLE_WINSORIZE,
 }

@@ -46,3 +46,17 @@ def test_label_propagation_two_cliques(spark):
     # deterministic across runs
     again = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
     assert out == again
+
+
+def test_bfs_hops_path_graph(spark):
+    from kg_etl_spark.operators.bfs import bfs_hops
+
+    # path 1-2-3-4-5-6, source {1}: dist caps at max_hops
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], ["a_id", "b_id"])
+    src = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r["dist"] for r in bfs_hops(edges, src, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+    # multi-source takes the min over sources
+    src2 = spark.createDataFrame([(1,), (5,)], ["node"])
+    out2 = {r["node"]: r["dist"] for r in bfs_hops(edges, src2, max_hops=2).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0, 6: 1}
