@@ -123,3 +123,12 @@ def test_ivf_corpus_assignment_is_map_side(spark):
     # centroid agg: one partial-agg shuffle, no explode
     cplan = physical_plan(cents)
     assert "Generate" not in cplan, "centroid computation explodes vectors"
+
+
+def test_graph_operators_use_equi_joins_only(spark):
+    # PageRank/triangles/LPA/BFS must lower to hash/sort-merge equi
+    # joins — a cartesian or nested-loop join here is quadratic at scale
+    for name in ("pagerank", "triangle_counts", "label_communities", "bfs_distances"):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
