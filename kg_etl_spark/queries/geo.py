@@ -275,6 +275,20 @@ SELECT node, label FROM l{iterations}
 ORACLE_LPA = _lpa_oracle(2)
 
 
+def q_kcore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the 800 m proximity graph (operators/kcore.py).
+    Rows-only by design: the peel runs to a fixpoint, which ANSI SQL's
+    recursion rules can't express — the operator is property-tested
+    (core uniqueness makes results deterministic regardless)."""
+    from kg_etl_spark.operators.kcore import kcore
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
+        F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
+    )
+    return kcore(pairs, k=3)
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (≤3 hops) on the 800 m proximity graph from
     every 500th customer (operators/bfs.py)."""
@@ -375,6 +389,8 @@ QUERIES = {
     "triangle_counts": q_triangle_counts,
     "label_communities": q_label_communities,
     "bfs_distances": q_bfs_distances,
+    "kcore_customers": q_kcore_customers,
+    # kcore: fixpoint iteration — not SQL-expressible; rows-only
 }
 
 ORACLES = {

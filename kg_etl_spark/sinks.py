@@ -99,3 +99,60 @@ def write_bucketed_table(
         .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of two pre-quantized non-negative
+    int columns (each < 2^bits) — locality-preserving 1-D key for
+    2-D data."""
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def write_zordered_parquet(
+    df: DataFrame, path: str, col1: str, col2: str, num_files: int = 32, bits: int = 16
+) -> None:
+    """Z-order layout export: quantize two columns to the unit grid,
+    interleave into a Morton key, range-partition + sort on it.
+
+    Why at 100 TB: a single-column sort prunes range scans on ONE
+    column; the Morton order keeps BOTH columns locally clustered, so
+    parquet min/max stats prune 2-D range predicates (the spatial /
+    time×key case) without a specialized index — the same layout trick
+    lakehouse OPTIMIZE ZORDER applies.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(F.col(col1).cast("double")).alias("_lo1"),
+        F.max(F.col(col1).cast("double")).alias("_hi1"),
+        F.min(F.col(col2).cast("double")).alias("_lo2"),
+        F.max(F.col(col2).cast("double")).alias("_hi2"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    scale = float((1 << bits) - 1)
+
+    def quant(c, lo, hi):
+        return F.least(
+            F.floor((F.col(c).cast("double") - F.col(lo)) / ((F.col(hi) - F.col(lo)) / scale)).cast("long"),
+            F.lit((1 << bits) - 1).cast("long"),
+        )
+
+    z = zorder_key(quant(col1, "_lo1", "_hi1"), quant(col2, "_lo2", "_hi2"), bits)
+    (
+        j.withColumn("_z", z)
+        .drop("_lo1", "_hi1", "_lo2", "_hi2")
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
