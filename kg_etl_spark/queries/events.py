@@ -396,6 +396,110 @@ FROM c
 """
 
 
+def _daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, UTC epoch-day) exact daily value totals —
+    shared grain for the lag/gap-fill family. Day is an integer
+    (unix_micros div 86400e6): tz-free on any injected session."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(DAY_US)).cast("long").alias("day"),
+        )
+        .agg(F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("day_value"))
+    )
+
+
+def q_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas per event type: lag-window over the daily
+    aggregate. The window partitions on event_type (bounded
+    cardinality) over the already-aggregated daily rows — tiny state,
+    one shuffle, scales with #types × #days not #events."""
+    daily = _daily_totals(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("day_value").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "day_value",
+        (F.col("day_value") - prev).alias("delta"),
+        F.when(prev > 0, F.round((F.col("day_value") - prev) / prev, 6)).alias("pct_change"),
+    )
+
+
+ORACLE_DOD = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, day_value,
+       day_value - LAG(day_value) OVER w AS delta,
+       CASE WHEN LAG(day_value) OVER w > 0
+            THEN ROUND((day_value - LAG(day_value) OVER w) / LAG(day_value) OVER w, 6) END AS pct_change
+FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each event type's daily series to
+    its full [min_day, max_day] span (sequence + explode — no driver
+    loop), then forward-fill missing days (last-observation-carried-
+    forward via last(ignorenulls) over an unbounded-preceding frame).
+    The hypertable-gapfill shape: grid generation is per-group and
+    map-side; the only shuffle is the per-type window. The series is
+    the sparse high-value one (value > 180) so ~20% of grid days are
+    genuine gaps and the LOCF actually fires (sf0.01: 29/149)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value") > 180)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(DAY_US)).cast("long").alias("day"),
+        )
+        .agg(F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("day_value"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("day_value").isNotNull().alias("observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+ORACLE_GAPFILL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS day_value
+  FROM events WHERE value > 180 GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
+grid AS (
+  SELECT span.event_type, g.day
+  FROM span, LATERAL (SELECT UNNEST(generate_series(span.d0, span.d1)) AS day) g
+)
+SELECT grid.event_type, grid.day,
+       d.day_value IS NOT NULL AS observed,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM grid LEFT JOIN d ON grid.event_type = d.event_type AND grid.day = d.day
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "event_rollup": q_event_rollup,
@@ -409,6 +513,8 @@ QUERIES = {
     "event_type_pivot": q_event_type_pivot,
     "rolling_daily_value": q_rolling_daily_value,
     "event_transitions": q_event_transitions,
+    "dod_change": q_dod_change,
+    "gapfill_locf": q_gapfill_locf,
 }
 
 ORACLES = {
@@ -423,4 +529,6 @@ ORACLES = {
     "event_type_pivot": ORACLE_PIVOT,
     "rolling_daily_value": ORACLE_ROLLING,
     "event_transitions": ORACLE_TRANSITIONS,
+    "dod_change": ORACLE_DOD,
+    "gapfill_locf": ORACLE_GAPFILL,
 }

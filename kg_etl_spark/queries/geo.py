@@ -378,6 +378,76 @@ SELECT c_custkey, (abs(lat - 50.1501) + abs(lon - 8.1501)) < 0.1003 AS inside FR
 """
 
 
+def q_supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the customer↔supplier
+    bipartite graph: supplier pairs ranked by shared customers +
+    Jaccard over their customer sets. The pair generator is an
+    inverted-index self-join on customer (deg² per customer), bounded
+    by a degree cap exactly like the dedup family's max_df — hub
+    customers that connect to >64 suppliers are dropped from PAIRING
+    (not from the per-supplier degree denominators). One co-purchase
+    edge scan, two aggregates, one capped self-join — no all-pairs."""
+    max_deg = 64
+    min_common = 3
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    ok_cust = (
+        edges.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("cdeg"))
+        .filter(F.col("cdeg") <= max_deg)
+        .select("cust")
+    )
+    e = edges.join(ok_cust, "cust", "left_semi")
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    d1 = sdeg.select(F.col("supp").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = sdeg.select(F.col("supp").alias("s2"), F.col("deg").alias("deg2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_LINK_PREDICTION = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+sdeg AS (SELECT supp, COUNT(*) AS deg FROM edges GROUP BY supp),
+ok AS (SELECT cust FROM edges GROUP BY cust HAVING COUNT(*) <= 64),
+e AS (SELECT edges.cust, edges.supp FROM edges JOIN ok ON edges.cust = ok.cust),
+common AS (
+  SELECT a.supp AS s1, b.supp AS s2, COUNT(*) AS n_common
+  FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY a.supp, b.supp HAVING COUNT(*) >= 3
+)
+SELECT s1, s2, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(d1.deg + d2.deg - n_common AS DOUBLE), 6) AS jaccard
+FROM common JOIN sdeg d1 ON s1 = d1.supp JOIN sdeg d2 ON s2 = d2.supp
+"""
+
+
 QUERIES = {
     "haversine_pairs": q_haversine_pairs,
     "bbox_filter": q_bbox_filter,
@@ -391,6 +461,7 @@ QUERIES = {
     "bfs_distances": q_bfs_distances,
     "kcore_customers": q_kcore_customers,
     # kcore: fixpoint iteration — not SQL-expressible; rows-only
+    "supplier_link_prediction": q_supplier_link_prediction,
 }
 
 ORACLES = {
@@ -404,4 +475,5 @@ ORACLES = {
     "triangle_counts": ORACLE_TRIANGLES,
     "label_communities": ORACLE_LPA,
     "bfs_distances": ORACLE_BFS,
+    "supplier_link_prediction": ORACLE_LINK_PREDICTION,
 }

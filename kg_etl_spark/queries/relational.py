@@ -674,6 +674,125 @@ FROM j WHERE uk IS NOT NULL AND (c_custkey IS NULL OR changed)
 """
 
 
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    aggregate on the fact table, then join the tiny survivor set back
+    to orders/customer. The heavy groupBy happens FIRST so the joins
+    only move the ~1% of orders that pass — at 100 TB the post-filter
+    side is broadcast-able and AQE picks that up automatically."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_qty"))
+        .filter(F.col("_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_VOLUME = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+       CAST(q.qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,6))) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 200
+) q
+JOIN orders   ON q.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id — all four grains
+    (detail, per-status, per-priority, grand total) in one Expand +
+    partial-agg pass; no union of four scans. gid is the standard bit
+    vector (2·grouping(status) + grouping(priority))."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of per-part metrics via the native
+    DataFrame.unpivot — lowers to a single Expand (each input row
+    emitted k times map-side), zero shuffle, zero UDF."""
+    part = read_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', p_retailprice FROM part
+"""
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + cume_dist per market segment (unique total order via the
+    custkey tie-break, so both engines bucket identically). Partitioned
+    windows scale — the global-decile variant would need a range
+    repartition by acctbal first; per-segment is the per-key form."""
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+ORACLE_DECILES = """
+SELECT c_custkey, c_mktsegment,
+       NTILE(10) OVER w AS decile,
+       ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -698,6 +817,10 @@ QUERIES = {
     "pagerank": q_pagerank,
     "shipping_priority": q_shipping_priority,
     "scd2_customer": q_scd2_customer,
+    "large_volume_orders": q_large_volume_orders,
+    "status_priority_cube": q_status_priority_cube,
+    "part_metrics_unpivot": q_part_metrics_unpivot,
+    "customer_deciles": q_customer_deciles,
 }
 
 ORACLES = {
@@ -724,4 +847,8 @@ ORACLES = {
     "pagerank": ORACLE_PAGERANK,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "scd2_customer": ORACLE_SCD2,
+    "large_volume_orders": ORACLE_LARGE_VOLUME,
+    "status_priority_cube": ORACLE_CUBE,
+    "part_metrics_unpivot": ORACLE_UNPIVOT,
+    "customer_deciles": ORACLE_DECILES,
 }
