@@ -500,6 +500,135 @@ FROM grid LEFT JOIN d ON grid.event_type = d.event_type AND grid.day = d.day
 """
 
 
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level table: the sessionize flag turned into a running
+    session ordinal (cumulative sum over the same per-user window), then
+    one aggregate per (user, session). Shares the user_id exchange with
+    q_sessionize — at scale the two are one shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("_us", us)
+        .withColumn("session_id", F.sum(new_sess).over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("session_value"),
+        )
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session durations and value totals (the session-table twin
+    of q_sessionize's per-user counts)."""
+    return _sessions(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "start_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        "session_value",
+    )
+
+
+_SQL_SESSIONS = f"""
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS session_value
+  FROM (
+    SELECT user_id, ts, value,
+           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END) OVER w2 AS session_id
+    FROM (
+      SELECT user_id, ts, value, event_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER w AS prev_us
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ) WINDOW w2 AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) GROUP BY user_id, session_id
+"""
+
+ORACLE_SESSION_STATS = f"""
+SELECT user_id, session_id, n_events, start_us,
+       end_us - start_us AS duration_us, session_value
+FROM ({_SQL_SESSIONS})
+"""
+
+
+def q_active_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency timeline: each session interval exploded to the hour
+    buckets it spans (sequence over integer hours — bounded by session
+    length, not corpus size), then distinct-session counts per hour.
+    The scalable alternative to a global sweep-line running sum, which
+    would serialize into one ordered partition."""
+    sess = _sessions(spark, sf_dir)
+    hour = 3600 * 1_000_000
+    spans = sess.select(
+        "user_id",
+        "session_id",
+        F.explode(
+            F.sequence(
+                (F.col("start_us") / hour).cast("long"),
+                (F.col("end_us") / hour).cast("long"),
+            )
+        ).alias("hour_bucket"),
+    )
+    return spans.groupBy("hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_active_sessions")
+    )
+
+
+ORACLE_ACTIVE_SESSIONS = f"""
+WITH s AS ({_SQL_SESSIONS}),
+spans AS (
+  SELECT s.user_id, s.session_id, g.hour_bucket
+  FROM s, LATERAL (SELECT UNNEST(generate_series(s.start_us // 3600000000,
+                                                 s.end_us // 3600000000)) AS hour_bucket) g
+)
+SELECT hour_bucket, COUNT(*) AS n_active_sessions
+FROM spans GROUP BY hour_bucket
+"""
+
+
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered ±2-day RANGE-frame sum over the daily series: unlike the
+    ROWS frame in q_rolling_daily_value, a RANGE frame keys on the ORDER
+    BY *value*, so calendar gaps are excluded from the window rather
+    than dragging older rows in."""
+    daily = _daily_totals(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-2, 2)
+    return daily.select(
+        "event_type",
+        "day",
+        "day_value",
+        F.round(F.sum(F.col("day_value").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("centered5d_value"),
+    )
+
+
+ORACLE_RANGE_FRAME = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, day_value,
+       CAST(ROUND(SUM(CAST(day_value AS DECIMAL(28,6))) OVER (
+         PARTITION BY event_type ORDER BY day
+         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING), 2) AS DOUBLE) AS centered5d_value
+FROM d
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "event_rollup": q_event_rollup,
@@ -515,6 +644,9 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "dod_change": q_dod_change,
     "gapfill_locf": q_gapfill_locf,
+    "session_stats": q_session_stats,
+    "active_sessions_per_hour": q_active_sessions_per_hour,
+    "range_frame_sum": q_range_frame_sum,
 }
 
 ORACLES = {
@@ -531,4 +663,7 @@ ORACLES = {
     "event_transitions": ORACLE_TRANSITIONS,
     "dod_change": ORACLE_DOD,
     "gapfill_locf": ORACLE_GAPFILL,
+    "session_stats": ORACLE_SESSION_STATS,
+    "active_sessions_per_hour": ORACLE_ACTIVE_SESSIONS,
+    "range_frame_sum": ORACLE_RANGE_FRAME,
 }

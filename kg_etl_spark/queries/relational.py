@@ -793,6 +793,100 @@ FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_
 """
 
 
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-ledger reconciliation via FULL OUTER join: every customer vs
+    their aggregated order spend; rows flag which side is missing.
+    The order side is pre-aggregated to one row per key before the
+    join, so the full-outer shuffle moves |customers| + |custkeys|
+    rows, not the raw fact table."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(spend, cust.c_custkey == spend.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNull().alias("missing_customer"),
+        F.col("o_custkey").isNull().alias("no_orders"),
+        F.coalesce("c_acctbal", F.lit(0.0)).alias("acctbal"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       c_custkey IS NULL AS missing_customer,
+       o_custkey IS NULL AS no_orders,
+       COALESCE(c_acctbal, 0.0) AS acctbal,
+       COALESCE(total_spend, 0.0) AS total_spend,
+       COALESCE(n_orders, 0) AS n_orders
+FROM customer FULL OUTER JOIN spend ON c_custkey = o_custkey
+"""
+
+
+def q_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of (quantity, price) per
+    return flag, computed from decimal-exact partial sums (Σx Σy Σxy
+    Σx² Σy² as decimals → one double expression at the edge). Unlike
+    F.corr/covar_samp's streaming co-moments, the decimal partials are
+    order-independent, so the result is bit-identical across engines
+    and across shuffle layouts — the pattern for any second-moment
+    statistic at scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DECP)
+    y = F.col("l_extendedprice").cast(DECP)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+ORACLE_CORRELATIONS = """
+WITH a AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy,
+         SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4) AS covar_qty_price,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+FROM a
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -821,6 +915,8 @@ QUERIES = {
     "status_priority_cube": q_status_priority_cube,
     "part_metrics_unpivot": q_part_metrics_unpivot,
     "customer_deciles": q_customer_deciles,
+    "full_outer_reconcile": q_full_outer_reconcile,
+    "measure_correlations": q_measure_correlations,
 }
 
 ORACLES = {
@@ -851,4 +947,6 @@ ORACLES = {
     "status_priority_cube": ORACLE_CUBE,
     "part_metrics_unpivot": ORACLE_UNPIVOT,
     "customer_deciles": ORACLE_DECILES,
+    "full_outer_reconcile": ORACLE_FULL_OUTER,
+    "measure_correlations": ORACLE_CORRELATIONS,
 }
