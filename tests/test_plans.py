@@ -132,3 +132,34 @@ def test_graph_operators_use_equi_joins_only(spark):
         plan = physical_plan(QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
+
+
+def test_unpivot_is_expand_only(spark):
+    # native melt must lower to a map-side Expand: no shuffle, no UDF
+    plan = physical_plan(QUERIES["part_metrics_unpivot"](spark, SF))
+    assert "Expand" in plan
+    assert "Exchange" not in plan, f"unpivot shuffles:\n{plan}"
+    assert "EvalPython" not in plan
+
+
+def test_cube_is_single_expand_aggregate(spark):
+    # CUBE = one Expand feeding one partial+final aggregate pair, not a
+    # union of four scans (the plan has exactly one parquet scan)
+    plan = physical_plan(QUERIES["status_priority_cube"](spark, SF))
+    assert "Expand" in plan
+    assert "Union" not in plan, f"cube unions grains:\n{plan}"
+    assert plan.count("Location: InMemoryFileIndex") == 1, f"cube re-scans the input:\n{plan}"
+
+
+def test_link_prediction_stays_equi_join(spark):
+    plan = physical_plan(QUERIES["supplier_link_prediction"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_window_family_has_no_python(spark):
+    for name in ("dod_change", "gapfill_locf", "range_frame_sum",
+                 "session_stats", "active_sessions_per_hour",
+                 "customer_deciles", "measure_correlations"):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        assert "EvalPython" not in plan, f"{name} has a Python UDF in the plan"
