@@ -887,6 +887,100 @@ FROM a
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar-aggregate subquery,
+    decorrelated): per-part average quantity computed once as a
+    groupBy, broadcast back onto the brand-filtered fact rows, filter
+    l_quantity < 0.2·avg, one global sum. The correlated subquery a
+    row-engine would re-run per row becomes a single extra aggregate +
+    broadcast join. avg is decimal-sum/count so the 0.2·avg threshold
+    is bit-identical on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    # restrict the per-part averages to the brand's parts BEFORE
+    # broadcasting — |brand parts| rows, not |parts|
+    pp_brand = per_part.join(
+        F.broadcast(brand_parts), per_part.l_partkey == brand_parts.p_partkey
+    ).select("l_partkey", "avg_qty")
+    return (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(F.broadcast(pp_brand), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_SMALL_QTY = """
+WITH pp AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pp   ON pp.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (view + scalar max): supplier revenue in a
+    quarter, then the supplier(s) achieving the maximum. The max is a
+    1-row aggregate broadcast into an equi-filter — no re-scan of the
+    fact table, no correlated subquery. Revenue stays decimal until
+    the final compare so max-equality is exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DECP)
+            * (F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP))
+        ).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev._rev == mx._mx)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(ROUND(r, 2) AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -917,6 +1011,8 @@ QUERIES = {
     "customer_deciles": q_customer_deciles,
     "full_outer_reconcile": q_full_outer_reconcile,
     "measure_correlations": q_measure_correlations,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "top_supplier_revenue": q_top_supplier_revenue,
 }
 
 ORACLES = {
@@ -949,4 +1045,6 @@ ORACLES = {
     "customer_deciles": ORACLE_DECILES,
     "full_outer_reconcile": ORACLE_FULL_OUTER,
     "measure_correlations": ORACLE_CORRELATIONS,
+    "small_quantity_revenue": ORACLE_SMALL_QTY,
+    "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
 }

@@ -163,3 +163,19 @@ def test_new_window_family_has_no_python(spark):
                  "customer_deciles", "measure_correlations"):
         plan = physical_plan(QUERIES[name](spark, SF))
         assert "EvalPython" not in plan, f"{name} has a Python UDF in the plan"
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # Hive-style partitioned layout + selective broadcast dim join →
+    # the scan must carry a dynamicpruningexpression PartitionFilter
+    # (only matching partitions are read — the 100-TB point of
+    # partitioned layouts)
+    orders = spark.read.parquet(SF + "/orders.parquet")
+    path = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame([("F", 1)], ["status", "x"])
+    j = fact.join(dim, fact.o_orderstatus == dim.status).where(F.col("x") == 1)
+    plan = physical_plan(j)
+    assert "dynamicpruning" in plan.lower(), f"no DPP in:\n{plan}"
+    assert j.count() > 0
