@@ -39,6 +39,11 @@ def get_spark(app_name: str = "kg_etl_spark", shuffle_partitions: str | None = N
         # testdata parquet uses TIMESTAMP(NANOS) (pandas/pyarrow default),
         # which Spark rejects; read as long and convert in read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs timestamps without tz would read as TIMESTAMP_NTZ (which
+        # unix_micros & co. reject); read as instants instead — the raw
+        # stored micros become the UTC epoch, matching DuckDB's naive
+        # timestamp semantics exactly.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,6 +92,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     and it is a runtime-settable SQL conf.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read tz-less µs timestamps as instants (not TIMESTAMP_NTZ) and pin
+    # the session to UTC: stored micros == epoch micros, identical to
+    # DuckDB's naive-timestamp epoch, independent of driver environment.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
 
