@@ -297,6 +297,113 @@ SELECT doc_id, n_chars, ROUND(raw_key, 6) AS sample_key FROM (
 """
 
 
+_CHUNK_W, _CHUNK_S = 32, 16
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 32-token windows every 16."""
+    from kg_etl_spark.operators.packing import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+ORACLE_CHUNK = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS toks
+  FROM documents
+), n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_S})) AS start FROM n)
+SELECT doc_id, start // {_CHUNK_S} AS chunk_id,
+       array_to_string(toks[start+1 : start+{_CHUNK_W}], ' ') AS chunk_text,
+       least({_CHUNK_W}, n - start) AS n_tokens
+FROM s
+"""
+
+_PACK_CAP = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest into 256-token bins."""
+    from kg_etl_spark.operators.packing import pack_concat_chunk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_concat_chunk(docs, cap=_PACK_CAP)
+
+
+ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0)) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, cb // {_PACK_CAP} AS first_bin,
+       (cb + n_tokens - 1) // {_PACK_CAP} AS last_bin,
+       cb % {_PACK_CAP} AS offset_in_bin
+FROM c
+"""
+
+_N_SHARDS = 8
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: (shard, position) per document."""
+    from kg_etl_spark.operators.packing import shard_manifest
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=_N_SHARDS)
+
+
+ORACLE_SHARDS = f"""
+SELECT doc_id, h % {_N_SHARDS} AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h ASC, doc_id ASC) - 1 AS position
+FROM (SELECT doc_id, (doc_id * {_KNUTH_A}) % {_M32} AS h FROM documents)
+"""
+
+# Exact powers-of-two weights: every wn_s, n/wn_s, and wn_s*t product is
+# exact in IEEE double, so the Spark (driver-python) and DuckDB rate
+# arithmetic is bit-identical and no boundary row can flip.
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625, "zh": 0.0625}
+
+
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: thin languages to 8:4:2:1:1 target
+    proportions, keeping the binding language whole; report per-lang
+    survivors."""
+    from kg_etl_spark.operators.packing import dataset_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    keep = dataset_mixture(docs, "lang", _MIX_WEIGHTS)
+    return keep.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {w!r}" for s, w in sorted(_MIX_WEIGHTS.items())
+)
+
+ORACLE_MIXTURE = f"""
+WITH w AS (
+  SELECT lang, COUNT(*) AS n, CASE lang {_MIX_CASE} END AS wt
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT MIN(n / (wt / 1.0)) AS t_max FROM w WHERE wt IS NOT NULL
+), rates AS (
+  SELECT w.lang, (w.wt / 1.0) * t.t_max / w.n AS rate FROM w, t WHERE w.wt IS NOT NULL
+)
+SELECT d.lang, COUNT(*) AS n_kept, SUM(d.doc_id) AS id_sum
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST((d.doc_id * {_KNUTH_A}) % {_M32} AS DOUBLE) < r.rate * {float(_M32)!r}
+GROUP BY d.lang
+"""
+
+
 QUERIES = {
     "corpus_prep": q_corpus_prep,
     "pii_redact": q_pii_redact,
@@ -306,6 +413,10 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "contamination": q_contamination,
     "weighted_sample": q_weighted_sample,
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
+    "shard_manifest": q_shard_manifest,
+    "dataset_mixture": q_dataset_mixture,
 }
 
 ORACLES = {
@@ -317,4 +428,8 @@ ORACLES = {
     "repetition_stats": ORACLE_REPETITION,
     "contamination": ORACLE_CONTAMINATION,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "chunk_documents": ORACLE_CHUNK,
+    "pack_sequences": ORACLE_PACK,
+    "shard_manifest": ORACLE_SHARDS,
+    "dataset_mixture": ORACLE_MIXTURE,
 }
