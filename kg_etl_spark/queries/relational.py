@@ -981,6 +981,135 @@ WHERE r = (SELECT MAX(r) FROM rev)
 """
 
 
+# --- TPC-H Q21 shape: exists + not-exists decorrelated ----------------
+
+
+def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS over the same fact,
+    decorrelated): suppliers solely responsible for a return in
+    multi-supplier finished orders. A row engine re-probes lineitem
+    twice per candidate row (exists: another supplier in the order;
+    not-exists: another supplier who also returned); here both
+    predicates collapse into ONE per-order aggregate — countDistinct of
+    suppliers overall and among returned lines — joined back to the
+    returned lines. Two shuffles total (per-order agg, final count),
+    and the per-order aggregate is reused for both predicates.
+
+    At 100 TB: the order-grain aggregate is the natural pre-partition
+    (hash by orderkey); no fact-table re-scan, no correlated probe
+    storm. Top-25 suppliers by blamed-order count, name tie-break.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    finished = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_ret"),
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_supp_ret") == 1)), "l_orderkey")
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+ORACLE_BLAMED = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_supp_ret
+  FROM lineitem GROUP BY l_orderkey
+), blamed AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN per_order p ON l.l_orderkey = p.l_orderkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' AND p.n_supp >= 2 AND p.n_supp_ret = 1
+    AND o.o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+"""
+
+
+# --- TPC-H Q22 shape: scalar subquery threshold + anti-join -----------
+
+_Q22_SEGMENTS = ("BUILDING", "MACHINERY", "AUTOMOBILE")
+_Q22_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar-aggregate subquery + NOT EXISTS):
+    customers in target segments with above-average positive balance
+    and no orders since the lapse cutoff. The scalar average is a 1-row
+    aggregate broadcast into the filter (not a per-row subquery); the
+    NOT EXISTS is a native left_anti join against the (pre-filtered,
+    deduped) recent-orders keys. Balance math stays decimal until the
+    final round so the threshold compare is bit-identical on both
+    engines."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(*_Q22_SEGMENTS)
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)) / F.count(F.lit(1))).alias("_thr")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _Q22_CUTOFF)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(thr), F.col("c_acctbal").cast(DEC) > F.col("_thr"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast(DEC)), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_IDLE_RICH = f"""
+WITH seg AS (
+  SELECT * FROM customer
+  WHERE c_mktsegment IN {_Q22_SEGMENTS!r}
+), thr AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(28,6))) / COUNT(*) AS t
+  FROM seg WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS totacctbal
+FROM seg, thr
+WHERE CAST(c_acctbal AS DECIMAL(28,6)) > thr.t
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+  )
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -1013,6 +1142,8 @@ QUERIES = {
     "measure_correlations": q_measure_correlations,
     "small_quantity_revenue": q_small_quantity_revenue,
     "top_supplier_revenue": q_top_supplier_revenue,
+    "blamed_suppliers": q_blamed_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLES = {
@@ -1047,4 +1178,6 @@ ORACLES = {
     "measure_correlations": ORACLE_CORRELATIONS,
     "small_quantity_revenue": ORACLE_SMALL_QTY,
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
+    "blamed_suppliers": ORACLE_BLAMED,
+    "idle_rich_customers": ORACLE_IDLE_RICH,
 }

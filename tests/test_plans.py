@@ -179,3 +179,35 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     plan = physical_plan(j)
     assert "dynamicpruning" in plan.lower(), f"no DPP in:\n{plan}"
     assert j.count() > 0
+
+
+def test_q21_shape_decorrelated_single_agg_pass(spark):
+    # blamed_suppliers: the EXISTS/NOT-EXISTS pair must be served by ONE
+    # per-order aggregate — lineitem appears at most twice in the plan
+    # (agg pass + returned-lines pass), never per-candidate, and the
+    # joins stay hash/broadcast equi-joins.
+    plan = physical_plan(QUERIES["blamed_suppliers"](spark, SF))
+    assert plan.count("lineitem.parquet") <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q22_shape_anti_join_and_scalar_broadcast(spark):
+    # idle_rich_customers: NOT EXISTS must plan as a left_anti hash join
+    # (not a per-row probe), and the scalar threshold as a broadcast.
+    plan = physical_plan(QUERIES["idle_rich_customers"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_family_native_and_bounded(spark):
+    # chunking is map-side (no Exchange); packing/shard manifests stay
+    # JVM-native end to end.
+    from kg_etl_spark.operators.packing import chunk_documents, shard_manifest
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    chunk_plan = physical_plan(chunk_documents(docs))
+    assert "Exchange" not in chunk_plan
+    assert "EvalPython" not in chunk_plan
+    shard_plan = physical_plan(shard_manifest(docs))
+    assert "EvalPython" not in shard_plan
