@@ -218,3 +218,66 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style cross-document line dedup: a (non-blank) line appearing
+    in >= `min_docs` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, license footers) and is removed from every document; blank
+    lines and unique lines survive in original order.
+
+    Three narrow shuffles at any scale: (1) per-line countDistinct(doc)
+    keyed by the md5 line fingerprint (16-byte keys, map-side partial
+    agg), (2) the lines-to-dupset left_anti join on the same key, and
+    (3) the per-document reassembly groupBy. No driver-side data, no
+    Python. The dup set is NOT broadcast by hint — at 100 TB it can be
+    huge; AQE picks broadcast when it is actually small.
+
+    Output: (id, text, n_removed_lines) with text rebuilt from kept
+    lines joined by newline.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    )
+    content = lines.filter(F.trim("_line") != "").withColumn(
+        "_fp", F.md5(F.col("_line"))
+    )
+    dup_fps = (
+        content.groupBy("_fp")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_fp")
+    )
+    kept = content.join(dup_fps, "_fp", "left_anti").select(id_col, "_idx", "_line")
+    blank = lines.filter(F.trim("_line") == "").select(id_col, "_idx", "_line")
+    rebuilt = (
+        kept.unionByName(blank)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed_lines"
+            ),
+        )
+    )

@@ -404,6 +404,58 @@ GROUP BY d.lang
 """
 
 
+_FOOTER_A = "Subscribe to our newsletter!"
+_FOOTER_B = "(c) 2026 Example Corp"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: plant newsletter/copyright footer
+    lines (one behind a blank line) on periodic docs, then cross-doc
+    line dedup must strip exactly the lines shared by >= 2 documents
+    — planted footers plus any organically duplicated bodies."""
+    from kg_etl_spark.operators.datapipe import dedup_lines
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _FOOTER_A)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n\n" + _FOOTER_B)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_lines(docs)
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_FOOTER_A}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || '{_FOOTER_B}' ELSE '' END AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted
+), lines AS (
+  SELECT doc_id, idx, ls[idx] AS line
+  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS idx FROM split)
+), dup AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT l.doc_id, l.idx, l.line FROM lines l
+  WHERE trim(l.line) = '' OR NOT EXISTS (SELECT 1 FROM dup d WHERE d.line = l.line)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_total FROM planted
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       t.n_total - COALESCE(r.n_kept, 0) AS n_removed_lines
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 QUERIES = {
     "corpus_prep": q_corpus_prep,
     "pii_redact": q_pii_redact,
@@ -417,6 +469,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "shard_manifest": q_shard_manifest,
     "dataset_mixture": q_dataset_mixture,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES = {
@@ -432,4 +485,5 @@ ORACLES = {
     "pack_sequences": ORACLE_PACK,
     "shard_manifest": ORACLE_SHARDS,
     "dataset_mixture": ORACLE_MIXTURE,
+    "line_dedup": ORACLE_LINE_DEDUP,
 }

@@ -197,3 +197,30 @@ ORACLES = {
     "centroid_per_label": ORACLE_CENTROID,
     "kmeans_centroids": ORACLE_KMEANS,
 }
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector compression manifest for the whole embeddings table."""
+    from kg_etl_spark.operators.similarity import quantize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+ORACLE_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, dv,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE, dv), (a, x) -> a + x * x)) AS nrm
+  FROM v
+)
+SELECT vec_id, round(nrm, 6) AS l2_norm,
+       list_transform(dv, x -> greatest(-127, least(127, CAST(floor((x / nrm) * 127 + 0.5) AS INT)))) AS qvec
+FROM n WHERE nrm > 0
+"""
+
+QUERIES["quantize_embeddings"] = q_quantize_embeddings
+ORACLES["quantize_embeddings"] = ORACLE_QUANTIZE

@@ -139,3 +139,35 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], ["doc_id", "w"])
     ids = [r["doc_id"] for r in weighted_sample(df2, "w", k=3).collect()]
     assert ids == [3]
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    from kg_etl_spark.operators.datapipe import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique body one\nFOOTER\n\nlast line one"),
+            (2, "unique body two\nFOOTER"),
+            (3, "solo doc, untouched"),
+            (4, "FOOTER"),  # every line removed -> empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out[1]["text"] == "unique body one\n\nlast line one"
+    assert out[1]["n_removed_lines"] == 1
+    assert out[2]["text"] == "unique body two"
+    assert out[3]["text"] == "solo doc, untouched"
+    assert out[3]["n_removed_lines"] == 0
+    assert out[4]["text"] == "" and out[4]["n_removed_lines"] == 1
+
+
+def test_dedup_lines_min_docs_threshold(spark):
+    from kg_etl_spark.operators.datapipe import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "shared"), (2, "shared"), (3, "shared")], "doc_id long, text string"
+    )
+    # min_docs=4: nothing removed
+    kept = dedup_lines(docs, min_docs=4).filter("n_removed_lines > 0").count()
+    assert kept == 0

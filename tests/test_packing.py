@@ -83,3 +83,17 @@ def test_dataset_mixture_hits_proportions(spark):
     # determinism: rerun identical
     again = {r["source"]: r["n"] for r in dataset_mixture(df, "source", {"web": 0.5, "books": 0.5}).groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert per == again
+
+
+def test_quantize_embeddings_unit_norm_and_clamp(spark):
+    from kg_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert 2 not in out  # zero vector dropped
+    assert out[1]["l2_norm"] == 5.0
+    assert out[1]["qvec"] == [76, 102]  # floor(0.6*127+.5), floor(0.8*127+.5)
+    assert out[3]["qvec"] == [-127, 0]
