@@ -981,6 +981,109 @@ WHERE r = (SELECT MAX(r) FROM rev)
 """
 
 
+# --- TPC-H Q7 shape: one dim in two roles (nation pairs) --------------
+
+
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (the same dimension joined in two roles):
+    supplier-nation → customer-nation trade volume by ship year,
+    cross-border rows only. nation is broadcast TWICE under different
+    aliases — role-specific broadcasts, not a self-join of the fact.
+    The fact shuffles only for the final (pair, year) aggregate;
+    revenue stays decimal until the output round."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast(DECP) * (
+        F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_NATION_PAIR = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS ship_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+# --- TPC-H Q9 shape: filtered part profit by nation and year ----------
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts per supplier nation per
+    ship year. The selective p_name filter lands on the small dim and
+    is broadcast so partition pruning happens at the fact join, not
+    after; amount is a multi-column decimal expression (price net of
+    discount minus a retail-cost proxy) aggregated exactly."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast(DECP) * (
+        F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)
+    ) - F.col("p_retailprice").cast(DECP) * F.col("l_quantity").cast(DECP)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(F.sum(amount), 2).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(l_shipdate) AS ship_year,
+       CAST(ROUND(SUM(
+         CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+         - CAST(p_retailprice AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))
+       ), 2) AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
 # --- TPC-H Q21 shape: exists + not-exists decorrelated ----------------
 
 
@@ -1144,6 +1247,8 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "blamed_suppliers": q_blamed_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
+    "nation_pair_trade": q_nation_pair_trade,
+    "product_profit": q_product_profit,
 }
 
 ORACLES = {
@@ -1180,4 +1285,6 @@ ORACLES = {
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
     "blamed_suppliers": ORACLE_BLAMED,
     "idle_rich_customers": ORACLE_IDLE_RICH,
+    "nation_pair_trade": ORACLE_NATION_PAIR,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
 }

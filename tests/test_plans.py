@@ -211,3 +211,13 @@ def test_packing_family_native_and_bounded(spark):
     assert "EvalPython" not in chunk_plan
     shard_plan = physical_plan(shard_manifest(docs))
     assert "EvalPython" not in shard_plan
+
+
+def test_q7_q9_shapes_broadcast_dims(spark):
+    # all dim joins must be broadcast (no fact shuffle except the final
+    # aggregate) and the plans stay Python-free
+    for name in ("nation_pair_trade", "product_profit"):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name} shuffles a dim join"
+        assert "EvalPython" not in plan
