@@ -39,6 +39,11 @@ HEADLINE = [
     "embedding_neardup",
     "media_features",
     "sessionize",
+    # round 2: packing / corpus-hygiene families
+    "line_dedup",
+    "pack_sequences",
+    "quantize_embeddings",
+    "blamed_suppliers",
 ]
 
 
