@@ -281,3 +281,45 @@ def dedup_lines(
             ),
         )
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """The standard n-gram decontamination sweep (GPT-3/PaLM style):
+    flag (corpus doc, benchmark doc) pairs sharing >= `min_shared`
+    distinct word n-grams (default 13-grams — long enough that chance
+    collisions are negligible, short enough to catch paraphrase-free
+    copying).
+
+    Benchmark n-grams are exploded and broadcast (benchmarks are small
+    by definition); the corpus side explodes its own n-grams map-side
+    and equi-joins on the gram string — no quadratic doc×doc compare,
+    one shuffle for the per-pair distinct-gram count. At 100 TB the
+    corpus explode is the dominant cost and runs at scan speed;
+    hash the gram to a long (xxhash64) if gram-string shuffle width
+    ever matters. Output: (doc_id, bench_id, n_shared).
+    """
+    from kg_etl_spark.functions.text import word_shingles
+    from kg_etl_spark.operators.textquality import ws_tokens
+
+    bench_grams = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_gram"),
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_gram"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.countDistinct("_gram").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -208,6 +208,79 @@ FROM corpus, bench
 WHERE position(bench.probe IN corpus.text) > 0
 """
 
+_NG_N = 13
+_NG_PLANT_TOKENS = 16
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram decontamination: benchmark = docs 0..4;
+    every 97th corpus doc gets a 16-token span copied from its matching
+    benchmark doc, so the sweep must flag those pairs (plus any organic
+    13-gram overlaps, e.g. exact duplicates)."""
+    from kg_etl_spark.operators.datapipe import ngram_contamination
+    from kg_etl_spark.operators.textquality import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < _N_BENCH)
+    probes = bench.select(
+        F.col("doc_id").alias("_b"),
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, _NG_PLANT_TOKENS), " ").alias("_probe"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") >= _N_BENCH)
+        .withColumn("_b", F.col("doc_id") % _PLANT_EVERY)
+        .join(F.broadcast(probes), "_b", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % _PLANT_EVERY < _N_BENCH) & F.col("_probe").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("_probe")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return ngram_contamination(
+        corpus, bench.select(F.col("doc_id").alias("bench_id"), "text"), n=_NG_N
+    )
+
+
+ORACLE_NGRAM_CONTAMINATION = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), bench_probe AS (
+  SELECT doc_id AS b, array_to_string(t[1 : {_NG_PLANT_TOKENS}], ' ') AS probe
+  FROM tk WHERE doc_id < {_N_BENCH}
+), corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {_PLANT_EVERY} < {_N_BENCH}
+              THEN d.text || ' ' || (SELECT probe FROM bench_probe p WHERE p.b = d.doc_id % {_PLANT_EVERY})
+              ELSE d.text END AS text
+  FROM documents d WHERE d.doc_id >= {_N_BENCH}
+), ctk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+  FROM corpus
+), cgrams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(t) - {_NG_N - 2}, 1)),
+                   i -> array_to_string(t[i : i + {_NG_N - 1}], ' ')))) AS gram
+  FROM ctk
+), bgrams AS (
+  SELECT doc_id AS bench_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(t) - {_NG_N - 2}, 1)),
+                   i -> array_to_string(t[i : i + {_NG_N - 1}], ' ')))) AS gram
+  FROM tk WHERE doc_id < {_N_BENCH}
+)
+SELECT c.doc_id, b.bench_id, COUNT(DISTINCT c.gram) AS n_shared
+FROM cgrams c JOIN bgrams b USING (gram)
+GROUP BY c.doc_id, b.bench_id
+HAVING COUNT(DISTINCT c.gram) >= 1
+"""
+
+
 _MIN_QUALITY = 0.5
 
 
@@ -470,6 +543,7 @@ QUERIES = {
     "shard_manifest": q_shard_manifest,
     "dataset_mixture": q_dataset_mixture,
     "line_dedup": q_line_dedup,
+    "ngram_contamination": q_ngram_contamination,
 }
 
 ORACLES = {
@@ -486,4 +560,5 @@ ORACLES = {
     "shard_manifest": ORACLE_SHARDS,
     "dataset_mixture": ORACLE_MIXTURE,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "ngram_contamination": ORACLE_NGRAM_CONTAMINATION,
 }

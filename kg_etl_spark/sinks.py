@@ -156,3 +156,31 @@ def write_zordered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(rows/target) evenly-sized files. The long-running-pipeline
+    problem this solves: streaming/append sinks accumulate thousands of
+    KB-sized files whose per-file open/footer cost dominates scans.
+
+    The sizing count scans no data columns (empty projection — Spark
+    serves it from row-group row counts); the rewrite itself is one
+    pass. At 100 TB run it per
+    partition directory (compose with partitionBy layouts) so each
+    rewrite is bounded; `repartition` (round-robin) rather than
+    `coalesce` so output files are even regardless of input skew.
+    Returns the number of files written.
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
