@@ -281,6 +281,120 @@ HAVING COUNT(DISTINCT c.gram) >= 1
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per (split, lang) document and token totals
+    plus each cell's share of the corpus — the summary table a training
+    run's data config is written from. One map-side split/token pass,
+    one aggregate; the share denominator is a 1-row broadcast window
+    over the (tiny) aggregate, never a corpus re-scan."""
+    from kg_etl_spark.operators.textquality import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    per = (
+        train_val_test_split(docs)
+        .withColumn("_nt", token_count(F.col("text")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return per.select(
+        "split",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w), 6
+        ).alias("token_share"),
+    )
+
+
+ORACLE_DATASET_CARD = f"""
+WITH t AS (
+  SELECT CASE WHEN {_BUCKET_SQL} < 10 THEN 'test'
+              WHEN {_BUCKET_SQL} < 20 THEN 'val'
+              ELSE 'train' END AS split,
+         lang,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0)) AS nt
+  FROM documents
+), per AS (
+  SELECT split, lang, COUNT(*) AS n_docs, SUM(nt) AS total_tokens
+  FROM t GROUP BY split, lang
+)
+SELECT split, lang, n_docs, total_tokens,
+       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share,
+       ROUND(CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER (), 6) AS token_share
+FROM per
+"""
+
+_FUNNEL_MIN_TOKENS = 8
+_FUNNEL_MIN_QUALITY = 0.5
+_FUNNEL_MAX_DUP = 0.2
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: ONE pass over the corpus emitting a
+    single row of per-rule rejection counts (too short / low quality /
+    repetitive) and the survivor count — the report a pipeline owner
+    reads before committing thresholds. All rules evaluate as
+    conditional aggregates in the same plan, so adding a rule costs an
+    expression, not a scan."""
+    from kg_etl_spark.operators.textquality import quality_features
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = repetition_stats(quality_features(docs))
+    short = F.col("n_tokens") < _FUNNEL_MIN_TOKENS
+    lowq = F.col("quality_score") < _FUNNEL_MIN_QUALITY
+    rep = F.col("dup_trigram_frac") > _FUNNEL_MAX_DUP
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(short.cast("long")).alias("n_short"),
+        F.sum(lowq.cast("long")).alias("n_low_quality"),
+        F.sum(rep.cast("long")).alias("n_repetitive"),
+        F.sum((~short & ~lowq & ~rep).cast("long")).alias("n_survivors"),
+    )
+
+
+ORACLE_FILTER_FUNNEL = f"""
+WITH q AS ({{_QUALITY_SQL}}),
+scored AS (
+  SELECT doc_id, text, n_tokens,
+         least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+         + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+         + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+           AS quality_score
+  FROM q
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
+  FROM toks
+), dup AS (
+  SELECT doc_id,
+         CASE WHEN len(tg) > 0
+              THEN ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+              ELSE 0.0 END AS dup_frac
+  FROM tri
+)
+SELECT COUNT(*) AS n_total,
+       SUM(CASE WHEN s.n_tokens < {_FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END) AS n_short,
+       SUM(CASE WHEN ROUND(s.quality_score, 6) < {_FUNNEL_MIN_QUALITY} THEN 1 ELSE 0 END) AS n_low_quality,
+       SUM(CASE WHEN d.dup_frac > {_FUNNEL_MAX_DUP} THEN 1 ELSE 0 END) AS n_repetitive,
+       SUM(CASE WHEN s.n_tokens >= {_FUNNEL_MIN_TOKENS}
+                 AND ROUND(s.quality_score, 6) >= {_FUNNEL_MIN_QUALITY}
+                 AND d.dup_frac <= {_FUNNEL_MAX_DUP} THEN 1 ELSE 0 END) AS n_survivors
+FROM scored s JOIN dup d ON s.doc_id = d.doc_id
+"""
+
+
 _MIN_QUALITY = 0.5
 
 
@@ -320,6 +434,10 @@ _QUALITY_SQL = """
              t -> list_contains(['the','a','an','and','or','of','in','on','at','to','is'], t))) AS n_stop
   FROM documents
 """
+
+# _QUALITY_SQL is defined below the funnel oracle's textual position;
+# splice it in now that it exists
+ORACLE_FILTER_FUNNEL = ORACLE_FILTER_FUNNEL.replace("{_QUALITY_SQL}", _QUALITY_SQL)
 
 ORACLE_CORPUS_PREP = f"""
 WITH q AS ({_QUALITY_SQL}),
@@ -544,6 +662,8 @@ QUERIES = {
     "dataset_mixture": q_dataset_mixture,
     "line_dedup": q_line_dedup,
     "ngram_contamination": q_ngram_contamination,
+    "dataset_card": q_dataset_card,
+    "filter_funnel": q_filter_funnel,
 }
 
 ORACLES = {
@@ -561,4 +681,6 @@ ORACLES = {
     "dataset_mixture": ORACLE_MIXTURE,
     "line_dedup": ORACLE_LINE_DEDUP,
     "ngram_contamination": ORACLE_NGRAM_CONTAMINATION,
+    "dataset_card": ORACLE_DATASET_CARD,
+    "filter_funnel": ORACLE_FILTER_FUNNEL,
 }
