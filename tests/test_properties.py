@@ -111,3 +111,58 @@ def test_sketch_error_bounds(spark):
     for r in got:
         assert abs(r["au"] - r["eu"]) <= 0.10 * r["eu"], r
         assert abs(r["ap50"] - r["ep50"]) <= 20.0, r
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pack_concat_chunk_matches_serial_reference(spark, seed):
+    from kg_etl_spark.operators.packing import pack_concat_chunk
+
+    rng = random.Random(seed)
+    cap = rng.choice([7, 64, 257])
+    rows = [
+        (i, " ".join(["w"] * rng.randint(0, 30)))
+        for i in rng.sample(range(10_000), 200)  # sparse, unordered ids
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["first_bin"], r["last_bin"], r["offset_in_bin"])
+        for r in pack_concat_chunk(df, cap=cap, num_partitions=rng.choice([1, 5, 32])).collect()
+    }
+    cum = 0
+    for i, text in sorted(rows):
+        n = len(text.split()) if text else 0
+        if n == 0:
+            assert i not in got
+            continue
+        assert got[i] == (n, cum // cap, (cum + n - 1) // cap, cum % cap)
+        cum += n
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dedup_lines_idempotent_and_matches_reference(spark, seed):
+    from kg_etl_spark.operators.datapipe import dedup_lines
+
+    rng = random.Random(seed)
+    vocab = [f"line{j}" for j in range(12)]  # small vocab → real cross-doc dups
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 6))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = dedup_lines(df)
+    got = {r["doc_id"]: r["text"] for r in once.collect()}
+    # pure-python reference
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for i, text in rows:
+        for ln in text.split("\n"):
+            if ln.strip():
+                docs_per_line[ln].add(i)
+    dup = {ln for ln, d in docs_per_line.items() if len(d) >= 2}
+    for i, text in rows:
+        expect = "\n".join(ln for ln in text.split("\n") if ln.strip() == "" or ln not in dup)
+        assert got[i] == expect, (i, got[i], expect)
+    # idempotence: all surviving lines are unique or blank → 2nd pass no-op
+    twice = {r["doc_id"]: r["text"] for r in dedup_lines(once.select("doc_id", "text")).collect()}
+    assert twice == got
