@@ -1,0 +1,66 @@
+"""Incremental materialized-aggregate maintenance: keep a rollup table
+current by merging the previous materialization with only the NEW
+batch's partial aggregate — never re-scanning history.
+
+The 100 TB point: a daily rollup over years of events re-aggregates
+everything on every refresh unless the aggregate state is mergeable.
+sum/count/min/max merge trivially (sum of sums, min of mins); avg is
+carried as (sum, count) and finalized at read. The refresh cost is
+O(new batch + rollup size), independent of history length.
+
+Contract: `partial_rollup` produces the mergeable state for any slice
+of rows; `merge_rollups` combines any number of states; the merge is
+associative and commutative, so refreshes can arrive out of order —
+the invariant (merge of slice states == state of the union) is exactly
+what the oracle-checked catalog query and the property test assert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# decimal sums so merge order can never change a float result
+_DEC = "decimal(28,6)"
+
+
+def partial_rollup(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Mergeable aggregate state per key group: (n, sum, min, max)."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(_DEC)).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def merge_rollups(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Merge any number of partial states: one union + one aggregate —
+    the refresh never touches the raw history behind the states."""
+    it = iter(states)
+    unioned = next(it)
+    for s in it:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_rollup(state: DataFrame) -> DataFrame:
+    """Read-time finalization: derive avg from the carried (sum, n)."""
+    return state.select(
+        *[c for c in state.columns if c not in ("n", "sum_v", "min_v", "max_v")],
+        F.col("n"),
+        F.round(F.col("sum_v"), 2).cast("double").alias("sum_v"),
+        F.col("min_v"),
+        F.col("max_v"),
+        F.round(F.col("sum_v").cast("double") / F.col("n"), 6).alias("avg_v"),
+    )

@@ -667,3 +667,43 @@ ORACLES = {
     "active_sessions_per_hour": ORACLE_ACTIVE_SESSIONS,
     "range_frame_sum": ORACLE_RANGE_FRAME,
 }
+
+
+_INC_CUTOFF_US = 1_700_000_000 * 1_000_000  # 2023-11-14T22:13:20Z
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: history (< cutoff)
+    and the new batch (>= cutoff) are aggregated into mergeable states
+    SEPARATELY, then merged and finalized — the refresh path that never
+    re-scans history. The oracle is the plain full-scan aggregate, so
+    the driver check proves merge-of-parts == aggregate-of-union."""
+    from kg_etl_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day_us", _trunc_us(F.col("ts"), DAY_US)
+    )
+    cut = F.unix_micros(F.col("ts")) < F.lit(_INC_CUTOFF_US)
+    keys = ["event_type", "day_us"]
+    hist = partial_rollup(ev.filter(cut), keys, "value")
+    batch = partial_rollup(ev.filter(~cut), keys, "value")
+    return finalize_rollup(merge_rollups([hist, batch], keys))
+
+
+ORACLE_INCREMENTAL = """
+SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_v
+FROM events
+GROUP BY event_type, epoch_us(date_trunc('day', ts))
+"""
+
+QUERIES["incremental_rollup"] = q_incremental_rollup
+ORACLES["incremental_rollup"] = ORACLE_INCREMENTAL

@@ -72,3 +72,24 @@ def test_range_join_plan_is_equi(spark):
     plan = range_join(pts, iv, on="key", point_col="x", start_col="s",
                       end_col="e", bucket_width=10.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_merge_associative_commutative(spark):
+    """merge(any partition of slices) == partial over the union, for
+    out-of-order and uneven slices."""
+    from kg_etl_spark.operators.incremental import merge_rollups, partial_rollup
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") % 101).cast("double").alias("v")
+    )
+    slices = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    whole = partial_rollup(df, ["k"], "v")
+    parts = [partial_rollup(s, ["k"], "v") for s in slices]
+    merged_a = merge_rollups(parts, ["k"])                     # in order
+    merged_b = merge_rollups([parts[2], parts[0], parts[1]], ["k"])  # shuffled
+    def snap(x):
+        return sorted(tuple(r) for r in x.select("k", "n", "sum_v", "min_v", "max_v").collect())
+    assert snap(merged_a) == snap(whole)
+    assert snap(merged_b) == snap(whole)
