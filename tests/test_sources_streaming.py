@@ -403,3 +403,46 @@ def test_read_resilient_skips_corrupt_file(spark, tmp_path):
     with _pytest.raises(Exception):
         spark.read.parquet(path).count()  # strict read dies
     assert read_resilient(spark, path).count() == 1000  # tolerant read completes
+
+
+def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
+    """Two availableNow drains over a growing file source: the merged
+    streaming state must equal a from-scratch batch aggregate, and a
+    fresh rerun over batch 1's checkpoint must not double-count."""
+    from kg_etl_spark.operators.incremental import finalize_rollup, partial_rollup
+    from kg_etl_spark.streaming.rollup_stream import read_rollup_state, rollup_stream
+
+    src = tmp_path / "roll_src"; src.mkdir()
+    state = str(tmp_path / "roll_state")
+    ckpt = str(tmp_path / "roll_ckpt")
+
+    def rows(lo, hi):
+        return "\n".join(
+            json.dumps({"k": f"k{i % 3}", "v": float(i)}) for i in range(lo, hi)
+        )
+
+    schema = "k string, v double"
+    stream = spark.readStream.schema(schema).json(str(src))
+
+    def drain():
+        q = rollup_stream(stream, ["k"], "v", state, ckpt)
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(rows(0, 50))
+    drain()
+    (src / "b2.json").write_text(rows(50, 80))
+    drain()
+    # no new files: draining again must not change the state
+    drain()
+
+    got = sorted(
+        tuple(r)
+        for r in finalize_rollup(read_rollup_state(spark, state)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in finalize_rollup(
+            partial_rollup(spark.read.schema(schema).json(str(src)), ["k"], "v")
+        ).collect()
+    )
+    assert got == want
