@@ -477,3 +477,60 @@ ORACLES = {
     "bfs_distances": ORACLE_BFS,
     "supplier_link_prediction": ORACLE_LINK_PREDICTION,
 }
+
+
+# --- Morton (Z-order) spatial cells ------------------------------------
+
+_MORTON_BITS = 9  # grid indices < 512
+_MORTON_COARSE = 4  # keep top (bits-4) per axis → 32×32 cells
+
+
+def q_morton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-index cell statistics: customers quantized to the synth
+    grid, bit-interleaved into a Morton key (sinks.zorder_key — the
+    same kernel the z-ordered export sorts by), rolled up to 32×32
+    coarse cells with per-cell key ranges. The [min_key, max_key] span
+    per cell is exactly the parquet row-group stat a z-ordered layout
+    prunes 2-D range scans with — this query IS the pruning math,
+    oracle-checked bit-for-bit."""
+    from kg_etl_spark.sinks import zorder_key
+
+    cust = read_table(spark, sf_dir, "customer")
+    lat_idx = F.col("c_custkey") * _MIX_A % _PRIME_A % _CELLS_LAT
+    lon_idx = F.col("c_custkey") * _MIX_B % _PRIME_B % _CELLS_LON
+    key = zorder_key(lat_idx, lon_idx, bits=_MORTON_BITS)
+    shift = 2 * _MORTON_COARSE
+    return (
+        cust.select(F.shiftright(key, shift).alias("cell"), key.alias("_k"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("_k").alias("min_key"),
+            F.max("_k").alias("max_key"),
+        )
+    )
+
+
+def _morton_sql(c1: str, c2: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({c1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({c2} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+ORACLE_MORTON_CELLS = f"""
+WITH idx AS (
+  SELECT ((c_custkey * {_MIX_A}) % {_PRIME_A}) % {_CELLS_LAT} AS li,
+         ((c_custkey * {_MIX_B}) % {_PRIME_B}) % {_CELLS_LON} AS lo
+  FROM customer
+), keys AS (
+  SELECT ({_morton_sql('li', 'lo', _MORTON_BITS)}) AS k FROM idx
+)
+SELECT k >> {2 * _MORTON_COARSE} AS cell,
+       COUNT(*) AS n_points, MIN(k) AS min_key, MAX(k) AS max_key
+FROM keys GROUP BY cell
+"""
+
+QUERIES["morton_cells"] = q_morton_cells
+ORACLES["morton_cells"] = ORACLE_MORTON_CELLS
