@@ -231,10 +231,11 @@ def dedup_lines(
     banners, license footers) and is removed from every document; blank
     lines and unique lines survive in original order.
 
-    Three narrow shuffles at any scale: (1) per-line countDistinct(doc)
-    keyed by the md5 line fingerprint (16-byte keys, map-side partial
-    agg), (2) the lines-to-dupset left_anti join on the same key, and
-    (3) the per-document reassembly groupBy. No driver-side data, no
+    Four narrow shuffles at any scale (measured in PLANS.md): the
+    per-line countDistinct(doc) keyed by the md5 line fingerprint
+    (16-byte keys, map-side partial agg), the lines-to-dupset left_anti
+    join on the same key, the per-document reassembly groupBy, and the
+    per-document totals aggregate. No driver-side data, no
     Python. The dup set is NOT broadcast by hint — at 100 TB it can be
     huge; AQE picks broadcast when it is actually small.
 
