@@ -19,9 +19,10 @@ from kg_etl_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: multi-hop revenue rollup (region→nation→customer→
-    orders→lineitem with broadcast dims) on sf0.001."""
-    return QUERIES["multi_hop_revenue"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the end-to-end training-data pipeline (line
+    dedup → quality gate → exact dedup → split → pack) as one Catalyst
+    DAG, on sf0.001."""
+    return QUERIES["training_pipeline_e2e"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

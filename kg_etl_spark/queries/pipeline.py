@@ -647,6 +647,115 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+_E2E_CAP = 256
+
+
+def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data story as ONE lazily-composed DAG:
+    plant boilerplate → cross-doc line dedup → quality gate → exact
+    dedup (min-id keeper per normalized fingerprint) → deterministic
+    split → per-split concat-and-chunk packing. Output: one row per
+    split with doc/token totals and the packed bin count — the numbers
+    a trainer's data config is written from.
+
+    Every stage is a tested operator; Catalyst sees the whole lineage,
+    so column pruning flows through all six stages (e.g. the final
+    rollup never materializes chunk text)."""
+    from kg_etl_spark.operators.datapipe import dedup_lines
+    from kg_etl_spark.operators.dedup import normalized_fingerprint
+    from kg_etl_spark.operators.packing import pack_concat_chunk
+    from kg_etl_spark.operators.textquality import quality_features
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _FOOTER_A)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n\n" + _FOOTER_B)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = dedup_lines(docs).select("doc_id", "text")
+    good = quality_features(cleaned).filter(F.col("quality_score") >= _MIN_QUALITY)
+    keep = (
+        good.withColumn("fp", normalized_fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(cleaned, "doc_id")
+    )
+    split = train_val_test_split(keep)
+    out = []
+    for name in ("train", "val", "test"):
+        part = split.filter(F.col("split") == name)
+        manifest = pack_concat_chunk(part, cap=_E2E_CAP)
+        out.append(
+            manifest.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                (F.max("last_bin") + 1).alias("n_bins"),
+            ).select(F.lit(name).alias("split"), "n_docs", "total_tokens", "n_bins")
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+ORACLE_TRAINING_E2E = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_FOOTER_A}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || '{_FOOTER_B}' ELSE '' END AS text
+  FROM documents
+), split_lines AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted
+), lines AS (
+  SELECT doc_id, idx, ls[idx] AS line
+  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS idx FROM split_lines)
+), dupl AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+), keptl AS (
+  SELECT l.doc_id, l.idx, l.line FROM lines l
+  WHERE trim(l.line) = '' OR NOT EXISTS (SELECT 1 FROM dupl d WHERE d.line = l.line)
+), rebuilt AS (
+  SELECT t.doc_id, COALESCE(r.text, '') AS text
+  FROM (SELECT DISTINCT doc_id FROM planted) t
+  LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+             FROM keptl GROUP BY doc_id) r ON t.doc_id = r.doc_id
+), q AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0)) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> list_contains(['the','a','an','and','or','of','in','on','at','to','is'], t))) AS n_stop
+  FROM rebuilt
+), good AS (
+  SELECT doc_id, text FROM q
+  WHERE least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+        + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+        + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+        >= {_MIN_QUALITY}
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM good GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+), sized AS (
+  SELECT k.doc_id,
+         CASE WHEN {_BUCKET_SQL.replace('doc_id', 'k.doc_id')} < 10 THEN 'test'
+              WHEN {_BUCKET_SQL.replace('doc_id', 'k.doc_id')} < 20 THEN 'val'
+              ELSE 'train' END AS split,
+         len(list_filter(string_split_regex(trim(lower(r.text)), '\\s+'), t -> len(t) > 0)) AS nt
+  FROM keep k JOIN rebuilt r ON k.doc_id = r.doc_id
+)
+SELECT split, COUNT(*) AS n_docs, SUM(nt) AS total_tokens,
+       (SUM(nt) + {_E2E_CAP} - 1) // {_E2E_CAP} AS n_bins
+FROM sized WHERE nt > 0
+GROUP BY split
+"""
+
+
 QUERIES = {
     "corpus_prep": q_corpus_prep,
     "pii_redact": q_pii_redact,
@@ -664,6 +773,7 @@ QUERIES = {
     "ngram_contamination": q_ngram_contamination,
     "dataset_card": q_dataset_card,
     "filter_funnel": q_filter_funnel,
+    "training_pipeline_e2e": q_training_pipeline_e2e,
 }
 
 ORACLES = {
@@ -683,4 +793,5 @@ ORACLES = {
     "ngram_contamination": ORACLE_NGRAM_CONTAMINATION,
     "dataset_card": ORACLE_DATASET_CARD,
     "filter_funnel": ORACLE_FILTER_FUNNEL,
+    "training_pipeline_e2e": ORACLE_TRAINING_E2E,
 }
