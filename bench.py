@@ -71,11 +71,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        n = QUERIES[name](spark, sf_dir).count()
+        try:
+            n = QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 - one bad query must not void the bench
+            timings[name] = -1.0
+            print(f"# {name}: FAILED after {time.time()-t0:.3f}s: {exc}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
