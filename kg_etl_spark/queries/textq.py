@@ -493,6 +493,54 @@ LIMIT 25
 """
 
 
+
+
+def q_minhash_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable oracle for the LSH path on its PROVABLE subset:
+    documents with identical distinct-trigram sets have identical
+    MinHash signatures, hence identical band keys, hence are guaranteed
+    candidates — so at threshold 1.0 (and no bucket cap) the LSH output
+    restricted to jaccard == 1.0 must equal exactly the
+    identical-shingle-set pairs, which plain SQL can enumerate. This
+    turns the probabilistic operator's deterministic core into a full
+    value-hash CORRECTNESS row (recall on near-dup jaccard < 1 remains
+    covered by the seeded unit tests).
+
+    Docs 0..19 are re-planted under ids +100000 so the corpus contains
+    known identical pairs at every SF (sf0.01 has no organic ones)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    return minhash_lsh_pairs(
+        docs.unionByName(copies), "doc_id", n=3, num_hashes=64, bands=16,
+        threshold=1.0, max_bucket=None,
+    )
+
+
+ORACLE_MINHASH_IDENTICAL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+), tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS t
+  FROM corpus
+), sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS s
+  FROM tk
+), keyed AS (
+  SELECT doc_id, array_to_string(s, chr(31)) AS k FROM sh WHERE len(s) > 0
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(1.0 AS DOUBLE) AS jaccard
+FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "clean_wikitext": q_clean_wikitext,
@@ -504,6 +552,7 @@ QUERIES = {
     "ngram_jaccard_dedup": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "minhash_lsh_dedup": q_minhash_lsh,
+    "minhash_identical_recall": q_minhash_identical_recall,
     "simhash_dedup": q_simhash_pairs,
     "topk_distinct_texts": q_topk_distinct_texts,
     "bm25_search": q_bm25_search,
@@ -514,6 +563,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "minhash_identical_recall": ORACLE_MINHASH_IDENTICAL,
     "token_stats": ORACLE_TOKEN_STATS,
     "clean_wikitext": ORACLE_CLEAN_WIKITEXT,
     "quality_score": ORACLE_QUALITY,
