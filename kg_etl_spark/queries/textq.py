@@ -541,6 +541,40 @@ FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
 """
 
 
+
+
+def q_simhash_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash provable-recall oracle: identical token multisets →
+    identical per-bit votes → identical simhash → every band chunk
+    shared → guaranteed candidate at Hamming 0 — so with docs 0..19
+    re-planted under ids +100000, the max_hamming=0 output equals the
+    planted (i, i+100000) pairs exactly — a pure recall gate: one
+    missing pair is a row-count mismatch. (Output is restricted to the
+    planted pairs because near-dup docs can organically collide to the
+    same 64-bit simhash, which SQL cannot enumerate.)"""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    pairs = simhash_pairs(docs.unionByName(copies), "doc_id", max_hamming=0, bands=4)
+    return pairs.filter(F.col("b_id") == F.col("a_id") + 100_000)
+
+
+ORACLE_SIMHASH_IDENTICAL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+), tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS t
+  FROM corpus
+)
+SELECT doc_id AS a_id, doc_id + 100000 AS b_id, 0 AS hamming
+FROM tk WHERE doc_id < 20 AND len(t) > 0
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "clean_wikitext": q_clean_wikitext,
@@ -553,6 +587,7 @@ QUERIES = {
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "minhash_lsh_dedup": q_minhash_lsh,
     "minhash_identical_recall": q_minhash_identical_recall,
+    "simhash_identical_recall": q_simhash_identical_recall,
     "simhash_dedup": q_simhash_pairs,
     "topk_distinct_texts": q_topk_distinct_texts,
     "bm25_search": q_bm25_search,
@@ -564,6 +599,7 @@ QUERIES = {
 
 ORACLES = {
     "minhash_identical_recall": ORACLE_MINHASH_IDENTICAL,
+    "simhash_identical_recall": ORACLE_SIMHASH_IDENTICAL,
     "token_stats": ORACLE_TOKEN_STATS,
     "clean_wikitext": ORACLE_CLEAN_WIKITEXT,
     "quality_score": ORACLE_QUALITY,

@@ -224,3 +224,32 @@ FROM n WHERE nrm > 0
 
 QUERIES["quantize_embeddings"] = q_quantize_embeddings
 ORACLES["quantize_embeddings"] = ORACLE_QUANTIZE
+
+
+def q_embedding_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH provable-recall oracle: identical vectors have
+    identical sign bits under every hyperplane → identical band keys →
+    guaranteed candidates, and their verified cosine rounds to 1.0 —
+    so with vectors 0..19 re-planted under ids +100000 the output at
+    threshold 0.999999 is exactly the planted pairs (max organic
+    pairwise cosine in this corpus is ~0.51). A pure recall gate for
+    the 100-TB ANN path: one missed pair = row-count mismatch."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = hyperplane_lsh_neardup_pairs(
+        emb.unionByName(copies), threshold=0.999999, max_bucket=None
+    )
+    return pairs.filter(F.col("b_id") == F.col("a_id") + 100_000).select(
+        "a_id", "b_id", F.round("score", 2).alias("score")
+    )
+
+
+ORACLE_EMBEDDING_IDENTICAL = """
+SELECT vec_id AS a_id, vec_id + 100000 AS b_id, CAST(1.0 AS DOUBLE) AS score
+FROM embeddings WHERE vec_id < 20
+"""
+
+QUERIES["embedding_identical_recall"] = q_embedding_identical_recall
+ORACLES["embedding_identical_recall"] = ORACLE_EMBEDDING_IDENTICAL
