@@ -253,3 +253,30 @@ FROM embeddings WHERE vec_id < 20
 
 QUERIES["embedding_identical_recall"] = q_embedding_identical_recall
 ORACLES["embedding_identical_recall"] = ORACLE_EMBEDDING_IDENTICAL
+
+
+def q_ivf_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF provable-recall oracle: a planted identical copy shares the
+    query vector's nearest centroid (identical bucket ranking), so the
+    probe always scans its bucket and it must surface as rank 1 with
+    cosine rounding to 1.0 (max organic cosine ~0.51). One missed or
+    misranked copy = value mismatch."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb.unionByName(copies), queries, k=1, n_centroids=16, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank", "score")
+
+
+ORACLE_IVF_IDENTICAL = """
+SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS score
+FROM embeddings WHERE vec_id < 20
+"""
+
+QUERIES["ivf_identical_recall"] = q_ivf_identical_recall
+ORACLES["ivf_identical_recall"] = ORACLE_IVF_IDENTICAL
