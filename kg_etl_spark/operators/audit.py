@@ -112,3 +112,33 @@ def file_manifest(spark, path: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("file")
     )
+
+
+def check_expectations(
+    df: DataFrame, rules: "dict[str, object]"
+) -> DataFrame:
+    """Data-quality gate: evaluate named boolean expectations (Column
+    predicates — 'passes' means true) over a table in ONE pass and
+    return per-rule violation counts plus the total row count.
+
+    The great-expectations-shaped contract a 100-TB ingestion needs,
+    without the framework: every rule is a conditional aggregate in the
+    same plan, so N rules cost one scan; wire the output to block a
+    pipeline stage when any n_violations > 0 (or > a tolerated rate).
+
+    Output: (rule, n_violations, n_rows), one row per rule, ordered by
+    rule name for determinism.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum((~pred).cast("long")).alias(f"_v_{name}") for name, pred in rules.items()
+    ]
+    one = df.agg(*aggs)
+    out = None
+    for name in sorted(rules):
+        row = one.select(
+            F.lit(name).alias("rule"),
+            F.col(f"_v_{name}").alias("n_violations"),
+            F.col("_n").alias("n_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1084,6 +1084,119 @@ GROUP BY n_name, year(l_shipdate)
 """
 
 
+# --- TPC-H Q12 shape: conditional bucket counts -----------------------
+
+
+def q_priority_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return-flag, how many line items belong to
+    urgent/high-priority orders vs not — the two-way conditional
+    aggregate (sum-of-CASE) pattern. One fact pass, order priority
+    arrives by broadcast join; no second scan for the complement
+    bucket."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(urgent.cast("long")).alias("high_line_count"),
+            F.sum((~urgent).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_PRIORITY_BUCKETS = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+# --- TPC-H Q14 shape: conditional revenue share -----------------------
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type parts' share of one month's revenue
+    — a conditional-numerator / total-denominator ratio in ONE
+    aggregate (no second scan, no self-join). Decimal sums; the ratio
+    goes double only at the end."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rev = F.col("l_extendedprice").cast(DECP) * (
+        F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)
+    )
+    promo = F.col("p_name").startswith("new")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(promo, rev).otherwise(F.lit(0).cast(DECP))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_PROMO_SHARE = """
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_name LIKE 'new%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+       , 6) AS promo_revenue_pct,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+# --- TPC-H Q19 shape: disjunctive multi-attribute predicate -----------
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    brand/size/quantity clauses — the disjunctive-predicate pattern
+    that tests whether the common conjunct (the join itself) stays
+    shared while per-clause conditions evaluate post-join in one pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = F.col("l_extendedprice").cast(DECP) * (
+        F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)
+    )
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_DISJUNCTIVE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --- TPC-H Q21 shape: exists + not-exists decorrelated ----------------
 
 
@@ -1254,6 +1367,9 @@ QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     "nation_pair_trade": q_nation_pair_trade,
     "product_profit": q_product_profit,
+    "priority_shipping_buckets": q_priority_shipping_buckets,
+    "promo_revenue_share": q_promo_revenue_share,
+    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -1292,4 +1408,55 @@ ORACLES = {
     "idle_rich_customers": ORACLE_IDLE_RICH,
     "nation_pair_trade": ORACLE_NATION_PAIR,
     "product_profit": ORACLE_PRODUCT_PROFIT,
+    "priority_shipping_buckets": ORACLE_PRIORITY_BUCKETS,
+    "promo_revenue_share": ORACLE_PROMO_SHARE,
+    "disjunctive_revenue": ORACLE_DISJUNCTIVE,
 }
+
+
+def q_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion data-quality gate over lineitem: range, nullness,
+    domain, and referential expectations evaluated in one scan (plus
+    one broadcast semi-probe for the FK rule)."""
+    from kg_etl_spark.operators.audit import check_expectations
+
+    li = read_table(spark, sf_dir, "lineitem")
+    order_keys = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    with_fk = li.join(
+        F.broadcast(order_keys), li.l_orderkey == order_keys.o_orderkey, "left"
+    ).withColumn("_fk_ok", F.col("o_orderkey").isNotNull())
+    rules = {
+        "quantity_in_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_unit_interval": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "orderkey_fk_resolves": F.col("_fk_ok"),
+    }
+    return check_expectations(with_fk, rules)
+
+
+ORACLE_EXPECTATIONS = """
+WITH j AS (
+  SELECT l.*, (o.o_orderkey IS NOT NULL) AS fk_ok
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+), agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN 0 ELSE 1 END) AS v_discount,
+         SUM(CASE WHEN fk_ok THEN 0 ELSE 1 END) AS v_fk,
+         SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_price,
+         SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS v_qty,
+         SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS v_flag,
+         SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v_ship
+  FROM j
+)
+SELECT 'discount_unit_interval' AS rule, v_discount AS n_violations, n AS n_rows FROM agg
+UNION ALL SELECT 'orderkey_fk_resolves', v_fk, n FROM agg
+UNION ALL SELECT 'price_positive', v_price, n FROM agg
+UNION ALL SELECT 'quantity_in_range', v_qty, n FROM agg
+UNION ALL SELECT 'returnflag_domain', v_flag, n FROM agg
+UNION ALL SELECT 'shipdate_not_null', v_ship, n FROM agg
+"""
+
+QUERIES["expectations_lineitem"] = q_expectations_lineitem
+ORACLES["expectations_lineitem"] = ORACLE_EXPECTATIONS
