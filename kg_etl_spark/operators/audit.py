@@ -132,7 +132,9 @@ def check_expectations(
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum((~pred).cast("long")).alias(f"_v_{name}") for name, pred in rules.items()
     ]
-    one = df.agg(*aggs)
+    # cut the lineage at the 1-row aggregate: the per-rule selects below
+    # would otherwise each re-scan the table (N rules = N scans)
+    one = df.agg(*aggs).localCheckpoint()
     out = None
     for name in sorted(rules):
         row = one.select(
