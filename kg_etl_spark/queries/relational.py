@@ -499,6 +499,27 @@ def q_sql_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_EXISTS_AGG)
 
 
+# Second one-text query: windows OVER aggregates (rank of each line
+# status within its return flag by row count, plus the flag total via a
+# windowed re-aggregate) — parses and evaluates identically in Spark
+# SQL and DuckDB; total tie-break on l_linestatus.
+SQL_WINDOW_RANK = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS n_flag,
+       RANK() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_linestatus) AS rnk
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg_etl_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_WINDOW_RANK)
+
+
 _Q3_CUTOFF = "1998-06-01 00:00:00"
 
 
@@ -1370,6 +1391,7 @@ QUERIES = {
     "priority_shipping_buckets": q_priority_shipping_buckets,
     "promo_revenue_share": q_promo_revenue_share,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "sql_window_rank": q_sql_window_rank,
 }
 
 ORACLES = {
@@ -1411,6 +1433,7 @@ ORACLES = {
     "priority_shipping_buckets": ORACLE_PRIORITY_BUCKETS,
     "promo_revenue_share": ORACLE_PROMO_SHARE,
     "disjunctive_revenue": ORACLE_DISJUNCTIVE,
+    "sql_window_rank": SQL_WINDOW_RANK,
 }
 
 
