@@ -109,3 +109,68 @@ def point_in_polygon_udf(polygon: list[tuple[float, float]]):
         return pd.Series(out)
 
     return _pip
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat, lon, precision: int = 6):
+    """Standard base32 geohash string (native bit arithmetic, no UDF).
+
+    Closed form instead of the textbook bisection loop: quantize lon to
+    ceil(5p/2) bits and lat to floor(5p/2) bits of their ranges, then
+    interleave MSB-first starting with lon — bit-identical to the
+    iterative halving definition. Each 5-bit group indexes the geohash
+    alphabet. All integer/bit ops after two float quantizations, so an
+    engine oracle can mirror it exactly.
+    """
+    from pyspark.sql import functions as F
+
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    qlon = F.floor((lon + 180.0) / 360.0 * (1 << lon_bits)).cast("long")
+    qlat = F.floor((lat + 90.0) / 180.0 * (1 << lat_bits)).cast("long")
+    # clamp the lat==90/lon==180 edge into the top cell
+    qlon = F.least(qlon, F.lit((1 << lon_bits) - 1))
+    qlat = F.least(qlat, F.lit((1 << lat_bits) - 1))
+    key = F.lit(0).cast("long")
+    for i in range(total):
+        # even interleave positions (0,2,..) take lon MSB-first
+        if i % 2 == 0:
+            src, nbits, idx = qlon, lon_bits, i // 2
+        else:
+            src, nbits, idx = qlat, lat_bits, i // 2
+        bit = F.shiftright(src, nbits - 1 - idx).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(bit, total - 1 - i))
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            (F.shiftright(key, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 6) -> str:
+    """DuckDB SQL mirroring `geohash` bit-for-bit (generated, same ops)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    qlon = f"least(CAST(floor(({lon_expr} + 180.0) / 360.0 * {1 << lon_bits}) AS BIGINT), {(1 << lon_bits) - 1})"
+    qlat = f"least(CAST(floor(({lat_expr} + 90.0) / 180.0 * {1 << lat_bits}) AS BIGINT), {(1 << lat_bits) - 1})"
+    terms = []
+    for i in range(total):
+        if i % 2 == 0:
+            src, nbits, idx = qlon, lon_bits, i // 2
+        else:
+            src, nbits, idx = qlat, lat_bits, i // 2
+        terms.append(f"((({src} >> {nbits - 1 - idx}) & 1) << {total - 1 - i})")
+    key = "(" + " | ".join(terms) + ")"
+    chars = [
+        f"substring('{_GEOHASH32}', CAST((({key} >> {5 * (precision - 1 - c)}) & 31) + 1 AS INT), 1)"
+        for c in range(precision)
+    ]
+    return "(" + " || ".join(chars) + ")"

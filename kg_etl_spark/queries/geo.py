@@ -534,3 +534,38 @@ FROM keys GROUP BY cell
 
 QUERIES["morton_cells"] = q_morton_cells
 ORACLES["morton_cells"] = ORACLE_MORTON_CELLS
+
+
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding + prefix rollup: customers on the synth grid get
+    6-char geohashes (native bit arithmetic, no UDF); counts per 4-char
+    prefix cell — the join key format external spatial systems speak.
+    Map-side encode, one aggregate."""
+    from kg_etl_spark.functions.geo import geohash
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    enc = cust.select(
+        "c_custkey",
+        geohash(F.col("lat"), F.col("lon"), 6).alias("gh6"),
+    )
+    return enc.groupBy(F.substring("gh6", 1, 4).alias("gh4")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("gh6").alias("min_gh6"),
+        F.max("gh6").alias("max_gh6"),
+    )
+
+
+def _geohash_oracle() -> str:
+    from kg_etl_spark.functions.geo import geohash_sql
+
+    gh6 = geohash_sql(_sql_lat("c_custkey"), _sql_lon("c_custkey"), 6)
+    return f"""
+WITH enc AS (SELECT c_custkey, {gh6} AS gh6 FROM customer)
+SELECT substring(gh6, 1, 4) AS gh4, COUNT(*) AS n_customers,
+       MIN(gh6) AS min_gh6, MAX(gh6) AS max_gh6
+FROM enc GROUP BY substring(gh6, 1, 4)
+"""
+
+
+QUERIES["geohash_cells"] = q_geohash_cells
+ORACLES["geohash_cells"] = _geohash_oracle()

@@ -157,3 +157,20 @@ def test_coerce_kernels(spark):
     ).collect()
     assert rows[0]["p"] == 1234.5 and rows[0]["b"] is True and rows[0]["d"] == 12.5 and rows[0]["e"] is None
     assert rows[1]["p"] is None and rows[1]["b"] is False and rows[1]["d"] is None and rows[1]["e"] == "x"
+
+
+def test_geohash_known_vectors(spark):
+    from kg_etl_spark.functions.geo import geohash
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (0.0, 0.0), (-25.382708, -49.265506), (90.0, 180.0)],
+        "lat double, lon double",
+    )
+    got = [r["gh"] for r in df.select(geohash(F.col("lat"), F.col("lon"), 6).alias("gh")).collect()]
+    # canonical vectors (geohash.org); the poles/antimeridian edge clamps
+    # into the top cell
+    assert got[0] == "u4pruy"
+    assert got[1] == "s00000"
+    assert got[2] == "6gkzwg"
+    assert got[3] == "zzzzzz"
