@@ -221,3 +221,37 @@ def test_q7_q9_shapes_broadcast_dims(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, f"{name} shuffles a dim join"
         assert "EvalPython" not in plan
+
+
+def test_shuffle_budgets_hold(spark):
+    # Pin the shuffle counts PLANS.md records for key queries — a new
+    # Exchange sneaking into these plans is a silent 100-TB regression
+    # even when results stay correct.
+    import re
+
+    def n_exchanges(name):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        return len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+
+    budgets = {
+        "pricing_summary": 1,
+        "multi_hop_revenue": 1,
+        "exact_dedup": 1,
+        "chunk_documents": 0,
+        "quantize_embeddings": 0,
+        "shard_manifest": 1,
+        "pack_sequences": 1,
+        "morton_cells": 1,
+        "nation_pair_trade": 1,
+        "product_profit": 1,
+        "promo_revenue_share": 1,
+        "disjunctive_revenue": 1,
+        "priority_shipping_buckets": 1,
+        "line_dedup": 4,
+    }
+    over = {
+        name: (n_exchanges(name), budget)
+        for name, budget in budgets.items()
+        if n_exchanges(name) > budget
+    }
+    assert not over, f"shuffle budgets exceeded (actual, budget): {over}"
