@@ -129,8 +129,11 @@ def check_expectations(
     Output: (rule, n_violations, n_rows), one row per rule, ordered by
     rule name for determinism.
     """
+    # NULL-evaluating predicates are VIOLATIONS (when/otherwise, not
+    # sum(~pred) — sum would skip the NULL and silently pass bad rows)
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum((~pred).cast("long")).alias(f"_v_{name}") for name, pred in rules.items()
+        F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(f"_v_{name}")
+        for name, pred in rules.items()
     ]
     # cut the lineage at the 1-row aggregate: the per-rule selects below
     # would otherwise each re-scan the table (N rules = N scans)

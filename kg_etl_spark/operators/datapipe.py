@@ -30,8 +30,14 @@ _M32 = 4294967296
 def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
     """Deterministic pseudo-uniform bucket in [0, n_buckets) from a
     numeric id — the reproducible substitute for rand() in splits and
-    samples."""
-    return (id_col.cast("long") * F.lit(_KNUTH_A)) % F.lit(_M32) % F.lit(n_buckets)
+    samples.
+
+    pmod, not %: for ids above 2^63/A the long multiply wraps mod 2^64,
+    and since 2^32 divides 2^64 the mod-2^32 residue is still exactly
+    (id*A) mod 2^32 — but only pmod returns it non-negative. Identical
+    values to % for non-wrapping ids, correct (instead of negative
+    buckets) at corpus scales beyond ~3.5e9 ids."""
+    return F.pmod(F.pmod(id_col.cast("long") * F.lit(_KNUTH_A), F.lit(_M32)), F.lit(n_buckets))
 
 
 def train_val_test_split(
@@ -208,7 +214,7 @@ def weighted_sample(
     comes from the Knuth hash of the row id, not rand(). Rows with
     non-positive weight are excluded (their key is undefined)."""
     u = (
-        ((F.col(id_col).cast("long") * F.lit(_KNUTH_A)) % F.lit(_M32) + 1).cast("double")
+        (F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH_A), F.lit(_M32)) + 1).cast("double")
         / F.lit(float(_M32 + 1))
     )
     key = F.log(u) / F.col(weight_col).cast("double")

@@ -27,10 +27,10 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kg_etl_spark.operators.datapipe import _KNUTH_A, _M32, hash_bucket
+from kg_etl_spark.operators.datapipe import _KNUTH_A, _M32
 from kg_etl_spark.operators.textquality import ws_tokens
 
 
@@ -161,8 +161,10 @@ def shard_manifest(
     n_shards so a shard's (id, hash) pairs fit a task — the window only
     carries 16 bytes/row).
     """
-    h = (F.col(id_col).cast("long") * F.lit(_KNUTH_A)) % F.lit(_M32)
-    with_shard = df.select(F.col(id_col), h.alias("_h"), (h % n_shards).alias("shard"))
+    # pmod: stays correct (non-negative) when id*A wraps past int64 —
+    # see hash_bucket
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH_A), F.lit(_M32))
+    with_shard = df.select(F.col(id_col), h.alias("_h"), F.pmod(h, F.lit(n_shards)).alias("shard"))
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return with_shard.select(
         id_col,
@@ -201,7 +203,7 @@ def dataset_mixture(
     # largest total corpus T s.t. every source can supply wn_s * T docs
     t_max = min(counts[s] / (weights[s] / total_w) for s in counts)
     rate = {s: (weights[s] / total_w) * t_max / counts[s] for s in counts}
-    h = (F.col(id_col).cast("long") * F.lit(_KNUTH_A)) % F.lit(_M32)
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH_A), F.lit(_M32))
     rate_expr = None
     for s, r in sorted(rate.items()):
         clause = F.when(F.col(source_col) == s, F.lit(r))

@@ -449,7 +449,7 @@ scored AS (
            AS quality_score
   FROM q
 ),
-good AS (SELECT * FROM scored WHERE quality_score >= {_MIN_QUALITY}),
+good AS (SELECT * FROM scored WHERE ROUND(quality_score, 6) >= {_MIN_QUALITY}),
 keep AS (
   SELECT MIN(doc_id) AS doc_id
   FROM good GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
@@ -700,7 +700,10 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)
-    return res
+    # empty splits produce (name, 0, NULL, NULL) from the agg; the
+    # oracle's GROUP BY omits them — drop to match (the all-boilerplate
+    # stress case really does empty splits)
+    return res.filter(F.col("n_docs") > 0)
 
 
 ORACLE_TRAINING_E2E = f"""
@@ -737,10 +740,10 @@ WITH planted AS (
   FROM rebuilt
 ), good AS (
   SELECT doc_id, text FROM q
-  WHERE least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+  WHERE ROUND(least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
         + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
         + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
-        >= {_MIN_QUALITY}
+        , 6) >= {_MIN_QUALITY}
 ), keep AS (
   SELECT MIN(doc_id) AS doc_id
   FROM good GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))

@@ -65,9 +65,18 @@ def rollup_stream(
             merged = merge_rollups([prev, new_part], keys)
         else:
             merged = new_part
-        merged.write.mode("overwrite").parquet(
-            f"{state_root}/{_VERSION_PREFIX}{int(batch_id)}"
-        )
+        # write to a hidden tmp dir, then one os.rename — so a version
+        # directory only ever appears fully written (listdir filters the
+        # dot-prefixed tmp), making the swap actually atomic for
+        # concurrent read_rollup_state callers
+        tmp = f"{state_root}/.tmp-{_VERSION_PREFIX}{int(batch_id)}"
+        final = f"{state_root}/{_VERSION_PREFIX}{int(batch_id)}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(final)  # checkpoint replay of the same batch
+        os.rename(tmp, final)
 
     q = (
         stream.writeStream.foreachBatch(upsert)

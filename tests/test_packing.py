@@ -120,3 +120,16 @@ def test_compact_parquet_and_file_manifest(spark, tmp_path):
     a = {r["id"] for r in spark.read.parquet(src).collect()}
     b = {r["id"] for r in spark.read.parquet(out).collect()}
     assert a == b
+
+
+def test_check_expectations_nulls_are_violations(spark):
+    from kg_etl_spark.operators.audit import check_expectations
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double"
+    )
+    out = {r["rule"]: r["n_violations"] for r in check_expectations(
+        df, {"v_positive": F.col("v") > 0}
+    ).collect()}
+    assert out["v_positive"] == 2  # NULL row counts as a violation

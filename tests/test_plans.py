@@ -249,9 +249,10 @@ def test_shuffle_budgets_hold(spark):
         "priority_shipping_buckets": 1,
         "line_dedup": 4,
     }
+    actual = {name: n_exchanges(name) for name in budgets}
     over = {
-        name: (n_exchanges(name), budget)
+        name: (actual[name], budget)
         for name, budget in budgets.items()
-        if n_exchanges(name) > budget
+        if actual[name] > budget
     }
     assert not over, f"shuffle budgets exceeded (actual, budget): {over}"
