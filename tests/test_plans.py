@@ -256,3 +256,15 @@ def test_shuffle_budgets_hold(spark):
         if actual[name] > budget
     }
     assert not over, f"shuffle budgets exceeded (actual, budget): {over}"
+
+
+def test_q6_pushdown_full(spark):
+    # all three range predicates must reach the parquet scan
+    import re
+
+    plan = physical_plan(QUERIES["forecast_revenue"](spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
