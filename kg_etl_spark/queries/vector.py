@@ -280,3 +280,56 @@ FROM embeddings WHERE vec_id < 20
 
 QUERIES["ivf_identical_recall"] = q_ivf_identical_recall
 ORACLES["ivf_identical_recall"] = ORACLE_IVF_IDENTICAL
+
+
+_NEG_K = 5
+_NEG_ANCHORS = 20
+_NEG_MIX = 100_003  # prime pair-mixing factor
+
+from kg_etl_spark.operators.datapipe import _KNUTH_A, _M32  # noqa: E402
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor vector, k pseudo-random candidates with a DIFFERENT
+    label, chosen by a pair-keyed Knuth hash (reproducible across runs,
+    partitionings, and engines — no rand()). Anchors broadcast; the
+    corpus never shuffles except the per-anchor top-k window."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    cands = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
+    paired = cands.join(
+        F.broadcast(anchors), F.col("neg_label") != F.col("anchor_label")
+    )
+    h = F.pmod(
+        (F.col("anchor_id") * F.lit(_NEG_MIX) + F.col("neg_id")) * F.lit(_KNUTH_A),
+        F.lit(_M32),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(h.asc(), F.col("neg_id").asc())
+    return (
+        paired.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("anchor_id", "neg_id", "neg_label", "rk")
+    )
+
+
+ORACLE_NEGATIVE_SAMPLES = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label FROM embeddings WHERE vec_id < {_NEG_ANCHORS}
+), paired AS (
+  SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+         ((a.anchor_id * {_NEG_MIX} + e.vec_id) * {_KNUTH_A}) % {_M32} AS h
+  FROM embeddings e JOIN anchors a ON e.label <> a.anchor_label
+)
+SELECT anchor_id, neg_id, neg_label,
+       ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY h ASC, neg_id ASC) AS rk
+FROM paired
+QUALIFY rk <= {_NEG_K}
+"""
+
+QUERIES["negative_samples"] = q_negative_samples
+ORACLES["negative_samples"] = ORACLE_NEGATIVE_SAMPLES
