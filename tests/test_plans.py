@@ -248,6 +248,8 @@ def test_shuffle_budgets_hold(spark):
         "disjunctive_revenue": 1,
         "priority_shipping_buckets": 1,
         "line_dedup": 4,
+        "forecast_revenue": 1,
+        "geohash_cells": 1,
     }
     actual = {name: n_exchanges(name) for name in budgets}
     over = {
