@@ -27,17 +27,33 @@ _KNUTH_A = 2654435761
 _M32 = 4294967296
 
 
+def knuth_h32(id_col: Column) -> Column:
+    """(id * A) mod 2^32 as a non-negative long, overflow-free by
+    construction: Spark 4 runs ANSI mode by default, so a bare
+    ``id * A`` would throw ArithmeticException once ids pass 2^63/A
+    (~3.5e9 — real at corpus scale). Instead the id is first reduced
+    mod 2^32 (pmod → non-negative), then split into 16-bit halves so
+    every intermediate stays below 2^49:
+
+        (x*A) mod 2^32  ==  (((hi*A) mod 2^16)*2^16 + lo*A) mod 2^32
+        where x = id mod 2^32 = hi*2^16 + lo
+
+    For ids in [0, 2^32) this equals the textbook (id*A) mod 2^32, so
+    the ANSI-SQL oracle form ``(id * A) % 2^32`` matches exactly (the
+    oracle form itself is valid up to ids ~3.5e9 — DuckDB would raise
+    on BIGINT overflow past that; the engine side has no such limit)."""
+    x = F.pmod(id_col.cast("long"), F.lit(_M32))
+    hi = F.shiftright(x, 16)
+    lo = x.bitwiseAND(F.lit(0xFFFF))
+    mixed = F.pmod(hi * F.lit(_KNUTH_A), F.lit(65536)) * F.lit(65536) + lo * F.lit(_KNUTH_A)
+    return F.pmod(mixed, F.lit(_M32))
+
+
 def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
     """Deterministic pseudo-uniform bucket in [0, n_buckets) from a
     numeric id — the reproducible substitute for rand() in splits and
-    samples.
-
-    pmod, not %: for ids above 2^63/A the long multiply wraps mod 2^64,
-    and since 2^32 divides 2^64 the mod-2^32 residue is still exactly
-    (id*A) mod 2^32 — but only pmod returns it non-negative. Identical
-    values to % for non-wrapping ids, correct (instead of negative
-    buckets) at corpus scales beyond ~3.5e9 ids."""
-    return F.pmod(F.pmod(id_col.cast("long") * F.lit(_KNUTH_A), F.lit(_M32)), F.lit(n_buckets))
+    samples. See `knuth_h32` for the overflow-free construction."""
+    return F.pmod(knuth_h32(id_col), F.lit(n_buckets))
 
 
 def train_val_test_split(
@@ -213,10 +229,7 @@ def weighted_sample(
     corpus, reproducible across engines/partitionings/runs because u
     comes from the Knuth hash of the row id, not rand(). Rows with
     non-positive weight are excluded (their key is undefined)."""
-    u = (
-        (F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH_A), F.lit(_M32)) + 1).cast("double")
-        / F.lit(float(_M32 + 1))
-    )
+    u = (knuth_h32(F.col(id_col)) + 1).cast("double") / F.lit(float(_M32 + 1))
     key = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kg_etl_spark.operators.datapipe import _KNUTH_A, _M32
+from kg_etl_spark.operators.datapipe import _M32, knuth_h32
 from kg_etl_spark.operators.textquality import ws_tokens
 
 
@@ -161,9 +161,8 @@ def shard_manifest(
     n_shards so a shard's (id, hash) pairs fit a task — the window only
     carries 16 bytes/row).
     """
-    # pmod: stays correct (non-negative) when id*A wraps past int64 —
-    # see hash_bucket
-    h = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH_A), F.lit(_M32))
+    # overflow-free under ANSI mode for any int64 id — see knuth_h32
+    h = knuth_h32(F.col(id_col))
     with_shard = df.select(F.col(id_col), h.alias("_h"), F.pmod(h, F.lit(n_shards)).alias("shard"))
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return with_shard.select(
@@ -203,7 +202,7 @@ def dataset_mixture(
     # largest total corpus T s.t. every source can supply wn_s * T docs
     t_max = min(counts[s] / (weights[s] / total_w) for s in counts)
     rate = {s: (weights[s] / total_w) * t_max / counts[s] for s in counts}
-    h = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH_A), F.lit(_M32))
+    h = knuth_h32(F.col(id_col))
     rate_expr = None
     for s, r in sorted(rate.items()):
         clause = F.when(F.col(source_col) == s, F.lit(r))

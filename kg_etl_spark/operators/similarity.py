@@ -315,7 +315,12 @@ def cosine_neardup_pairs_adaptive(
     >exact_max_rows corpus have reduced recall — raise `bands` (more
     probes) or shrink the corpus first in that case.
     """
-    if corpus.count() <= exact_max_rows:
+    # Bounded dispatch probe: LIMIT cutoff+1 before counting, so deciding
+    # which path to take costs O(exact_max_rows) scan work, not a full
+    # corpus count (at 100 TB a bare corpus.count() is a wasted full
+    # pass; the limited count short-circuits after cutoff+1 rows).
+    probe = corpus.select(id_col).limit(exact_max_rows + 1).count()
+    if probe <= exact_max_rows:
         return cosine_neardup_pairs(corpus, id_col, vec_col, threshold)
     return hyperplane_lsh_neardup_pairs(
         corpus, id_col, vec_col, threshold,

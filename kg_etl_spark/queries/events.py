@@ -545,8 +545,8 @@ _SQL_SESSIONS = f"""
          CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS session_value
   FROM (
     SELECT user_id, ts, value,
-           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
-                    THEN 1 ELSE 0 END) OVER w2 AS session_id
+           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END) OVER w2 AS BIGINT) AS session_id
     FROM (
       SELECT user_id, ts, value, event_id, epoch_us(ts) AS us,
              LAG(epoch_us(ts)) OVER w AS prev_us

@@ -88,7 +88,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STRATIFIED = f"""
-SELECT lang, COUNT(*) AS n_sampled, SUM(doc_id) AS id_sum
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM documents WHERE {_BUCKET_SQL} < 20 GROUP BY lang
 """
 
@@ -323,7 +323,7 @@ WITH t AS (
          len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0)) AS nt
   FROM documents
 ), per AS (
-  SELECT split, lang, COUNT(*) AS n_docs, SUM(nt) AS total_tokens
+  SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
   FROM t GROUP BY split, lang
 )
 SELECT split, lang, n_docs, total_tokens,
@@ -385,12 +385,12 @@ scored AS (
   FROM tri
 )
 SELECT COUNT(*) AS n_total,
-       SUM(CASE WHEN s.n_tokens < {_FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END) AS n_short,
-       SUM(CASE WHEN ROUND(s.quality_score, 6) < {_FUNNEL_MIN_QUALITY} THEN 1 ELSE 0 END) AS n_low_quality,
-       SUM(CASE WHEN d.dup_frac > {_FUNNEL_MAX_DUP} THEN 1 ELSE 0 END) AS n_repetitive,
-       SUM(CASE WHEN s.n_tokens >= {_FUNNEL_MIN_TOKENS}
+       CAST(SUM(CASE WHEN s.n_tokens < {_FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(CASE WHEN ROUND(s.quality_score, 6) < {_FUNNEL_MIN_QUALITY} THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN d.dup_frac > {_FUNNEL_MAX_DUP} THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(CASE WHEN s.n_tokens >= {_FUNNEL_MIN_TOKENS}
                  AND ROUND(s.quality_score, 6) >= {_FUNNEL_MIN_QUALITY}
-                 AND d.dup_frac <= {_FUNNEL_MAX_DUP} THEN 1 ELSE 0 END) AS n_survivors
+                 AND d.dup_frac <= {_FUNNEL_MAX_DUP} THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
 FROM scored s JOIN dup d ON s.doc_id = d.doc_id
 """
 
@@ -461,7 +461,7 @@ split AS (
               ELSE 'train' END AS split
   FROM keep k JOIN documents d ON k.doc_id = d.doc_id
 )
-SELECT split, lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM split GROUP BY split, lang
 """
 
@@ -530,7 +530,7 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cb
   FROM t WHERE n_tokens > 0
 )
 SELECT doc_id, n_tokens, cb // {_PACK_CAP} AS first_bin,
@@ -588,7 +588,7 @@ WITH w AS (
 ), rates AS (
   SELECT w.lang, (w.wt / 1.0) * t.t_max / w.n AS rate FROM w, t WHERE w.wt IS NOT NULL
 )
-SELECT d.lang, COUNT(*) AS n_kept, SUM(d.doc_id) AS id_sum
+SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
 FROM documents d JOIN rates r ON d.lang = r.lang
 WHERE CAST((d.doc_id * {_KNUTH_A}) % {_M32} AS DOUBLE) < r.rate * {float(_M32)!r}
 GROUP BY d.lang
@@ -755,8 +755,8 @@ WITH planted AS (
          len(list_filter(string_split_regex(trim(lower(r.text)), '\\s+'), t -> len(t) > 0)) AS nt
   FROM keep k JOIN rebuilt r ON k.doc_id = r.doc_id
 )
-SELECT split, COUNT(*) AS n_docs, SUM(nt) AS total_tokens,
-       (SUM(nt) + {_E2E_CAP} - 1) // {_E2E_CAP} AS n_bins
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST((SUM(nt) + {_E2E_CAP} - 1) // {_E2E_CAP} AS BIGINT) AS n_bins
 FROM sized WHERE nt > 0
 GROUP BY split
 """

@@ -506,7 +506,7 @@ def q_sql_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINDOW_RANK = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n,
-       SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS n_flag,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_flag,
        RANK() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_linestatus) AS rnk
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -1129,8 +1129,8 @@ def q_priority_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRIORITY_BUCKETS = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -1465,12 +1465,12 @@ WITH j AS (
   FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), agg AS (
   SELECT COUNT(*) AS n,
-         SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN 0 ELSE 1 END) AS v_discount,
-         SUM(CASE WHEN fk_ok THEN 0 ELSE 1 END) AS v_fk,
-         SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_price,
-         SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS v_qty,
-         SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS v_flag,
-         SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v_ship
+         CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN 0 ELSE 1 END) AS BIGINT) AS v_discount,
+         CAST(SUM(CASE WHEN fk_ok THEN 0 ELSE 1 END) AS BIGINT) AS v_fk,
+         CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+         CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v_flag,
+         CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_ship
   FROM j
 )
 SELECT 'discount_unit_interval' AS rule, v_discount AS n_violations, n AS n_rows FROM agg

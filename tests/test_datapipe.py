@@ -103,6 +103,22 @@ def test_hash_bucket_range(spark):
     assert 0 <= mm["lo"] and mm["hi"] <= 99
 
 
+def test_hash_bucket_large_ids_ansi_safe(spark):
+    """Ids past 2^63/A (~3.5e9) must not overflow under ANSI mode (the
+    default in Spark 4, and what the external driver's session runs),
+    and must equal the reference (id mod 2^32)*A mod 2^32 formula."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    ids = [0, 1, 5_000_000_000, 2**32 - 1, 2**40 + 7, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {
+        r["id"]: r["b"]
+        for r in df.select("id", hash_bucket(F.col("id")).alias("b")).collect()
+    }
+    a, m = 2654435761, 2**32
+    for i in ids:
+        assert got[i] == ((i % m) * a) % m % 100, i
+
+
 def test_neardup_canonical_keeps_best_quality(spark):
     from kg_etl_spark.operators.dedup import neardup_canonical
 

@@ -26,18 +26,34 @@ TABLES = [
 
 
 def norm_cell(v):
+    """Dtype-faithful stringification.
+
+    Must be at least as strict as the external driver: the driver reads the
+    DuckDB oracle through pandas, where an uncast integer SUM (HUGEINT)
+    lands as float64 — so a float-typed 7973.0 must NOT collapse to the
+    same string as a bigint 7973.  (Round-2 lesson: the old norm_cell did
+    collapse them and masked 3 driver-red oracles.)
+    """
     import math
 
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return f"{v:.6f}"
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.ndarray):
+        return "[" + ", ".join(norm_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -80,7 +96,13 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # Both sides go through pandas, like the driver: a NULL-bearing
+            # int column becomes float64 with NaN on BOTH sides (Spark
+            # toPandas and DuckDB .df() agree), while an uncast DuckDB
+            # HUGEINT sum becomes float64 against Spark's int64 — the
+            # exact asymmetry the driver's hash sees.
+            spdf = sdf.toPandas()
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
@@ -91,9 +113,12 @@ def main():
                 print(f"      WARN: zero rows from {name}")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Go through pandas (.df()) like the external driver does, so
+            # DuckDB HUGEINT/DECIMAL dtype artifacts surface identically
+            # (uncast SUM -> HUGEINT -> float64, not Python int).
+            odf = con.execute(ORACLES[name]).df()
+            ocols = list(odf.columns)
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
