@@ -58,6 +58,20 @@ def rollup_stream(
     spark = stream.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # Guard against checkpoint/state divergence: batch ids only ever
+        # replay the LAST batch, so an existing version strictly above
+        # batch_id means this stream was restarted with a fresh checkpoint
+        # (ids reset to 0) against old state — merging would silently fork
+        # history (new merges ignore it, readers keep seeing the stale
+        # higher version). Refuse loudly instead.
+        latest = _latest_version(state_root)
+        if latest is not None and latest > int(batch_id):
+            raise ValueError(
+                f"rollup state at {state_root} is already at v={latest} but "
+                f"this stream is writing batch {batch_id}: the checkpoint "
+                "was reset against existing state. Use a fresh state_root "
+                "or keep the original checkpoint_dir."
+            )
         new_part = partial_rollup(batch_df, keys, value_col)
         prev_v = _latest_version(state_root, below=int(batch_id))
         if prev_v is not None:
@@ -77,6 +91,16 @@ def rollup_stream(
 
             shutil.rmtree(final)  # checkpoint replay of the same batch
         os.rename(tmp, final)
+        # Prune superseded versions, keeping this batch and its merge
+        # parent (prev_v is still needed if THIS batch replays after a
+        # crash before the checkpoint commits). Without pruning the
+        # state_root grows one full rollup copy per batch forever.
+        import shutil
+
+        keep = {int(batch_id)} | ({prev_v} if prev_v is not None else set())
+        for d in os.listdir(state_root):
+            if d.startswith(_VERSION_PREFIX) and int(d[len(_VERSION_PREFIX):]) not in keep:
+                shutil.rmtree(f"{state_root}/{d}", ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(upsert)

@@ -7,6 +7,8 @@ import json
 import os
 import sqlite3
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -446,3 +448,25 @@ def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+    # superseded versions are pruned: at most current + merge parent remain
+    import os
+
+    vdirs = [d for d in os.listdir(state) if d.startswith("v=")]
+    assert len(vdirs) <= 2, vdirs
+
+    # restarting with a FRESH checkpoint against the existing state_root
+    # must refuse (batch ids reset to 0 would silently fork state)
+    (src / "b3.json").write_text(rows(80, 90))
+    q = rollup_stream(stream, ["k"], "v", state, str(tmp_path / "fresh_ckpt"))
+    with pytest.raises(Exception, match="checkpoint"):
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    # state is unchanged after the refused write
+    got2 = sorted(
+        tuple(r)
+        for r in finalize_rollup(read_rollup_state(spark, state)).collect()
+    )
+    assert got2 == got
