@@ -289,6 +289,45 @@ def q_kcore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(pairs, k=3)
 
 
+def q_kcore_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin of `kcore_customers` (the
+    minhash_identical_recall pattern): a graph whose 3-core is known by
+    construction. Customers 1..8 form a K8 clique (in-clique degree 7);
+    customers 9..20 form a pendant chain bridged to node 1. Every chain
+    node has degree ≤ 2 < 3 at every point of ANY peel order, so the
+    chain provably peels away entirely (≈11 cascade rounds — a real
+    stress of the fixpoint loop), after which each clique node has
+    degree exactly 7 ≥ 3 and the peel is stable. The unique 3-core is
+    therefore {1..8} with in-core degree 7, SQL-enumerable."""
+    from kg_etl_spark.operators.kcore import kcore
+
+    ids = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"))
+        .filter(F.col("id") <= 20)
+    )
+    a = ids.select(F.col("id").alias("a_id"))
+    b = ids.select(F.col("id").alias("b_id"))
+    clique = (
+        a.filter(F.col("a_id").between(1, 8))
+        .join(b.filter(F.col("b_id").between(1, 8)), F.col("a_id") < F.col("b_id"))
+    )
+    chain = ids.filter((F.col("id") >= 9) & (F.col("id") <= 19)).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    bridge = ids.filter(F.col("id") == 1).select(
+        F.col("id").alias("a_id"), F.lit(9).cast("long").alias("b_id")
+    )
+    edges = clique.unionByName(chain).unionByName(bridge)
+    return kcore(edges, k=3)
+
+
+ORACLE_KCORE_PLANTED = """
+SELECT c_custkey AS node, CAST(7 AS BIGINT) AS degree
+FROM customer WHERE c_custkey BETWEEN 1 AND 8
+"""
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (≤3 hops) on the 800 m proximity graph from
     every 500th customer (operators/bfs.py)."""
@@ -460,7 +499,9 @@ QUERIES = {
     "label_communities": q_label_communities,
     "bfs_distances": q_bfs_distances,
     "kcore_customers": q_kcore_customers,
-    # kcore: fixpoint iteration — not SQL-expressible; rows-only
+    # kcore_customers: unbounded fixpoint — rows-only; its planted twin
+    # below carries the value-hash oracle for the peel machinery
+    "kcore_planted_recall": q_kcore_planted_recall,
     "supplier_link_prediction": q_supplier_link_prediction,
 }
 
@@ -475,6 +516,7 @@ ORACLES = {
     "triangle_counts": ORACLE_TRIANGLES,
     "label_communities": ORACLE_LPA,
     "bfs_distances": ORACLE_BFS,
+    "kcore_planted_recall": ORACLE_KCORE_PLANTED,
     "supplier_link_prediction": ORACLE_LINK_PREDICTION,
 }
 

@@ -243,6 +243,54 @@ def q_topk_distinct_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("grp", F.concat_ws("␟", "texts").alias("texts_joined"))
 
 
+def q_topk_distinct_boundary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin of `topk_distinct_texts` (the
+    minhash_identical_recall pattern): at sim_cutoff = 1.5 EVERY
+    candidate passes the suppression test (any kernel's sim is ≤ 1.0),
+    so the greedy loop provably degenerates to plain top-k by
+    (-length, text); at sim_cutoff = 0.0 NOTHING after the first
+    passes (sim ≥ 0.0), so exactly the longest text survives. Both
+    boundaries are kernel-independent, so the greedy machinery —
+    longest-first ordering, the k bound, suppression against every
+    kept text, applyInPandas group fan-out — gets a full value-hash
+    oracle; only the kernel's mid-range values stay rows-only (covered
+    by the base query and unit tests)."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "grp", F.concat_ws("_", "lang", "source")
+    )
+    loose = topk_distinct_texts(docs, "grp", "text", k=2, sim_cutoff=1.5).select(
+        "grp",
+        F.lit("all_pass").alias("phase"),
+        F.concat_ws("␟", "texts").alias("texts_joined"),
+    )
+    strict = topk_distinct_texts(docs, "grp", "text", k=2, sim_cutoff=0.0).select(
+        "grp",
+        F.lit("first_only").alias("phase"),
+        F.concat_ws("␟", "texts").alias("texts_joined"),
+    )
+    return loose.unionByName(strict)
+
+
+ORACLE_TOPK_DISTINCT_BOUNDARY = """
+WITH t AS (
+  SELECT lang || '_' || source AS grp, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang || '_' || source
+           ORDER BY LENGTH(text) DESC, text ASC
+         ) AS rn
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+)
+SELECT grp, 'all_pass' AS phase,
+       string_agg(text, '␟' ORDER BY rn) AS texts_joined
+FROM t WHERE rn <= 2 GROUP BY grp
+UNION ALL
+SELECT grp, 'first_only' AS phase,
+       string_agg(text, '␟' ORDER BY rn) AS texts_joined
+FROM t WHERE rn <= 1 GROUP BY grp
+"""
+
+
 def q_clean_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 — wikitext cleanup + newline normalization over a
     synthesized wiki-markup column (documents.text carries no markup,
@@ -590,6 +638,7 @@ QUERIES = {
     "simhash_identical_recall": q_simhash_identical_recall,
     "simhash_dedup": q_simhash_pairs,
     "topk_distinct_texts": q_topk_distinct_texts,
+    "topk_distinct_boundary_recall": q_topk_distinct_boundary_recall,
     "bm25_search": q_bm25_search,
     "tfidf_search": q_tfidf_search,
     "neardup_canonical": q_neardup_canonical,
@@ -610,6 +659,7 @@ ORACLES = {
     "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     # minhash/simhash/topk_distinct: engine-specific → rows-only check
+    "topk_distinct_boundary_recall": ORACLE_TOPK_DISTINCT_BOUNDARY,
     "bm25_search": ORACLE_BM25,
     "tfidf_search": ORACLE_TFIDF,
     "neardup_canonical": ORACLE_NEARDUP_CANON,
