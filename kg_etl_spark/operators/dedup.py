@@ -152,12 +152,13 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard
+    (computed over the 64-bit-hashed shingle sets — exact up to xxhash64
+    collisions, deterministically).
 
     Banding: signature split into `bands` rows of r=num_hashes/bands;
     docs sharing any band-hash become candidates (one shuffle on the
-    band key); candidates verified exactly. Estimated-sim filter keeps
-    the verify join small.
+    band key); candidates verified before emit.
 
     max_bucket caps band-bucket size: a bucket of d docs yields d²/2
     candidate pairs, and massive buckets are near-exclusively exact-dup
@@ -169,16 +170,37 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # same branch-reuse cuts as ngram_jaccard_pairs: sh feeds the
-    # signature build and both exact-verify sides; sig feeds both sides
-    # of the band self-join
-    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=True)
-    sig = minhash_signatures_df(sh, num_hashes).localCheckpoint(eager=True)
+    # Checkpoint the HASHED shingle sets (array<long>), not the string
+    # arrays: the string→long hashing happens exactly once, the
+    # checkpoint is ~8 bytes per shingle instead of the string bytes,
+    # and the exact-verify intersects long arrays (far cheaper than
+    # string arrays). Verify Jaccard is then exact up to xxhash64
+    # collisions (~2^-64 per shingle pair — deterministic, and
+    # identical-copy pairs are unaffected: equal sets hash to equal
+    # sets, so the planted-recall oracle twin stays exact).
+    sh = _shingled(df, id_col, text_col, n)
+    shh = sh.select(
+        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_shh")
+    ).localCheckpoint(eager=True)
+
+    # Signature straight from the hashed shingles: per seed i,
+    # min(xxhash64(shingle_hash, i)) — one explode + ONE hash-aggregate.
+    ex = shh.select("_id", F.explode("_shh").alias("_hs"))
+    mins = ex.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    sig = mins.select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
+    )
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     # xxhash64 hashes the (int, array<long>) pair natively — no
     # stringification of the slice; hash collisions across distinct
-    # slices only ADD candidates (verified exactly below), never drop
+    # slices only ADD candidates (verified exactly below), never drop.
+    # The checkpoint sits at `banded` (the multi-consumer cut: both
+    # sides of the candidate self-join + the bucket-cap aggregate), so
+    # the signature array itself is never materialized — 3 narrow longs
+    # per doc×band instead of num_hashes longs per doc.
     banded = sig.select(
         "_id",
         F.explode(
@@ -190,7 +212,9 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("_b"),
-    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    ).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
+    ).localCheckpoint(eager=True)
 
     if max_bucket is not None:
         over = (
@@ -208,9 +232,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify on the candidate set only
-    sh_a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"))
-    sh_b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"))
+    # exact verify on the candidate set only (hashed shingle sets)
+    sh_a = shh.select(F.col("_id").alias("a_id"), F.col("_shh").alias("a_sh"))
+    sh_b = shh.select(F.col("_id").alias("b_id"), F.col("_shh").alias("b_sh"))
     verified = (
         cand.join(sh_a, "a_id")
         .join(sh_b, "b_id")
