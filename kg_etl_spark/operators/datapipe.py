@@ -343,3 +343,100 @@ def ngram_contamination(
         .agg(F.countDistinct("_gram").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def bloom_ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 13,
+    min_shared: int = 1,
+    m_bits: int = 1 << 20,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Bloom-prefiltered n-gram decontamination: bit-identical pairs to
+    `ngram_contamination`, built for the regime where the corpus-side
+    gram stream is enormous. Corpus grams are tested MAP-SIDE against a
+    broadcast m_bits-bit Bloom filter of the benchmark's grams, and only
+    survivors (true overlaps + ~fpp false positives) ever reach the
+    exact-verify join.
+
+    The filter is built natively, no driver-side data pass: each
+    distinct benchmark gram hashes to `n_probes` bit positions
+    (xxhash64 re-seeded per probe); positions aggregate into m_bits/64
+    words via one bit_or groupBy whose output size is bounded by the
+    FILTER (m_bits/64 rows), not the data; the words come back to the
+    driver as the model (~m_bits/8 bytes) and are inlined as one
+    array<long> literal in the probe expression.
+
+    Correctness: a Bloom filter has NO false negatives, so no
+    contaminated pair can be lost; false positives are eliminated by
+    the exact verify join — the output therefore equals the exact
+    operator's and shares its oracle. At 100 TB the probe is pure
+    bitwise map-side work and the verify join's broadcast table only
+    sees the prefiltered trickle. Size m_bits at ~10-16 bits per
+    distinct benchmark gram for 0.1-1% fpp.
+    """
+    import numpy as np
+
+    from kg_etl_spark.functions.text import word_shingles
+    from kg_etl_spark.operators.textquality import ws_tokens
+
+    assert m_bits % 64 == 0 and m_bits > 0
+    n_words = m_bits // 64
+
+    bench_grams = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_gram"),
+    )
+
+    def probe_bits(gh):
+        return [F.pmod(F.xxhash64(gh, F.lit(j)), F.lit(m_bits)) for j in range(n_probes)]
+
+    # single-bit masks as a 64-entry lookup (shiftleft needs a literal
+    # shift amount; element_at takes a column index) — bit 63 is the
+    # int64 sign bit, hence the signed wrap
+    masks = F.lit(
+        np.array([(1 << i) - ((1 << 64) if i == 63 else 0) for i in range(64)], dtype=np.int64)
+    )
+
+    def bit_mask(p):
+        return F.element_at(masks, (F.pmod(p, 64) + 1).cast("int"))
+
+    pos = (
+        bench_grams.select(F.xxhash64("_gram").alias("_gh"))
+        .distinct()
+        .select(F.explode(F.array(*probe_bits(F.col("_gh")))).alias("_p"))
+    )
+    words_sparse = (
+        pos.groupBy(F.floor(F.col("_p") / 64).cast("long").alias("_w"))
+        .agg(F.bit_or(bit_mask(F.col("_p"))).alias("_bits"))
+        .collect()  # ≤ m_bits/64 rows: the filter (model), not the data
+    )
+    words = np.zeros(n_words, dtype=np.int64)
+    for r in words_sparse:
+        words[int(r["_w"])] = int(r["_bits"])
+    bitmap = F.lit(words)
+
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_gram"),
+    ).withColumn("_gh", F.xxhash64("_gram"))
+
+    hit = None
+    for p in probe_bits(F.col("_gh")):
+        test = (
+            F.element_at(bitmap, (F.floor(p / 64) + 1).cast("int")).bitwiseAND(bit_mask(p))
+            != 0
+        )
+        hit = test if hit is None else (hit & test)
+
+    return (
+        corpus_grams.filter(hit)
+        .join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.countDistinct("_gram").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

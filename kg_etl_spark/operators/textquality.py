@@ -42,6 +42,55 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+def unigram_surprisal(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 2000,
+) -> DataFrame:
+    """Unigram-LM surprisal score — the KenLM-free perplexity filter a
+    training pipeline uses to drop gibberish/outlier documents: fit a
+    smoothed unigram model on the corpus itself (top-`vocab_size` types
+    by count, add-one smoothing, single shared OOV mass), then score
+    each document by mean token surprisal -ln p(w). High = unusual
+    wordform mix; low = stopword-y boilerplate.
+
+    Shape: one token-count aggregate (checkpointed: feeds the total and
+    the vocab cut), vocab via TakeOrdered (count DESC, token ASC — total
+    order), broadcast-joined back to the token stream, one per-doc
+    aggregate. The corpus shuffles once (per-doc agg); the model is
+    vocab_size rows + one scalar.
+
+    Cross-engine exactness: per-token surprisal is rounded to 6 dp then
+    summed as DECIMAL(28,6) (order-independent), divided as double at
+    the end — the established float-oracle idiom. p(w) itself is one
+    IEEE divide of exact integers, identical in both engines.
+    """
+    toks = corpus.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("_tok")
+    )
+    counts = (
+        toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(eager=True)
+    )
+    n_total = counts.agg(F.sum("_c").alias("n")).collect()[0]["n"] or 0
+    vocab = counts.orderBy(F.col("_c").desc(), F.col("_tok").asc()).limit(vocab_size)
+    denom = float(n_total + vocab_size + 1)
+
+    joined = toks.join(F.broadcast(vocab), "_tok", "left")
+    p = F.coalesce((F.col("_c") + 1).cast("double"), F.lit(1.0)) / F.lit(denom)
+    s = F.round(-F.log(p), 6).cast("decimal(28,6)")
+    return (
+        joined.withColumn("_s", s)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_s").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio features + a blended
     quality score in [0,1]."""

@@ -212,12 +212,11 @@ _NG_N = 13
 _NG_PLANT_TOKENS = 16
 
 
-def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-3-style 13-gram decontamination: benchmark = docs 0..4;
+def _planted_contaminated(spark: SparkSession, sf_dir: str):
+    """(corpus, bench) with known contamination: benchmark = docs 0..4;
     every 97th corpus doc gets a 16-token span copied from its matching
-    benchmark doc, so the sweep must flag those pairs (plus any organic
+    benchmark doc, so a sweep must flag those pairs (plus any organic
     13-gram overlaps, e.g. exact duplicates)."""
-    from kg_etl_spark.operators.datapipe import ngram_contamination
     from kg_etl_spark.operators.textquality import ws_tokens
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -240,8 +239,26 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
-    return ngram_contamination(
-        corpus, bench.select(F.col("doc_id").alias("bench_id"), "text"), n=_NG_N
+    return corpus, bench.select(F.col("doc_id").alias("bench_id"), "text")
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram decontamination over the planted corpus."""
+    from kg_etl_spark.operators.datapipe import ngram_contamination
+
+    corpus, bench = _planted_contaminated(spark, sf_dir)
+    return ngram_contamination(corpus, bench, n=_NG_N)
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sweep through the native Bloom prefilter (map-side
+    bitmap probe, exact verify on survivors) — output bit-identical to
+    `ngram_contamination`, so it shares ORACLE_NGRAM_CONTAMINATION."""
+    from kg_etl_spark.operators.datapipe import bloom_ngram_contamination
+
+    corpus, bench = _planted_contaminated(spark, sf_dir)
+    return bloom_ngram_contamination(
+        corpus, bench, n=_NG_N, m_bits=1 << 16, n_probes=4
     )
 
 
@@ -777,6 +794,7 @@ QUERIES = {
     "dataset_mixture": q_dataset_mixture,
     "line_dedup": q_line_dedup,
     "ngram_contamination": q_ngram_contamination,
+    "bloom_contamination": q_bloom_contamination,
     "dataset_card": q_dataset_card,
     "filter_funnel": q_filter_funnel,
     "training_pipeline_e2e": q_training_pipeline_e2e,
@@ -797,6 +815,7 @@ ORACLES = {
     "dataset_mixture": ORACLE_MIXTURE,
     "line_dedup": ORACLE_LINE_DEDUP,
     "ngram_contamination": ORACLE_NGRAM_CONTAMINATION,
+    "bloom_contamination": ORACLE_NGRAM_CONTAMINATION,
     "dataset_card": ORACLE_DATASET_CARD,
     "filter_funnel": ORACLE_FILTER_FUNNEL,
     "training_pipeline_e2e": ORACLE_TRAINING_E2E,

@@ -243,6 +243,42 @@ def q_topk_distinct_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("grp", F.concat_ws("␟", "texts").alias("texts_joined"))
 
 
+_SURPRISAL_V = 2000
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: mean smoothed-unigram surprisal
+    per document (operators/textquality.py `unigram_surprisal`)."""
+    from kg_etl_spark.operators.textquality import unigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, vocab_size=_SURPRISAL_V)
+
+
+ORACLE_UNIGRAM_SURPRISAL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> len(x) > 0)) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) + {_SURPRISAL_V} + 1 AS denom FROM counts
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT {_SURPRISAL_V}
+), scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(-ln(CAST(COALESCE(v.c + 1, 1) AS DOUBLE)
+                        / CAST(tot.denom AS DOUBLE)), 6) AS DECIMAL(28,6)) AS s
+  FROM toks t LEFT JOIN vocab v USING (tok), tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_topk_distinct_boundary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-provable twin of `topk_distinct_texts` (the
     minhash_identical_recall pattern): at sim_cutoff = 1.5 EVERY
@@ -639,6 +675,7 @@ QUERIES = {
     "simhash_dedup": q_simhash_pairs,
     "topk_distinct_texts": q_topk_distinct_texts,
     "topk_distinct_boundary_recall": q_topk_distinct_boundary_recall,
+    "unigram_surprisal": q_unigram_surprisal,
     "bm25_search": q_bm25_search,
     "tfidf_search": q_tfidf_search,
     "neardup_canonical": q_neardup_canonical,
@@ -660,6 +697,7 @@ ORACLES = {
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     # minhash/simhash/topk_distinct: engine-specific → rows-only check
     "topk_distinct_boundary_recall": ORACLE_TOPK_DISTINCT_BOUNDARY,
+    "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
     "bm25_search": ORACLE_BM25,
     "tfidf_search": ORACLE_TFIDF,
     "neardup_canonical": ORACLE_NEARDUP_CANON,

@@ -282,6 +282,48 @@ QUERIES["ivf_identical_recall"] = q_ivf_identical_recall
 ORACLES["ivf_identical_recall"] = ORACLE_IVF_IDENTICAL
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding table (operators/clustering.py
+    `semantic_dedup`): cluster-blocked cosine groups, min-id keeper.
+    Rows-only by documented design — k-means cluster boundaries and the
+    cosine cutoff are float-sensitive, so the full output has no stable
+    SQL mirror; the recall twin below carries the value-hash oracle."""
+    from kg_etl_spark.operators.clustering import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iterations=2, threshold=0.95)
+
+
+def q_semantic_dedup_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup provable-recall oracle (planted twin): vectors 0..19
+    re-planted under ids +100000. An identical vector produces an
+    identical distance row → the same argmin cluster, and its cosine to
+    the original is 1.0 >= any threshold → the pair is always an edge,
+    so the planted copy's component contains the original's smaller id
+    and the copy can NEVER be the keeper. One planted row with
+    is_kept=true (or a missing row) = hash mismatch."""
+    from kg_etl_spark.operators.clustering import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    out = semantic_dedup(
+        emb.unionByName(copies), k=8, iterations=2, threshold=0.95
+    )
+    return out.filter(F.col("vec_id") >= 100_000).select("vec_id", "is_kept")
+
+
+ORACLE_SEMANTIC_DEDUP_IDENTICAL = """
+SELECT vec_id + 100000 AS vec_id, CAST(false AS BOOLEAN) AS is_kept
+FROM embeddings WHERE vec_id < 20
+"""
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+QUERIES["semantic_dedup_identical_recall"] = q_semantic_dedup_identical_recall
+ORACLES["semantic_dedup_identical_recall"] = ORACLE_SEMANTIC_DEDUP_IDENTICAL
+
+
 _NEG_K = 5
 _NEG_ANCHORS = 20
 _NEG_MIX = 100_003  # prime pair-mixing factor

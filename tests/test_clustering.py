@@ -64,3 +64,23 @@ def test_empty_cluster_keeps_seed_centroid(spark):
     cent = {(r["cluster_id"], r["dim"]): r["centroid_val"] for r in out}
     for v in cent.values():
         assert not math.isnan(v)
+
+
+def test_semantic_dedup_groups_and_keepers(spark):
+    """Two near-identical pairs in opposite corners + a lone vector:
+    each pair collapses to its min-id keeper, the loner survives."""
+    from kg_etl_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (7, [1.0, 1e-9]),      # ~cos 1.0 with id 0
+        (1, [0.0, 1.0]),
+        (9, [1e-9, 1.0]),      # ~cos 1.0 with id 1
+        (5, [-1.0, -1.0]),     # alone
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in semantic_dedup(df, k=2, threshold=0.99).collect()}
+    assert out[0]["group_id"] == out[7]["group_id"] == 0
+    assert out[1]["group_id"] == out[9]["group_id"] == 1
+    assert out[5]["group_id"] == 5
+    assert {i for i, r in out.items() if r["is_kept"]} == {0, 1, 5}

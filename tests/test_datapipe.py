@@ -187,3 +187,48 @@ def test_dedup_lines_min_docs_threshold(spark):
     # min_docs=4: nothing removed
     kept = dedup_lines(docs, min_docs=4).filter("n_removed_lines > 0").count()
     assert kept == 0
+
+
+def test_bloom_contamination_matches_exact(spark):
+    """The Bloom prefilter must be pair-identical to the exact sweep —
+    even with a deliberately tiny, collision-heavy filter (false
+    positives die in the verify join; no false negatives exist)."""
+    from kg_etl_spark.operators.datapipe import (
+        bloom_ngram_contamination,
+        ngram_contamination,
+    )
+
+    words = lambda lo, hi: " ".join(f"w{i}" for i in range(lo, hi))
+    corpus = spark.createDataFrame(
+        [(1, words(0, 20)), (2, words(100, 120)), (3, words(5, 18))],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(50, words(0, 16)), (51, words(200, 216))], ["bench_id", "text"]
+    )
+    exact = {
+        tuple(r) for r in ngram_contamination(corpus, bench, n=13).collect()
+    }
+    assert exact  # doc 1 shares 13-grams with bench 50
+    for m_bits in (1 << 16, 64):  # honest size and a collision trap
+        got = {
+            tuple(r)
+            for r in bloom_ngram_contamination(
+                corpus, bench, n=13, m_bits=m_bits
+            ).collect()
+        }
+        assert got == exact, m_bits
+
+
+def test_unigram_surprisal_ranks_rare_words_higher(spark):
+    from kg_etl_spark.operators.textquality import unigram_surprisal
+
+    common = "the cat sat on the mat " * 5
+    rows = [(1, common), (2, common), (3, common), (4, "zyx qwv jkl pnm")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_surprisal(df, vocab_size=100).collect()}
+    assert out[4]["n_tokens"] == 4
+    # doc of corpus-rare words must be strictly more surprising
+    assert out[4]["avg_surprisal"] > out[1]["avg_surprisal"]
+    # identical docs score identically
+    assert out[1]["avg_surprisal"] == out[2]["avg_surprisal"] == out[3]["avg_surprisal"]
