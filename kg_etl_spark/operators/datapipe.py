@@ -216,6 +216,91 @@ def benchmark_contamination(
     )
 
 
+def dsir_weights(
+    corpus: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much its
+    unigram+bigram feature mix looks like the TARGET slice of the
+    corpus vs the corpus overall. weight = Σ_features
+    ln(p_target(f)/p_raw(f)) with add-one smoothing — the standard
+    cheap proxy for "train on data that resembles the high-quality
+    set"; resample/threshold on `dsir_weight` downstream
+    (`weighted_sample` composes directly).
+
+    Two feature modes:
+    - ``n_buckets=None`` (exact): features are the gram strings; the
+      ratio table is |gram types| rows, the per-doc scoring join
+      shuffles on the gram. Cross-engine deterministic (per-feature
+      log-ratios rounded to 6 dp then summed as DECIMAL) → full SQL
+      oracle.
+    - ``n_buckets=int`` (scale): grams hash into n_buckets
+      (xxhash64 → pmod), the ratio table is a FIXED n_buckets rows →
+      broadcastable, so the per-doc scoring join is map-side and the
+      corpus shuffles only for the final per-doc aggregate. This is
+      the paper's actual construction (hashed features); values are
+      engine-specific (rows-only), consistency with the exact mode is
+      unit-tested on collision-free inputs.
+
+    One explode pass feeds everything: the (gram, is_target) stream is
+    aggregated once (checkpointed — it serves the ratio table AND the
+    two totals), then joined back for per-doc sums. Scalars pulled to
+    the driver are 3 numbers (model, not data).
+    """
+    toks = corpus.select(
+        F.col(id_col),
+        is_target.cast("int").alias("_t"),
+        ws_tokens(F.col(text_col)).alias("_tk"),
+    )
+    grams = F.concat(
+        F.col("_tk"),
+        F.zip_with(
+            F.slice(F.col("_tk"), 1, F.greatest(F.size("_tk") - 1, F.lit(0))),
+            F.slice(F.col("_tk"), 2, F.greatest(F.size("_tk") - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    feats = toks.select(id_col, "_t", F.explode(grams).alias("_g"))
+    if n_buckets is not None:
+        feats = feats.withColumn(
+            "_g", F.pmod(F.xxhash64(F.col("_g")), F.lit(n_buckets))
+        )
+    counts = (
+        feats.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_cr"),
+            F.sum("_t").alias("_ct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum("_cr").alias("nr"), F.sum("_ct").alias("nt"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_raw, n_tgt = int(tot["nr"] or 0), int(tot["nt"] or 0)
+    v = n_buckets if n_buckets is not None else int(tot["v"] or 0)
+
+    lr = F.round(
+        F.log((F.col("_ct") + 1).cast("double") / F.lit(float(n_tgt + v)))
+        - F.log((F.col("_cr") + 1).cast("double") / F.lit(float(n_raw + v))),
+        6,
+    ).cast("decimal(28,6)")
+    ratios = counts.select("_g", lr.alias("_lr"))
+    if n_buckets is not None:
+        ratios = F.broadcast(ratios)
+    return (
+        feats.join(ratios, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("_lr").cast("double"), 6).alias("dsir_weight"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id"
 ) -> DataFrame:

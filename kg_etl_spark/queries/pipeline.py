@@ -298,6 +298,46 @@ HAVING COUNT(DISTINCT c.gram) >= 1
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with target = the English slice
+    (operators/datapipe.py `dsir_weights`, exact string-feature mode —
+    the hashed-bucket scale mode is unit-tested for consistency)."""
+    from kg_etl_spark.operators.datapipe import dsir_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, is_target=F.col("lang") == "en")
+
+
+ORACLE_DSIR = """
+WITH tk AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, t, unnest(list_concat(
+    w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+  )) AS g
+  FROM tk
+), counts AS (
+  SELECT g, COUNT(*) AS cr, CAST(SUM(t) AS BIGINT) AS ct FROM feats GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt,
+         COUNT(*) AS v
+  FROM counts
+), ratios AS (
+  SELECT g,
+         CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+                  - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS lr
+  FROM counts, tot
+)
+SELECT f.doc_id, COUNT(*) AS n_feats,
+       ROUND(CAST(SUM(r.lr) AS DOUBLE), 6) AS dsir_weight
+FROM feats f JOIN ratios r USING (g)
+GROUP BY f.doc_id
+"""
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card rollup: per (split, lang) document and token totals
     plus each cell's share of the corpus — the summary table a training
@@ -795,6 +835,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "ngram_contamination": q_ngram_contamination,
     "bloom_contamination": q_bloom_contamination,
+    "dsir_weights": q_dsir_weights,
     "dataset_card": q_dataset_card,
     "filter_funnel": q_filter_funnel,
     "training_pipeline_e2e": q_training_pipeline_e2e,
@@ -816,6 +857,7 @@ ORACLES = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "ngram_contamination": ORACLE_NGRAM_CONTAMINATION,
     "bloom_contamination": ORACLE_NGRAM_CONTAMINATION,
+    "dsir_weights": ORACLE_DSIR,
     "dataset_card": ORACLE_DATASET_CARD,
     "filter_funnel": ORACLE_FILTER_FUNNEL,
     "training_pipeline_e2e": ORACLE_TRAINING_E2E,

@@ -232,3 +232,35 @@ def test_unigram_surprisal_ranks_rare_words_higher(spark):
     assert out[4]["avg_surprisal"] > out[1]["avg_surprisal"]
     # identical docs score identically
     assert out[1]["avg_surprisal"] == out[2]["avg_surprisal"] == out[3]["avg_surprisal"]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from kg_etl_spark.operators.datapipe import dsir_weights
+
+    target_text = "clean prose about science and method " * 3
+    rows = [
+        (1, target_text, 1),
+        (2, target_text, 1),
+        (3, "clean prose about science and method once more", 0),  # target-like
+        (4, "zz yy xx ww vv uu tt ss", 0),                         # target-unlike
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_en"])
+    exact = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, is_target=F.col("is_en") == 1).collect()
+    }
+    assert exact[3]["dsir_weight"] > exact[4]["dsir_weight"]
+
+    # hashed-bucket scale mode agrees with the exact mode when the
+    # bucket space is collision-free for this vocabulary
+    bucketed = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            df, is_target=F.col("is_en") == 1, n_buckets=1 << 30
+        ).collect()
+    }
+    for d in exact:
+        assert bucketed[d]["n_feats"] == exact[d]["n_feats"]
+        # same ordering and near-equal values (smoothing denominator
+        # differs: |buckets| vs |gram types|)
+        assert (bucketed[3]["dsir_weight"] > bucketed[4]["dsir_weight"])

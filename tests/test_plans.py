@@ -260,6 +260,26 @@ def test_shuffle_budgets_hold(spark):
     assert not over, f"shuffle budgets exceeded (actual, budget): {over}"
 
 
+def test_new_pipeline_ops_plan_shapes(spark):
+    # bloom_contamination: the corpus-side bitmap probe must be a pure
+    # map-side Filter (no join before the filter eliminates ~all grams),
+    # and nothing in the operator goes through Python.
+    plan = physical_plan(QUERIES["bloom_contamination"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # unigram_surprisal: vocab arrives by broadcast, the token stream is
+    # never sort-merge-joined.
+    plan = physical_plan(QUERIES["unigram_surprisal"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    # semantic_dedup: pair generation is the cluster-keyed equi-join,
+    # never a cartesian (components' applyInPandas cutover is the only
+    # Python site).
+    plan = physical_plan(QUERIES["semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
 def test_q6_pushdown_full(spark):
     # all three range predicates must reach the parquet scan
     import re
