@@ -118,27 +118,34 @@ def ngram_jaccard_pairs(
     return out.select("a_id", "b_id", "n_common", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_mins(ex: DataFrame, num_hashes: int) -> DataFrame:
+    """(_id, _h0.._h{n-1}) min-signature aggregate over an exploded
+    (_id, _hs) hashed-shingle stream: per seed i, min(xxhash64(_hs, i)).
+    ONE hash-aggregate of num_hashes mins; map-side partials keep the
+    shuffle at one row per doc. The single definition of the hash
+    family — both the standalone signature builder and the LSH pair
+    operator go through it, so the seed scheme cannot drift."""
+    return ex.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures_df(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
     """(_id, _sig): MinHash signature per doc — per seed i,
     min(xxhash64(shingle, i)).
 
-    Computed explode-side (one row per doc×shingle, 64 hash columns,
-    then ONE hash-aggregate of 64 mins). The aggregate is a hard
+    The variable-length shingle string is hashed ONCE, then the hash
+    family derives by re-hashing the fixed 8-byte long with per-family
+    seeds — ~num_hashes× less string hashing. The aggregate is a hard
     attribute boundary, so downstream banding expressions reference the
     materialized signature instead of re-inlining 64×|shingles| hash
     evals per use (an array-expression formulation was ~30× slower for
-    exactly that reason). Map-side partial aggregation keeps the
-    shuffle at one row per doc.
+    exactly that reason).
     """
-    # hash the (variable-length) shingle string ONCE, then derive the
-    # hash family by re-hashing the resulting fixed 8-byte long with
-    # per-family seeds — ~num_hashes× less string hashing
     ex = shingled.select("_id", F.explode("_sh").alias("_s")).select(
         "_id", F.xxhash64(F.col("_s")).alias("_hs")
     )
-    mins = ex.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
-    )
+    mins = _minhash_mins(ex, num_hashes)
     return mins.select("_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
 
 
@@ -183,12 +190,10 @@ def minhash_lsh_pairs(
         "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_shh")
     ).localCheckpoint(eager=True)
 
-    # Signature straight from the hashed shingles: per seed i,
-    # min(xxhash64(shingle_hash, i)) — one explode + ONE hash-aggregate.
+    # Signature straight from the hashed shingles: one explode into the
+    # shared min-signature aggregate.
     ex = shh.select("_id", F.explode("_shh").alias("_hs"))
-    mins = ex.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
-    )
+    mins = _minhash_mins(ex, num_hashes)
     sig = mins.select(
         "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
     )

@@ -292,13 +292,18 @@ def q_kcore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kcore_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-provable twin of `kcore_customers` (the
     minhash_identical_recall pattern): a graph whose 3-core is known by
-    construction. Customers 1..8 form a K8 clique (in-clique degree 7);
-    customers 9..20 form a pendant chain bridged to node 1. Every chain
-    node has degree ≤ 2 < 3 at every point of ANY peel order, so the
-    chain provably peels away entirely (≈11 cascade rounds — a real
-    stress of the fixpoint loop), after which each clique node has
-    degree exactly 7 ≥ 3 and the peel is stable. The unique 3-core is
-    therefore {1..8} with in-core degree 7, SQL-enumerable."""
+    construction AND whose peel is a genuine one-node-per-round
+    cascade. Customers 1..8 form a K8 clique; customers 9..20 form a
+    double-linked caterpillar (edges i→i+1 and i→i+2) bridged to clique
+    nodes 1 and 2, so interior chain nodes START at degree 4 ≥ 3 and
+    only drop below 3 when their upper neighbors peel: round 1 removes
+    only node 20 (degree 2), which drops 19 to degree 2 for round 2,
+    and so on — ~12 cascade rounds through the fixpoint loop (a
+    single-round bulk peel would leave chain nodes behind and fail the
+    hash). Provably no chain node can sit in ANY subgraph of min-degree
+    3: the highest chain node in a candidate set has ≤ 2 in-set
+    neighbors. The unique 3-core is therefore {1..8}, every node at
+    in-core degree 7, SQL-enumerable."""
     from kg_etl_spark.operators.kcore import kcore
 
     ids = (
@@ -312,13 +317,16 @@ def q_kcore_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.filter(F.col("a_id").between(1, 8))
         .join(b.filter(F.col("b_id").between(1, 8)), F.col("a_id") < F.col("b_id"))
     )
-    chain = ids.filter((F.col("id") >= 9) & (F.col("id") <= 19)).select(
+    chain1 = ids.filter((F.col("id") >= 9) & (F.col("id") <= 19)).select(
         F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
     )
-    bridge = ids.filter(F.col("id") == 1).select(
+    chain2 = ids.filter((F.col("id") >= 9) & (F.col("id") <= 18)).select(
+        F.col("id").alias("a_id"), (F.col("id") + 2).alias("b_id")
+    )
+    bridges = ids.filter(F.col("id").isin(1, 2)).select(
         F.col("id").alias("a_id"), F.lit(9).cast("long").alias("b_id")
     )
-    edges = clique.unionByName(chain).unionByName(bridge)
+    edges = clique.unionByName(chain1).unionByName(chain2).unionByName(bridges)
     return kcore(edges, k=3)
 
 

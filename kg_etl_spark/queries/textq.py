@@ -290,9 +290,23 @@ def q_topk_distinct_boundary_recall(spark: SparkSession, sf_dir: str) -> DataFra
     longest-first ordering, the k bound, suppression against every
     kept text, applyInPandas group fan-out — gets a full value-hash
     oracle; only the kernel's mid-range values stay rows-only (covered
-    by the base query and unit tests)."""
-    docs = read_table(spark, sf_dir, "documents").withColumn(
-        "grp", F.concat_ws("_", "lang", "source")
+    by the base query and unit tests).
+
+    Parity guard: rows with NULL/empty text or NULL group parts are
+    excluded HERE, mirroring the oracle's WHERE, because the operator
+    emits an empty-texts row for an all-filtered group while SQL's
+    grouping drops it (and concat_ws skips NULLs where `||`
+    propagates them) — benign on current testdata, but the twin must
+    not depend on that."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .withColumn("grp", F.concat_ws("_", "lang", "source"))
     )
     loose = topk_distinct_texts(docs, "grp", "text", k=2, sim_cutoff=1.5).select(
         "grp",
@@ -316,6 +330,7 @@ WITH t AS (
          ) AS rn
   FROM documents
   WHERE text IS NOT NULL AND text <> ''
+    AND lang IS NOT NULL AND source IS NOT NULL
 )
 SELECT grp, 'all_pass' AS phase,
        string_agg(text, '␟' ORDER BY rn) AS texts_joined

@@ -17,12 +17,14 @@ the whole point of mergeable aggregate state.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from kg_etl_spark.operators.incremental import merge_rollups, partial_rollup
 
 _VERSION_PREFIX = "v="
+_OWNER_MARKER = ".checkpoint"
 
 
 def _latest_version(state_root: str, below: int | None = None) -> int | None:
@@ -51,26 +53,61 @@ def rollup_stream(
     state_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    keep_versions: int = 3,
 ):
     """Start the refresh query. Each batch writes state version
     `v=<batch_id>` = merge(previous version strictly below batch_id,
-    this batch's partial) — idempotent under checkpoint replay."""
+    this batch's partial) — idempotent under checkpoint replay.
+
+    The state_root is OWNED by one checkpoint: the first batch stamps
+    `.checkpoint` with the checkpoint path, and any later stream using
+    a different checkpoint against the same state_root is refused
+    (batch ids reset to 0 would silently fork or destroy history —
+    version numbers alone cannot distinguish a legitimate replay of
+    batch 0 from a fresh stream clobbering v=0).
+
+    Superseded versions are pruned down to the newest `keep_versions`
+    (plus the current merge parent, needed for crash replay). Readers
+    therefore have `keep_versions - 1` refresh intervals to finish a
+    scan before their version directory can disappear; raise it for
+    slow consumers.
+    """
     spark = stream.sparkSession
+    ckpt_key = os.path.abspath(checkpoint_dir)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # Guard against checkpoint/state divergence: batch ids only ever
-        # replay the LAST batch, so an existing version strictly above
-        # batch_id means this stream was restarted with a fresh checkpoint
-        # (ids reset to 0) against old state — merging would silently fork
-        # history (new merges ignore it, readers keep seeing the stale
-        # higher version). Refuse loudly instead.
+        # Ownership guard (see docstring): refuse any checkpoint other
+        # than the one that created this state_root.
+        os.makedirs(state_root, exist_ok=True)
+        marker = f"{state_root}/{_OWNER_MARKER}"
         latest = _latest_version(state_root)
+        if os.path.exists(marker):
+            owner = open(marker).read()
+            if owner != ckpt_key:
+                raise ValueError(
+                    f"rollup state at {state_root} belongs to checkpoint "
+                    f"{owner!r} but this stream runs {ckpt_key!r}: the "
+                    "checkpoint was reset against existing state. Use a "
+                    "fresh state_root or keep the original checkpoint_dir."
+                )
+        elif latest is not None:
+            raise ValueError(
+                f"rollup state at {state_root} has versions but no "
+                f"{_OWNER_MARKER} marker (unknown provenance); refusing to "
+                "merge into it. Use a fresh state_root."
+            )
+        else:
+            tmp_marker = f"{state_root}/.tmp-{_OWNER_MARKER}"
+            with open(tmp_marker, "w") as f:
+                f.write(ckpt_key)
+            os.rename(tmp_marker, marker)
+        # Same-checkpoint sanity: batch ids only ever replay the LAST
+        # batch, so a version strictly above batch_id is corruption.
         if latest is not None and latest > int(batch_id):
             raise ValueError(
                 f"rollup state at {state_root} is already at v={latest} but "
-                f"this stream is writing batch {batch_id}: the checkpoint "
-                "was reset against existing state. Use a fresh state_root "
-                "or keep the original checkpoint_dir."
+                f"this stream is writing batch {batch_id}: refusing to "
+                "rewind committed state."
             )
         new_part = partial_rollup(batch_df, keys, value_col)
         prev_v = _latest_version(state_root, below=int(batch_id))
@@ -87,20 +124,23 @@ def rollup_stream(
         final = f"{state_root}/{_VERSION_PREFIX}{int(batch_id)}"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(final):
-            import shutil
-
             shutil.rmtree(final)  # checkpoint replay of the same batch
         os.rename(tmp, final)
-        # Prune superseded versions, keeping this batch and its merge
-        # parent (prev_v is still needed if THIS batch replays after a
-        # crash before the checkpoint commits). Without pruning the
-        # state_root grows one full rollup copy per batch forever.
-        import shutil
-
-        keep = {int(batch_id)} | ({prev_v} if prev_v is not None else set())
-        for d in os.listdir(state_root):
-            if d.startswith(_VERSION_PREFIX) and int(d[len(_VERSION_PREFIX):]) not in keep:
-                shutil.rmtree(f"{state_root}/{d}", ignore_errors=True)
+        # Prune superseded versions down to the newest `keep_versions`
+        # plus the merge parent (needed if THIS batch replays after a
+        # crash before the checkpoint commits). Older dirs are fair game:
+        # readers get keep_versions-1 refresh intervals to finish.
+        versions = sorted(
+            int(d[len(_VERSION_PREFIX):])
+            for d in os.listdir(state_root)
+            if d.startswith(_VERSION_PREFIX)
+        )
+        keep = set(versions[-keep_versions:])
+        if prev_v is not None:
+            keep.add(prev_v)
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(f"{state_root}/{_VERSION_PREFIX}{v}", ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(upsert)

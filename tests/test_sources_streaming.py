@@ -427,7 +427,7 @@ def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
     stream = spark.readStream.schema(schema).json(str(src))
 
     def drain():
-        q = rollup_stream(stream, ["k"], "v", state, ckpt)
+        q = rollup_stream(stream, ["k"], "v", state, ckpt, keep_versions=1)
         q.awaitTermination(120)
 
     (src / "b1.json").write_text(rows(0, 50))
