@@ -44,6 +44,9 @@ HEADLINE = [
     "pack_sequences",
     "quantize_embeddings",
     "blamed_suppliers",
+    # round 3: data-selection / quality-scoring families
+    "unigram_surprisal",
+    "dsir_weights",
 ]
 
 

@@ -172,6 +172,35 @@ def shard_manifest(
     )
 
 
+def curriculum_manifest(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Curriculum-ordered training addresses: shard = Knuth hash of the
+    id (shards stay i.i.d. slices of the corpus), position WITHIN a
+    shard = ascending difficulty score (easy→hard, id tie-break) — the
+    standard curriculum-learning schedule where every worker reads its
+    own shard front to back and all workers progress easy→hard in
+    lockstep.
+
+    Same plan as `shard_manifest` (one shuffle on the shard key, which
+    IS the physical shuffle a training pipeline wants; per-shard window
+    carries score+id only); only the in-shard sort key differs.
+    """
+    h = knuth_h32(F.col(id_col))
+    with_shard = df.select(
+        F.col(id_col), F.col(score_col).alias("_s"), F.pmod(h, F.lit(n_shards)).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_s").asc(), F.col(id_col).asc())
+    return with_shard.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
+
+
 def dataset_mixture(
     df: DataFrame,
     source_col: str,

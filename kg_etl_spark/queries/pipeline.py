@@ -613,6 +613,23 @@ SELECT doc_id, h % {_N_SHARDS} AS shard,
 FROM (SELECT doc_id, (doc_id * {_KNUTH_A}) % {_M32} AS h FROM documents)
 """
 
+
+def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: i.i.d. hash shards, in-shard order by
+    document length (easy→hard proxy), id tie-break."""
+    from kg_etl_spark.operators.packing import curriculum_manifest
+
+    docs = read_table(spark, sf_dir, "documents")
+    return curriculum_manifest(docs, score_col="n_chars", n_shards=_N_SHARDS)
+
+
+ORACLE_CURRICULUM = f"""
+SELECT doc_id, (doc_id * {_KNUTH_A}) % {_M32} % {_N_SHARDS} AS shard,
+       ROW_NUMBER() OVER (PARTITION BY (doc_id * {_KNUTH_A}) % {_M32} % {_N_SHARDS}
+                          ORDER BY n_chars ASC, doc_id ASC) - 1 AS position
+FROM documents
+"""
+
 # Exact powers-of-two weights: every wn_s, n/wn_s, and wn_s*t product is
 # exact in IEEE double, so the Spark (driver-python) and DuckDB rate
 # arithmetic is bit-identical and no boundary row can flip.
@@ -831,6 +848,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "shard_manifest": q_shard_manifest,
+    "curriculum_manifest": q_curriculum_manifest,
     "dataset_mixture": q_dataset_mixture,
     "line_dedup": q_line_dedup,
     "ngram_contamination": q_ngram_contamination,
@@ -853,6 +871,7 @@ ORACLES = {
     "chunk_documents": ORACLE_CHUNK,
     "pack_sequences": ORACLE_PACK,
     "shard_manifest": ORACLE_SHARDS,
+    "curriculum_manifest": ORACLE_CURRICULUM,
     "dataset_mixture": ORACLE_MIXTURE,
     "line_dedup": ORACLE_LINE_DEDUP,
     "ngram_contamination": ORACLE_NGRAM_CONTAMINATION,
