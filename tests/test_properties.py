@@ -166,3 +166,50 @@ def test_dedup_lines_idempotent_and_matches_reference(spark, seed):
     # idempotence: all surviving lines are unique or blank → 2nd pass no-op
     twice = {r["doc_id"]: r["text"] for r in dedup_lines(once.select("doc_id", "text")).collect()}
     assert twice == got
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_knuth_h32_matches_python_reference_on_random_int64(spark, seed):
+    """Property: the overflow-free 16-bit-split hash equals the pure
+    (id mod 2^32)*A mod 2^32 reference for ANY int64 id, under ANSI."""
+    from kg_etl_spark.operators.datapipe import knuth_h32
+
+    rng = random.Random(seed)
+    ids = [rng.randrange(-(2**63), 2**63) for _ in range(300)]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["h"] for r in df.select("id", knuth_h32(F.col("id")).alias("h")).collect()}
+    a, m = 2654435761, 2**32
+    for i in ids:
+        assert got[i] == ((i % m) * a) % m, i
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bloom_contamination_never_loses_pairs(spark, seed):
+    """Property: on random word soups, bloom-prefiltered decontamination
+    equals the exact sweep for every filter size — undersized filters
+    only create false positives (killed by the verify join), never
+    false negatives."""
+    from kg_etl_spark.operators.datapipe import (
+        bloom_ngram_contamination,
+        ngram_contamination,
+    )
+
+    rng = random.Random(seed)
+
+    def soup(n):
+        return " ".join(f"t{rng.randrange(40)}" for _ in range(n))
+
+    corpus = spark.createDataFrame(
+        [(i, soup(rng.randrange(3, 30))) for i in range(25)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, soup(rng.randrange(5, 15))) for i in range(4)],
+        "bench_id long, text string",
+    )
+    exact = {tuple(r) for r in ngram_contamination(corpus, bench, n=4).collect()}
+    for m_bits in (1 << 14, 128):
+        got = {
+            tuple(r)
+            for r in bloom_ngram_contamination(corpus, bench, n=4, m_bits=m_bits).collect()
+        }
+        assert got == exact, (seed, m_bits)
