@@ -1352,6 +1352,268 @@ GROUP BY c_mktsegment
 """
 
 
+# --- remaining TPC-H shapes (Q2/Q8/Q11/Q13/Q16/Q20 analogs) -----------
+# The testdata has no partsupp table; lineitem is the part↔supplier
+# bridge, so supply cost/availability derive from shipped line items —
+# the SHAPES (correlated-min decorrelation, conditional market share,
+# scalar-threshold HAVING, left-join distribution, distinct-count
+# grouping, nested semi-join) are the TPC-H ones.
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part (one type slice), the supplier offering
+    the minimum unit price — the correlated-min subquery decorrelated
+    into one per-(part, supplier) aggregate + a min-per-part join-back;
+    supplier/nation dims arrive by broadcast. Total tie-break on
+    s_suppkey."""
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    unit = (F.col("l_extendedprice").cast(DECP) / F.col("l_quantity").cast(DECP))
+    offer = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(unit), 6).cast("double").alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = offer.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("s_name"),
+            F.col("n_name"),
+            "unit_cost",
+        )
+    )
+
+
+ORACLE_CHEAPEST_SUPPLIER = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,6)) / CAST(l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD'
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+  FROM offer
+)
+SELECT l_partkey AS p_partkey, s_name, n_name, unit_cost
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_0 suppliers' share of ASIA-region customer
+    revenue per order year — the conditional-numerator share over a
+    5-way join, computed in ONE aggregate (no second scan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    cnation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    snation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    rev = (F.col("l_extendedprice").cast(DECP) * (F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnation), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snation), supp.s_nationkey == F.col("sn_key"))
+    )
+    num = F.when(F.col("sn_name") == "NATION_0", rev).otherwise(F.lit(0).cast(DECP))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(num).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_0'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+"""
+
+
+_Q11_FRACTION = 0.001
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supplied value (from NATION_1
+    suppliers) exceeds a fraction of that nation's total supplied value
+    — a grouped aggregate HAVING against a scalar computed from the
+    SAME aggregate (one pass + a 1-row broadcast), not a re-scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    val = F.col("l_extendedprice").cast(DECP)
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_1")
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("_v"))
+    )
+    total = per_part.agg(F.sum("_v").alias("_t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_v") > F.col("_t") * F.lit(_Q11_FRACTION))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("_v"), 2).cast("double").alias("supplied_value"),
+        )
+    )
+
+
+ORACLE_IMPORTANT_PARTS = f"""
+WITH pp AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+), t AS (SELECT SUM(v) AS tv FROM pp)
+SELECT l_partkey AS p_partkey,
+       CAST(ROUND(v, 2) AS DOUBLE) AS supplied_value
+FROM pp, t WHERE v > tv * {_Q11_FRACTION!r}
+"""
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including zero-order customers — LEFT join + double aggregate (the
+    join-then-histogram pattern); urgent orders excluded to make the
+    left side meaningfully filtered."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORACLE_CUSTDIST = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) combination, excluding one brand — a
+    countDistinct over the lineitem bridge with broadcast part dim."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+_Q20_START = "1997-01-01 00:00:00"
+_Q20_END = "1998-01-01 00:00:00"
+
+
+def q_overstock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 30% of a
+    part's total 1997 volume for any Brand#2 part — the nested
+    EXISTS-over-aggregate decorrelated into per-(part, supplier) sums
+    joined against per-part thresholds (both from ONE scan), then a
+    distinct supplier projection with the dim joined broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _Q20_START) & (F.col("l_shipdate") < _Q20_END)
+    )
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    supp = read_table(spark, sf_dir, "supplier")
+    bridged = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    qty = F.col("l_quantity").cast(DECP)
+    per_ps = bridged.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("_sq"))
+    per_p = bridged.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qty).alias("_tq")
+    )
+    hot = (
+        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == F.col("_pk"))
+        .filter(F.col("_sq") > F.col("_tq") * F.lit(0.3).cast(DECP))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        hot.join(F.broadcast(supp), hot.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"))
+    )
+
+
+ORACLE_OVERSTOCK = f"""
+WITH b AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,6)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#2'
+    AND l_shipdate >= TIMESTAMP '{_Q20_START}' AND l_shipdate < TIMESTAMP '{_Q20_END}'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(q) AS sq FROM b GROUP BY l_partkey, l_suppkey
+), per_p AS (
+  SELECT l_partkey, SUM(q) AS tq FROM b GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM per_ps JOIN per_p USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE sq > tq * CAST(0.3 AS DECIMAL(18,6))
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -1386,6 +1648,12 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "blamed_suppliers": q_blamed_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "market_share": q_market_share,
+    "important_parts": q_important_parts,
+    "custdist": q_custdist,
+    "supplier_part_counts": q_supplier_part_counts,
+    "overstock_suppliers": q_overstock_suppliers,
     "nation_pair_trade": q_nation_pair_trade,
     "product_profit": q_product_profit,
     "priority_shipping_buckets": q_priority_shipping_buckets,
@@ -1428,6 +1696,12 @@ ORACLES = {
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
     "blamed_suppliers": ORACLE_BLAMED,
     "idle_rich_customers": ORACLE_IDLE_RICH,
+    "cheapest_supplier_per_part": ORACLE_CHEAPEST_SUPPLIER,
+    "market_share": ORACLE_MARKET_SHARE,
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "custdist": ORACLE_CUSTDIST,
+    "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
+    "overstock_suppliers": ORACLE_OVERSTOCK,
     "nation_pair_trade": ORACLE_NATION_PAIR,
     "product_profit": ORACLE_PRODUCT_PROFIT,
     "priority_shipping_buckets": ORACLE_PRIORITY_BUCKETS,
