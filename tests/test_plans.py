@@ -260,6 +260,20 @@ def test_shuffle_budgets_hold(spark):
     assert not over, f"shuffle budgets exceeded (actual, budget): {over}"
 
 
+def test_tpch_completion_shapes(spark):
+    # market_share: every dim join broadcast, fact never sort-merge
+    # joined; custdist LEFT join; overstock/cheapest cartesian-free.
+    plan = physical_plan(QUERIES["market_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "market_share shuffles a dim join"
+    plan = physical_plan(QUERIES["custdist"](spark, SF))
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+    for name in ("cheapest_supplier_per_part", "overstock_suppliers", "important_parts"):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
 def test_new_pipeline_ops_plan_shapes(spark):
     # bloom_contamination: the corpus-side bitmap probe must be a pure
     # map-side Filter (no join before the filter eliminates ~all grams),
