@@ -470,3 +470,53 @@ def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
         for r in finalize_rollup(read_rollup_state(spark, state)).collect()
     )
     assert got2 == got
+
+
+def test_rollup_upsert_replay_is_exactly_once(spark, tmp_path):
+    """Drive the foreachBatch body directly through crash/replay
+    sequences the harness can't easily simulate end-to-end:
+    re-running a batch id (crash between state commit and checkpoint
+    commit) must merge against the SAME parent — never double-count —
+    and a skipped-ahead state (version above the incoming batch) must
+    be refused."""
+    from kg_etl_spark.operators.incremental import finalize_rollup
+    from kg_etl_spark.streaming.rollup_stream import (
+        read_rollup_state,
+        upsert_rollup_batch,
+    )
+
+    state = str(tmp_path / "replay_state")
+    ck = "ckpt-A"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v double")
+
+    def totals():
+        return {
+            r["k"]: r["sum_v"]
+            for r in finalize_rollup(read_rollup_state(spark, state)).collect()
+        }
+
+    b0 = [("a", 1.0), ("b", 2.0)]
+    b1 = [("a", 10.0)]
+    upsert_rollup_batch(spark, batch(b0), 0, ["k"], "v", state, ck)
+    upsert_rollup_batch(spark, batch(b1), 1, ["k"], "v", state, ck)
+    want = {"a": 11.0, "b": 2.0}
+    assert totals() == want
+
+    # crash-replay of batch 1 (state committed, checkpoint didn't):
+    # re-merge against v=0, not on top of its own earlier merge
+    upsert_rollup_batch(spark, batch(b1), 1, ["k"], "v", state, ck)
+    assert totals() == want
+    # replay is idempotent arbitrarily many times
+    upsert_rollup_batch(spark, batch(b1), 1, ["k"], "v", state, ck)
+    assert totals() == want
+
+    # a different checkpoint identity is refused outright
+    with pytest.raises(ValueError, match="checkpoint"):
+        upsert_rollup_batch(spark, batch(b1), 0, ["k"], "v", state, "ckpt-B")
+    # rewinding below the committed head under the SAME checkpoint is
+    # also refused (batch ids only ever replay the last batch)
+    with pytest.raises(ValueError, match="rewind"):
+        upsert_rollup_batch(spark, batch(b0), 0, ["k"], "v", state, ck)
+    assert totals() == want
