@@ -614,6 +614,57 @@ FROM (SELECT doc_id, (doc_id * {_KNUTH_A}) % {_M32} AS h FROM documents)
 """
 
 
+_BATCH_TOKEN_BUDGET = 4096
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan: documents grouped into power-of-two
+    token-length buckets (the standard padding-efficiency trick), with
+    per-bucket doc/token totals and the number of fixed-token-budget
+    batches each bucket yields. floor(log2(n)) is computed as
+    LENGTH(bin(n)) - 1 — pure integer arithmetic, identical in both
+    engines (a float log2 can round 2^k to k-epsilon and flip the
+    floor). Map-side bucket assignment, one aggregate."""
+    from kg_etl_spark.operators.textquality import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    nt = token_count(F.col("text"))
+    b = (F.length(F.bin(nt)) - 1).cast("long")
+    return (
+        docs.select(nt.alias("_nt"), b.alias("bucket"))
+        .filter(F.col("_nt") >= 1)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            # integer `div`, not float division: exact at any magnitude
+            F.expr(
+                f"(total_tokens + {_BATCH_TOKEN_BUDGET - 1}) div {_BATCH_TOKEN_BUDGET}"
+            ).alias("n_batches"),
+        )
+    )
+
+
+ORACLE_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0)) AS nt
+  FROM documents
+)
+SELECT LENGTH(bin(nt)) - 1 AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST((SUM(nt) + {_BATCH_TOKEN_BUDGET} - 1) // {_BATCH_TOKEN_BUDGET} AS BIGINT) AS n_batches
+FROM t WHERE nt >= 1
+GROUP BY LENGTH(bin(nt)) - 1
+"""
+
+
 def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum schedule: i.i.d. hash shards, in-shard order by
     document length (easy→hard proxy), id tie-break."""
@@ -849,6 +900,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "shard_manifest": q_shard_manifest,
     "curriculum_manifest": q_curriculum_manifest,
+    "length_buckets": q_length_buckets,
     "dataset_mixture": q_dataset_mixture,
     "line_dedup": q_line_dedup,
     "ngram_contamination": q_ngram_contamination,
@@ -872,6 +924,7 @@ ORACLES = {
     "pack_sequences": ORACLE_PACK,
     "shard_manifest": ORACLE_SHARDS,
     "curriculum_manifest": ORACLE_CURRICULUM,
+    "length_buckets": ORACLE_LENGTH_BUCKETS,
     "dataset_mixture": ORACLE_MIXTURE,
     "line_dedup": ORACLE_LINE_DEDUP,
     "ngram_contamination": ORACLE_NGRAM_CONTAMINATION,

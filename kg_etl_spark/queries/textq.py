@@ -243,6 +243,55 @@ def q_topk_distinct_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("grp", F.concat_ws("␟", "texts").alias("texts_joined"))
 
 
+_BPE_TOP = 50
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge round of BPE tokenizer training: adjacent character
+    pairs counted across the corpus, weighted by word frequency — the
+    top pair is exactly what a BPE trainer would merge next. The heavy
+    corpus pass collapses to DISTINCT WORDS first (one aggregate), so
+    pair explosion runs over the vocabulary, not the token stream —
+    at 100 TB that's the difference between |tokens| and |types| rows.
+    Total tie-break (count DESC, pair ASC) pins the LIMIT boundary on
+    both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+    wc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n")).filter(F.length("t") >= 2)
+    pairs = wc.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(_BPE_TOP)
+    )
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> len(x) > 0)) AS t
+  FROM documents
+), wc AS (
+  SELECT t, COUNT(*) AS n FROM toks GROUP BY t HAVING LENGTH(t) >= 2
+), pairs AS (
+  SELECT n, unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS pair
+  FROM wc
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT {_BPE_TOP}
+"""
+
+
 _SURPRISAL_V = 2000
 
 
@@ -691,6 +740,7 @@ QUERIES = {
     "topk_distinct_texts": q_topk_distinct_texts,
     "topk_distinct_boundary_recall": q_topk_distinct_boundary_recall,
     "unigram_surprisal": q_unigram_surprisal,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "bm25_search": q_bm25_search,
     "tfidf_search": q_tfidf_search,
     "neardup_canonical": q_neardup_canonical,
@@ -713,6 +763,7 @@ ORACLES = {
     # minhash/simhash/topk_distinct: engine-specific → rows-only check
     "topk_distinct_boundary_recall": ORACLE_TOPK_DISTINCT_BOUNDARY,
     "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
+    "bpe_pair_counts": ORACLE_BPE_PAIRS,
     "bm25_search": ORACLE_BM25,
     "tfidf_search": ORACLE_TFIDF,
     "neardup_canonical": ORACLE_NEARDUP_CANON,
