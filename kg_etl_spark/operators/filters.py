@@ -1,0 +1,271 @@
+"""Corpus-hygiene filter pack for LLM training-data pipelines:
+Gopher-style document quality rules, C4-style line-level rules,
+cross-document duplicate-span flagging, per-source frequency capping,
+and perplexity-tertile bucketing.
+
+These are the published heuristic filter families (Rae et al. 2021
+"Scaling Language Models" App. A; Raffel et al. 2020 "C4"; Lee et al.
+2022 "Deduplicating Training Data"; Wenzek et al. 2020 "CCNet") — no
+reference-repo counterpart (the reference has no corpus filters); they
+extend the engine's training-data surface.
+
+All document-scoring paths are native column expressions (JVM
+codegen'd, zero Python) — these run over every document of a 100 TB
+corpus. The only shuffles are the explicitly-noted aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.datapipe import knuth_h32
+from kg_etl_spark.operators.textquality import ws_tokens
+
+# Gopher App. A2 uses a small "must contain >= 2" stop set.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# C4 line-drop markers (Raffel et al. §2.2: boilerplate/JS/cookie
+# notices, placeholder text).
+C4_BANNED = ["javascript", "lorem ipsum", "cookie"]
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Occurrence count of a literal substring — native, via length
+    delta (identical arithmetic in the DuckDB oracle)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality rules as boolean flag columns plus
+    the conjunction `pass_gopher`.
+
+    Rules (Rae et al. 2021, App. A2, the subset expressible without a
+    language model): word count in [50, 100k]; mean word length in
+    [3, 10]; symbol-to-word ratio ('#' and '...') <= 0.1; fraction of
+    words containing an alphabetic character >= 0.8; at least 2
+    distinct stopwords present.
+
+    Scale shape: one narrow projection per document — no shuffle, no
+    UDF; runs at parquet scan speed with full column pruning. Ratios
+    are single IEEE divides of exact integer counts (bit-identical in
+    the SQL oracle), rounded to 6 dp at output.
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = _occurrences(t, "#") + _occurrences(t, "...")
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    # Distinct-stopword presence: a fixed-size sum of contains-tests —
+    # native, and immune to list_intersect/array_intersect dedup
+    # semantic differences across engines.
+    stop_hits = sum(
+        F.array_contains(toks, s).cast("int") for s in GOPHER_STOPWORDS
+    ).cast("long")
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stop_hits
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_frac"),
+        r_stop.alias("r_stopwords"),
+        (r_words & r_mean & r_symbol & r_alpha & r_stop).alias("pass_gopher"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_line_words: int = 5,
+    banned: list[str] | None = None,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep a
+    line iff it ends in terminal punctuation (. ! ? "), has at least
+    `min_line_words` words, and contains no banned marker
+    (javascript / lorem ipsum / cookie-notice boilerplate). Returns
+    per-doc stats plus the cleaned text.
+
+    Scale shape: pure per-row array work (split → filter → rejoin) —
+    no shuffle, no UDF; the line array never leaves the row.
+    """
+    banned = C4_BANNED if banned is None else banned
+    lines = F.split(F.col(text_col), line_sep, -1)
+
+    def keep(line: Column) -> Column:
+        lo = F.lower(line)
+        ok_punct = lo.rlike('[.!?"]$')
+        ok_words = F.size(ws_tokens(line)) >= min_line_words
+        ok_banned = ~sum(
+            (F.locate(b, lo) > 0).cast("int") for b in banned
+        ).cast("boolean")
+        return ok_punct & ok_words & ok_banned
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(
+            F.when(
+                F.size(lines) > 0,
+                F.size(kept).cast("double") / F.size(lines).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("kept_ratio"),
+        F.md5(F.concat_ws(line_sep, kept)).alias("kept_md5"),
+    )
+
+
+def duplicate_span_flags(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span statistics (the detection half of
+    Lee et al. 2022's substring deduplication, at word-n-gram
+    granularity): for each document, how many of its distinct word
+    n-gram spans also occur in >= `min_df` documents corpus-wide.
+
+    Shape: distinct spans explode map-side; ONE shuffle computes
+    per-span document frequency (map-side partial counts apply because
+    spans are pre-deduped per doc, so count == distinct-doc count); a
+    second per-doc aggregate folds the flags back. Span strings can be
+    xxhash64-compressed to 8-byte join keys at 100 TB (same shape as
+    ngram_jaccard_dedup's inverted index); the catalog keeps string
+    keys for oracle parity at test SF.
+
+    Output: (id, n_spans, n_dup_spans, dup_ratio) — one row per input
+    document, including span-less short docs.
+    """
+    from kg_etl_spark.functions.text import word_shingles
+
+    spans = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_span"),
+    )
+    # word_shingles dedups per doc → count(*) per span == doc frequency.
+    df_per_span = spans.groupBy("_span").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        spans.join(df_per_span, "_span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_spans"),
+            F.sum((F.col("_df") >= min_df).cast("long")).alias("_n_dup"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("_n_spans"), F.lit(0)) > 0,
+                    F.col("_n_dup").cast("double") / F.col("_n_spans").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def source_cap_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 50,
+) -> DataFrame:
+    """Frequency-cap overrepresented sources/domains: keep at most
+    `cap` documents per group, chosen by deterministic hash rank
+    (knuth_h32(id), id) — a reproducible uniform subsample, the
+    standard defense against a handful of crawl domains dominating the
+    mixture.
+
+    Shape: one shuffle on the group key; the rank window is per-group
+    (no global ordering). Skewed giant groups rank within their own
+    partition; at 100 TB pair with AQE skew handling or pre-salt the
+    count if a single domain exceeds a partition's memory.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        knuth_h32(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .withColumnRenamed("_rk", "keep_rank")
+    )
+
+
+def surprisal_tertile_buckets(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 2000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the smoothed unigram-LM surprisal, then split
+    the corpus into head/middle/tail tertiles — the head (lowest
+    surprisal ≈ most language-model-like) is what CCNet keeps.
+
+    The catalog path uses an exact NTILE(3) over (score, id) for oracle
+    parity. NOTE the exact global ntile implies a single-partition sort
+    of one row per document — fine to ~10^8 docs; at true 100-TB doc
+    counts swap the cut computation for approx_percentile(score,
+    [1/3, 2/3]) (map-side sketch, no global sort) and bucket by
+    comparison; the bucket column semantics are unchanged up to sketch
+    error at the two boundaries.
+    """
+    from kg_etl_spark.operators.textquality import unigram_surprisal
+
+    scored = unigram_surprisal(corpus, id_col=id_col, text_col=text_col, vocab_size=vocab_size)
+    w = Window.orderBy(F.col("avg_surprisal").asc(), F.col(id_col).asc())
+    tile = F.ntile(3).over(w)
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "avg_surprisal",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -11,10 +11,21 @@ Determinism contract (so the driver's value-hash matches):
 
 from __future__ import annotations
 
-from kg_etl_spark.queries import er, events, geo, media, pipeline, quality, relational, textq, vector
+from kg_etl_spark.queries import (
+    er,
+    events,
+    filters,
+    geo,
+    media,
+    pipeline,
+    quality,
+    relational,
+    textq,
+    vector,
+)
 
 QUERIES = {}
 ORACLES = {}
-for mod in (relational, geo, er, textq, vector, events, media, pipeline, quality):
+for mod in (relational, geo, er, textq, vector, events, media, pipeline, quality, filters):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
