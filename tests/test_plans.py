@@ -250,6 +250,13 @@ def test_shuffle_budgets_hold(spark):
         "line_dedup": 4,
         "forecast_revenue": 1,
         "geohash_cells": 1,
+        # corpus filters: document scoring must stay at scan speed —
+        # zero Exchanges — and the rest within their audited budgets
+        "gopher_quality": 0,
+        "c4_line_filter": 0,
+        "dup_span_flags": 2,
+        "source_cap": 1,
+        "surprisal_buckets": 2,
     }
     actual = {name: n_exchanges(name) for name in budgets}
     over = {
@@ -292,6 +299,25 @@ def test_new_pipeline_ops_plan_shapes(spark):
     # Python site).
     plan = physical_plan(QUERIES["semantic_dedup"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_filter_pack_plan_shapes(spark):
+    # Gopher/C4 scoring runs over EVERY document of the corpus: the
+    # plans must be pure projections — no shuffle, no Python, no join.
+    for name in ("gopher_quality", "c4_line_filter"):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} shuffles a pure per-doc filter"
+        assert "EvalPython" not in plan, name
+        assert "Join" not in plan, name
+    # dup-span flags: inverted-index shape, cartesian-free, native.
+    plan = physical_plan(QUERIES["dup_span_flags"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # hybrid RRF: the only nested-loop is the intended 1-row corpus-stat
+    # broadcast inside BM25; pair generation is never cartesian.
+    plan = physical_plan(QUERIES["hybrid_rrf_search"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
 
 
 def test_q6_pushdown_full(spark):
