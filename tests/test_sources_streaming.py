@@ -520,3 +520,60 @@ def test_rollup_upsert_replay_is_exactly_once(spark, tmp_path):
     with pytest.raises(ValueError, match="rewind"):
         upsert_rollup_batch(spark, batch(b0), 0, ["k"], "v", state, ck)
     assert totals() == want
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    # Native session_window: same expression tree in streaming
+    # (availableNow, watermark-evicted state) and batch must agree, and
+    # the gap semantics must merge/split sessions correctly.
+    import json as _json
+
+    from kg_etl_spark.streaming.stateful import read_event_stream, session_window_agg
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 2h gap
+        # (second session)
+        {"event_id": 1, "user_id": 1, "event_type": "c", "value": 1.0,
+         "ts": "2024-01-01T00:00:00.000Z"},
+        {"event_id": 2, "user_id": 1, "event_type": "c", "value": 2.0,
+         "ts": "2024-01-01T00:10:00.000Z"},
+        {"event_id": 3, "user_id": 1, "event_type": "c", "value": 4.0,
+         "ts": "2024-01-01T02:10:00.000Z"},
+        # user 2: single event
+        {"event_id": 4, "user_id": 2, "event_type": "c", "value": 8.0,
+         "ts": "2024-01-01T00:05:00.000Z"},
+    ]
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    q = (
+        session_window_agg(read_event_stream(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["sum_value"], r["session_end_us"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+
+    batch_df = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, ts timestamp"
+    ).json(str(src))
+    want = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["sum_value"], r["session_end_us"])
+        for r in session_window_agg(batch_df).collect()
+    }
+    assert got == want
+    # user 1 splits into two sessions across the 2h gap; first merges
+    # two events and extends 30min past the last one
+    u1 = sorted(k[1] for k in got if k[0] == 1)
+    assert len(u1) == 2
+    first = got[(1, u1[0])]
+    assert first[0] == 2 and first[1] == 3.0
+    assert first[2] == u1[0] + (10 * 60 + 30 * 60) * 1_000_000
+    assert got[(2, 1704067500000000)][0] == 1
