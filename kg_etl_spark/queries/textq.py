@@ -723,8 +723,56 @@ FROM tk WHERE doc_id < 20 AND len(t) > 0
 """
 
 
+def q_bpe_encode_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable oracle for the BPE-encode plumbing: with an
+    EMPTY merge table the greedy loop provably degenerates to
+    character splitting, so n_pieces and the order-faithful piece
+    fingerprint are SQL-enumerable. The merge loop itself is
+    unit-tested on known merge tables (`tests/test_filters.py`), and
+    `bpe_encode_trained` exercises it end-to-end (rows-only)."""
+    from kg_etl_spark.operators.bpe import bpe_encode
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, merges=[])
+
+
+ORACLE_BPE_ENCODE_CHARS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+enc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS n_pieces,
+         md5(array_to_string(
+           list_transform(toks, w -> array_to_string(
+             list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '␟')),
+           ' ')) AS pieces_md5
+  FROM t
+)
+SELECT doc_id, n_words, n_pieces, pieces_md5 FROM enc WHERE n_words > 0
+"""
+
+
+_BPE_N_MERGES = 8
+
+
+def q_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenizer loop: take the top merge candidates from the
+    corpus's own pair counts (q_bpe_pair_counts) as the merge table and
+    encode every document with them. The greedy merge application is
+    not SQL-expressible → rows-only; the char-degenerate twin above
+    value-checks the identical plumbing."""
+    from kg_etl_spark.operators.bpe import bpe_encode
+
+    docs = read_table(spark, sf_dir, "documents")
+    top = q_bpe_pair_counts(spark, sf_dir).limit(_BPE_N_MERGES).collect()
+    merges = [(r["pair"][0], r["pair"][1]) for r in top]
+    return bpe_encode(docs, merges=merges)
+
+
 QUERIES = {
     "token_stats": q_token_stats,
+    "bpe_encode_chars": q_bpe_encode_chars,
+    "bpe_encode_trained": q_bpe_encode_trained,
     "clean_wikitext": q_clean_wikitext,
     "quality_score": q_quality_score,
     "language_id": q_language_id,
@@ -764,6 +812,8 @@ ORACLES = {
     "topk_distinct_boundary_recall": ORACLE_TOPK_DISTINCT_BOUNDARY,
     "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
     "bpe_pair_counts": ORACLE_BPE_PAIRS,
+    "bpe_encode_chars": ORACLE_BPE_ENCODE_CHARS,
+    # bpe_encode_trained: greedy merge loop not SQL-expressible → rows-only
     "bm25_search": ORACLE_BM25,
     "tfidf_search": ORACLE_TFIDF,
     "neardup_canonical": ORACLE_NEARDUP_CANON,
