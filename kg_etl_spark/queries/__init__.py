@@ -20,12 +20,25 @@ from kg_etl_spark.queries import (
     pipeline,
     quality,
     relational,
+    sketchq,
     textq,
     vector,
 )
 
 QUERIES = {}
 ORACLES = {}
-for mod in (relational, geo, er, textq, vector, events, media, pipeline, quality, filters):
+for mod in (
+    relational,
+    geo,
+    er,
+    textq,
+    vector,
+    events,
+    media,
+    pipeline,
+    quality,
+    filters,
+    sketchq,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,174 @@
+"""Sketch catalog: Count-Min heavy hitters, HyperLogLog distincts, and
+JL random projection — all on deterministic cross-engine arithmetic, so
+the full sketch state (not just the API) is value-hash-verified against
+DuckDB. Complements `sketch_stats` (Spark's built-in approx functions,
+engine-specific → rows-only) with from-scratch verifiable twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.sketches import (
+    _CMS_A,
+    _CMS_B,
+    _M32,
+    cms_estimate,
+    hll_distinct,
+    jl_project,
+)
+from kg_etl_spark.session import read_table
+
+# --- Count-Min heavy hitters ------------------------------------------
+
+_CMS_W = 256
+_CMS_TOPN = 10
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by order count, with their Count-Min estimates.
+    The estimate can only overestimate (collisions add), which the
+    boolean column witnesses — a property the oracle re-derives from
+    the identical sketch."""
+    orders = read_table(spark, sf_dir, "orders")
+    true_counts = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("o_custkey").asc())
+        .limit(_CMS_TOPN)
+    )
+    est = cms_estimate(orders, true_counts, "o_custkey", w=_CMS_W)
+    return (
+        true_counts.join(est, "o_custkey")
+        .select(
+            "o_custkey",
+            "true_cnt",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") >= F.col("true_cnt")).alias("is_overestimate"),
+        )
+    )
+
+
+def _bucket_sql(key: str, j: int) -> str:
+    return f"((({key} % {_M32}) * {_CMS_A[j]} + {_CMS_B[j]}) % {_M32}) % {_CMS_W}"
+
+
+ORACLE_CMS = f"""
+WITH cells AS (
+  {" UNION ALL ".join(f"SELECT {j} AS row, {_bucket_sql('o_custkey', j)} AS bucket FROM orders" for j in range(4))}
+),
+sketch AS (SELECT row, bucket, COUNT(*) AS c FROM cells GROUP BY row, bucket),
+true_c AS (
+  SELECT o_custkey, COUNT(*) AS true_cnt FROM orders GROUP BY o_custkey
+  ORDER BY true_cnt DESC, o_custkey ASC LIMIT {_CMS_TOPN}
+),
+probes AS (
+  {" UNION ALL ".join(f"SELECT t.o_custkey, t.true_cnt, s.c FROM true_c t JOIN sketch s ON s.row = {j} AND s.bucket = {_bucket_sql('t.o_custkey', j)}" for j in range(4))}
+)
+SELECT o_custkey, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(MIN(c) AS BIGINT) AS cms_estimate,
+       MIN(c) >= true_cnt AS is_overestimate
+FROM probes GROUP BY o_custkey, true_cnt
+"""
+
+
+# --- HyperLogLog distinct users per event type ------------------------
+
+_HLL_M = 64
+_HLL_ALPHA_M2 = 0.709 * _HLL_M * _HLL_M
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_true")
+    )
+    hll = hll_distinct(events, "event_type", "user_id", m=_HLL_M)
+    return exact.join(hll, "event_type").select(
+        "event_type", "n_true", "hll_estimate", "n_registers_hit"
+    )
+
+
+ORACLE_HLL = f"""
+WITH h AS (
+  SELECT event_type,
+         (((user_id % {_M32}) * {_CMS_A[0]} + {_CMS_B[0]}) % {_M32}) AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv % {_HLL_M} AS reg,
+         CASE WHEN CAST(floor(hv / {_HLL_M}) AS BIGINT) > 0
+              THEN instr(lpad(bin(CAST(floor(hv / {_HLL_M}) AS BIGINT)), 26, '0'), '1')
+              ELSE 27 END AS rho
+  FROM h
+),
+mx AS (SELECT event_type, reg, MAX(rho) AS mx FROM r GROUP BY event_type, reg),
+s AS (
+  SELECT event_type,
+         SUM(CAST(power(2.0, -mx) AS DECIMAL(38,30))) AS _s,
+         COUNT(*) AS hit
+  FROM mx GROUP BY event_type
+),
+est AS (
+  SELECT event_type, hit,
+         {_HLL_ALPHA_M2!r} / (CAST(_s AS DOUBLE) + {float(_HLL_M)!r} - hit) AS raw
+  FROM s
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, n_true,
+       ROUND(CASE WHEN raw < {2.5 * _HLL_M!r} AND hit < {_HLL_M}
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - hit))
+                  ELSE raw END, 6) AS hll_estimate,
+       CAST(hit AS BIGINT) AS n_registers_hit
+FROM est e JOIN exact USING (event_type)
+"""
+
+
+# --- JL random projection ---------------------------------------------
+
+_JL_DOUT = 16
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return jl_project(emb, d_out=_JL_DOUT)
+
+
+_JL_A = _CMS_A[0]
+_JL_B = _CMS_B[1]
+
+ORACLE_JL = f"""
+WITH dims AS (SELECT unnest(range(0, {_JL_DOUT})) AS out_dim),
+proj AS (
+  SELECT vec_id, out_dim,
+         list_reduce(
+           list_transform(
+             list_zip(embedding, range(0, 64)),
+             p -> CAST(p[1] AS DOUBLE) *
+                  (CASE WHEN ((p[2] * {_JL_A} + out_dim * {_JL_B}) % {_M32} // 256) % 2 = 1
+                        THEN 1.0 ELSE -1.0 END)
+           ),
+           (x, y) -> x + y
+         ) * 0.25 AS raw
+  FROM embeddings, dims
+)
+SELECT vec_id, CAST(out_dim AS BIGINT) AS out_dim, ROUND(raw, 6) AS value
+FROM proj
+"""
+
+
+QUERIES = {
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_distinct_users": q_hll_distinct_users,
+    "jl_projection": q_jl_projection,
+}
+
+ORACLES = {
+    "cms_heavy_hitters": ORACLE_CMS,
+    "hll_distinct_users": ORACLE_HLL,
+    "jl_projection": ORACLE_JL,
+}
