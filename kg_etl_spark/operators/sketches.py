@@ -100,35 +100,33 @@ def cms_estimate(
     return est.groupBy(key_col).agg(F.min("cnt").alias("cms_estimate"))
 
 
-def hll_distinct(
+def hll_rho_projection(
     df: DataFrame, group_col: str, key_col: str, m: int = 64
 ) -> DataFrame:
-    """HyperLogLog distinct-count per group with m registers (m a power
-    of two, default 64 → ~13% standard error), built entirely from
-    integer arithmetic + the cross-engine `bin()` trick for the
-    leading-zero rank: rho = strpos(lpad(bin(rest), 26, '0'), '1').
-
-    One max-aggregate per (group, register) — m rows per group — then
-    the standard bias-corrected harmonic mean with the small-range
-    (linear counting) correction. Returns
-    (group, hll_estimate, n_registers_hit).
-    """
+    """Map-side half of HLL: (group, reg, rho) per input row — integer
+    arithmetic + the cross-engine `bin()` trick for the leading-zero
+    rank: rho = strpos(lpad(bin(rest), nbits, '0'), '1'). Registers are
+    MAX-mergeable, so this same projection feeds batch aggregation,
+    streaming update-mode aggregation, and sketch-union across shards
+    identically."""
     import math
 
     h = _h32(F.col(key_col), _CMS_A[0], _CMS_B[0])
     idx = F.pmod(h, F.lit(m))
-    rest = h.bitwiseAND(F.lit(_M32 - 1)) / F.lit(m)
-    rest = F.floor(rest).cast("long")  # 26 bits left for m=64
+    rest = F.floor(h.bitwiseAND(F.lit(_M32 - 1)) / F.lit(m)).cast("long")
     nbits = 32 - int(math.log2(m))
     rho = F.when(rest > 0, F.instr(F.lpad(F.bin(rest), nbits, "0"), "1")).otherwise(
         F.lit(nbits + 1)
     )
+    return df.select(F.col(group_col), idx.alias("reg"), rho.alias("rho"))
 
-    regs = (
-        df.select(F.col(group_col), idx.alias("reg"), rho.alias("rho"))
-        .groupBy(group_col, "reg")
-        .agg(F.max("rho").alias("mx"))
-    )
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str, m: int = 64
+) -> DataFrame:
+    """Finalize (group, reg, mx) register maxima into the HLL estimate:
+    bias-corrected harmonic mean with the small-range linear-counting
+    correction. Returns (group, hll_estimate, n_registers_hit)."""
     alpha = 0.709  # alpha_64 (Flajolet et al. 2007)
     # 2^-rho for rho ≤ 27 is an exact 27-digit decimal fraction, so the
     # harmonic sum runs in DECIMAL(38,30) — order-independent across
@@ -161,6 +159,23 @@ def hll_distinct(
         F.round(corrected, 6).alias("hll_estimate"),
         F.col("n_registers_hit").cast("long").alias("n_registers_hit"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, key_col: str, m: int = 64
+) -> DataFrame:
+    """HyperLogLog distinct-count per group with m registers (m a power
+    of two, default 64 → ~13% standard error): one max-aggregate per
+    (group, register) — m rows per group — then the harmonic-mean
+    finalize. Composition of `hll_rho_projection` +
+    `hll_estimate_from_registers` (split so streaming/union paths reuse
+    the identical arithmetic)."""
+    regs = (
+        hll_rho_projection(df, group_col, key_col, m=m)
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    return hll_estimate_from_registers(regs, group_col, m=m)
 
 
 def jl_project(
