@@ -47,6 +47,10 @@ HEADLINE = [
     # round 3: data-selection / quality-scoring families
     "unigram_surprisal",
     "dsir_weights",
+    # round 3: corpus filters, verifiable sketches, hybrid retrieval
+    "gopher_quality",
+    "hybrid_rrf_search",
+    "hll_distinct_users",
 ]
 
 
