@@ -33,7 +33,12 @@ def get_spark(app_name: str = "kg_etl_spark", shuffle_partitions: str | None = N
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, not "as much as the box has": at bench/test SFs an
+        # oversized heap is a pure GC liability — measured on sf0.1,
+        # a 48g heap made ngram_jaccard's first run 6.0s with 16s
+        # full-GC spikes on repeats, vs 2.7s / 1.9s steady at 12g.
+        # 10×-stress runs override via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata parquet uses TIMESTAMP(NANOS) (pandas/pyarrow default),
