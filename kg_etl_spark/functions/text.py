@@ -183,3 +183,16 @@ def clean_wikitext(col: Column) -> Column:
     c = F.regexp_replace(c, r"\[\[([^\]]*)\]\]", r"$1")
     c = F.regexp_replace(c, r"\{\{[^}]*\}\}", "")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def strip_html(c: Column) -> Column:
+    """Drop markup tags and collapse whitespace — the C4/CCNet HTML
+    pre-pass (tag contents survive; scripts/styles are upstream
+    extractors' concern). Native regexp, mirrored verbatim in SQL."""
+    return F.trim(F.regexp_replace(F.regexp_replace(c, r"<[^>]*>", " "), r"\s+", " "))
+
+
+def extract_urls(c: Column) -> Column:
+    """All http(s) URLs in a text column, in order of appearance —
+    crawl-lineage extraction for domain capping/blocklists."""
+    return F.regexp_extract_all(c, F.lit(r'https?://[^\s"<>]+'), 0)

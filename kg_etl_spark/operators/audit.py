@@ -147,3 +147,41 @@ def check_expectations(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """K-anonymity audit over quasi-identifier columns: every row must
+    share its QI combination with at least k-1 others, or it is
+    re-identifiable. Returns one row per equivalence class:
+    (qi..., class_size, meets_k) — the release gate for training data
+    derived from user records.
+
+    One hash-aggregate shuffle on the QI key; class sizes are the
+    aggregate's output, so the result is |classes| rows regardless of
+    data size. Suppression/generalization policies compose downstream
+    (join class sizes back and filter, or coarsen a QI and re-audit).
+    """
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("meets_k", F.col("class_size") >= k)
+    )
+
+
+def k_anonymity_suppress(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Enforcement half: drop every row whose QI equivalence class is
+    smaller than k (suppression — the conservative policy). The class
+    sizes are an aggregate output (small), broadcast back onto the
+    data; the data itself shuffles zero times."""
+    classes = k_anonymity(df, qi_cols, k).filter(F.col("meets_k"))
+    return df.join(
+        F.broadcast(classes.select(*qi_cols)), list(qi_cols), "left_semi"
+    )

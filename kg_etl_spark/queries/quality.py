@@ -212,3 +212,44 @@ ORACLES = {
     "winsorize": ORACLE_WINSORIZE,
     "grouped_numeric_profile": ORACLE_GROUPED_PROFILE,
 }
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit of customers over (nationkey, mktsegment)
+    quasi-identifiers (operators/audit.py `k_anonymity`)."""
+    from kg_etl_spark.operators.audit import k_anonymity
+
+    cust = read_table(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+ORACLE_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+       COUNT(*) >= 10 AS meets_k
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def q_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforcement: rows surviving k=10 suppression (broadcast
+    semi-join of passing classes; the data never shuffles)."""
+    from kg_etl_spark.operators.audit import k_anonymity_suppress
+
+    cust = read_table(spark, sf_dir, "customer")
+    return k_anonymity_suppress(cust, ["c_nationkey", "c_mktsegment"], k=10).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+
+
+ORACLE_K_ANON_SUPPRESS = """
+SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+WHERE (c_nationkey, c_mktsegment) IN (
+  SELECT (c_nationkey, c_mktsegment) FROM customer
+  GROUP BY c_nationkey, c_mktsegment HAVING COUNT(*) >= 10
+)
+"""
+
+QUERIES["k_anonymity"] = q_k_anonymity
+ORACLES["k_anonymity"] = ORACLE_K_ANONYMITY
+QUERIES["k_anonymity_suppress"] = q_k_anonymity_suppress
+ORACLES["k_anonymity_suppress"] = ORACLE_K_ANON_SUPPRESS

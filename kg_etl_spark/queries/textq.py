@@ -820,3 +820,43 @@ ORACLES = {
     "posting_lists": ORACLE_POSTING,
     "doc_keywords": ORACLE_KEYWORDS,
 }
+
+
+def q_html_strip_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML stripping + URL extraction (C4/CCNet crawl pre-pass) over a
+    deterministically synthesized markup layout (documents.text carries
+    no markup — same device as q_clean_wikitext)."""
+    from kg_etl_spark.functions.text import extract_urls, strip_html
+
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>"), F.substring("text", 1, 60),
+        F.lit('</p> see <a href="https://ex.org/'), F.col("source"),
+        F.lit("/"), F.col("lang"), F.lit('">x</a> & more at http://'),
+        F.col("source"), F.lit(".test/page"),
+    )
+    return docs.select(
+        "doc_id",
+        strip_html(html).alias("clean"),
+        F.concat_ws(" ", extract_urls(html)).alias("urls"),
+        F.size(extract_urls(html)).cast("long").alias("n_urls"),
+    )
+
+
+ORACLE_HTML_STRIP = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<p>' || substr(text, 1, 60) || '</p> see <a href="https://ex.org/'
+           || source || '/' || lang || '">x</a> & more at http://'
+           || source || '.test/page' AS html
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
+       array_to_string(regexp_extract_all(html, 'https?://[^\s"<>]+'), ' ') AS urls,
+       CAST(len(regexp_extract_all(html, 'https?://[^\s"<>]+')) AS BIGINT) AS n_urls
+FROM h
+"""
+
+QUERIES["html_strip_urls"] = q_html_strip_urls
+ORACLES["html_strip_urls"] = ORACLE_HTML_STRIP
