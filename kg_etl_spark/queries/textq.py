@@ -860,3 +860,68 @@ FROM h
 
 QUERIES["html_strip_urls"] = q_html_strip_urls
 ORACLES["html_strip_urls"] = ORACLE_HTML_STRIP
+
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness demo: n-gram-Jaccard near-dup pairs (>= 0.8)
+    scored against exact-duplicate truth (normalized-md5 groups) —
+    precision/recall/F1 as one row. Both sides are SQL-expressible, so
+    the METRICS operator itself gets a full value-hash oracle."""
+    from kg_etl_spark.operators.evaluation import pair_metrics
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.8).select("a_id", "b_id")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    keyed = docs.select("doc_id", fp.alias("_fp"))
+    truth = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "_fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+    )
+    return pair_metrics(pred, truth)
+
+
+ORACLE_DEDUP_EVAL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks, text FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+pred AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+),
+keyed AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+truth AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM keyed x JOIN keyed y ON x.fp = y.fp AND x.doc_id < y.doc_id
+),
+j AS (
+  SELECT COALESCE(p.a_id, t2.a_id) AS a_id, COALESCE(p.b_id, t2.b_id) AS b_id,
+         p.a_id IS NOT NULL AS in_p, t2.a_id IS NOT NULL AS in_t
+  FROM pred p FULL OUTER JOIN truth t2 ON p.a_id = t2.a_id AND p.b_id = t2.b_id
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
+       ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
+       ROUND(CASE WHEN 2*tp + fp + fn > 0 THEN CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) ELSE 0.0 END, 6) AS f1
+FROM c
+"""
+
+QUERIES["dedup_eval"] = q_dedup_eval
+ORACLES["dedup_eval"] = ORACLE_DEDUP_EVAL

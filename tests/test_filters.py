@@ -119,3 +119,25 @@ def test_rrf_query_shape(spark):
     assert rows == sorted(rows, key=lambda r: (-r["rrf"], r["doc_id"]))
     # every row carries at least one real rank
     assert all(r["bm25_rank"] > 0 or r["emb_rank"] > 0 for r in rows)
+
+
+def test_pair_metrics_confusion_counts(spark):
+    from kg_etl_spark.operators.evaluation import pair_metrics
+
+    pred = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "a_id long, b_id long")
+    truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8)], "a_id long, b_id long")
+    m = pair_metrics(pred, truth).collect()[0]
+    assert (m["tp"], m["fp"], m["fn"]) == (2, 1, 1)
+    assert abs(m["precision"] - 2 / 3) < 1e-6
+    assert abs(m["recall"] - 2 / 3) < 1e-6
+    assert abs(m["f1"] - 2 / 3) < 1e-6
+
+
+def test_pair_metrics_empty_sides(spark):
+    from kg_etl_spark.operators.evaluation import pair_metrics
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    truth = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    m = pair_metrics(empty, truth).collect()[0]
+    assert (m["tp"], m["fp"], m["fn"]) == (0, 0, 1)
+    assert m["precision"] == 0.0 and m["f1"] == 0.0
