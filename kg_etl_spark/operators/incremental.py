@@ -96,3 +96,38 @@ def finalize_distinct_sketch(state: DataFrame) -> DataFrame:
         *[c for c in state.columns if c != "hll"],
         F.hll_sketch_estimate("hll").alias("n_distinct_est"),
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a NEW batch against an accumulated fingerprint
+    store — the refresh-path twin of `dedup.exact_dedup` (which
+    re-scans everything): the history is never re-read beyond its
+    (fp)-only store.
+
+    Returns (fresh, new_fps): `fresh` keeps one representative
+    (min id) per normalized-content fingerprint among batch rows whose
+    fingerprint is NOT in `seen_fps`; `new_fps` is exactly the fp set
+    to append to the store (the fresh rows' fingerprints).
+
+    Scale shape: one fingerprint projection (map-side), one in-batch
+    keeper aggregate, one anti-join against the store — at 100 TB the
+    store join is the only history-sized cost and it touches a
+    16-byte-per-doc table, not the corpus. Idempotent by construction:
+    replaying a batch yields zero fresh rows.
+    """
+    from kg_etl_spark.operators.textquality import fingerprint
+
+    fp = fingerprint(F.col(text_col), "md5").alias("fp")
+    keyed = batch.select(F.col(id_col), fp)
+    keepers = keyed.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    fresh_keys = keepers.join(
+        seen_fps.select("fp"), "fp", "left_anti"
+    )
+    fresh = batch.join(fresh_keys.select(id_col, "fp"), id_col, "left_semi")
+    new_fps = fresh_keys.select("fp")
+    return fresh, new_fps

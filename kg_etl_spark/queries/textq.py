@@ -925,3 +925,37 @@ FROM c
 
 QUERIES["dedup_eval"] = q_dedup_eval
 ORACLES["dedup_eval"] = ORACLE_DEDUP_EVAL
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: docs < 250 are 'history' (their
+    fingerprint store), the rest arrive as the new batch; output is the
+    batch's fresh keepers (operators/incremental.py
+    `incremental_exact_dedup`)."""
+    from kg_etl_spark.operators.incremental import incremental_exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    seen = hist.select(fingerprint(F.col("text"), "md5").alias("fp")).distinct()
+    fresh, _ = incremental_exact_dedup(batch, seen)
+    return fresh.select("doc_id", "source", "lang")
+
+
+ORACLE_INCREMENTAL_DEDUP = r"""
+WITH fps AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),
+keepers AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM fps WHERE doc_id >= 250 GROUP BY fp
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+JOIN keepers k ON d.doc_id = k.doc_id
+WHERE k.fp NOT IN (SELECT fp FROM hist)
+"""
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+ORACLES["incremental_dedup"] = ORACLE_INCREMENTAL_DEDUP

@@ -264,3 +264,31 @@ def test_dsir_weights_favor_target_like_docs(spark):
         # same ordering and near-equal values (smoothing denominator
         # differs: |buckets| vs |gram types|)
         assert (bucketed[3]["dsir_weight"] > bucketed[4]["dsir_weight"])
+
+
+def test_incremental_dedup_idempotent_and_cross_batch(spark):
+    from kg_etl_spark.operators.incremental import incremental_exact_dedup
+
+    hist = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    from kg_etl_spark.operators.textquality import fingerprint
+    from pyspark.sql import functions as F
+
+    seen = hist.select(fingerprint(F.col("text"), "md5").alias("fp")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha  beta"),   # dup of history (whitespace-normalized)
+            (11, "epsilon zeta"),  # fresh
+            (12, "epsilon zeta"),  # in-batch dup of 11
+            (13, "ETA theta"),     # fresh (case-normalized unique)
+        ],
+        "doc_id long, text string",
+    )
+    fresh, new_fps = incremental_exact_dedup(batch, seen)
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [11, 13]
+    assert new_fps.count() == 2
+    # replay: with the store updated, the same batch yields nothing
+    seen2 = seen.unionByName(new_fps).distinct()
+    fresh2, _ = incremental_exact_dedup(batch, seen2)
+    assert fresh2.count() == 0

@@ -577,3 +577,41 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert first[0] == 2 and first[1] == 3.0
     assert first[2] == u1[0] + (10 * 60 + 30 * 60) * 1_000_000
     assert got[(2, 1704067500000000)][0] == 1
+
+
+def test_streaming_stateless_filter_pack(spark, tmp_path):
+    # Corpus filters are stateless projections, so they lift to
+    # Structured Streaming unchanged — the same operator object runs on
+    # a readStream frame with no watermark/state plumbing.
+    import json as _json
+
+    from kg_etl_spark.operators.filters import gopher_quality_flags
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": " ".join(["the", "cats", "and", "dogs", "ran"] * 12)},
+        {"doc_id": 2, "text": "too short"},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        gopher_quality_flags(stream)
+        .select("doc_id", "n_words", "pass_gopher")
+        .writeStream.format("memory")
+        .queryName("gopher_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM gopher_stream").collect()}
+    batch = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.read.schema("doc_id long, text string").json(str(src))
+        ).collect()
+    }
+    assert got[1]["pass_gopher"] == batch[1]["pass_gopher"] is True
+    assert got[2]["pass_gopher"] == batch[2]["pass_gopher"] is False
