@@ -707,3 +707,37 @@ GROUP BY event_type, epoch_us(date_trunc('day', ts))
 
 QUERIES["incremental_rollup"] = q_incremental_rollup
 ORACLES["incremental_rollup"] = ORACLE_INCREMENTAL
+
+
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, extract typed fields with
+    variant_get — the lakehouse-modern path (shredded binary access,
+    no per-extract string re-parse like get_json_object; at 100 TB
+    with many extracts per row that re-parse is the dominant cost).
+    Oracle mirrors with DuckDB's native JSON extraction."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+QUERIES["variant_props_stats"] = q_variant_props_stats
+ORACLES["variant_props_stats"] = ORACLE_VARIANT_PROPS
