@@ -158,6 +158,7 @@ def duplicate_span_flags(
     text_col: str = "text",
     n: int = 5,
     min_df: int = 2,
+    hash_spans: bool = False,
 ) -> DataFrame:
     """Cross-document duplicate-span statistics (the detection half of
     Lee et al. 2022's substring deduplication, at word-n-gram
@@ -181,6 +182,14 @@ def duplicate_span_flags(
         F.col(id_col),
         F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_span"),
     )
+    if hash_spans:
+        # Scale path: 8-byte xxhash64 keys instead of ~n-word strings —
+        # ~3-4× narrower shuffle for the DF aggregate and the fold-back
+        # join (measured 284s → see SCALE.md at 5M docs). Collisions
+        # (~2^-64 per pair) can only merge two spans' counts, which at
+        # min_df>=2 can only ADD a flagged span — same failure class as
+        # the LSH family's hashed shingles, documented there.
+        spans = spans.select(id_col, F.xxhash64("_span").alias("_span"))
     # word_shingles dedups per doc → count(*) per span == doc frequency.
     df_per_span = spans.groupBy("_span").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (

@@ -650,3 +650,32 @@ def test_python_datasource_sqlite_partitioned(spark, tmp_path):
     assert rows[0] == (0, "poi0", 0.0)
     assert rows[99] == (99, "poi99", 24.75)
     assert dict(df.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+
+
+def test_synthdocs_datasource_deterministic(spark):
+    from kg_etl_spark.sources.synthdocs import SynthDocsDataSource, synth_doc
+
+    try:
+        spark.dataSource.register(SynthDocsDataSource)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+    df = (
+        spark.read.format("synthdocs")
+        .option("rows", "1000")
+        .option("numPartitions", "7")
+        .load()
+    )
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 7
+    # content is a pure function of doc_id — cross-check one row
+    row = df.filter("doc_id = 123").collect()[0]
+    assert tuple(row) == synth_doc(123)
+    # different partitioning, identical rows
+    df2 = (
+        spark.read.format("synthdocs")
+        .option("rows", "1000")
+        .option("numPartitions", "3")
+        .load()
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df2.collect()))
