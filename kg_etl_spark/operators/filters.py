@@ -191,26 +191,37 @@ def duplicate_span_flags(
         # the LSH family's hashed shingles, documented there.
         spans = spans.select(id_col, F.xxhash64("_span").alias("_span"))
     # word_shingles dedups per doc → count(*) per span == doc frequency.
-    df_per_span = spans.groupBy("_span").agg(F.count(F.lit(1)).alias("_df"))
-    per_doc = (
-        spans.join(df_per_span, "_span")
+    # Join shape: n_spans is computed MAP-SIDE (array size, no explode,
+    # no shuffle); only the dup test touches the exploded stream, as a
+    # semi-join against the (usually far smaller) duplicated-span set —
+    # AQE broadcasts it when it fits, making the probe map-side too.
+    # The span instances are never joined against full df counts.
+    dup_set = (
+        spans.groupBy("_span")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_span")
+    )
+    per_doc_dup = (
+        spans.join(dup_set, "_span", "left_semi")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("_n_spans"),
-            F.sum((F.col("_df") >= min_df).cast("long")).alias("_n_dup"),
-        )
+        .agg(F.count(F.lit(1)).alias("_n_dup"))
+    )
+    n_spans_df = corpus.select(
+        F.col(id_col),
+        F.size(word_shingles(ws_tokens(F.col(text_col)), n)).cast("long").alias("n_spans"),
     )
     return (
-        corpus.select(id_col)
-        .join(per_doc, id_col, "left")
+        n_spans_df.join(per_doc_dup, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("_n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            "n_spans",
             F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
             F.round(
                 F.when(
-                    F.coalesce(F.col("_n_spans"), F.lit(0)) > 0,
-                    F.col("_n_dup").cast("double") / F.col("_n_spans").cast("double"),
+                    F.col("n_spans") > 0,
+                    F.coalesce(F.col("_n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_spans").cast("double"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_ratio"),
