@@ -86,18 +86,27 @@ def cms_estimate(
     min-over-rows estimate (never underestimates). The sketch is tiny
     (d·w cells) and broadcast to the keys."""
     sketch = cms_build(df, key_col, d=d, w=w)
-    est = None
-    for j in range(d):
-        b = keys.select(
-            F.col(key_col),
-            F.lit(j).alias("row"),
-            F.pmod(_h32(F.col(key_col), _CMS_A[j], _CMS_B[j]), F.lit(w)).alias("bucket"),
-        )
-        joined = b.join(F.broadcast(sketch), ["row", "bucket"]).select(
-            key_col, F.col("cnt")
-        )
-        est = joined if est is None else est.unionByName(joined)
-    return est.groupBy(key_col).agg(F.min("cnt").alias("cms_estimate"))
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(
+                            _h32(F.col(key_col), _CMS_A[j], _CMS_B[j]), F.lit(w)
+                        ).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("_rb"),
+    ).select(key_col, "_rb.row", "_rb.bucket")  # one frame, d rows per key
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
 
 
 def hll_rho_projection(
