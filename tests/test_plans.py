@@ -257,6 +257,12 @@ def test_shuffle_budgets_hold(spark):
         "dup_span_flags": 2,
         "source_cap": 1,
         "surprisal_buckets": 2,
+        # sketches + governance: fixed-size aggregates and projections
+        "jl_projection": 0,
+        "html_strip_urls": 0,
+        "cms_heavy_hitters": 3,
+        "hll_distinct_users": 4,
+        "k_anonymity": 1,
     }
     actual = {name: n_exchanges(name) for name in budgets}
     over = {
