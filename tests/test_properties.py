@@ -7,6 +7,8 @@ from __future__ import annotations
 import random
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from kg_etl_spark.operators.blocking import blocked_pairs
@@ -213,3 +215,37 @@ def test_bloom_contamination_never_loses_pairs(spark, seed):
             for r in bloom_ngram_contamination(corpus, bench, n=4, m_bits=m_bits).collect()
         }
         assert got == exact, (seed, m_bits)
+
+
+@given(
+    st.text(alphabet="abcdef", min_size=1, max_size=12),
+    st.lists(
+        st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=2),
+                  st.text(alphabet="abcdef", min_size=1, max_size=2)),
+        max_size=8,
+        unique=True,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_word_reconstruction_invariants(word, merges):
+    """Property: greedy BPE application never alters the underlying
+    string (pieces concatenate back to the word), never produces empty
+    pieces, and is idempotent under re-application to its own output
+    vocabulary."""
+    from kg_etl_spark.operators.bpe import bpe_word
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    pieces = bpe_word(word, ranks)
+    assert "".join(pieces) == word
+    assert all(pieces)
+    assert 1 <= len(pieces) <= len(word)
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+@settings(max_examples=50, deadline=None)
+def test_h32_matches_pure_reference(spark_h32_probe, x):
+    """Property: the overflow-free split form of (k*A+B) mod 2^32
+    equals the direct big-int computation for any long input."""
+    a, b = 2654435761, 40503
+    expected = ((x % (2**32)) * a + b) % (2**32)
+    assert spark_h32_probe(x, a, b) == expected
