@@ -240,3 +240,27 @@ def dataset_mixture(
         )
     rate_expr = rate_expr.otherwise(F.lit(-1.0))
     return df.filter(h.cast("double") < rate_expr * F.lit(float(_M32)))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-corpus
+    standard, e.g. mT5/XLM-R): target weights derived from the data as
+    n_s^alpha — alpha=1 keeps natural proportions, alpha→0 approaches
+    uniform — then thinned exactly like `dataset_mixture`.
+
+    Determinism discipline: weights are rounded to 6 dp and summed in
+    sorted-source order (a fixed left fold), so the driver-side floats
+    are reproducible bit-exactly by the SQL oracle's ordered
+    list_reduce — data order never touches the arithmetic.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {s: round(counts[s] ** alpha, 6) for s in sorted(counts)}
+    return dataset_mixture(df, source_col, weights, id_col)

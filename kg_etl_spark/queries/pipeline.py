@@ -934,3 +934,36 @@ ORACLES = {
     "filter_funnel": ORACLE_FILTER_FUNNEL,
     "training_pipeline_e2e": ORACLE_TRAINING_E2E,
 }
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixture (alpha=0.5): weights
+    derived from the corpus itself as n^alpha, then hash-thinned;
+    per-lang survivors + id checksum."""
+    from kg_etl_spark.operators.packing import temperature_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    keep = temperature_mixture(docs, "lang", alpha=0.5)
+    return keep.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+ORACLE_TEMPERATURE_MIXTURE = f"""
+WITH w AS (
+  SELECT lang, COUNT(*) AS n, ROUND(power(COUNT(*), 0.5), 6) AS wt
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT list_reduce(list(wt ORDER BY lang), (x, y) -> x + y) AS tw FROM w),
+t AS (SELECT MIN(n / (wt / tw)) AS t_max FROM w, tot),
+rates AS (
+  SELECT w.lang, (w.wt / tot.tw) * t.t_max / w.n AS rate FROM w, tot, t
+)
+SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST((d.doc_id * {_KNUTH_A}) % {_M32} AS DOUBLE) < r.rate * {float(_M32)!r}
+GROUP BY d.lang
+"""
+
+QUERIES["temperature_mixture"] = q_temperature_mixture
+ORACLES["temperature_mixture"] = ORACLE_TEMPERATURE_MIXTURE

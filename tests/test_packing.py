@@ -133,3 +133,21 @@ def test_check_expectations_nulls_are_violations(spark):
         df, {"v_positive": F.col("v") > 0}
     ).collect()}
     assert out["v_positive"] == 2  # NULL row counts as a violation
+
+
+def test_temperature_mixture_flattens_proportions(spark):
+    from kg_etl_spark.operators.packing import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mixture(df, "lang", alpha=0.5)
+    by = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # natural ratio 9:1; alpha=0.5 targets 3:1 — the small source is
+    # binding (kept whole), big thinned to ~3x small
+    assert by["small"] == 100
+    assert 250 < by["big"] < 350
+    # alpha=1.0 degenerates to keep-everything
+    kept_all = temperature_mixture(df, "lang", alpha=1.0)
+    assert kept_all.count() == 1000
