@@ -185,3 +185,102 @@ def k_anonymity_suppress(
     return df.join(
         F.broadcast(classes.select(*qi_cols)), list(qi_cols), "left_semi"
     )
+
+
+def quarantine_split(
+    df: DataFrame, rules: "dict[str, object]"
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level enforcement of `check_expectations` rules: returns
+    (good, bad) where `bad` carries `failed_rule` — the FIRST failing
+    rule in sorted-name order (deterministic; a row failing several
+    rules reports one, the quarantine queue triages the rest on
+    replay).
+
+    Both frames derive from the same projection — Spark evaluates the
+    rule columns once per consumed frame, map-side, no shuffle, no
+    second scan of the rule logic per rule. NULL-evaluating predicates
+    are failures (same contract as check_expectations).
+    """
+    first_fail = F.lit(None).cast("string")
+    for name in sorted(rules, reverse=True):
+        pred = rules[name]
+        first_fail = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(
+            first_fail
+        )
+    tagged = df.withColumn("failed_rule", first_fail)
+    good = tagged.filter(F.col("failed_rule").isNull()).drop("failed_rule")
+    bad = tagged.filter(F.col("failed_rule").isNotNull())
+    return good, bad
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column: bucket edges are the REFERENCE's exact quantiles, both
+    snapshots are histogrammed against them, and
+    PSI = Σ (p_cur - p_ref) · ln(p_cur / p_ref) with the standard
+    half-count floor on empty buckets. PSI < 0.1 ≈ stable, > 0.25 ≈
+    action — the monitoring gate between pipeline runs.
+
+    Returns one row per bucket (edges, counts, shares, psi term) plus
+    the total via SUM over the output — |buckets| rows, two scans
+    (one per snapshot), no joins against data.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = reference.agg(
+        F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(p) for p in probs])).alias("e")
+    ).collect()[0]["e"]
+    # 6-dp edges: bucket membership must be decided on values both
+    # engines agree on — raw interpolated quantiles can differ in the
+    # last ulp between implementations.
+    edges = [round(float(x), 6) for x in edges]
+
+    def bucket(c):
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(c > F.lit(e), F.lit(i + 1)).otherwise(b)
+        return b
+
+    def hist(snap, share_name):
+        n = snap.count()
+        return (
+            snap.select(bucket(F.col(value_col).cast("double")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(
+                "bucket",
+                # half-count floor so empty buckets don't blow up the log
+                (F.greatest(F.col("_c").cast("double"), F.lit(0.5)) / F.lit(float(n))).alias(
+                    share_name
+                ),
+            )
+        )
+
+    buckets = reference.sparkSession.range(0, n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    out = (
+        buckets.join(hist(reference, "ref_share"), "bucket", "left")
+        .join(hist(current, "cur_share"), "bucket", "left")
+        .fillna({"ref_share": 0.0, "cur_share": 0.0})
+    )
+    # re-floor buckets absent from a snapshot entirely
+    n_ref = reference.count()
+    n_cur = current.count()
+    ref_s = F.when(F.col("ref_share") > 0, F.col("ref_share")).otherwise(
+        F.lit(0.5) / F.lit(float(max(n_ref, 1)))
+    )
+    cur_s = F.when(F.col("cur_share") > 0, F.col("cur_share")).otherwise(
+        F.lit(0.5) / F.lit(float(max(n_cur, 1)))
+    )
+    term = (cur_s - ref_s) * F.log(cur_s / ref_s)
+    return out.select(
+        "bucket",
+        F.round(ref_s, 6).alias("ref_share"),
+        F.round(cur_s, 6).alias("cur_share"),
+        F.round(term, 6).alias("psi_term"),
+    )

@@ -6,6 +6,7 @@ ingest runs before heavier processing."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kg_etl_spark.operators.audit import (
     column_profile,
@@ -253,3 +254,94 @@ QUERIES["k_anonymity"] = q_k_anonymity
 ORACLES["k_anonymity"] = ORACLE_K_ANONYMITY
 QUERIES["k_anonymity_suppress"] = q_k_anonymity_suppress
 ORACLES["k_anonymity_suppress"] = ORACLE_K_ANON_SUPPRESS
+
+
+_PSI_CUT = "1996-01-01"
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift of order totals: pre-1996 orders are
+    the reference snapshot, the rest the current one (operators/audit.py
+    `psi_drift`; exact reference-quantile buckets, 6-dp edges)."""
+    from kg_etl_spark.operators.audit import psi_drift
+
+    orders = read_table(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < _PSI_CUT)
+    cur = orders.filter(F.col("o_orderdate") >= _PSI_CUT)
+    return psi_drift(ref, cur, "o_totalprice", n_buckets=10)
+
+
+_PSI_PROBS = "[" + ", ".join(str(i / 10) for i in range(1, 10)) + "]"
+
+ORACLE_PSI = f"""
+WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_orderdate < '{_PSI_CUT}'),
+cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_orderdate >= '{_PSI_CUT}'),
+e AS (
+  SELECT list_transform(quantile_cont(v, {_PSI_PROBS}), x -> ROUND(x, 6)) AS edges
+  FROM ref
+),
+nref AS (SELECT COUNT(*) AS n FROM ref),
+ncur AS (SELECT COUNT(*) AS n FROM cur),
+rh AS (
+  SELECT len(list_filter(e.edges, t -> v > t)) AS bucket, COUNT(*) AS c
+  FROM ref, e GROUP BY 1
+),
+ch AS (
+  SELECT len(list_filter(e.edges, t -> v > t)) AS bucket, COUNT(*) AS c
+  FROM cur, e GROUP BY 1
+),
+b AS (SELECT unnest(range(0, 10)) AS bucket),
+shares AS (
+  SELECT b.bucket,
+         CASE WHEN rh.c IS NOT NULL THEN greatest(CAST(rh.c AS DOUBLE), 0.5) / nref.n
+              ELSE 0.5 / nref.n END AS ref_share,
+         CASE WHEN ch.c IS NOT NULL THEN greatest(CAST(ch.c AS DOUBLE), 0.5) / ncur.n
+              ELSE 0.5 / ncur.n END AS cur_share
+  FROM b LEFT JOIN rh ON b.bucket = rh.bucket
+         LEFT JOIN ch ON b.bucket = ch.bucket, nref, ncur
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       ROUND(ref_share, 6) AS ref_share,
+       ROUND(cur_share, 6) AS cur_share,
+       ROUND((cur_share - ref_share) * ln(cur_share / ref_share), 6) AS psi_term
+FROM shares
+"""
+
+QUERIES["psi_drift"] = q_psi_drift
+ORACLES["psi_drift"] = ORACLE_PSI
+
+
+def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine: lineitem rows routed by their first
+    failing rule (sorted-name order); output is the per-queue census
+    including the clean queue (operators/audit.py `quarantine_split`)."""
+    from kg_etl_spark.operators.audit import quarantine_split
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rules = {
+        "discount_low": F.col("l_discount") <= 0.05,
+        "quantity_sane": F.col("l_quantity") <= 45,
+        "tax_low": F.col("l_tax") <= 0.03,
+    }
+    good, bad = quarantine_split(li, rules)
+    census = bad.groupBy("failed_rule").agg(F.count(F.lit(1)).alias("n"))
+    clean = good.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("__clean__").alias("failed_rule"), "n"
+    )
+    return census.unionByName(clean)
+
+
+ORACLE_QUARANTINE = """
+WITH tagged AS (
+  SELECT CASE
+    WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 'discount_low'
+    WHEN NOT COALESCE(l_quantity <= 45, FALSE) THEN 'quantity_sane'
+    WHEN NOT COALESCE(l_tax <= 0.03, FALSE) THEN 'tax_low'
+    ELSE '__clean__' END AS failed_rule
+  FROM lineitem
+)
+SELECT failed_rule, COUNT(*) AS n FROM tagged GROUP BY failed_rule
+"""
+
+QUERIES["quarantine_split"] = q_quarantine_split
+ORACLES["quarantine_split"] = ORACLE_QUARANTINE

@@ -42,3 +42,36 @@ def test_histogram_covers_range_and_counts(spark):
     assert out[-1]["n"] == 10 and out[-1]["hi"] == 99.0
     # equal widths
     assert all(abs((r["hi"] - r["lo"]) - 9.9) < 1e-9 for r in out)
+
+
+def test_quarantine_split_routing(spark):
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.operators.audit import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.0), (2, 100, 0.0), (3, 10, 0.9), (4, None, 0.0)],
+        "id long, qty long, disc double",
+    )
+    rules = {
+        "a_qty": F.col("qty") <= 50,
+        "b_disc": F.col("disc") <= 0.5,
+    }
+    good, bad = quarantine_split(df, rules)
+    assert {r["id"] for r in good.collect()} == {1}
+    routed = {r["id"]: r["failed_rule"] for r in bad.collect()}
+    # first failing rule in sorted-name order; NULL predicate = failure
+    assert routed == {2: "a_qty", 3: "b_disc", 4: "a_qty"}
+
+
+def test_psi_drift_detects_shift(spark):
+    from kg_etl_spark.operators.audit import psi_drift
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = spark.createDataFrame([(float((i * 7) % 100),) for i in range(500)], "v double")
+    shifted = spark.createDataFrame([(float(50 + i % 100),) for i in range(500)], "v double")
+    psi_same = sum(r["psi_term"] for r in psi_drift(ref, same, "v").collect())
+    psi_shift = sum(r["psi_term"] for r in psi_drift(ref, shifted, "v").collect())
+    assert psi_same < 0.05
+    assert psi_shift > 0.25
+    assert psi_shift > psi_same
