@@ -619,3 +619,78 @@ FROM enc GROUP BY substring(gh6, 1, 4)
 
 QUERIES["geohash_cells"] = q_geohash_cells
 ORACLES["geohash_cells"] = _geohash_oracle()
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the 800 m proximity graph:
+    c(v) = 2·T(v) / (d(v)·(d(v)−1)) from the per-node triangle counts
+    plus degrees — the closure measure community detection calibrates
+    against. Degree-join composes the existing triangle operator; one
+    extra per-node aggregate."""
+    from kg_etl_spark.operators.triangles import triangle_counts
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
+        F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
+    )
+    deg = (
+        pairs.select(F.col("a_id").alias("node"))
+        .unionAll(pairs.select(F.col("b_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(pairs)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+ORACLE_CLUSTERING_COEF = f"""
+WITH c AS ({{cust}}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {{equirect}} <= 800.0
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a_id AS node FROM pairs UNION ALL SELECT b_id FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+  FROM pairs e1 JOIN pairs e2 ON e1.a_id = e2.a_id AND e1.b_id < e2.b_id
+  JOIN pairs e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id
+),
+tcnt AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering_coef
+FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+"""
+
+QUERIES["clustering_coefficient"] = q_clustering_coefficient
+ORACLES["clustering_coefficient"] = ORACLE_CLUSTERING_COEF.format(
+    cust=_sql_cust_coords(),
+    equirect=_SQL_EQUIRECT.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"),
+)
