@@ -76,3 +76,54 @@ def scd2_apply(
         F.lit(None).cast("long").alias("valid_to"),
     )
     return hist.unionByName(unchanged).unionByName(expired).unionByName(opened)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Classify rows between two snapshots of the same table:
+    'added' (key only in new), 'removed' (key only in old),
+    'changed' (key in both, any compare col differs — NULL-safe),
+    'unchanged'. The primitive behind incremental syncs, CDC
+    backfills, and regression diffs of pipeline outputs.
+
+    One full-outer join on the key; comparison is map-side NULL-safe
+    equality. Output keeps the key plus per-side values of the first
+    differing column for triage.
+    """
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols + compare_cols]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols + compare_cols]
+    )
+    cond = [o[f"_o_{c}"] == n[f"_n_{c}"] for c in key_cols]
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    any_diff = F.lit(False)
+    for c in compare_cols:
+        any_diff = any_diff | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(in_old & ~in_new, F.lit("removed"))
+        .when(~in_old & in_new, F.lit("added"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    first_diff = F.lit(None).cast("string")
+    for c in reversed(compare_cols):
+        first_diff = F.when(
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+        ).otherwise(first_diff)
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_o_{c}"), F.col(f"_n_{c}")).alias(c)
+            for c in key_cols
+        ],
+        status.alias("diff_status"),
+        F.when(status == "changed", first_diff).alias("first_diff_col"),
+    )

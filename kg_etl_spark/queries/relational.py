@@ -1846,3 +1846,68 @@ QUERIES["forecast_revenue"] = q_forecast_revenue
 ORACLES["forecast_revenue"] = ORACLE_FORECAST
 QUERIES["returned_item_customers"] = q_returned_item_customers
 ORACLES["returned_item_customers"] = ORACLE_RETURNED_CUSTOMERS
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change classification (operators/scd.py
+    `snapshot_diff`): the 'new' customer snapshot is synthesized
+    deterministically — ids %97==0 deleted, %13==0 rebalanced, a
+    shifted-id block inserted — so every status fires on real rows."""
+    from kg_etl_spark.operators.scd import snapshot_diff
+
+    old = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    kept = old.filter(F.col("c_custkey") % 97 != 0)
+    mutated = kept.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserted = old.filter(F.col("c_custkey") % 101 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    new = mutated.unionByName(inserted)
+    diff = snapshot_diff(old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    return diff.groupBy("diff_status", "first_diff_col").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("key_sum")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 THEN ROUND(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 101 = 0
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NULL THEN 'removed'
+              WHEN o.c_custkey IS NULL AND n.c_custkey IS NOT NULL THEN 'added'
+              WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'changed'
+              ELSE 'unchanged' END AS diff_status,
+         CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                   AND (o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                        OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+              THEN CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'c_acctbal'
+                        ELSE 'c_mktsegment' END
+              END AS first_diff_col
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT diff_status, first_diff_col, COUNT(*) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM j GROUP BY diff_status, first_diff_col
+"""
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF

@@ -48,3 +48,22 @@ def test_scd2_history_accumulates_over_batches(spark):
         (1, 1, 2): (2.0, "x"),
         (1, 2, None): (3.0, "x"),
     }
+
+
+def test_snapshot_diff_null_safe_and_statuses(spark):
+    from kg_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 5.0, "c"), (4, 1.0, "d")],
+        "k long, bal double, seg string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 6.0, "c"), (5, 9.0, "e")],
+        "k long, bal double, seg string",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, ["k"], ["bal", "seg"]).collect()}
+    assert out[1]["diff_status"] == "unchanged"
+    assert out[2]["diff_status"] == "unchanged"  # NULL == NULL under eqNullSafe
+    assert out[3]["diff_status"] == "changed" and out[3]["first_diff_col"] == "bal"
+    assert out[4]["diff_status"] == "removed"
+    assert out[5]["diff_status"] == "added"
