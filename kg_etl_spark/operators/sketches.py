@@ -226,3 +226,45 @@ def jl_project(
         F.col("out_dim").cast("long").alias("out_dim"),
         F.round(val, 6).alias("value"),
     )
+
+
+def hll_overlap(
+    a: DataFrame, b: DataFrame, key_col: str, m: int = 64
+) -> DataFrame:
+    """HLL set algebra: estimate |A|, |B|, |A∪B| (register-wise max —
+    the union of two HLLs IS the elementwise max, exactly), and
+    |A∩B| by inclusion-exclusion; plus the Jaccard estimate. The
+    standard trick for audience-overlap / join-cardinality estimation
+    without materializing either set.
+
+    All inputs reduce to m-row register frames before any join, so the
+    combine cost is O(m) regardless of set sizes."""
+    one = F.lit(1).alias("_g")
+
+    def regs(df: DataFrame) -> DataFrame:
+        return (
+            hll_rho_projection(df.select(one, F.col(key_col)), "_g", key_col, m=m)
+            .groupBy("_g", "reg")
+            .agg(F.max("rho").alias("mx"))
+        )
+
+    ra, rb = regs(a), regs(b)
+    ru = ra.unionByName(rb).groupBy("_g", "reg").agg(F.max("mx").alias("mx"))
+    ea = hll_estimate_from_registers(ra, "_g", m=m).select(
+        F.col("hll_estimate").alias("est_a")
+    )
+    eb = hll_estimate_from_registers(rb, "_g", m=m).select(
+        F.col("hll_estimate").alias("est_b")
+    )
+    eu = hll_estimate_from_registers(ru, "_g", m=m).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    out = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6)
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
+    )

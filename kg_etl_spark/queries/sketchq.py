@@ -172,3 +172,58 @@ ORACLES = {
     "hll_distinct_users": ORACLE_HLL,
     "jl_projection": ORACLE_JL,
 }
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via HLL set algebra: clicking users
+    vs purchasing users (operators/sketches.py `hll_overlap` — union =
+    register max, intersection by inclusion-exclusion)."""
+    from kg_etl_spark.operators.sketches import hll_overlap
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return hll_overlap(a, b, "user_id", m=_HLL_M)
+
+
+_RHO_SQL = f"""
+  SELECT (((user_id % {_M32}) * {_CMS_A[0]} + {_CMS_B[0]}) % {_M32}) % {_HLL_M} AS reg,
+         CASE WHEN CAST(floor((((user_id % {_M32}) * {_CMS_A[0]} + {_CMS_B[0]}) % {_M32}) / {_HLL_M}) AS BIGINT) > 0
+              THEN instr(lpad(bin(CAST(floor((((user_id % {_M32}) * {_CMS_A[0]} + {_CMS_B[0]}) % {_M32}) / {_HLL_M}) AS BIGINT)), 26, '0'), '1')
+              ELSE 27 END AS rho
+  FROM events WHERE event_type = '{{etype}}'
+"""
+
+
+def _est_sql(regs_cte: str, out_name: str) -> str:
+    return f"""
+  SELECT ROUND(CASE WHEN raw < {2.5 * _HLL_M!r} AND hit < {_HLL_M}
+                    THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - hit))
+                    ELSE raw END, 6) AS {out_name}
+  FROM (
+    SELECT hit, {_HLL_ALPHA_M2!r} / (CAST(s AS DOUBLE) + {float(_HLL_M)!r} - hit) AS raw
+    FROM (
+      SELECT SUM(CAST(power(2.0, -mx) AS DECIMAL(38,30))) AS s, COUNT(*) AS hit
+      FROM {regs_cte}
+    )
+  )
+"""
+
+
+ORACLE_HLL_OVERLAP = f"""
+WITH ha AS ({_RHO_SQL.format(etype='click')}),
+hb AS ({_RHO_SQL.format(etype='purchase')}),
+ra AS (SELECT reg, MAX(rho) AS mx FROM ha GROUP BY reg),
+rb AS (SELECT reg, MAX(rho) AS mx FROM hb GROUP BY reg),
+ru AS (SELECT reg, MAX(mx) AS mx FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg),
+ea AS ({_est_sql('ra', 'est_a')}),
+eb AS ({_est_sql('rb', 'est_b')}),
+eu AS ({_est_sql('ru', 'est_union')})
+SELECT est_a, est_b, est_union,
+       ROUND(est_a + est_b - est_union, 6) AS est_intersection,
+       ROUND(ROUND(est_a + est_b - est_union, 6) / est_union, 6) AS jaccard_est
+FROM ea, eb, eu
+"""
+
+QUERIES["hll_overlap"] = q_hll_overlap
+ORACLES["hll_overlap"] = ORACLE_HLL_OVERLAP
