@@ -741,3 +741,107 @@ FROM events GROUP BY event_type
 
 QUERIES["variant_props_stats"] = q_variant_props_stats
 ORACLES["variant_props_stats"] = ORACLE_VARIANT_PROPS
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each reading holds until
+    the next one (step interpolation), TWA = Σ v_i·Δt_i / Σ Δt_i over
+    the user's observed span — the correct aggregate for irregularly
+    sampled gauges (unlike the plain mean, which over-weights bursts).
+    Window lead per user + one aggregate; micros arithmetic."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    nxt = F.lead(us).over(w)
+    weighted = (
+        ev.select("user_id", F.col("value"), us.alias("_us"), nxt.alias("_nxt"))
+        .withColumn("_dt", (F.col("_nxt") - F.col("_us")).cast("double"))
+        .filter(F.col("_nxt").isNotNull())
+    )
+    # order-independent aggregation: v·Δt rounded to 6 dp then summed
+    # as decimal; Δt summed exactly as long (catalog contract)
+    term = F.round(F.col("value") * F.col("_dt"), 6).cast(DEC)
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(term).cast("double") / F.sum(F.col("_dt").cast("long")).cast("double"),
+                6,
+            ).alias("twa_value"),
+        )
+    )
+
+
+ORACLE_TWA = """
+WITH t AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS nxt
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_intervals,
+       ROUND(CAST(SUM(CAST(ROUND(value * CAST(nxt - us AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(nxt - us) AS DOUBLE), 6) AS twa_value
+FROM t WHERE nxt IS NOT NULL GROUP BY user_id
+"""
+
+QUERIES["time_weighted_avg"] = q_time_weighted_avg
+ORACLES["time_weighted_avg"] = ORACLE_TWA
+
+
+_ATTR_WINDOW_US = 3600 * 1_000_000
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within the preceding hour (batch twin of
+    streaming/joins.py `attribute_clicks` — same interval semantics,
+    declarative window instead of stream-stream state). Purchases with
+    no qualifying click attribute to NULL and are counted unattributed."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        "user_id", "event_id", "event_type", us.alias("_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click_us = F.max(
+        F.when(F.col("event_type") == "click", F.col("_us"))
+    ).over(w)
+    purchases = (
+        base.withColumn("_lc", last_click_us)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "attributed",
+            F.col("_lc").isNotNull() & (F.col("_us") - F.col("_lc") <= _ATTR_WINDOW_US),
+        )
+    )
+    return purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("attributed").cast("long")).alias("n_attributed"),
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+wins AS (
+  SELECT user_id, event_type, us,
+         MAX(CASE WHEN event_type = 'click' THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS lc
+  FROM base
+)
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN lc IS NOT NULL AND us - lc <= {_ATTR_WINDOW_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+FROM wins WHERE event_type = 'purchase' GROUP BY user_id
+"""
+
+QUERIES["last_touch_attribution"] = q_last_touch_attribution
+ORACLES["last_touch_attribution"] = ORACLE_ATTRIBUTION
