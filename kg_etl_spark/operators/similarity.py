@@ -412,3 +412,79 @@ def quantize_embeddings(
     return with_norm.select(
         id_col, F.round("_norm", 6).alias("l2_norm"), q.alias("qvec")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's top-`pool` cosine candidates, greedily
+    pick k maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the
+    diversity-aware selection retrieval stacks run after ANN.
+
+    Shape: candidate generation is the distributed `brute_force_topk`
+    (corpus never shuffles); the greedy loop runs per query over its
+    own `pool` rows in one Arrow `applyInPandas` group — O(pool²·dim)
+    python work per QUERY, never corpus-scale. λ=1 provably degenerates
+    to plain relevance ranking (the SQL-oracle boundary twin); interior
+    λ is rows-only plus unit tests.
+
+    Ties: exact-float argmax with lowest-neighbor-id tie-break — a
+    total order; the arithmetic is deterministic per input, and at the
+    λ=1 boundary it reduces to exactly `brute_force_topk`'s
+    (score desc, id asc) order, which the SQL twin reproduces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, k=pool,
+    )
+    withvec = cands.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+        ),
+        "neighbor_id",
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rank"]).reset_index(drop=True)
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_nvec"]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        chosen: list[int] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(chosen) < k:
+            if chosen:
+                sim_to_s = unit[remaining] @ unit[chosen].T
+                penalty = sim_to_s.max(axis=1)
+            else:
+                penalty = np.zeros(len(remaining))
+            mmr = lam * rel[remaining] - (1.0 - lam) * penalty
+            key = [(-m, ids[i]) for m, i in zip(mmr, remaining)]
+            best_pos = min(range(len(remaining)), key=lambda p: key[p])
+            chosen.append(remaining.pop(best_pos))
+        return pd.DataFrame(
+            {
+                query_id_col: pdf[query_id_col].iloc[0],
+                "neighbor_id": ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+                "score": [round(float(rel[i]), 6) for i in chosen],
+            }
+        )
+
+    return withvec.groupBy(query_id_col).applyInPandas(
+        pick,
+        schema=f"{query_id_col} long, neighbor_id long, mmr_rank long, score double",
+    )

@@ -375,3 +375,62 @@ QUALIFY rk <= {_NEG_K}
 
 QUERIES["negative_samples"] = q_negative_samples
 ORACLES["negative_samples"] = ORACLE_NEGATIVE_SAMPLES
+
+
+_MMR_POOL = 50
+_MMR_K = 10
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware MMR re-ranking (λ=0.5) of the top-50 cosine pool
+    for 4 queries (operators/similarity.py `mmr_rerank`). Interior λ is
+    greedy/float — rows-only; the λ=1 boundary twin below carries the
+    value oracle."""
+    from kg_etl_spark.operators.similarity import mmr_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(emb, queries, k=_MMR_K, lam=0.5, pool=_MMR_POOL)
+
+
+def q_mmr_relevance_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable MMR twin: at λ=1 the diversity penalty is
+    multiplied by exactly 0.0, so greedy MMR provably degenerates to
+    relevance ranking over the pool — SQL-enumerable (pool membership
+    by unrounded rank, re-rank by the 6-dp score the operator sees)."""
+    from kg_etl_spark.operators.similarity import mmr_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(emb, queries, k=_MMR_K, lam=1.0, pool=_MMR_POOL)
+
+
+ORACLE_MMR_BOUNDARY = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_SQL_DOT.format(a='q.qe', b='e.embedding')}
+           / ({_SQL_NORM.format(a='q.qe')} * {_SQL_NORM.format(a='e.embedding')}) AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+pool AS (
+  SELECT query_id, neighbor_id, ROUND(score, 6) AS score FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= {_MMR_POOL}
+)
+SELECT query_id, neighbor_id, mmr_rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS mmr_rank
+  FROM pool
+) WHERE mmr_rank <= {_MMR_K}
+"""
+
+QUERIES["mmr_rerank"] = q_mmr_rerank
+QUERIES["mmr_relevance_boundary"] = q_mmr_relevance_boundary
+ORACLES["mmr_relevance_boundary"] = ORACLE_MMR_BOUNDARY

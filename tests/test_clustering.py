@@ -84,3 +84,32 @@ def test_semantic_dedup_groups_and_keepers(spark):
     assert out[1]["group_id"] == out[9]["group_id"] == 1
     assert out[5]["group_id"] == 5
     assert {i for i, r in out.items() if r["is_kept"]} == {0, 1, 5}
+
+
+def test_mmr_diversifies_planted_clusters(spark):
+    # two tight clusters near the query; λ=0.5 must interleave them
+    # while λ=0.4 must interleave (below 0.5, the less-penalized cluster wins)
+    from kg_etl_spark.operators.similarity import mmr_rerank
+    from pyspark.sql import functions as F
+
+    def vec(base, eps):
+        v = [0.0] * 8
+        v[base] = 1.0
+        v[(base + 1) % 8] = eps
+        return v
+
+    rows = [(0, [1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])]  # query
+    # cluster A: nearly identical to the query
+    rows += [(i, vec(0, 0.04 + i / 1000)) for i in range(1, 5)]
+    # cluster B: orthogonal-ish but nonzero relevance
+    rows += [(i, [0.3, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, i / 100]) for i in range(5, 9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rel = mmr_rerank(emb, queries, k=4, lam=1.0, pool=8)
+    div = mmr_rerank(emb, queries, k=4, lam=0.4, pool=8)
+    rel_ids = [r["neighbor_id"] for r in rel.orderBy("mmr_rank").collect()]
+    div_ids = [r["neighbor_id"] for r in div.orderBy("mmr_rank").collect()]
+    assert all(i < 5 for i in rel_ids)  # pure relevance: cluster A only
+    assert any(i >= 5 for i in div_ids[:2])  # diversity pulls B in early
