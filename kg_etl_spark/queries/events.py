@@ -845,3 +845,67 @@ FROM wins WHERE event_type = 'purchase' GROUP BY user_id
 
 QUERIES["last_touch_attribution"] = q_last_touch_attribution
 ORACLES["last_touch_attribution"] = ORACLE_ATTRIBUTION
+
+
+def q_changepoint_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-contrast changepoint detection on the daily series: each
+    day scores |mean(next 7 days incl. today) − mean(prior 7 days)|;
+    the top-3 scoring days per event type are the level-shift
+    candidates. Pure ROWS-frame windows — no recursion, identical
+    frames in the SQL oracle; days without a full prior week are
+    excluded so both means are over exactly 7 rows."""
+    daily = _daily_totals(spark, sf_dir)
+    w_order = Window.partitionBy("event_type").orderBy("day")
+    w_left = w_order.rowsBetween(-7, -1)
+    w_right = w_order.rowsBetween(0, 6)
+    scored = (
+        daily.withColumn("_nl", F.count(F.lit(1)).over(w_left))
+        .withColumn("_nr", F.count(F.lit(1)).over(w_right))
+        .withColumn(
+            "score",
+            F.round(
+                F.abs(
+                    F.sum(F.col("day_value").cast(DEC)).over(w_right).cast("double") / F.col("_nr")
+                    - F.sum(F.col("day_value").cast(DEC)).over(w_left).cast("double") / F.col("_nl")
+                ),
+                6,
+            ),
+        )
+        .filter((F.col("_nl") == 7) & (F.col("_nr") == 7))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "day", "day_value", "score", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+ORACLE_CHANGEPOINTS = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day, day_value,
+         COUNT(*) OVER wl AS nl, COUNT(*) OVER wr AS nr,
+         ROUND(ABS(
+           CAST(SUM(CAST(day_value AS DECIMAL(28,6))) OVER wr AS DOUBLE) / COUNT(*) OVER wr
+           - CAST(SUM(CAST(day_value AS DECIMAL(28,6))) OVER wl AS DOUBLE) / COUNT(*) OVER wl
+         ), 6) AS score
+  FROM d
+  WINDOW wl AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+         wr AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+)
+SELECT event_type, day, day_value, score, rk FROM (
+  SELECT event_type, day, day_value, score,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, day ASC) AS rk
+  FROM s WHERE nl = 7 AND nr = 7
+) WHERE rk <= 3
+"""
+
+QUERIES["changepoint_scores"] = q_changepoint_scores
+ORACLES["changepoint_scores"] = ORACLE_CHANGEPOINTS
