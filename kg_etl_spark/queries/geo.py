@@ -630,9 +630,11 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg_etl_spark.operators.triangles import triangle_counts
 
     cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    # multi-consumer cut: degrees + the 3-way triangle self-join would
+    # otherwise each re-derive the blocking join (132 static Exchanges)
     pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
         F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
-    )
+    ).localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("a_id").alias("node"))
         .unionAll(pairs.select(F.col("b_id").alias("node")))
