@@ -1911,3 +1911,45 @@ FROM j GROUP BY diff_status, first_diff_col
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+
+_COP_MIN_SUPPORT = 3
+_COP_TOPN = 20
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, support >= 3, top-20 by (support desc, pair asc) — the
+    pairwise kernel of frequent-itemset mining. The self-join is keyed
+    on l_orderkey, so pair fan-out is bounded by order size (≤7 items
+    in TPC-H shapes) — per-key quadratic, globally linear; a mega-basket
+    outlier would hit the AQE skew-join path like any hot key."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _COP_MIN_SUPPORT)
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(_COP_TOPN)
+
+
+ORACLE_COPURCHASE = f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING COUNT(*) >= {_COP_MIN_SUPPORT}
+ORDER BY support DESC, part_a ASC, part_b ASC LIMIT {_COP_TOPN}
+"""
+
+QUERIES["copurchase_pairs"] = q_copurchase_pairs
+ORACLES["copurchase_pairs"] = ORACLE_COPURCHASE
