@@ -1953,3 +1953,66 @@ ORDER BY support DESC, part_a ASC, part_b ASC LIMIT {_COP_TOPN}
 
 QUERIES["copurchase_pairs"] = q_copurchase_pairs
 ORACLES["copurchase_pairs"] = ORACLE_COPURCHASE
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the co-purchase pairs: for each frequent
+    pair, confidence(a→b) = support(ab)/count(a-orders) and
+    lift = N·support(ab)/(count(a)·count(b)) — the rule-quality layer
+    over the basket kernel. Per-part order counts broadcast onto the
+    20-row pair frame; scalar N via a 1-row broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = q_copurchase_pairs(spark, sf_dir)
+    per_part = (
+        li.select("l_partkey", "l_orderkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(per_part.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(per_part.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "support",
+        F.round(F.col("support").cast("double") / F.col("n_a").cast("double"), 6).alias(
+            "confidence_a_to_b"
+        ),
+        F.round(
+            (F.col("n_total") * F.col("support")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+ORACLE_ASSOC_RULES = f"""
+WITH pairs AS ({ORACLE_COPURCHASE.strip()}),
+pp AS (
+  SELECT l_partkey, COUNT(*) AS n_ord FROM (
+    SELECT DISTINCT l_partkey, l_orderkey FROM lineitem
+  ) GROUP BY l_partkey
+),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total FROM lineitem)
+SELECT p.part_a, p.part_b, p.support,
+       ROUND(CAST(p.support AS DOUBLE) / a.n_ord, 6) AS confidence_a_to_b,
+       ROUND(CAST(tot.n_total * p.support AS DOUBLE) / (a.n_ord * b.n_ord), 6) AS lift
+FROM pairs p
+JOIN pp a ON p.part_a = a.l_partkey
+JOIN pp b ON p.part_b = b.l_partkey, tot
+"""
+
+QUERIES["association_rules"] = q_association_rules
+ORACLES["association_rules"] = ORACLE_ASSOC_RULES
