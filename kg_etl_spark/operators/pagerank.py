@@ -39,6 +39,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     deterministic: bool = False,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Rank nodes of a directed graph given as distinct (src, dst)
     string-id edges. Returns (node, pagerank) for every node, where
@@ -58,7 +59,18 @@ def pagerank(
 
     # weighted edge list built once; every iteration reuses it
     e = edges.join(out_deg, "src")
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if teleport is None:
+        tele = nodes.select("node", F.lit(1.0 / n).alias("t"))
+    else:
+        # personalized: teleport mass uniform over the source set S —
+        # r0 = e_S, and every iteration restarts (1-d) of the walk at S.
+        srcs = teleport.select(F.col(teleport.columns[0]).alias("node")).distinct()
+        ns = srcs.count()
+        tele = nodes.join(srcs.withColumn("_in", F.lit(1)), "node", "left").select(
+            "node",
+            F.when(F.col("_in").isNotNull(), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("t"),
+        )
+    ranks = tele.select("node", F.col("t").alias("rank"))
 
     for _ in range(iterations):
         contrib = e.join(ranks, e["src"] == ranks["node"]).select(
@@ -74,11 +86,16 @@ def pagerank(
             )
         else:
             agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(agg, nodes["node"] == agg["dst"], "left").select(
+        # restart term: the uniform case keeps the legacy single-divide
+        # literal ((1-d)/n) so existing oracles stay bit-identical; the
+        # personalized case scales the teleport column.
+        restart = (
+            F.lit((1.0 - damping) / n)
+            if teleport is None
+            else F.lit(1.0 - damping) * F.col("t")
+        )
+        ranks = tele.join(agg, tele["node"] == agg["dst"], "left").select(
             "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
+            (restart + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
     return ranks

@@ -2016,3 +2016,83 @@ JOIN pp b ON p.part_b = b.l_partkey, tot
 
 QUERIES["association_rules"] = q_association_rules
 ORACLES["association_rules"] = ORACLE_ASSOC_RULES
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random walks restarting at the customer
+    seed set (custkey % 50 == 0) — 'importance relative to THESE
+    customers', the recommender-side variant of q_pagerank. Same
+    deterministic fold; teleport vector e_S instead of uniform."""
+    from kg_etl_spark.operators.pagerank import pagerank
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("node")
+    )
+    ranks = pagerank(
+        edges, iterations=3, damping=0.85, deterministic=True, teleport=seeds
+    )
+    return ranks.select("node", F.round("rank", 6).alias("ppr"))
+
+
+def _ppr_oracle(iterations: int = 3) -> str:
+    """Unrolled personalized power iterations: r0 = e_S and the restart
+    term is (1-d)·e_S; per-node sums fold in src order like the base
+    oracle. Seeds restricted to nodes actually present in the graph,
+    matching the operator's nodes∩S teleport construction — BUT the
+    mass normalizer |S| counts the full seed set exactly as the
+    operator's `srcs.count()` does."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (SELECT DISTINCT 'c:' || c_custkey AS node FROM customer WHERE c_custkey % 50 = 0),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+tele AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0.0 END AS t
+  FROM nodes CROSS JOIN ns LEFT JOIN seeds ON nodes.node = seeds.node
+),
+r0 AS (SELECT node, t AS rank FROM tele)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS node,
+         list_reduce(list_prepend(0.0, list(r.rank / o.outdeg ORDER BY e.src)),
+                     (acc, x) -> acc + x) AS s
+  FROM edges e JOIN r{i-1} r ON e.src = r.node JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT tele.node, (1.0 - 0.85) * tele.t + 0.85 * coalesce(c{i}.s, 0.0) AS rank
+  FROM tele LEFT JOIN c{i} ON tele.node = c{i}.node
+)""")
+    return head + "".join(steps) + f"""
+SELECT node, ROUND(rank, 6) AS ppr FROM r{iterations}
+"""
+
+
+QUERIES["personalized_pagerank"] = q_personalized_pagerank
+ORACLES["personalized_pagerank"] = _ppr_oracle(3)
