@@ -679,3 +679,59 @@ def test_synthdocs_datasource_deterministic(spark):
         .load()
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df2.collect()))
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    # foreachBatch + the incremental fingerprint store = streaming
+    # exact dedup with replay-safe first-seen-wins semantics.
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.operators.incremental import incremental_exact_dedup
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "alpha beta"},
+                {"doc_id": 2, "text": "gamma delta"},
+                {"doc_id": 3, "text": "alpha  beta"},  # in-batch dup of 1
+            ]
+        )
+    )
+    (src / "b.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 10, "text": "ALPHA beta"},  # dup of batch-a keeper
+                {"doc_id": 11, "text": "epsilon zeta"},  # fresh
+            ]
+        )
+    )
+    store = str(tmp_path / "fp_store")
+    sink = str(tmp_path / "kept")
+    spark.createDataFrame([], "fp string").write.mode("overwrite").parquet(store)
+
+    def on_batch(batch_df, batch_id):
+        seen = batch_df.sparkSession.read.parquet(store)
+        fresh, new_fps = incremental_exact_dedup(batch_df, seen)
+        fresh.write.mode("append").parquet(sink)
+        new_fps.write.mode("append").parquet(store)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force per-file micro-batches
+        .json(str(src))
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    # one keeper per distinct normalized text, first batch wins
+    assert kept == [1, 2, 11]
+    assert spark.read.parquet(store).distinct().count() == 3
