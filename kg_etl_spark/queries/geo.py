@@ -696,3 +696,115 @@ ORACLES["clustering_coefficient"] = ORACLE_CLUSTERING_COEF.format(
     cust=_sql_cust_coords(),
     equirect=_SQL_EQUIRECT.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"),
 )
+
+
+_DBSCAN_EPS_M = 300.0
+_DBSCAN_MINPTS = 4  # neighbors (excl. self) to qualify as core
+
+
+def q_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering (DBSCAN, deterministic
+    variant): core points have >= minPts neighbors within eps; clusters
+    are connected components over CORE-CORE edges (min-id labels);
+    border points adopt the smallest cluster label among their core
+    neighbors (a total rule where classic DBSCAN is order-dependent);
+    everything else is noise (cluster -1).
+
+    Composed entirely from audited pieces: the grid-blocked pair join
+    (never all-pairs), one degree aggregate, the size-adaptive
+    components operator. One extra semi-join prunes non-core edges."""
+    from kg_etl_spark.operators.components import connected_components
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(
+        cust, id_col="c_custkey", max_dist_m=_DBSCAN_EPS_M, bin_deg=0.01
+    ).select(
+        F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
+    ).localCheckpoint(eager=True)  # consumed 4× below
+
+    und = pairs.select(F.col("a_id").alias("node"), F.col("b_id").alias("nbr")).unionAll(
+        pairs.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    cores = deg.filter(F.col("n_nbrs") >= _DBSCAN_MINPTS).select("node")
+
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("node", "a_id"), "a_id", "left_semi")
+        .join(cores.withColumnRenamed("node", "b_id"), "b_id", "left_semi")
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    comp = connected_components(core_edges)  # (node, comp) for cores in edges
+
+    # isolated cores (no core neighbor) form their own singleton cluster
+    core_lbl = cores.join(comp, "node", "left").select(
+        "node", F.coalesce(F.col("comp"), F.col("node")).alias("cluster")
+    )
+    # border: non-core with >= 1 core neighbor -> min core-neighbor label
+    border = (
+        und.join(core_lbl.withColumnRenamed("node", "nbr"), "nbr")
+        .join(cores, "node", "left_anti")
+        .groupBy("node")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    all_nodes = cust.select(F.col("c_custkey").alias("node"))
+    out = (
+        all_nodes.join(core_lbl.withColumnRenamed("cluster", "_cc"), "node", "left")
+        .join(border.withColumnRenamed("cluster", "_bc"), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_cc").isNotNull(), F.lit("core"))
+            .when(F.col("_bc").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("_cc"), F.col("_bc"), F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )
+    return out
+
+
+ORACLE_DBSCAN = f"""
+WITH RECURSIVE c AS ({{cust}}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {{equirect}} <= {_DBSCAN_EPS_M!r}
+),
+und AS (SELECT a_id AS node, b_id AS nbr FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+deg AS (SELECT node, COUNT(*) AS n_nbrs FROM und GROUP BY node),
+cores AS (SELECT node FROM deg WHERE n_nbrs >= {_DBSCAN_MINPTS}),
+ce AS (
+  SELECT p.a_id, p.b_id FROM pairs p
+  JOIN cores x ON p.a_id = x.node JOIN cores y ON p.b_id = y.node
+),
+cedges AS (SELECT a_id AS s, b_id AS d FROM ce UNION ALL SELECT b_id, a_id FROM ce),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM cedges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN cedges e ON e.s = reach.node
+),
+comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+core_lbl AS (
+  SELECT cores.node, COALESCE(comp.comp, cores.node) AS cluster
+  FROM cores LEFT JOIN comp ON cores.node = comp.node
+),
+border AS (
+  SELECT u.node, MIN(cl.cluster) AS cluster
+  FROM und u JOIN core_lbl cl ON u.nbr = cl.node
+  WHERE u.node NOT IN (SELECT node FROM cores)
+  GROUP BY u.node
+)
+SELECT cu.c_custkey AS node,
+       CASE WHEN k.cluster IS NOT NULL THEN 'core'
+            WHEN b.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(k.cluster, b.cluster, -1) AS BIGINT) AS cluster
+FROM c cu
+LEFT JOIN core_lbl k ON cu.c_custkey = k.node
+LEFT JOIN border b ON cu.c_custkey = b.node
+"""
+
+QUERIES["dbscan_lite"] = q_dbscan_lite
+ORACLES["dbscan_lite"] = ORACLE_DBSCAN.format(
+    cust=_sql_cust_coords(),
+    equirect=_SQL_EQUIRECT.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"),
+)
