@@ -13,6 +13,7 @@ from kg_etl_spark.operators.audit import (
     equi_width_histogram,
     fk_orphan_counts,
 )
+from kg_etl_spark.queries.relational import DECP
 from kg_etl_spark.session import read_table
 
 _FK_EDGES = (
@@ -345,3 +346,105 @@ SELECT failed_rule, COUNT(*) AS n FROM tagged GROUP BY failed_rule
 
 QUERIES["quarantine_split"] = q_quarantine_split
 ORACLES["quarantine_split"] = ORACLE_QUARANTINE
+
+
+def q_lang_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix drift: KL(P(lang|source) || P(lang)) —
+    how far each source's language distribution sits from the corpus
+    mix; the profiling signal behind mixture rebalancing. Exact count
+    ratios, one grouped aggregate + a broadcast of the |langs|-row
+    global distribution; KL terms rounded then decimal-summed."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    glob = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_total = docs.count()
+    j = per.join(F.broadcast(per_source), "source").join(F.broadcast(glob), "lang")
+    p = F.col("n_sl").cast("double") / F.col("n_s").cast("double")
+    q = F.col("n_l").cast("double") / F.lit(float(n_total))
+    term = F.round(p * F.log(p / q), 6).cast("decimal(28,6)")
+    return (
+        j.withColumn("_t", term)
+        .groupBy("source")
+        .agg(F.round(F.sum("_t").cast("double"), 6).alias("kl_divergence"))
+    )
+
+
+ORACLE_LANG_KL = """
+WITH per AS (SELECT source, lang, COUNT(*) AS n_sl FROM documents GROUP BY source, lang),
+ps AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+gl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+t AS (
+  SELECT per.source,
+         CAST(ROUND(
+           (CAST(n_sl AS DOUBLE) / n_s)
+           * ln((CAST(n_sl AS DOUBLE) / n_s) / (CAST(n_l AS DOUBLE) / tot.n)), 6)
+         AS DECIMAL(28,6)) AS term
+  FROM per JOIN ps ON per.source = ps.source JOIN gl ON per.lang = gl.lang, tot
+)
+SELECT source, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl_divergence
+FROM t GROUP BY source
+"""
+
+QUERIES["lang_mix_divergence"] = q_lang_mix_divergence
+ORACLES["lang_mix_divergence"] = ORACLE_LANG_KL
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of revenue across suppliers,
+    per nation: HHI = Σ share_i² over the nation's suppliers (1/n =
+    perfectly even, 1 = monopolized) — the dependency-risk profile of
+    the supply graph. Decimal revenue sums; shares squared then
+    rounded+decimal-summed for order independence."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = F.col("l_extendedprice").cast(DECP) * (
+        F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)
+    )
+    per_sup = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(rev).alias("_r"))
+    )
+    per_nation = per_sup.groupBy("s_nationkey").agg(
+        F.sum("_r").alias("_tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    j = per_sup.join(per_nation, "s_nationkey")
+    share2 = F.round(
+        (F.col("_r").cast("double") / F.col("_tot").cast("double"))
+        * (F.col("_r").cast("double") / F.col("_tot").cast("double")),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        j.withColumn("_s2", share2)
+        .groupBy("s_nationkey", "n_suppliers")
+        .agg(F.round(F.sum("_s2").cast("double"), 6).alias("hhi"))
+    )
+
+
+ORACLE_HHI = """
+WITH per_sup AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, s.s_suppkey
+),
+per_nation AS (
+  SELECT s_nationkey, SUM(r) AS tot, COUNT(*) AS n_suppliers
+  FROM per_sup GROUP BY s_nationkey
+),
+t AS (
+  SELECT p.s_nationkey, n.n_suppliers,
+         CAST(ROUND((CAST(p.r AS DOUBLE) / CAST(n.tot AS DOUBLE))
+                    * (CAST(p.r AS DOUBLE) / CAST(n.tot AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS s2
+  FROM per_sup p JOIN per_nation n ON p.s_nationkey = n.s_nationkey
+)
+SELECT s_nationkey, n_suppliers, ROUND(CAST(SUM(s2) AS DOUBLE), 6) AS hhi
+FROM t GROUP BY s_nationkey, n_suppliers
+"""
+
+QUERIES["revenue_concentration"] = q_revenue_concentration
+ORACLES["revenue_concentration"] = ORACLE_HHI
