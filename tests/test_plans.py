@@ -263,6 +263,15 @@ def test_shuffle_budgets_hold(spark):
         "cms_heavy_hitters": 3,
         "hll_distinct_users": 4,
         "k_anonymity": 1,
+        # round-3 analytics batch
+        "copurchase_pairs": 1,
+        "temperature_mixture": 1,
+        "quarantine_split": 2,
+        "variant_props_stats": 1,
+        "time_weighted_avg": 1,
+        "last_touch_attribution": 1,
+        "changepoint_scores": 2,
+        "dbscan_lite": 8,
     }
     actual = {name: n_exchanges(name) for name in budgets}
     over = {
