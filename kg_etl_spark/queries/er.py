@@ -163,3 +163,41 @@ ORACLES = {
     "er_canonical": ORACLE_ER_CANONICAL,
     "levenshtein_links": ORACLE_LEVENSHTEIN,
 }
+
+
+def q_er_fuzzy_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin of `er_fuzzy_links` (the
+    minhash_identical_recall pattern): copies of the first 50 parts are
+    planted at the SAME coordinates with the SAME name, so the fuzzy
+    kernel must score exactly 1.0 (identical strings — true for any
+    sane similarity) and distance exactly 0.0 — every planted pair
+    passes the accept filter independent of the rapidfuzz kernel's
+    mid-range behavior, giving the fuzzy ER leg (blocking, pairing,
+    UDF plumbing, filter) a full value-hash CORRECTNESS row."""
+    parts = _parts(spark, sf_dir)
+    copies = parts.filter(F.col("p_partkey") < 50).select(
+        (F.col("p_partkey") + 1_000_000).alias("p_partkey"),
+        "p_name",
+        "lat",
+        "lon",
+    )
+    corpus = parts.select("p_partkey", "p_name", "lat", "lon").unionByName(copies)
+    links = candidate_links(corpus, "p_partkey", "p_name", use_fuzzy=True).filter(
+        (F.col("meters") <= _ACCEPT_M) & (F.col("fuzzy_sim") >= 0.5)
+    )
+    return links.filter(F.col("b_id") == F.col("a_id") + 1_000_000).select(
+        "a_id",
+        "b_id",
+        F.round("meters", 1).alias("meters"),
+        F.round("fuzzy_sim", 3).alias("fuzzy_sim"),
+    )
+
+
+ORACLE_ER_FUZZY_IDENTICAL = """
+SELECT p_partkey AS a_id, p_partkey + 1000000 AS b_id,
+       0.0 AS meters, 1.0 AS fuzzy_sim
+FROM part WHERE p_partkey < 50
+"""
+
+QUERIES["er_fuzzy_identical_recall"] = q_er_fuzzy_identical_recall
+ORACLES["er_fuzzy_identical_recall"] = ORACLE_ER_FUZZY_IDENTICAL
