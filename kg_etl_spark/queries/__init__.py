@@ -16,6 +16,7 @@ from kg_etl_spark.queries import (
     events,
     filters,
     geo,
+    governance,
     media,
     pipeline,
     quality,
@@ -39,6 +40,7 @@ for mod in (
     quality,
     filters,
     sketchq,
+    governance,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -909,3 +909,63 @@ SELECT event_type, day, day_value, score, rk FROM (
 
 QUERIES["changepoint_scores"] = q_changepoint_scores
 ORACLES["changepoint_scores"] = ORACLE_CHANGEPOINTS
+
+
+def q_weekday_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonal decomposition of the daily series: each
+    (event_type, day) total is compared with the mean of the SAME
+    weekday across the series (the seasonal component); the residual
+    flags days that deviate >50% from their weekday norm.
+
+    Determinism: day and weekday are pure integer arithmetic on epoch
+    micros (epoch day 0 = Thursday → +4 shift puts 0=Sunday), the
+    seasonal mean divides an exact decimal sum by an exact count in
+    DOUBLE (bit-identical in DuckDB), and output doubles are rounded.
+    Scale shape: one daily hash-aggregate (map-side combined) and one
+    window over (event_type, dow) — 7·|types| partitions of |days|/7
+    rows each; years of history stay kilobytes per partition."""
+    daily = _daily_totals(spark, sf_dir)
+    dow = F.pmod(F.col("day") + 4, F.lit(7)).cast("int")
+    w = Window.partitionBy("event_type", "dow")
+    out = (
+        daily.withColumn("dow", dow)
+        .withColumn(
+            "dow_mean",
+            F.sum(F.col("day_value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+        )
+        .withColumn("resid", F.col("day_value") - F.col("dow_mean"))
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "dow",
+        "day_value",
+        F.round("dow_mean", 6).alias("dow_mean"),
+        F.round("resid", 6).alias("resid"),
+        (F.abs(F.col("resid")) > 0.5 * F.col("dow_mean")).alias("is_anomaly"),
+    )
+
+
+ORACLE_SEASONAL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day, CAST((day + 4) % 7 AS INT) AS dow, day_value,
+         CAST(SUM(CAST(day_value AS DECIMAL(28,6)))
+              OVER (PARTITION BY event_type, (day + 4) % 7) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY event_type, (day + 4) % 7) AS dow_mean
+  FROM d
+)
+SELECT event_type, day, dow, day_value,
+       ROUND(dow_mean, 6) AS dow_mean,
+       ROUND(day_value - dow_mean, 6) AS resid,
+       ABS(day_value - dow_mean) > 0.5 * dow_mean AS is_anomaly
+FROM s
+"""
+
+QUERIES["weekday_seasonal_anomaly"] = q_weekday_seasonal_anomaly
+ORACLES["weekday_seasonal_anomaly"] = ORACLE_SEASONAL
