@@ -149,6 +149,39 @@ def minhash_signatures_df(shingled: DataFrame, num_hashes: int = 64) -> DataFram
     return mins.select("_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
 
 
+def _band_table(shh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bh) LSH band table from checkpointed hashed-shingle
+    sets — the single definition of the banding scheme, shared by the
+    full self-join operator and the incremental against-index path (so
+    a stored index and a new batch can never band differently).
+
+    Signature straight from the hashed shingles: one explode into the
+    shared min-signature aggregate, then all band keys in ONE
+    explode/transform pass. xxhash64 hashes the (int, array<long>)
+    slice natively — no stringification; hash collisions across
+    distinct slices only ADD candidates (exact-verified downstream),
+    never drop."""
+    r = num_hashes // bands
+    ex = shh.select("_id", F.explode("_shh").alias("_hs"))
+    mins = _minhash_mins(ex, num_hashes)
+    sig = mins.select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(bi, F.slice(F.col("_sig"), bi * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -176,7 +209,6 @@ def minhash_lsh_pairs(
     i.e. members of such clusters. None = no cap.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     # Checkpoint the HASHED shingle sets (array<long>), not the string
     # arrays: the string→long hashing happens exactly once, the
     # checkpoint is ~8 bytes per shingle instead of the string bytes,
@@ -190,36 +222,7 @@ def minhash_lsh_pairs(
         "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_shh")
     ).localCheckpoint(eager=True)
 
-    # Signature straight from the hashed shingles: one explode into the
-    # shared min-signature aggregate.
-    ex = shh.select("_id", F.explode("_shh").alias("_hs"))
-    mins = _minhash_mins(ex, num_hashes)
-    sig = mins.select(
-        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
-    )
-
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    # xxhash64 hashes the (int, array<long>) pair natively — no
-    # stringification of the slice; hash collisions across distinct
-    # slices only ADD candidates (verified exactly below), never drop.
-    # The checkpoint sits at `banded` (the multi-consumer cut: both
-    # sides of the candidate self-join + the bucket-cap aggregate), so
-    # the signature array itself is never materialized — 3 narrow longs
-    # per doc×band instead of num_hashes longs per doc.
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(bi, F.slice(F.col("_sig"), bi * r + 1, r)).alias("bh"),
-                ),
-            )
-        ).alias("_b"),
-    ).select(
-        "_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
-    ).localCheckpoint(eager=True)
+    banded = _band_table(shh, num_hashes, bands).localCheckpoint(eager=True)
 
     if max_bucket is not None:
         over = (
@@ -240,6 +243,104 @@ def minhash_lsh_pairs(
     # exact verify on the candidate set only (hashed shingle sets)
     sh_a = shh.select(F.col("_id").alias("a_id"), F.col("_shh").alias("a_sh"))
     sh_b = shh.select(F.col("_id").alias("b_id"), F.col("_shh").alias("b_sh"))
+    verified = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+            / F.size(F.array_union("a_sh", "b_sh")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> dict[str, DataFrame]:
+    """Persistent LSH index state for a corpus: the band table and the
+    hashed shingle sets. In production both are written out bucketed —
+    `banded` by (band, bh) and `shingles` by id — so each new batch
+    joins them WITHOUT shuffling the stored corpus; the index grows by
+    appending the new batch's rows. This is the pattern that makes
+    near-dup maintenance O(batch), not O(100 TB re-LSH per refresh).
+    """
+    assert num_hashes % bands == 0
+    sh = _shingled(df, id_col, text_col, n)
+    shh = sh.select(
+        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_shh")
+    ).localCheckpoint(eager=True)
+    return {"banded": _band_table(shh, num_hashes, bands), "shingles": shh}
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    index: dict[str, DataFrame],
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch, against a stored LSH index:
+    new×stored candidates from one band equi-join against the index,
+    new×new from the batch self-join — the stored corpus's text is
+    never re-shingled and its band table never self-joined.
+
+    Exactly equivalent to running the full operator on (stored ∪ new)
+    and keeping the pairs with ≥1 new id (property-tested), provided
+    the same (n, num_hashes, bands) as the index build. max_bucket caps
+    by COMBINED bucket size (stored + new members), preserving the full
+    operator's cap semantics; the count aggregate runs over the band
+    tables (O(index), bucketed in production), never the raw text.
+
+    Output ids are disambiguated by side: (a_id, b_id, jaccard) with
+    a_id < b_id, each id appearing as it does in its source frame — id
+    spaces must therefore be disjoint or shared consistently, same as
+    the full operator.
+    """
+    assert num_hashes % bands == 0
+    sh = _shingled(new_df, id_col, text_col, n)
+    new_shh = sh.select(
+        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_shh")
+    ).localCheckpoint(eager=True)
+    new_banded = _band_table(new_shh, num_hashes, bands).localCheckpoint(eager=True)
+    stored_banded = index["banded"]
+
+    all_banded = stored_banded.unionByName(new_banded)
+    if max_bucket is not None:
+        over = (
+            all_banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+        )
+        new_banded = new_banded.join(F.broadcast(over), ["band", "bh"], "left_anti")
+        all_banded = all_banded.join(F.broadcast(over), ["band", "bh"], "left_anti")
+
+    # one equi-join: new side probes (stored ∪ new); a<b dedups both
+    # the new×new double-count and repeated shared bands
+    cand = (
+        new_banded.alias("x")
+        .join(all_banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x._id") != F.col("y._id"))
+        .select(
+            F.least(F.col("x._id"), F.col("y._id")).alias("a_id"),
+            F.greatest(F.col("x._id"), F.col("y._id")).alias("b_id"),
+        )
+        .distinct()
+    )
+
+    all_shh = index["shingles"].unionByName(new_shh)
+    sh_a = all_shh.select(F.col("_id").alias("a_id"), F.col("_shh").alias("a_sh"))
+    sh_b = all_shh.select(F.col("_id").alias("b_id"), F.col("_shh").alias("b_sh"))
     verified = (
         cand.join(sh_a, "a_id")
         .join(sh_b, "b_id")

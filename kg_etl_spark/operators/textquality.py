@@ -164,3 +164,69 @@ def rolling_hash_fingerprint(text: Column, window: int = 8, mod: int = 1 << 31) 
     return F.when(n >= window, F.array_min(F.transform(idx, h))).otherwise(
         F.abs(F.hash(norm)).cast("long") % mod
     )
+
+
+def bigram_surprisal(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM surprisal — the contextual step up from
+    `unigram_surprisal`: fit add-one-smoothed bigram probabilities
+    p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) on the corpus itself, then
+    score each document by mean bigram surprisal -ln p. Catches
+    scrambled/boilerplate-stitched text that unigram stats miss (every
+    word common, no two ever adjacent in real prose).
+
+    Shape: the token stream aggregates twice (bigram counts, unigram
+    counts — both map-side combined), the two models fold into ONE
+    bigram-keyed table (c_bi + context count via a join on w1), and the
+    bigram stream joins it once. All joins are equi-joins on token
+    keys; at 100 TB they are plain shuffle joins over |bigram types|
+    rows — never O(n²). V (vocabulary size) is the only driver scalar.
+
+    Cross-engine exactness: p is one IEEE divide of exact integers;
+    per-bigram surprisal is rounded to 6 dp, summed as DECIMAL(28,6)
+    (order-independent), divided as double at the end — the established
+    float-oracle idiom. Documents with <2 tokens have no bigrams and
+    are excluded (inner aggregate), identically in SQL.
+    """
+    toks = corpus.select(F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_t"))
+    # guard BEFORE sequence(): sequence(1, 0) steps DOWNWARD ([1, 0]),
+    # so a 1-token doc would index element_at(t, 2) and throw under ANSI
+    bg = toks.filter(F.size("_t") >= 2).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("w1"),
+                    F.element_at("_t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    uni = toks.select(F.explode("_t").alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("_cuni")
+    )
+    vocab_n = uni.count()  # V: driver scalar, |types|-scale action
+    model = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_cbi"))
+        .join(uni, "w1")
+    )
+
+    p = (F.col("_cbi") + 1).cast("double") / (F.col("_cuni") + F.lit(vocab_n)).cast("double")
+    s = F.round(-F.log(p), 6).cast("decimal(28,6)")
+    return (
+        bg.join(model, ["w1", "w2"])
+        .withColumn("_s", s)
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("_s").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_bigram_surprisal"
+            ),
+        )
+    )

@@ -959,3 +959,117 @@ WHERE k.fp NOT IN (SELECT fp FROM hist)
 
 QUERIES["incremental_dedup"] = q_incremental_dedup
 ORACLES["incremental_dedup"] = ORACLE_INCREMENTAL_DEDUP
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance: the corpus is split into a
+    stored part (doc_id % 10 != 0, pre-indexed) and a new batch
+    (doc_id % 10 == 0); output is every near-dup pair touching the new
+    batch, produced WITHOUT re-banding or self-joining the stored side
+    (`operators/dedup.py` minhash_lsh_pairs_incremental). Hash-family
+    values are engine-specific → rows-only; equivalence with the full
+    operator is property-tested and its deterministic core is the
+    `minhash_incremental_recall` ● twin."""
+    from kg_etl_spark.operators.dedup import minhash_index, minhash_lsh_pairs_incremental
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    new = docs.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    idx = minhash_index(stored, "doc_id", n=3, num_hashes=64, bands=16)
+    return minhash_lsh_pairs_incremental(
+        new, idx, "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5, max_bucket=64
+    )
+
+
+def q_minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin of `minhash_incremental` (the
+    minhash_identical_recall pattern, across the batch boundary):
+    stored = the full corpus, new batch = docs 0..19 re-planted under
+    ids +100000. Identical distinct-trigram sets band identically under
+    the SHARED _band_table definition, so at threshold 1.0 with no cap
+    the incremental output equals exactly the identical-shingle-set
+    pairs with a new-side member — SQL-enumerable, so the incremental
+    path's recall gets a full value-hash row."""
+    from kg_etl_spark.operators.dedup import minhash_index, minhash_lsh_pairs_incremental
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    idx = minhash_index(docs, "doc_id", n=3, num_hashes=64, bands=16)
+    return minhash_lsh_pairs_incremental(
+        new, idx, "doc_id", n=3, num_hashes=64, bands=16, threshold=1.0, max_bucket=None
+    )
+
+
+ORACLE_MINHASH_INCREMENTAL_RECALL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+), tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS t
+  FROM corpus
+), sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS s
+  FROM tk
+), keyed AS (
+  SELECT doc_id, array_to_string(s, chr(31)) AS k FROM sh WHERE len(s) > 0
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(1.0 AS DOUBLE) AS jaccard
+FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+WHERE b.doc_id >= 100000
+"""
+
+QUERIES["minhash_incremental"] = q_minhash_incremental
+QUERIES["minhash_incremental_recall"] = q_minhash_incremental_recall
+ORACLES["minhash_incremental_recall"] = ORACLE_MINHASH_INCREMENTAL_RECALL
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contextual perplexity filter: mean smoothed-bigram surprisal per
+    document (operators/textquality.py `bigram_surprisal`)."""
+    from kg_etl_spark.operators.textquality import bigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)
+
+
+ORACLE_BIGRAM_SURPRISAL = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+  FROM tk
+), bge AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+), uni AS (
+  SELECT unnest(t) AS w1 FROM tk
+), cuni AS (
+  SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1
+), v AS (
+  SELECT COUNT(*) AS n FROM cuni
+), cbi AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bge GROUP BY w1, w2
+), scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(-ln(CAST(cbi.c2 + 1 AS DOUBLE)
+                        / CAST(cuni.c1 + v.n AS DOUBLE)), 6) AS DECIMAL(28,6)) AS s
+  FROM bge b JOIN cbi USING (w1, w2) JOIN cuni USING (w1), v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+QUERIES["bigram_surprisal"] = q_bigram_surprisal
+ORACLES["bigram_surprisal"] = ORACLE_BIGRAM_SURPRISAL

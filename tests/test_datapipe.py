@@ -292,3 +292,20 @@ def test_incremental_dedup_idempotent_and_cross_batch(spark):
     seen2 = seen.unionByName(new_fps).distinct()
     fresh2, _ = incremental_exact_dedup(batch, seen2)
     assert fresh2.count() == 0
+
+
+def test_bigram_surprisal_flags_scrambled_word_order(spark):
+    from kg_etl_spark.operators.textquality import bigram_surprisal
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    # same unigram profile, adjacencies never seen in the natural docs
+    scrambled = "mat the on dog sat rug the and cat the on sat the"
+    rows = [(1, natural), (2, natural), (3, natural), (4, scrambled), (5, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    # <2 tokens → no bigrams → excluded
+    assert 5 not in out
+    assert out[1]["n_bigrams"] == len(natural.split()) - 1
+    # the unigram-identical scramble must score strictly higher
+    assert out[4]["avg_bigram_surprisal"] > out[1]["avg_bigram_surprisal"]
+    assert out[1]["avg_bigram_surprisal"] == out[2]["avg_bigram_surprisal"]

@@ -278,3 +278,61 @@ def test_topk_distinct_texts(spark):
     rows = topk_distinct_texts(df, "grp", "text", k=2, sim_cutoff=0.9).collect()
     texts = rows[0]["texts"]
     assert len(texts) == 2 and "bad" in texts  # near-dup suppressed
+
+
+def test_minhash_incremental_matches_full(spark):
+    # corpus with near-dup pairs inside the stored part, inside the new
+    # batch, and across the boundary; incremental(new vs index) must
+    # equal the full self-join restricted to pairs touching a new id
+    from kg_etl_spark.operators.dedup import minhash_index, minhash_lsh_pairs_incremental
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base),                          # stored
+        (2, base.replace("tok39", "tokX")),  # stored near-dup of 1
+        (3, " ".join(f"other{i}" for i in range(40))),  # stored, unique
+        (10, base.replace("tok38", "tokY")),  # new, near-dup of 1 and 2
+        (11, "completely unrelated words " + " ".join(f"z{i}" for i in range(30))),
+        (12, "completely unrelated words " + " ".join(f"z{i}" for i in range(29)) + " tail"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    stored = df.filter("id < 10")
+    new = df.filter("id >= 10")
+
+    idx = minhash_index(stored, "id")
+    inc = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in minhash_lsh_pairs_incremental(new, idx, "id", threshold=0.5).collect()
+    }
+    full = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in minhash_lsh_pairs(df, "id", threshold=0.5).collect()
+        if r["a_id"] >= 10 or r["b_id"] >= 10
+    }
+    assert inc == full
+    assert (10, 11, None) not in inc  # sanity: tuples carry jaccard
+    assert any(a == 1 and b == 10 for a, b, _ in inc)  # cross-boundary pair found
+    assert any(a == 11 and b == 12 for a, b, _ in inc)  # new×new pair found
+
+
+def test_minhash_incremental_combined_bucket_cap(spark):
+    # cap semantics count stored + new members together: 8 stored +
+    # 8 new copies of one doc = bucket of 16 > cap 10 → all its pairs
+    # skipped, while an uncapped near-dup pair crossing the boundary
+    # survives
+    from kg_etl_spark.operators.dedup import minhash_index, minhash_lsh_pairs_incremental
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok39", "tokX")
+    boiler = " ".join(f"boil{i}" for i in range(40))
+    rows = [(1, base)] + [(100 + i, boiler) for i in range(8)]
+    new_rows = [(10, near)] + [(200 + i, boiler) for i in range(8)]
+    stored = spark.createDataFrame(rows, "id long, text string")
+    new = spark.createDataFrame(new_rows, "id long, text string")
+
+    idx = minhash_index(stored, "id")
+    capped = minhash_lsh_pairs_incremental(new, idx, "id", threshold=0.5, max_bucket=10).collect()
+    assert [(r["a_id"], r["b_id"]) for r in capped] == [(1, 10)]
+    uncapped = minhash_lsh_pairs_incremental(new, idx, "id", threshold=0.5).count()
+    # (1,10) + 8 new copies × (8 stored + 7 other new) pairs touching new
+    assert uncapped == 1 + 8 * 8 + 8 * 7 // 2
