@@ -35,3 +35,38 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 3) -> DataFra
         dist = dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist"))
         frontier = dist.filter(F.col("dist") == h)
     return dist
+
+
+def sssp_rounds(
+    edges: DataFrame, sources: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, Bellman-Ford style:
+    `rounds` relaxations bound the result to min-cost paths of ≤ rounds
+    edges. ``edges``: unique undirected (a_id, b_id, w); ``sources``:
+    (node). Returns (node, dist) for every node reached.
+
+    Same DataFrame lowering as bfs_hops — per round, distance table ⋈
+    edges (shuffle on the node key) then a min-aggregate — but carrying
+    a float path cost instead of the hop counter. Every candidate value
+    is the same IEEE sum of the same edge weights in any engine, so min
+    over candidates is reproducible and the unrolled SQL oracle matches
+    bit-for-bit (the changepoint/blocked-pairs float discipline).
+
+    100 TB shape: each round touches the full distance table × its
+    edges; distances and edges share node-key partitioning across
+    rounds, and lineage stays constant because rounds is a small Python
+    constant. For large round counts, localCheckpoint per round like
+    operators/components.py.
+    """
+    sym = edges.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v"), F.col("w")
+    ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"), F.col("w")))
+    dist = sources.select("node", F.lit(0.0).alias("dist"))
+    for _ in range(rounds):
+        relaxed = sym.join(dist, sym["u"] == dist["node"]).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return dist

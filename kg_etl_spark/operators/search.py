@@ -135,3 +135,61 @@ def tfidf_topk(
         F.round(score, 6).alias("tfidf"),
     )
     return out.orderBy(F.col("tfidf").desc(), F.col(id_col)).limit(k)
+
+
+def token_pmi_pairs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    max_df: int = 200,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k co-occurring token pairs by pointwise mutual information
+    over document-level co-occurrence — the collocation/phrase-mining
+    primitive (new-terminology detection, tokenizer-merge candidates).
+
+    PMI(x,y) = ln( N·df(x,y) / (df(x)·df(y)) ) over distinct-token doc
+    sets. The pair generator is the inverted-index self-join on doc_id
+    — per-doc quadratic in its DISTINCT df-windowed tokens, which the
+    [min_df, max_df] window bounds: rare tokens can't reach min_df
+    support anyway, and stop-word-like tokens above max_df are the
+    classic blowup (the dedup family's max_df cap, reused). One
+    df-aggregate, one windowed-token self-join, one pair-count
+    aggregate; N is the only driver scalar.
+    """
+    from kg_etl_spark.operators.textquality import ws_tokens
+
+    dt = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("_t"),
+    )
+    n_docs = corpus.select(id_col).distinct().count()
+    df_counts = dt.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    windowed = df_counts.filter(
+        (F.col("_df") >= min_df) & (F.col("_df") <= max_df)
+    )
+    toks = dt.join(F.broadcast(windowed), "_t")
+
+    a = toks.select("_id", F.col("_t").alias("w1"), F.col("_df").alias("_dfa"))
+    b = toks.select("_id", F.col("_t").alias("w2"), F.col("_df").alias("_dfb"))
+    pairs = (
+        a.join(b, "_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_together"),
+            F.first("_dfa").alias("_dfa"),
+            F.first("_dfb").alias("_dfb"),
+        )
+        .filter(F.col("n_docs_together") >= min_df)
+    )
+    pmi = F.round(
+        F.log(
+            (F.lit(n_docs).cast("double") * F.col("n_docs_together").cast("double"))
+            / (F.col("_dfa") * F.col("_dfb")).cast("double")
+        ),
+        6,
+    )
+    out = pairs.select("w1", "w2", "n_docs_together", pmi.alias("pmi"))
+    return out.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()).limit(k)

@@ -808,3 +808,61 @@ ORACLES["dbscan_lite"] = ORACLE_DBSCAN.format(
     cust=_sql_cust_coords(),
     equirect=_SQL_EQUIRECT.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"),
 )
+
+
+def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (≤3 edges, Bellman-Ford rounds) over the
+    800 m proximity graph from every 500th customer, path cost = summed
+    edge meters (operators/bfs.py `sssp_rounds`).
+
+    Float discipline: edge weights are rounded to 3 dp BEFORE any
+    summation (both engines), so libm last-ulp noise in cos/sqrt can
+    never flip a min between two near-equal paths; every candidate path
+    cost is then the same IEEE sum in both engines."""
+    from kg_etl_spark.operators.bfs import sssp_rounds
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(
+        cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02
+    ).select(
+        F.col("a_c_custkey").alias("a_id"),
+        F.col("b_c_custkey").alias("b_id"),
+        F.round("meters", 3).alias("w"),
+    )
+    sources = cust.filter(F.col("c_custkey") % 500 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    out = sssp_rounds(pairs, sources, rounds=3)
+    return out.select("node", F.round("dist", 6).alias("dist"))
+
+
+def _sssp_oracle(rounds: int = 3) -> str:
+    head = f"""
+WITH c AS ({_sql_cust_coords()}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+         ROUND({_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) AS w
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 800.0
+),
+edges AS (SELECT a_id AS u, b_id AS v, w FROM pairs UNION ALL SELECT b_id, a_id, w FROM pairs),
+d0 AS (SELECT c_custkey AS node, CAST(0.0 AS DOUBLE) AS dist FROM customer WHERE c_custkey % 500 = 0)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+d{k} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{k-1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w AS dist FROM d{k-1} d JOIN edges e ON e.u = d.node
+  ) GROUP BY node
+)""")
+    return head + "".join(steps) + f"""
+SELECT node, ROUND(dist, 6) AS dist FROM d{rounds}
+"""
+
+
+ORACLE_WEIGHTED_SSSP = _sssp_oracle(3)
+
+QUERIES["weighted_sssp"] = q_weighted_sssp
+ORACLES["weighted_sssp"] = ORACLE_WEIGHTED_SSSP

@@ -1073,3 +1073,49 @@ FROM scored GROUP BY doc_id
 
 QUERIES["bigram_surprisal"] = q_bigram_surprisal
 ORACLES["bigram_surprisal"] = ORACLE_BIGRAM_SURPRISAL
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by document-level PMI
+    (operators/search.py `token_pmi_pairs`)."""
+    from kg_etl_spark.operators.search import token_pmi_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    # the synthetic corpus has a ~31-type vocabulary with near-uniform
+    # df, so the stop-word cap is set unbinding here; on real crawl text
+    # it is the blowup guard (see operator docstring)
+    return token_pmi_pairs(docs, min_df=5, max_df=1_000_000, k=20)
+
+
+ORACLE_TOKEN_PMI = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                          x -> len(x) > 0))) AS t
+  FROM documents
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM documents
+), dfc AS (
+  SELECT t, COUNT(*) AS df FROM tk GROUP BY t
+), win AS (
+  SELECT t, df FROM dfc WHERE df >= 5 AND df <= 1000000
+), toks AS (
+  SELECT tk.doc_id, tk.t, win.df FROM tk JOIN win USING (t)
+), pairs AS (
+  SELECT a.t AS w1, b.t AS w2,
+         COUNT(*) AS n_docs_together,
+         ANY_VALUE(a.df) AS dfa, ANY_VALUE(b.df) AS dfb
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+  HAVING COUNT(*) >= 5
+)
+SELECT w1, w2, n_docs_together,
+       ROUND(ln(CAST(n.nd AS DOUBLE) * CAST(n_docs_together AS DOUBLE)
+                / CAST(dfa * dfb AS DOUBLE)), 6) AS pmi
+FROM pairs, n
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+QUERIES["token_pmi"] = q_token_pmi
+ORACLES["token_pmi"] = ORACLE_TOKEN_PMI

@@ -162,3 +162,20 @@ def test_popularity_and_cards(spark):
     assert '"name":"Cafe One"' in card1["card"]
     assert len(card1["quotes"]) == 2
     assert len(card1["quotes"][1]["txt"]) == 220  # truncation
+
+
+def test_sssp_takes_cheaper_two_hop_path(spark):
+    from kg_etl_spark.operators.bfs import sssp_rounds
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10.0), (1, 3, 2.0), (3, 2, 3.0), (2, 4, 1.0), (9, 10, 1.0)],
+        "a_id long, b_id long, w double",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_rounds(edges, sources, rounds=3).collect()}
+    assert got[1] == 0.0
+    assert got[3] == 2.0
+    assert got[2] == 5.0   # 1→3→2 beats the direct 10.0 edge
+    assert got[4] == 6.0   # 1→3→2→4 within 3 rounds
+    assert 9 not in got and 10 not in got  # disconnected component unreached

@@ -61,3 +61,26 @@ def test_bm25_plan_has_no_explode_or_extra_shuffle(spark):
     # one aggregate round-trip + broadcast back; top-k never global-sorts
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_token_pmi_finds_planted_collocation(spark):
+    from kg_etl_spark.operators.search import token_pmi_pairs
+
+    # "neural network" co-occurs in 6 docs; filler words co-occur with
+    # everything; "rare" appears once (below min_df, excluded)
+    rows = [(i, "neural network the of and extra%d" % i) for i in range(6)]
+    rows += [
+        (10 + i, "the of and filler%d%s" % (i % 2, " rare" if i == 0 else ""))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = token_pmi_pairs(df, min_df=3, max_df=100, k=5).collect()
+    assert out, "no pairs found"
+    top = out[0]
+    assert {top["w1"], top["w2"]} == {"network", "neural"}
+    assert top["n_docs_together"] == 6
+    # perfect collocation: PMI = ln(N * 6 / (6*6)) = ln(12/6) = ln 2
+    import math
+    assert abs(top["pmi"] - round(math.log(12 * 6 / 36), 6)) < 1e-9
+    # the df window drops sub-min_df tokens entirely
+    assert all("rare" not in (r["w1"], r["w2"]) for r in out)
