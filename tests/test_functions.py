@@ -174,3 +174,23 @@ def test_geohash_known_vectors(spark):
     assert got[1] == "s00000"
     assert got[2] == "6gkzwg"
     assert got[3] == "zzzzzz"
+
+
+def test_chunk_text_udtf_matches_native_chunker(spark):
+    # the UDTF surface must reproduce the native chunker row-for-row
+    from kg_etl_spark.functions.udtfs import register_udtfs
+    from kg_etl_spark.operators.packing import chunk_documents
+    from kg_etl_spark.session import read_table
+
+    sf = "/root/testdata/sf0.001"
+    register_udtfs(spark)
+    docs = read_table(spark, sf, "documents").limit(50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    via_udtf = spark.sql(
+        """SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+           FROM _udtf_docs d, LATERAL chunk_text(d.text, 16, 8) c"""
+    )
+    native = chunk_documents(docs, window=16, stride=8)
+    u = {tuple(r) for r in via_udtf.collect()}
+    n = {tuple(r) for r in native.select("doc_id", "chunk_id", "chunk_text", "n_tokens").collect()}
+    assert u == n and len(u) > 50

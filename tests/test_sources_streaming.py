@@ -735,3 +735,78 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     # one keeper per distinct normalized text, first batch wins
     assert kept == [1, 2, 11]
     assert spark.read.parquet(store).distinct().count() == 3
+
+
+def test_streaming_incremental_minhash_foreachbatch(spark, tmp_path):
+    # foreachBatch + the persistent LSH index = streaming NEAR-dup
+    # detection: each micro-batch is banded once, probed against the
+    # stored band table, then appended to it — the stored corpus is
+    # never re-shingled (operators/dedup.py minhash_lsh_pairs_incremental).
+    import json as _json
+
+    from kg_etl_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = base.replace("tok29", "tokX")
+    other = " ".join(f"misc{i}" for i in range(30))
+    rows_a = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": other},
+        {"doc_id": 3, "text": near},  # in-batch near-dup of 1
+    ]
+    rows_b = [
+        {"doc_id": 10, "text": base.replace("tok28", "tokY")},  # near-dup of 1 & 3
+        {"doc_id": 11, "text": " ".join(f"fresh{i}" for i in range(30))},
+    ]
+    src = tmp_path / "nd_stream"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows_a))
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows_b))
+
+    banded_store = str(tmp_path / "nd_banded")
+    shingle_store = str(tmp_path / "nd_shingles")
+    sink = str(tmp_path / "nd_pairs")
+    spark.createDataFrame([], "_id long, band int, bh long").write.parquet(banded_store)
+    spark.createDataFrame([], "_id long, _shh array<bigint>").write.parquet(shingle_store)
+
+    def on_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        index = {
+            "banded": s.read.parquet(banded_store),
+            "shingles": s.read.parquet(shingle_store),
+        }
+        pairs = minhash_lsh_pairs_incremental(batch_df, index, "doc_id", threshold=0.5)
+        pairs.write.mode("append").parquet(sink)
+        fresh = minhash_index(batch_df, "doc_id")
+        fresh["banded"].write.mode("append").parquet(banded_store)
+        fresh["shingles"].write.mode("append").parquet(shingle_store)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["a_id"], r["b_id"]) for r in spark.read.parquet(sink).collect()
+    }
+    # union of per-batch incremental outputs == full-corpus pairs
+    # (every pair is reported exactly when its LATER member arrives)
+    all_rows = rows_a + rows_b
+    full_df = spark.createDataFrame([(r["doc_id"], r["text"]) for r in all_rows],
+                                    "doc_id long, text string")
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(full_df, "doc_id", threshold=0.5).collect()
+    }
+    assert got == want
+    assert (1, 3) in got and (1, 10) in got and (3, 10) in got
