@@ -58,15 +58,25 @@ def sssp_rounds(
     constant. For large round counts, localCheckpoint per round like
     operators/components.py.
     """
-    sym = edges.select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v"), F.col("w")
-    ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"), F.col("w")))
+    sym = (
+        edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"), F.col("w"))
+        .union(
+            edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"), F.col("w"))
+        )
+        # every round joins sym — without this cut the edge-generation
+        # subtree (often a blocked spatial self-join) replays per round
+        .localCheckpoint(eager=True)
+    )
     dist = sources.select("node", F.lit(0.0).alias("dist"))
-    for _ in range(rounds):
+    for k in range(rounds):
         relaxed = sym.join(dist, sym["u"] == dist["node"]).select(
             F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
         dist = (
             dist.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
         )
+        if k < rounds - 1:
+            # cut the cumulative lineage: without this, round k replays
+            # rounds 1..k-1's joins (the components.py iterate pattern)
+            dist = dist.localCheckpoint(eager=True)
     return dist
