@@ -284,3 +284,47 @@ def psi_drift(
         F.round(cur_s, 6).alias("cur_share"),
         F.round(term, 6).alias("psi_term"),
     )
+
+
+def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square independence statistic between two categorical
+    columns — the profiling primitive behind "is this split correlated
+    with that label" checks on dataset cards.
+
+    One (a,b) cell-count aggregate; marginals derive from the cell
+    frame itself (tiny — |A|×|B| rows), joined broadcast; output is ONE
+    row (chi2, dof, n). Per-cell contributions are rounded to 6 dp and
+    summed as DECIMAL(28,6) so the float total is order-independent
+    (catalog discipline). Expected counts are IEEE divides of exact
+    integers — identical in any engine.
+    """
+    cells = (
+        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    row_t = cells.groupBy("a").agg(F.sum("obs").alias("rt"))
+    col_t = cells.groupBy("b").agg(F.sum("obs").alias("ct"))
+    n = cells.agg(
+        F.sum("obs").alias("n"),
+        F.count_distinct("a").alias("na"),
+        F.count_distinct("b").alias("nb"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    obs = F.coalesce(F.col("obs"), F.lit(0)).cast("double")
+    contrib = F.round((obs - exp) * (obs - exp) / exp, 6).cast("decimal(28,6)")
+    # densify: UNOBSERVED cells still contribute (0−exp)²/exp = exp, so
+    # the grid is the marginals' cross product, not the observed cells
+    return (
+        row_t.crossJoin(col_t)
+        .join(F.broadcast(cells), ["a", "b"], "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_c", contrib)
+        .groupBy("n", "na", "nb")
+        .agg(F.round(F.sum("_c").cast("double"), 6).alias("chi2"))
+        .select(
+            "chi2",
+            ((F.col("na") - 1) * (F.col("nb") - 1)).cast("long").alias("dof"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -448,3 +448,39 @@ FROM t GROUP BY s_nationkey, n_suppliers
 
 QUERIES["revenue_concentration"] = q_revenue_concentration
 ORACLES["revenue_concentration"] = ORACLE_HHI
+
+
+def q_chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of order priority × order status
+    (operators/audit.py `chi_square`)."""
+    from kg_etl_spark.operators.audit import chi_square
+
+    orders = read_table(spark, sf_dir, "orders")
+    return chi_square(orders, "o_orderpriority", "o_orderstatus")
+
+
+ORACLE_CHI_SQUARE = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS obs
+  FROM orders GROUP BY 1, 2
+), rt AS (SELECT a, SUM(obs) AS rt FROM cells GROUP BY a),
+   ct AS (SELECT b, SUM(obs) AS ct FROM cells GROUP BY b),
+   n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb
+         FROM cells),
+   contrib AS (
+  -- grid = marginals' cross product: unobserved cells contribute exp
+  SELECT CAST(ROUND(
+           (CAST(COALESCE(cells.obs, 0) AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+           * (CAST(COALESCE(cells.obs, 0) AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+           / (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)), 6) AS DECIMAL(28,6)) AS c
+  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b, n
+)
+SELECT ROUND(CAST(SUM(c) AS DOUBLE), 6) AS chi2,
+       CAST((n.na - 1) * (n.nb - 1) AS BIGINT) AS dof,
+       n.n
+FROM contrib, n GROUP BY n.na, n.nb, n.n
+"""
+
+QUERIES["chi_square_priority_status"] = q_chi_square_priority_status
+ORACLES["chi_square_priority_status"] = ORACLE_CHI_SQUARE

@@ -75,3 +75,22 @@ def test_psi_drift_detects_shift(spark):
     assert psi_same < 0.05
     assert psi_shift > 0.25
     assert psi_shift > psi_same
+
+
+def test_chi_square_independent_vs_dependent(spark):
+    from kg_etl_spark.operators.audit import chi_square
+
+    # perfectly independent 2x2: chi2 == 0
+    ind = spark.createDataFrame(
+        [("x", "u")] * 4 + [("x", "v")] * 4 + [("y", "u")] * 4 + [("y", "v")] * 4,
+        "a string, b string",
+    )
+    r = chi_square(ind, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 16
+
+    # perfectly dependent 2x2 (a determines b): chi2 == n
+    dep = spark.createDataFrame(
+        [("x", "u")] * 8 + [("y", "v")] * 8, "a string, b string"
+    )
+    r2 = chi_square(dep, "a", "b").collect()[0]
+    assert r2["chi2"] == 16.0 and r2["dof"] == 1
