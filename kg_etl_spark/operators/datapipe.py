@@ -525,3 +525,83 @@ def bloom_ngram_contamination(
         .agg(F.countDistinct("_gram").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Quantile normalization across groups — map each group's value
+    distribution onto the GLOBAL distribution (batch-effect correction:
+    per-source quality scores become comparable before a global
+    threshold/mixing decision).
+
+    Each row's percent-rank within its group (pr = (r−1)/(n_g−1),
+    total-ordered by (value, id)) indexes into the globally sorted
+    values at position round(pr·(N−1))+1. The global rank NEVER runs as
+    a single-partition window: the value space splits into fixed-width
+    ranges, each range ranks locally (parallel windows), and a
+    driver-side prefix over the per-range COUNTS (num_ranges rows)
+    shifts the local ranks global — the pack_concat_chunk prefix-sum
+    device, keyed by value instead of id. Per-group ranks are ordinary
+    partitioned windows (groups parallelize).
+
+    Output: (id, group, value, pr, norm_value), all float steps
+    integer-derived and rounded at the edge — oracle-exact.
+    """
+    v, g, i = F.col(value_col), F.col(group_col), F.col(id_col)
+    base = df.select(
+        i.alias("_id"), g.alias("_g"), v.cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+
+    n_total = base.count()
+    if n_total == 0:
+        return base.select(
+            F.col("_id").alias(id_col), F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            F.lit(0.0).alias("pr"), F.lit(0.0).alias("norm_value"),
+        )
+    bounds = base.agg(F.min("_v").alias("lo"), F.max("_v").alias("hi")).collect()[0]
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    width = max((hi - lo) / num_ranges, 1e-12)
+    rng = F.least(((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("long"),
+                  F.lit(num_ranges - 1))
+    ranged = base.withColumn("_r", rng)
+    w_local = Window.partitionBy("_r").orderBy(F.col("_v").asc(), F.col("_id").asc())
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    counts = sorted(
+        local.groupBy("_r").agg(F.count(F.lit(1)).alias("_n")).collect(),
+        key=lambda r: r["_r"],
+    )
+    offsets, running = {}, 0
+    for r in counts:
+        offsets[r["_r"]] = running
+        running += r["_n"]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_r")
+    )
+    glob = local.select(
+        (F.col("_lrn") + off).alias("_grn"), F.col("_v").alias("_gv")
+    ).localCheckpoint(eager=True)
+
+    w_grp = Window.partitionBy("_g").orderBy(F.col("_v").asc(), F.col("_id").asc())
+    n_grp = Window.partitionBy("_g")
+    pr = (
+        (F.row_number().over(w_grp) - F.lit(1)).cast("double")
+        / F.greatest(F.count(F.lit(1)).over(n_grp) - F.lit(1), F.lit(1)).cast("double")
+    )
+    target = (F.round(pr * F.lit(float(n_total - 1)), 0) + 1).cast("long")
+    scored = base.withColumn("pr", F.round(pr, 6)).withColumn("_t", target)
+    return (
+        scored.join(glob, scored["_t"] == glob["_grn"])
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            "pr",
+            F.col("_gv").alias("norm_value"),
+        )
+    )

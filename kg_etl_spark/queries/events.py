@@ -969,3 +969,72 @@ FROM s
 
 QUERIES["weekday_seasonal_anomaly"] = q_weekday_seasonal_anomaly
 ORACLES["weekday_seasonal_anomaly"] = ORACLE_SEASONAL
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing per event type over the
+    daily series (α=0.5, β=0.3), forecasting 7 days ahead — the
+    classic capacity-planning primitive.
+
+    Spark-first sequential state: the recursion l' = αy + (1−α)(l+b),
+    b' = β(l'−l) + (1−β)b is inherently ordered, so it runs as ONE
+    higher-order `aggregate` fold over each type's sorted day array —
+    per-group sequential exactly as the algorithm demands, groups
+    parallel, no Python, no driver loop. Years of daily history are a
+    few thousand array elements per group.
+
+    Cross-engine exactness: the fold order is total (sorted by day),
+    every step is the same IEEE expression (l' written out twice, in
+    both engines), and the inputs are the already-rounded day_value
+    doubles — so the DuckDB recursive-CTE oracle reproduces the floats
+    bit-for-bit; outputs rounded at the end as usual."""
+    daily = _daily_totals(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("day"), F.col("day_value").alias("y")))
+    )
+    grouped = daily.groupBy("event_type").agg(arr.alias("_a"))
+    lp = lambda acc, x: F.lit(0.5) * x["y"] + F.lit(0.5) * (acc["l"] + acc["b"])
+    step = lambda acc, x: F.struct(
+        lp(acc, x).alias("l"),
+        (F.lit(0.3) * (lp(acc, x) - acc["l"]) + F.lit(0.7) * acc["b"]).alias("b"),
+    )
+    init = F.struct(
+        F.element_at("_a", 1)["y"].alias("l"), F.lit(0.0).alias("b")
+    )
+    state = F.aggregate(F.slice("_a", 2, F.size("_a") - 1), init, step)
+    return grouped.select(
+        "event_type",
+        F.size("_a").cast("long").alias("n_days"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+        F.round(state["l"] + F.lit(7.0) * state["b"], 6).alias("forecast_7d"),
+    )
+
+
+ORACLE_HOLT = """
+WITH RECURSIVE d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM d
+), rec AS (
+  SELECT event_type, rn, n_days, y, y AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn, r.n_days, r.y,
+         0.5 * r.y + 0.5 * (rec.l + rec.b) AS l,
+         0.3 * ((0.5 * r.y + 0.5 * (rec.l + rec.b)) - rec.l) + 0.7 * rec.b AS b
+  FROM rec JOIN r ON r.event_type = rec.event_type AND r.rn = rec.rn + 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+       ROUND(l + 7.0 * b, 6) AS forecast_7d
+FROM rec WHERE rn = n_days
+"""
+
+QUERIES["holt_forecast"] = q_holt_forecast
+ORACLES["holt_forecast"] = ORACLE_HOLT

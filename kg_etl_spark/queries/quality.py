@@ -484,3 +484,35 @@ FROM contrib, n GROUP BY n.na, n.nb, n.n
 
 QUERIES["chi_square_priority_status"] = q_chi_square_priority_status
 ORACLES["chi_square_priority_status"] = ORACLE_CHI_SQUARE
+
+
+def q_quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_chars distributions mapped onto the global
+    distribution (operators/datapipe.py `quantile_normalize`)."""
+    from kg_etl_spark.operators.datapipe import quantile_normalize
+
+    docs = read_table(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "n_chars", "source", "doc_id")
+
+
+ORACLE_QUANTILE_NORM = """
+WITH base AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+), n AS (SELECT COUNT(*) AS nt FROM base),
+gl AS (
+  SELECT v AS gv, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS grn FROM base
+), grp AS (
+  SELECT doc_id, source, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) - 1 AS DOUBLE) AS r0,
+         CAST(GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1) AS DOUBLE) AS d
+  FROM base
+)
+SELECT g.doc_id, g.source, g.v AS n_chars,
+       ROUND(g.r0 / g.d, 6) AS pr,
+       gl.gv AS norm_value
+FROM grp g CROSS JOIN n JOIN gl ON CAST(ROUND(g.r0 / g.d * (n.nt - 1), 0) AS BIGINT) + 1 = gl.grn
+"""
+
+QUERIES["quantile_normalize_chars"] = q_quantile_normalize_chars
+ORACLES["quantile_normalize_chars"] = ORACLE_QUANTILE_NORM

@@ -309,3 +309,29 @@ def test_bigram_surprisal_flags_scrambled_word_order(spark):
     # the unigram-identical scramble must score strictly higher
     assert out[4]["avg_bigram_surprisal"] > out[1]["avg_bigram_surprisal"]
     assert out[1]["avg_bigram_surprisal"] == out[2]["avg_bigram_surprisal"]
+
+
+def test_quantile_normalize_aligns_shifted_sources(spark):
+    from kg_etl_spark.operators.datapipe import quantile_normalize
+
+    # source B is source A shifted by +100: after normalization the
+    # k-th ranked doc of each source maps to the same global quantile
+    rows = [(i, "A", float(i)) for i in range(10)]
+    rows += [(100 + i, "B", 100.0 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = quantile_normalize(df, "score", "source", "doc_id").collect()
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["score"])):
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["A"]) == len(by_src["B"]) == 10
+    for ra, rb in zip(by_src["A"], by_src["B"]):
+        assert ra["pr"] == rb["pr"]
+        assert ra["norm_value"] == rb["norm_value"]
+    # normalized values come from the GLOBAL sorted values
+    globals_sorted = sorted(r[2] for r in rows)
+    for r in out:
+        assert r["norm_value"] in globals_sorted
+    # extremes map to global extremes
+    a = by_src["A"]
+    assert a[0]["norm_value"] == globals_sorted[0]
+    assert a[-1]["norm_value"] == globals_sorted[-1]

@@ -57,3 +57,29 @@ def test_active_sessions_cover_every_session_hour(spark):
     ).collect()[0]["s"]
     counted = hourly.select(F.sum("n_active_sessions").alias("s")).collect()[0]["s"]
     assert counted == spanned
+
+
+def test_holt_forecast_matches_python_fold(spark):
+    from kg_etl_spark.queries.events import _daily_totals
+
+    out = {r["event_type"]: r for r in QUERIES["holt_forecast"](spark, SF).collect()}
+    daily = (
+        _daily_totals(spark, SF)
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(r["day_value"])
+    assert set(out) == set(series)
+    for et, ys in series.items():
+        l, b = ys[0], 0.0
+        for y in ys[1:]:
+            ln = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (ln - l) + 0.7 * b
+            l = ln
+        got = out[et]
+        assert got["n_days"] == len(ys)
+        assert abs(got["level"] - round(l, 6)) < 1e-9
+        assert abs(got["trend"] - round(b, 6)) < 1e-9
+        assert abs(got["forecast_7d"] - round(l + 7.0 * b, 6)) < 1e-9
