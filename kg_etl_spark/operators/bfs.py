@@ -80,3 +80,55 @@ def sssp_rounds(
             # rounds 1..k-1's joins (the components.py iterate pattern)
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def sssp_per_source(
+    edges: DataFrame, sources: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Per-source bounded shortest paths: (source, node, dist) for each
+    source — the primitive behind sampled centrality measures. Same
+    Bellman-Ford lowering as sssp_rounds with the source id carried in
+    the aggregate key; state size is |reached| × |sources|, so sources
+    are a SAMPLE (landmark set) at scale — exactly how harmonic /
+    closeness centrality is estimated on large graphs."""
+    sym = (
+        edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"), F.col("w"))
+        .union(
+            edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"), F.col("w"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = sources.select(
+        F.col("node").alias("source"), F.col("node"), F.lit(0.0).alias("dist")
+    )
+    for k in range(rounds):
+        relaxed = sym.join(dist, sym["u"] == dist["node"]).select(
+            "source", F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if k < rounds - 1:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame, sources: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Harmonic centrality (landmark-sampled, distance-bounded):
+    C(v) = Σ_{s ≠ v, d(s,v) < ∞} 1 / d(s,v) over the source sample.
+    Per-term reciprocals are rounded then decimal-summed
+    (order-independent) per the catalog float contract."""
+    per = sssp_per_source(edges, sources, rounds)
+    term = F.round(F.lit(1.0) / F.col("dist"), 9).cast("decimal(28,9)")
+    return (
+        per.filter(F.col("dist") > 0.0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached_from"),
+            F.round(F.sum(term).cast("double"), 6).alias("harmonic"),
+        )
+    )

@@ -289,3 +289,41 @@ def surprisal_tertile_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Strict 2-D Pareto frontier: rows not dominated by any other row
+    (dominator has >= max_col and <= min_col, with at least one strict)
+    — the data-selection primitive "best quality at every cost budget".
+
+    Never the quadratic NOT-EXISTS self-join: per distinct max_col
+    value take min(min_col), sort the distinct values descending, and
+    a 1-lagged running minimum gives the best cost among all STRICTLY
+    better rows; a row survives iff it achieves its group minimum and
+    beats that running minimum strictly. Two tiny aggregates + one
+    window over |distinct max_col| rows + a broadcast join back — the
+    full frame shuffles once (the group aggregate) regardless of size.
+
+    Ties: duplicate (max_col, min_col) points do not dominate each
+    other — all survive (matching the SQL NOT-EXISTS definition).
+    """
+    mx, mn = F.col(max_col), F.col(min_col)
+    per_q = df.groupBy(mx.alias("_q")).agg(F.min(mn).alias("_minc"))
+    w = Window.orderBy(F.col("_q").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_q = per_q.withColumn("_best_higher", F.min("_minc").over(w)).filter(
+        (F.col("_best_higher").isNull()) | (F.col("_minc") < F.col("_best_higher"))
+    )
+    return (
+        df.join(
+            F.broadcast(frontier_q),
+            (mx == F.col("_q")) & (mn == F.col("_minc")),
+        )
+        .select(F.col(id_col), mx, mn)
+    )

@@ -372,3 +372,37 @@ ORACLES = {
     "surprisal_buckets": _oracle_surprisal_buckets(),
     "hybrid_rrf_search": _oracle_hybrid_rrf(),
 }
+
+
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict Pareto frontier over orders — max o_totalprice, min
+    order_day (epoch day): "the biggest order at every recency budget"
+    (operators/filters.py `pareto_frontier_2d`, window formulation —
+    never the quadratic NOT-EXISTS self-join the oracle uses)."""
+    from kg_etl_spark.operators.filters import pareto_frontier_2d
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.unix_micros("o_orderdate") / F.lit(86_400_000_000)).cast("long").alias("order_day"),
+    )
+    return pareto_frontier_2d(orders, "o_totalprice", "order_day", "o_orderkey")
+
+
+ORACLE_PARETO = """
+WITH b AS (
+  SELECT o_orderkey, o_totalprice,
+         epoch_us(o_orderdate) // 86400000000 AS order_day
+  FROM orders
+)
+SELECT p.o_orderkey, p.o_totalprice, p.order_day
+FROM b p
+WHERE NOT EXISTS (
+  SELECT 1 FROM b d
+  WHERE (d.o_totalprice >= p.o_totalprice AND d.order_day < p.order_day)
+     OR (d.o_totalprice > p.o_totalprice AND d.order_day <= p.order_day)
+)
+"""
+
+QUERIES["pareto_orders"] = q_pareto_orders
+ORACLES["pareto_orders"] = ORACLE_PARETO

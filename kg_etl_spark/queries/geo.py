@@ -866,3 +866,59 @@ ORACLE_WEIGHTED_SSSP = _sssp_oracle(3)
 
 QUERIES["weighted_sssp"] = q_weighted_sssp
 ORACLES["weighted_sssp"] = ORACLE_WEIGHTED_SSSP
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled harmonic centrality over the 800 m proximity
+    graph (operators/bfs.py `harmonic_centrality`; sources = every
+    500th customer, 3 relaxation rounds)."""
+    from kg_etl_spark.operators.bfs import harmonic_centrality
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(
+        cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02
+    ).select(
+        F.col("a_c_custkey").alias("a_id"),
+        F.col("b_c_custkey").alias("b_id"),
+        F.round("meters", 3).alias("w"),
+    )
+    sources = cust.filter(F.col("c_custkey") % 500 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return harmonic_centrality(pairs, sources, rounds=3)
+
+
+def _harmonic_oracle(rounds: int = 3) -> str:
+    head = f"""
+WITH c AS ({_sql_cust_coords()}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+         ROUND({_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) AS w
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {_SQL_EQUIRECT.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 800.0
+),
+edges AS (SELECT a_id AS u, b_id AS v, w FROM pairs UNION ALL SELECT b_id, a_id, w FROM pairs),
+d0 AS (SELECT c_custkey AS source, c_custkey AS node, CAST(0.0 AS DOUBLE) AS dist
+       FROM customer WHERE c_custkey % 500 = 0)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+d{k} AS (
+  SELECT source, node, MIN(dist) AS dist FROM (
+    SELECT source, node, dist FROM d{k-1}
+    UNION ALL
+    SELECT d.source, e.v AS node, d.dist + e.w AS dist
+    FROM d{k-1} d JOIN edges e ON e.u = d.node
+  ) GROUP BY source, node
+)""")
+    return head + "".join(steps) + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached_from,
+       ROUND(CAST(SUM(CAST(ROUND(1.0 / dist, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS harmonic
+FROM d{rounds} WHERE dist > 0.0 GROUP BY node
+"""
+
+
+ORACLE_HARMONIC = _harmonic_oracle(3)
+
+QUERIES["harmonic_centrality"] = q_harmonic_centrality
+ORACLES["harmonic_centrality"] = ORACLE_HARMONIC

@@ -179,3 +179,18 @@ def test_sssp_takes_cheaper_two_hop_path(spark):
     assert got[2] == 5.0   # 1→3→2 beats the direct 10.0 edge
     assert got[4] == 6.0   # 1→3→2→4 within 3 rounds
     assert 9 not in got and 10 not in got  # disconnected component unreached
+
+
+def test_harmonic_centrality_center_of_path(spark):
+    from kg_etl_spark.operators.bfs import harmonic_centrality
+
+    # path 1-2-3 with unit weights, sources = all nodes: the middle
+    # node is reachable at distance 1 from both ends -> harmonic 2.0;
+    # the ends get 1 + 1/2 = 1.5
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "a_id long, b_id long, w double"
+    )
+    sources = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    got = {r["node"]: r for r in harmonic_centrality(edges, sources, rounds=3).collect()}
+    assert got[2]["harmonic"] == 2.0 and got[2]["n_reached_from"] == 2
+    assert got[1]["harmonic"] == 1.5 and got[3]["harmonic"] == 1.5

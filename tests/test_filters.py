@@ -141,3 +141,20 @@ def test_pair_metrics_empty_sides(spark):
     m = pair_metrics(empty, truth).collect()[0]
     assert (m["tp"], m["fp"], m["fn"]) == (0, 0, 1)
     assert m["precision"] == 0.0 and m["f1"] == 0.0
+
+
+def test_pareto_frontier_strict_domination_and_ties(spark):
+    from kg_etl_spark.operators.filters import pareto_frontier_2d
+
+    rows = [
+        (1, 10.0, 5.0),   # frontier (best q)
+        (2, 10.0, 7.0),   # dominated: same q, higher c
+        (3, 8.0, 3.0),    # frontier
+        (4, 8.0, 3.0),    # duplicate point: also survives
+        (5, 7.0, 3.0),    # dominated by 3 (q' > q, c' <= c)
+        (6, 6.0, 2.0),    # frontier
+        (7, 5.0, 5.0),    # dominated by 1/3/6
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, c double")
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "q", "c", "id").collect())
+    assert got == [1, 3, 4, 6]
