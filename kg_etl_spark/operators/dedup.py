@@ -480,3 +480,78 @@ def neardup_canonical(
         F.first(F.col(id_col)).over(ordered).alias("canonical_id"),
         "quality_score",
     ).withColumn("is_kept", F.col(id_col) == F.col("canonical_id"))
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Prefix-filtered similarity join (ssjoin/PPJoin candidate rule):
+    same contract and output as `ngram_jaccard_pairs`, but only each
+    document's PREFIX — its (l − ⌈t·l⌉ + 1) globally-rarest shingles —
+    enters the inverted-index self-join.
+
+    Completeness: if J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|); two sets
+    sharing NO prefix token intersect only in their suffixes, bounded
+    by ⌈t·l⌉−1 < t·l — contradiction, so every qualifying pair shares
+    a prefix token (Chaudhuri et al. 2006 / Xiao et al. 2008). The
+    candidate join shrinks from Σdf² over ALL shingles to Σdf² over
+    prefix shingles — and because prefixes keep the RAREST shingles
+    (global df ascending, shingle text tie-break), exactly the
+    low-df terms a max_df cap can't touch do the candidate generation.
+    Guard: ⌈t·l⌉ computed as ceil(t·l − 1e-9) so a one-ulp-high t·l
+    can never SHORTEN a prefix (longer prefixes are always safe).
+
+    Verify is exact over the full distinct-shingle arrays, so results
+    match `ngram_jaccard_pairs` row-for-row (property-tested) and the
+    same DuckDB oracle applies verbatim.
+    """
+    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=True)
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        ex.join(dfreq, "_s")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_df", "_s"))).alias("_arr")
+        )
+    )
+    l = F.size("_arr")
+    plen = (
+        l
+        - F.ceil(F.lit(float(threshold)) * l.cast("double") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    prefix = ranked.select(
+        "_id",
+        F.explode(
+            F.slice(F.transform("_arr", lambda x: x["_s"]), 1, plen)
+        ).alias("_s"),
+    ).localCheckpoint(eager=True)
+
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "_s")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("a_id"), F.col("y._id").alias("b_id"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"))
+    sh_b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"))
+    verified = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("n_common", F.size(F.array_intersect("a_sh", "b_sh")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("a_sh") + F.size("b_sh") - F.col("n_common")).cast("double"),
+        )
+        .filter((F.col("n_common") > 0) & (F.col("jaccard") >= threshold))
+    )
+    return verified.select(
+        "a_id", "b_id", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )

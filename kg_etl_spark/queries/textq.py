@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kg_etl_spark.operators.dedup import (
+    ngram_jaccard_pairs_prefix,
     exact_dedup,
     minhash_lsh_pairs,
     neardup_canonical,
@@ -1119,3 +1120,16 @@ LIMIT 20
 
 QUERIES["token_pmi"] = q_token_pmi
 ORACLES["token_pmi"] = ORACLE_TOKEN_PMI
+
+
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered ssjoin variant of ngram_jaccard_dedup — same
+    result contract (same oracle text), candidates generated from each
+    doc's rarest (l − ⌈t·l⌉ + 1) shingles only
+    (operators/dedup.py `ngram_jaccard_pairs_prefix`)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.8)
+
+
+QUERIES["ngram_jaccard_prefix"] = q_ngram_jaccard_prefix
+ORACLES["ngram_jaccard_prefix"] = ORACLE_NGRAM_JACCARD

@@ -336,3 +336,42 @@ def test_minhash_incremental_combined_bucket_cap(spark):
     uncapped = minhash_lsh_pairs_incremental(new, idx, "id", threshold=0.5).count()
     # (1,10) + 8 new copies × (8 stored + 7 other new) pairs touching new
     assert uncapped == 1 + 8 * 8 + 8 * 7 // 2
+
+
+def test_ngram_jaccard_prefix_matches_full_inverted_index(spark):
+    # the prefix filter must be lossless: same pairs, same scores as
+    # the full inverted-index operator, at several thresholds
+    from kg_etl_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base.replace("tok39", "tokX")),
+        (3, base.replace("tok38 tok39", "a b c")),
+        (4, " ".join(f"other{i}" for i in range(40))),
+        (5, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for t in (0.5, 0.8, 0.95):
+        full = {
+            (r["a_id"], r["b_id"], r["n_common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(df, "id", threshold=t).collect()
+        }
+        pref = {
+            (r["a_id"], r["b_id"], r["n_common"], r["jaccard"])
+            for r in ngram_jaccard_pairs_prefix(df, "id", threshold=t).collect()
+        }
+        assert pref == full, f"threshold {t}: {pref ^ full}"
+    assert any(a == 1 and b == 5 for a, b, _, _ in pref)
+
+
+def test_ngram_jaccard_prefix_candidate_reduction(spark):
+    # the point of the filter: high-df shingles never generate
+    # candidates — docs sharing ONLY boilerplate produce no pair at all
+    from kg_etl_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    boiler = "all rights reserved contact us about terms of service"
+    rows = [(i, f"unique{i} distinct{i} text{i} alpha{i} beta{i} " + boiler) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = ngram_jaccard_pairs_prefix(df, "id", threshold=0.8).collect()
+    assert got == []  # verified: no pair reaches 0.8
