@@ -127,3 +127,36 @@ def snapshot_diff(
         status.alias("diff_status"),
         F.when(status == "changed", first_diff).alias("first_diff_col"),
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    oplog: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Apply a CDC operation log (Debezium-style after-images) to a
+    base table: per key, the max-`seq_col` op wins — 'D' deletes the
+    key, 'I'/'U' upsert the full after-image payload; keys without ops
+    keep their base row. `seq_col` must be unique per key (the CDC
+    offset/LSN contract); deterministic given that.
+
+    Shape: ONE max_by aggregate over the log (map-side combined — never
+    a row_number sort-window over the full log), one anti-join to drop
+    keyed base rows, one union. The base table shuffles once (the
+    anti-join); at 100 TB base and log both arrive bucketed by key and
+    the joins are co-located.
+    """
+    last = oplog.groupBy(key).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("_op"), *[F.col(c) for c in payload]),
+            F.col(seq_col),
+        ).alias("_last")
+    )
+    survivors_from_log = last.filter(F.col("_last._op") != "D").select(
+        key, *[F.col(f"_last.{c}").alias(c) for c in payload]
+    )
+    untouched = base.join(last.select(key), key, "left_anti").select(key, *payload)
+    return untouched.unionByName(survivors_from_log)

@@ -268,3 +268,42 @@ def hll_overlap(
         inter.alias("est_intersection"),
         F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches:
+    |A ⋈ B| ≈ min over hash rows of Σ_bucket cntA·cntB — the AGMS-style
+    inner product (never underestimates; overestimate bounded by
+    |A|·|B|/w per row, driven down by the min over d rows).
+
+    Why at 100 TB: the optimizer-style "should I broadcast / how many
+    output rows" question answered WITHOUT running the join — each side
+    reduces to d·w cells (one map-side-combined aggregate per side,
+    O(d·w) shuffle), and the estimate is a d·w-row join of two tiny
+    frames. Deterministic hash family → the estimate itself is
+    reproducible arithmetic, so it gets a full value-hash oracle (the
+    cms_heavy_hitters discipline), plus an error-bound test vs the
+    exact join count.
+
+    Output: 1 row (est_join_size, d, w).
+    """
+    sa = cms_build(left, left_key, d=d, w=w)
+    sb = cms_build(right, right_key, d=d, w=w)
+    prod = (
+        sa.alias("a")
+        .join(sb.alias("b"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return prod.agg(
+        F.min("ip").cast("long").alias("est_join_size"),
+        F.lit(d).cast("long").alias("d"),
+        F.lit(w).cast("long").alias("w"),
+    )

@@ -2096,3 +2096,45 @@ SELECT node, ROUND(rank, 6) AS ppr FROM r{iterations}
 
 QUERIES["personalized_pagerank"] = q_personalized_pagerank
 ORACLES["personalized_pagerank"] = _ppr_oracle(3)
+
+
+def q_cdc_apply_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC op-log apply (operators/scd.py `cdc_apply`): base = customer
+    balances; the order stream acts as a Debezium-style after-image log
+    (seq = o_orderkey; status P→delete, else upsert bal=o_totalprice).
+    Final state per customer after replaying the log."""
+    from kg_etl_spark.operators.scd import cdc_apply
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal"), 2).alias("bal")
+    )
+    oplog = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "P", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("o_totalprice"), 2).alias("bal"),
+    )
+    return cdc_apply(cust, oplog, "c_custkey", "seq", "op", ["bal"])
+
+
+ORACLE_CDC_APPLY = """
+WITH oplog AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+         ROUND(o_totalprice, 2) AS bal
+  FROM orders
+), last AS (
+  SELECT c_custkey, op, bal
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM oplog)
+  WHERE rn = 1
+)
+SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS bal
+FROM customer c LEFT JOIN last l ON c.c_custkey = l.c_custkey
+WHERE l.c_custkey IS NULL
+UNION ALL
+SELECT c_custkey, bal FROM last WHERE op <> 'D'
+"""
+
+QUERIES["cdc_apply_balance"] = q_cdc_apply_balance
+ORACLES["cdc_apply_balance"] = ORACLE_CDC_APPLY

@@ -227,3 +227,50 @@ FROM ea, eb, eu
 
 QUERIES["hll_overlap"] = q_hll_overlap
 ORACLES["hll_overlap"] = ORACLE_HLL_OVERLAP
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer ⋈ orders join-cardinality estimate from two Count-Min
+    sketches (operators/sketches.py `cms_join_size`) next to the exact
+    count — the optimizer-style cardinality probe that never runs the
+    join."""
+    from kg_etl_spark.operators.sketches import cms_join_size
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    est = cms_join_size(cust, orders, "c_custkey", "o_custkey", d=4, w=256)
+    exact = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .agg(F.count(F.lit(1)).alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size", "true_join_size", "d", "w",
+        (F.col("est_join_size") >= F.col("true_join_size")).alias("is_overestimate"),
+    )
+
+
+ORACLE_CMS_JOIN_SIZE = f"""
+WITH ca AS (
+  {" UNION ALL ".join(f"SELECT {j} AS row, {_bucket_sql('c_custkey', j)} AS bucket FROM customer" for j in range(4))}
+), cb AS (
+  {" UNION ALL ".join(f"SELECT {j} AS row, {_bucket_sql('o_custkey', j)} AS bucket FROM orders" for j in range(4))}
+),
+sa AS (SELECT row, bucket, COUNT(*) AS c FROM ca GROUP BY row, bucket),
+sb AS (SELECT row, bucket, COUNT(*) AS c FROM cb GROUP BY row, bucket),
+ip AS (
+  SELECT sa.row, SUM(sa.c * sb.c) AS p
+  FROM sa JOIN sb ON sa.row = sb.row AND sa.bucket = sb.bucket
+  GROUP BY sa.row
+),
+tj AS (
+  SELECT COUNT(*) AS t FROM customer JOIN orders ON c_custkey = o_custkey
+)
+SELECT CAST(MIN(ip.p) AS BIGINT) AS est_join_size,
+       CAST(tj.t AS BIGINT) AS true_join_size,
+       CAST(4 AS BIGINT) AS d, CAST(256 AS BIGINT) AS w,
+       MIN(ip.p) >= tj.t AS is_overestimate
+FROM ip, tj GROUP BY tj.t
+"""
+
+QUERIES["cms_join_size"] = q_cms_join_size
+ORACLES["cms_join_size"] = ORACLE_CMS_JOIN_SIZE

@@ -67,3 +67,24 @@ def test_snapshot_diff_null_safe_and_statuses(spark):
     assert out[3]["diff_status"] == "changed" and out[3]["first_diff_col"] == "bal"
     assert out[4]["diff_status"] == "removed"
     assert out[5]["diff_status"] == "added"
+
+
+def test_cdc_apply_last_op_wins(spark):
+    from kg_etl_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    oplog = spark.createDataFrame(
+        [
+            (1, 100, "U", 11.0),
+            (1, 101, "U", 12.0),   # later seq wins
+            (2, 200, "D", None),   # delete
+            (3, 300, "D", None),
+            (3, 301, "I", 33.0),   # re-insert after delete
+            (5, 500, "I", 50.0),   # brand-new key
+        ],
+        "k long, seq long, op string, v double",
+    )
+    got = {r["k"]: r["v"] for r in cdc_apply(base, oplog, "k", "seq", "op", ["v"]).collect()}
+    assert got == {1: 12.0, 3: 33.0, 4: 40.0, 5: 50.0}  # 2 deleted, 4 untouched

@@ -113,3 +113,20 @@ def test_hll_streaming_registers_match_batch(spark, tmp_path):
     want = hll_distinct(batch_df, "event_type", "user_id").collect()[0]
     assert got["hll_estimate"] == want["hll_estimate"]
     assert got["n_registers_hit"] == want["n_registers_hit"]
+
+
+def test_cms_join_size_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.operators.sketches import cms_join_size
+
+    # left: keys 0..99 once each; right: key k appears (k % 5) times
+    left = spark.range(100).select(F.col("id").alias("k"))
+    right = spark.range(100).select(F.col("id").alias("k")).withColumn(
+        "_n", F.pmod("k", F.lit(5))
+    ).select(F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"), "k").select("k")
+    exact = left.join(right, "k").count()
+    est = cms_join_size(left, right, "k", "k", d=4, w=256).collect()[0]
+    assert est["est_join_size"] >= exact          # CMS never underestimates
+    # with 100 keys in 256 buckets collisions are rare: stay within 2x
+    assert est["est_join_size"] <= 2 * exact
