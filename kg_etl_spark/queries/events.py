@@ -1038,3 +1038,67 @@ FROM rec WHERE rn = n_days
 
 QUERIES["holt_forecast"] = q_holt_forecast
 ORACLES["holt_forecast"] = ORACLE_HOLT
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS linear trend of the daily series: closed-form
+    slope/intercept from exact decimal power sums (n, Σx, Σy, Σxy,
+    Σx²) — one grouped aggregate, no iteration, no shuffle beyond it.
+    x = epoch day, y = daily total. The measure_correlations decimal
+    discipline: every sum exact, the final slope/intercept arithmetic
+    is identical IEEE ops in both engines, rounded at the edge."""
+    daily = _daily_totals(spark, sf_dir)
+    x = F.col("day").cast("decimal(18,0)")
+    # xy as an IEEE double product rounded BEFORE the decimal sum:
+    # day_value is a double, and double->decimal conversion noise
+    # amplified by day ~ 2e4 otherwise surfaces in the 6th decimal
+    xy = F.round(F.col("day").cast("double") * F.col("day_value"), 6).cast(DEC)
+    y = F.round(F.col("day_value"), 6).cast(DEC)
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(xy).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return g.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+ORACLE_OLS = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(day AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(ROUND(day_value, 6) AS DECIMAL(28,6))) AS sy,
+         SUM(CAST(ROUND(CAST(day AS DOUBLE) * day_value, 6) AS DECIMAL(28,6))) AS sxy,
+         SUM(CAST(day AS DECIMAL(18,0)) * CAST(day AS DECIMAL(18,0))) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM g
+"""
+
+QUERIES["ols_trend"] = q_ols_trend
+ORACLES["ols_trend"] = ORACLE_OLS

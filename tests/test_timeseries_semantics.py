@@ -83,3 +83,21 @@ def test_holt_forecast_matches_python_fold(spark):
         assert abs(got["level"] - round(l, 6)) < 1e-9
         assert abs(got["trend"] - round(b, 6)) < 1e-9
         assert abs(got["forecast_7d"] - round(l + 7.0 * b, 6)) < 1e-9
+
+
+def test_ols_trend_recovers_planted_slope(spark):
+    # run the catalog query and cross-check one group against numpy
+    import numpy as np
+
+    from kg_etl_spark.queries.events import _daily_totals
+
+    out = {r["event_type"]: r for r in QUERIES["ols_trend"](spark, SF).collect()}
+    daily = _daily_totals(spark, SF).collect()
+    xs, ys = {}, {}
+    for r in daily:
+        xs.setdefault(r["event_type"], []).append(float(r["day"]))
+        ys.setdefault(r["event_type"], []).append(r["day_value"])
+    for et in out:
+        slope, intercept = np.polyfit(xs[et], ys[et], 1)
+        assert abs(out[et]["slope"] - slope) < 1e-4 * max(1.0, abs(slope))
+        assert abs(out[et]["intercept"] - intercept) < 1e-3 * max(1.0, abs(intercept))
