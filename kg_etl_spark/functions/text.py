@@ -196,3 +196,37 @@ def extract_urls(c: Column) -> Column:
     """All http(s) URLs in a text column, in order of appearance —
     crawl-lineage extraction for domain capping/blocklists."""
     return F.regexp_extract_all(c, F.lit(r'https?://[^\s"<>]+'), 0)
+
+
+def monge_elkan(a_toks: Column, b_toks: Column) -> Column:
+    """Symmetric Monge-Elkan token-set similarity with a normalized-
+    Levenshtein inner kernel: mean over tokens of A of the best match
+    in B, averaged with the reverse direction. Fully native — nested
+    higher-order transforms over NATIVE `levenshtein`, no Python — so
+    it runs on blocked candidate pairs at scan speed.
+
+    Float discipline: `aggregate` over an array is an ORDERED fold
+    (token order is derived identically in any engine), and every term
+    is the same IEEE expression — DuckDB's list_transform/levenshtein
+    mirror is bit-exact; round at the output edge.
+    """
+
+    def best(x, other):
+        return F.array_max(
+            F.transform(
+                other,
+                lambda y: F.lit(1.0)
+                - F.levenshtein(x, y).cast("double")
+                / F.greatest(F.length(x), F.length(y)).cast("double"),
+            )
+        )
+
+    def directed(src, dst):
+        total = F.aggregate(
+            src,
+            F.lit(0.0),
+            lambda acc, x: acc + best(x, dst),
+        )
+        return total / F.size(src).cast("double")
+
+    return (directed(a_toks, b_toks) + directed(b_toks, a_toks)) / F.lit(2.0)

@@ -201,3 +201,61 @@ FROM part WHERE p_partkey < 50
 
 QUERIES["er_fuzzy_identical_recall"] = q_er_fuzzy_identical_recall
 ORACLES["er_fuzzy_identical_recall"] = ORACLE_ER_FUZZY_IDENTICAL
+
+
+def q_monge_elkan_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan name similarity (normalized-Levenshtein inner
+    kernel, symmetric) over nation-blocked customer pairs with close
+    ids (functions/text.py `monge_elkan` — nested native HOFs over
+    `levenshtein`, zero Python). The blocked candidate set keeps the
+    O(|A|·|B|)-per-pair kernel off the cross product."""
+    from kg_etl_spark.functions.text import monge_elkan
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.filter(
+            F.split(F.replace(F.lower(F.trim("c_name")), F.lit("#"), F.lit(" ")), " "),
+            lambda t: F.length(t) > 0,
+        ).alias("_t"),
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"), F.col("c_nationkey").alias("nk"),
+        F.col("_t").alias("a_t"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("b_id"), F.col("c_nationkey").alias("nk"),
+        F.col("_t").alias("b_t"),
+    )
+    pairs = a.join(b, "nk").filter(
+        (F.col("a_id") < F.col("b_id")) & (F.col("b_id") <= F.col("a_id") + 3)
+    )
+    return pairs.select(
+        "a_id", "b_id", F.round(monge_elkan(F.col("a_t"), F.col("b_t")), 6).alias("me_sim")
+    )
+
+
+ORACLE_MONGE_ELKAN = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         list_filter(string_split(replace(lower(trim(c_name)), '#', ' '), ' '),
+                     x -> len(x) > 0) AS t
+  FROM customer
+)
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       ROUND((
+         list_sum(list_transform(a.t, x -> list_max(list_transform(b.t,
+           y -> 1.0 - CAST(levenshtein(x, y) AS DOUBLE) / CAST(greatest(length(x), length(y)) AS DOUBLE)
+         )))) / len(a.t)
+         +
+         list_sum(list_transform(b.t, x -> list_max(list_transform(a.t,
+           y -> 1.0 - CAST(levenshtein(x, y) AS DOUBLE) / CAST(greatest(length(x), length(y)) AS DOUBLE)
+         )))) / len(b.t)
+       ) / 2.0, 6) AS me_sim
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey AND b.c_custkey <= a.c_custkey + 3
+"""
+
+QUERIES["monge_elkan_links"] = q_monge_elkan_links
+ORACLES["monge_elkan_links"] = ORACLE_MONGE_ELKAN

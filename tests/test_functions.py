@@ -194,3 +194,27 @@ def test_chunk_text_udtf_matches_native_chunker(spark):
     u = {tuple(r) for r in via_udtf.collect()}
     n = {tuple(r) for r in native.select("doc_id", "chunk_id", "chunk_text", "n_tokens").collect()}
     assert u == n and len(u) > 50
+
+
+def test_monge_elkan_kernel_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.functions.text import monge_elkan
+
+    df = spark.createDataFrame(
+        [
+            (1, ["acme", "labs"], ["acme", "labs"]),          # identical -> 1.0
+            (2, ["acme", "labs"], ["acme", "lab"]),           # near miss
+            (3, ["acme", "labs"], ["zzz", "qqq"]),            # unrelated
+            (4, ["acme", "labs", "inc"], ["labs", "acme"]),   # order-free
+        ],
+        "id long, a array<string>, b array<string>",
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", F.round(monge_elkan("a", "b"), 6).alias("s")).collect()}
+    assert got[1] == 1.0
+    # "labs" vs "lab": lev 1, maxlen 4 -> 0.75; directed means (1+0.75)/2 both ways
+    assert got[2] == 0.875
+    assert got[3] < 0.4
+    # order-free on the shared tokens; the unmatched "inc" (lev 4 to
+    # both B tokens -> term 0) dilutes A->B to 2/3, sym (2/3 + 1)/2
+    assert got[4] == 0.833333
