@@ -160,3 +160,25 @@ def cdc_apply(
     )
     untouched = base.join(last.select(key), key, "left_anti").select(key, *payload)
     return untouched.unionByName(survivors_from_log)
+
+
+def scd2_pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    time_col: str,
+) -> DataFrame:
+    """Point-in-time (as-of) join of facts against an SCD2 dimension:
+    each fact row picks the version valid at its `time_col`
+    (valid_from <= t AND (valid_to IS NULL OR t < valid_to)) — the
+    "what did the dimension say when this fact happened" query.
+
+    Plan shape: EQUI-join on the key with the validity predicate as a
+    post-join filter — per key there are only a handful of versions, so
+    the filter prunes a constant factor, never a cross product. At
+    100 TB both sides arrive bucketed by key; the join is co-located.
+    """
+    t = facts[time_col]
+    return facts.join(dim, key).filter(
+        (dim["valid_from"] <= t) & (dim["valid_to"].isNull() | (t < dim["valid_to"]))
+    )

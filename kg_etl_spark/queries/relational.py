@@ -2138,3 +2138,38 @@ SELECT c_custkey, bal FROM last WHERE op <> 'D'
 
 QUERIES["cdc_apply_balance"] = q_cdc_apply_balance
 ORACLES["cdc_apply_balance"] = ORACLE_CDC_APPLY
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the versioned customer dimension of
+    `scd2_customer` (operators/scd.py `scd2_pit_join`): each order
+    queries the dimension at pseudo-time o_orderkey % 2, returning the
+    balance/segment that version carried."""
+    from kg_etl_spark.operators.scd import scd2_pit_join
+
+    dim = q_scd2_customer(spark, sf_dir)
+    facts = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.pmod("o_orderkey", F.lit(2)).cast("long").alias("t"),
+    )
+    out = scd2_pit_join(facts, dim, "c_custkey", "t")
+    return out.select(
+        "o_orderkey", "c_custkey", "t",
+        F.round("c_acctbal", 2).alias("bal_at_t"), "c_mktsegment",
+    )
+
+
+ORACLE_SCD2_PIT = f"""
+WITH scd2 AS ({ORACLE_SCD2}),
+facts AS (
+  SELECT o_orderkey, o_custkey AS c_custkey, o_orderkey % 2 AS t FROM orders
+)
+SELECT f.o_orderkey, f.c_custkey, CAST(f.t AS BIGINT) AS t,
+       ROUND(s.c_acctbal, 2) AS bal_at_t, s.c_mktsegment
+FROM facts f JOIN scd2 s ON f.c_custkey = s.c_custkey
+WHERE s.valid_from <= f.t AND (s.valid_to IS NULL OR f.t < s.valid_to)
+"""
+
+QUERIES["scd2_point_in_time"] = q_scd2_point_in_time
+ORACLES["scd2_point_in_time"] = ORACLE_SCD2_PIT

@@ -88,3 +88,23 @@ def test_cdc_apply_last_op_wins(spark):
     )
     got = {r["k"]: r["v"] for r in cdc_apply(base, oplog, "k", "seq", "op", ["v"]).collect()}
     assert got == {1: 12.0, 3: 33.0, 4: 40.0, 5: 50.0}  # 2 deleted, 4 untouched
+
+
+def test_scd2_pit_join_selects_correct_version(spark):
+    from kg_etl_spark.operators.scd import scd2_pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, 0, 5),     # key 1: v10 during [0,5)
+            (1, 11.0, 5, None),  # then v11 open-ended
+            (2, 20.0, 0, None),  # key 2: single open version
+        ],
+        "k long, v double, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 0), (101, 1, 4), (102, 1, 5), (103, 1, 9), (104, 2, 7), (105, 3, 1)],
+        "fid long, k long, t long",
+    )
+    got = {r["fid"]: r["v"] for r in scd2_pit_join(facts, dim, "k", "t").collect()}
+    assert got == {100: 10.0, 101: 10.0, 102: 11.0, 103: 11.0, 104: 20.0}
+    # fact 105: key absent from the dimension -> dropped (inner semantics)
