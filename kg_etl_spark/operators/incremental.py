@@ -131,3 +131,48 @@ def incremental_exact_dedup(
     fresh = batch.join(fresh_keys.select(id_col, "fp"), id_col, "left_semi")
     new_fps = fresh_keys.select("fp")
     return fresh, new_fps
+
+
+def delta_join_insert_only(
+    a_old: DataFrame,
+    a_new: DataFrame,
+    b_old: DataFrame,
+    b_new: DataFrame,
+    on: Sequence[str] | str,
+) -> DataFrame:
+    """ΔJ of an inner-join view under INSERT-ONLY deltas — the
+    incremental-view-maintenance identity
+        Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+    so a stored join view is refreshed by appending ΔJ, never
+    rescanning old ⋈ old.
+
+    Scale: the two mixed terms join a (small) delta against a base —
+    deltas are broadcast when they fit (Spark's size estimate; AQE
+    demotes otherwise), so a daily increment against a 100 TB base is
+    2 broadcast joins + 1 tiny join instead of a full recompute. The
+    base sides should be the stored/bucketed tables so Catalyst can
+    reuse their layout.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        a_new.join(b_old, keys)
+        .unionByName(a_old.join(b_new, keys))
+        .unionByName(a_new.join(b_new, keys))
+    )
+
+
+def maintained_join_view(
+    a_old: DataFrame,
+    a_new: DataFrame,
+    b_old: DataFrame,
+    b_new: DataFrame,
+    on: Sequence[str] | str,
+    stored_view: DataFrame | None = None,
+) -> DataFrame:
+    """The refreshed view: stored J_old (or a_old ⋈ b_old when no
+    stored copy is supplied, e.g. first materialization) + ΔJ."""
+    keys = [on] if isinstance(on, str) else list(on)
+    base = stored_view if stored_view is not None else a_old.join(b_old, keys)
+    return base.unionByName(
+        delta_join_insert_only(a_old, a_new, b_old, b_new, keys)
+    )

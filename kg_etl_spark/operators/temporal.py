@@ -131,3 +131,63 @@ def range_join(
         )
         .drop("_b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | None,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP (half-open:
+    l_start < r_end AND r_start < l_end), with equal `on` key when
+    given — the interval-interval companion to `range_join`'s
+    point-interval containment.
+
+    Blocking: both sides explode their [start, end) span into
+    `bucket_width`-wide cells and equi-join on (key, cell). A pair
+    sharing several cells would duplicate, so each pair is emitted ONLY
+    in its first common cell — `greatest(cell(l_start), cell(r_start))`
+    (both intervals provably cover the cell of `max(l_start, r_start)`
+    when they overlap) — which makes the join duplicate-free WITHOUT a
+    distinct pass. The exact overlap predicate is applied after the
+    equi-join.
+
+    Scale: shuffle is the equi-join on (key, cell); each interval
+    contributes ~ceil(len/bucket_width) rows, so pick bucket_width on
+    the order of the typical interval length. No cartesian, no
+    broadcast requirement — both sides may be huge.
+
+    Columns: start/end are NUMERIC (e.g. integer epoch-µs from
+    unix_micros); caller aliases collisions beforehand.
+    """
+    lcell = F.floor(F.col(left_start) / bucket_width).cast("long")
+    rcell = F.floor(F.col(right_start) / bucket_width).cast("long")
+    lspan = F.sequence(
+        lcell,
+        F.greatest(
+            F.floor((F.col(left_end) - 1) / bucket_width).cast("long"), lcell
+        ),
+    )
+    rspan = F.sequence(
+        rcell,
+        F.greatest(
+            F.floor((F.col(right_end) - 1) / bucket_width).cast("long"), rcell
+        ),
+    )
+    lv = left.withColumn("_lc", lcell).withColumn("_b", F.explode(lspan))
+    rv = right.withColumn("_rc", rcell).withColumn("_b", F.explode(rspan))
+    keys = ["_b"] if on is None else [on, "_b"]
+    return (
+        lv.join(rv, keys)
+        .filter(
+            (F.col("_b") == F.greatest(F.col("_lc"), F.col("_rc")))
+            & (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .drop("_b", "_lc", "_rc")
+    )

@@ -1102,3 +1102,119 @@ FROM g
 
 QUERIES["ols_trend"] = q_ols_trend
 ORACLES["ols_trend"] = ORACLE_OLS
+
+
+_OVL_LEN_US = 30 * 60 * 1_000_000  # each event opens a 30-min interval
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (error-window, purchase-window) interval pairs per
+    user (operators/temporal.py `interval_overlap_join`): each event
+    opens a 30-minute half-open interval; pairs where the two windows
+    intersect. Cell-blocked equi-join, duplicate-free via the
+    first-common-cell rule — no distinct pass, no cartesian. Overlap
+    length reported in integer µs (unix_micros ↔ epoch_us, bit-exact
+    across engines)."""
+    from kg_etl_spark.operators.temporal import interval_overlap_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.unix_micros("ts").alias("err_s"),
+        (F.unix_micros("ts") + F.lit(_OVL_LEN_US)).alias("err_e"),
+    )
+    purs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("pur_s"),
+        (F.unix_micros("ts") + F.lit(_OVL_LEN_US)).alias("pur_e"),
+    )
+    pairs = interval_overlap_join(
+        errs,
+        purs.withColumnRenamed("p_user", "user_id"),
+        on="user_id",
+        left_start="err_s",
+        left_end="err_e",
+        right_start="pur_s",
+        right_end="pur_e",
+        bucket_width=_OVL_LEN_US,
+    )
+    return pairs.select(
+        "user_id",
+        "err_id",
+        "pur_id",
+        (
+            F.least(F.col("err_e"), F.col("pur_e"))
+            - F.greatest(F.col("err_s"), F.col("pur_s"))
+        ).alias("overlap_us"),
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = f"""
+WITH e AS (
+  SELECT event_id AS err_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_OVL_LEN_US} AS e
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT event_id AS pur_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_OVL_LEN_US} AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id, e.err_id, p.pur_id,
+       LEAST(e.e, p.e) - GREATEST(e.s, p.s) AS overlap_us
+FROM e JOIN p ON e.user_id = p.user_id AND e.s < p.e AND p.s < e.e
+"""
+
+QUERIES["interval_overlap"] = q_interval_overlap
+ORACLES["interval_overlap"] = ORACLE_INTERVAL_OVERLAP
+
+
+_DJV_CUTOFF = "1997-07-01"
+
+
+def q_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance (operators/incremental.py
+    `maintained_join_view`): orders ⋈ lineitem split into base
+    (o_orderdate / l_shipdate before the cutoff) and insert-only
+    deltas; the refreshed view is J_old + ΔJ (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) —
+    never a rescan of old⋈old at refresh time. Aggregated per order
+    status; the oracle is the FULL join recomputed from scratch, so
+    any row lost or duplicated by the delta algebra is a hash
+    mismatch."""
+    from kg_etl_spark.operators.incremental import maintained_join_view
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    cut = F.lit(_DJV_CUTOFF).cast("date")
+    a_old = orders.filter(F.col("o_orderdate") < cut)
+    a_new = orders.filter(F.col("o_orderdate") >= cut)
+    b_old = li.filter(F.col("l_shipdate").cast("date") < cut).withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    b_new = li.filter(F.col("l_shipdate").cast("date") >= cut).withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    view = maintained_join_view(a_old, a_new, b_old, b_new, on="o_orderkey")
+    return view.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+
+
+ORACLE_DELTA_JOIN_VIEW = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+QUERIES["delta_join_view"] = q_delta_join_view
+ORACLES["delta_join_view"] = ORACLE_DELTA_JOIN_VIEW

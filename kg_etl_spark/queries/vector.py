@@ -434,3 +434,124 @@ SELECT query_id, neighbor_id, mmr_rank, score FROM (
 QUERIES["mmr_rerank"] = q_mmr_rerank
 QUERIES["mmr_relevance_boundary"] = q_mmr_relevance_boundary
 ORACLES["mmr_relevance_boundary"] = ORACLE_MMR_BOUNDARY
+
+
+# --- Product quantization ANN (operators/pq.py) -----------------------
+
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_ITERS = 2
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k (operators/pq.py): codebooks trained on
+    the corpus, 8-byte codes, per-query LUT scoring, exact rerank of a
+    50-candidate shortlist. Rows-only by documented design — shortlist
+    membership under quantization has no stable SQL mirror; the
+    provable core (identical vectors ⇒ identical codes) is the
+    `pq_identical_recall` twin, and recall vs brute force is
+    property-tested (tests/test_pq_kcenter.py)."""
+    from kg_etl_spark.operators.pq import pq_ann_topk, pq_train_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITERS)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_ann_topk(emb, queries, books, k=_K, shortlist=50)
+
+
+def q_pq_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ provable-recall oracle (planted twin): vectors 0..19
+    re-planted under ids +100000. Identical vectors have identical
+    subspace slices → identical per-centroid distances → the same
+    first-minimum argmin in every subspace (array_position picks the
+    FIRST minimum, deterministically) → byte-identical codes and equal
+    norms. One planted pair with differing codes = hash mismatch."""
+    from kg_etl_spark.operators.pq import pq_encode, pq_train_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITERS)
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    enc = pq_encode(emb.unionByName(copies), books)
+    a = enc.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("a_id"), F.col("codes").alias("_ca"), F.col("norm").alias("_na")
+    )
+    b = enc.filter(F.col("vec_id") >= 100_000).select(
+        (F.col("vec_id") - 100_000).alias("a_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("codes").alias("_cb"),
+        F.col("norm").alias("_nb"),
+    )
+    return a.join(b, "a_id").select(
+        "a_id",
+        "b_id",
+        (F.col("_ca") == F.col("_cb")).alias("codes_match"),
+        (F.col("_na") == F.col("_nb")).alias("norm_match"),
+    )
+
+
+ORACLE_PQ_IDENTICAL = """
+SELECT vec_id AS a_id, vec_id + 100000 AS b_id,
+       CAST(true AS BOOLEAN) AS codes_match,
+       CAST(true AS BOOLEAN) AS norm_match
+FROM embeddings WHERE vec_id < 20
+"""
+
+QUERIES["pq_ann_topk"] = q_pq_ann_topk
+QUERIES["pq_identical_recall"] = q_pq_identical_recall
+ORACLES["pq_identical_recall"] = ORACLE_PQ_IDENTICAL
+
+
+# --- k-center greedy diversity selection (operators/kcenter.py) -------
+
+_KC_K = 6
+
+_SQL_L2 = (
+    "sqrt(list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+    "(x, y) -> x + y))"
+)
+
+
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy exemplars (operators/kcenter.py). Fully oracled:
+    the k-round maximin trajectory is replayed in DuckDB as unrolled
+    CTEs — same seed (lowest id), same left-fold L2, same
+    (dist desc, id asc) argmax tie-break, so every selected id and its
+    6-dp selection distance must match."""
+    from kg_etl_spark.operators.kcenter import kcenter_greedy
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(spark, emb, k=_KC_K)
+
+
+def _kcenter_oracle(k: int) -> str:
+    l2 = _SQL_L2
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id, e.embedding, {l2.format(a='e.embedding', b='c1.embedding')} AS d FROM e, c1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, embedding, d FROM d{r-1} ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        if r < k:
+            ctes.append(
+                f"d{r} AS (SELECT t.vec_id, t.embedding, "
+                f"LEAST(t.d, {l2.format(a='t.embedding', b=f'c{r}.embedding')}) AS d "
+                f"FROM d{r-1} t, c{r})"
+            )
+    selects = ["SELECT 1 AS sel_round, vec_id, CAST(NULL AS DOUBLE) AS maximin_dist FROM c1"]
+    for r in range(2, k + 1):
+        selects.append(f"SELECT {r} AS sel_round, vec_id, ROUND(d, 6) AS maximin_dist FROM c{r}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLE_KCENTER = _kcenter_oracle(_KC_K)
+
+QUERIES["kcenter_select"] = q_kcenter_select
+ORACLES["kcenter_select"] = ORACLE_KCENTER

@@ -272,6 +272,9 @@ def test_shuffle_budgets_hold(spark):
         "last_touch_attribution": 1,
         "changepoint_scores": 2,
         "dbscan_lite": 8,
+        # round-3 continued: temporal/incremental join ops
+        "interval_overlap": 0,   # cell-blocked equi-join broadcasts at this SF
+        "delta_join_view": 1,    # three delta joins broadcast; one agg shuffle
     }
     actual = {name: n_exchanges(name) for name in budgets}
     over = {
