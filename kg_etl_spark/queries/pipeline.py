@@ -967,3 +967,65 @@ GROUP BY d.lang
 
 QUERIES["temperature_mixture"] = q_temperature_mixture
 ORACLES["temperature_mixture"] = ORACLE_TEMPERATURE_MIXTURE
+
+
+# --- Deterministic epoch shuffle (training-data ordering) -------------
+
+_EP_EPOCHS = 2
+_EP_SHARDS = 8
+_EP_MIX = 1_000_003  # prime epoch-mixing factor
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch training-data order: each (epoch, doc)
+    gets a shuffle key h = knuth_h32(doc_id + epoch·P), documents land
+    in shard = h % n_shards and are ordered inside the shard by
+    (h, doc_id). Different epochs therefore see different, but exactly
+    reproducible, permutations — no global sort: ordering is
+    established per shard (window partitioned by (epoch, shard)), so
+    at 100 TB each shard is an independent, bounded sort. One shuffle
+    (the window partition)."""
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.datapipe import knuth_h32
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    ep = docs.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(_EP_EPOCHS - 1)))
+    )
+    h = knuth_h32(F.col("doc_id") + F.col("epoch") * _EP_MIX)
+    keyed = ep.select(
+        "doc_id",
+        "epoch",
+        h.alias("_h"),
+        F.pmod(h, F.lit(_EP_SHARDS)).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("_h").asc(), F.col("doc_id").asc()
+    )
+    return keyed.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+    )
+
+
+_EP_H = f"(((doc_id + epoch * {_EP_MIX}) * {_KNUTH_A}) % {_M32})"
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH ep AS (
+  SELECT doc_id, epoch
+  FROM documents, (VALUES (0), (1)) e(epoch)
+),
+keyed AS (
+  SELECT doc_id, epoch, {_EP_H} AS h, {_EP_H} % {_EP_SHARDS} AS shard FROM ep
+)
+SELECT epoch, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos,
+       doc_id
+FROM keyed
+"""
+
+QUERIES["epoch_shuffle"] = q_epoch_shuffle
+ORACLES["epoch_shuffle"] = ORACLE_EPOCH_SHUFFLE

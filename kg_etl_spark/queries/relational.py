@@ -2173,3 +2173,74 @@ WHERE s.valid_from <= f.t AND (s.valid_to IS NULL OR f.t < s.valid_to)
 
 QUERIES["scd2_point_in_time"] = q_scd2_point_in_time
 ORACLES["scd2_point_in_time"] = ORACLE_SCD2_PIT
+
+
+# --- GNN-style feature smoothing (operators/propagation.py) -----------
+
+_FP_ROUNDS = 2
+
+
+def q_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 rounds of mean-neighbor smoothing of supplier account balance
+    (α=1/2) over the same-nation supplier graph, in integer
+    MICRO-UNITS with explicit half-up division (operators/
+    propagation.py) — a float-free trajectory both engines replay
+    bit-exactly. One node-keyed shuffle per round."""
+    from kg_etl_spark.operators.propagation import feature_propagation
+
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    a = supp.alias("a")
+    b = supp.alias("b")
+    edges = a.join(b, "s_nationkey").filter(
+        F.col("a.s_suppkey") != F.col("b.s_suppkey")
+    ).select(F.col("a.s_suppkey").alias("src"), F.col("b.s_suppkey").alias("dst"))
+    feats = supp.select(
+        F.col("s_suppkey").alias("node"),
+        # s_acctbal has 2 decimals: ×1e6 is exact after decimal cast
+        (F.col("s_acctbal").cast("decimal(12,2)") * 1_000_000).cast("long").alias(
+            "feat_micro"
+        ),
+    )
+    out = feature_propagation(edges, feats, rounds=_FP_ROUNDS)
+    return out.select(
+        F.col("node").alias("s_suppkey"), F.col("feat_micro").alias("smoothed_micro")
+    )
+
+
+def _feature_prop_oracle(rounds: int) -> str:
+    head = """
+WITH edges AS (
+  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+  FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey
+  WHERE a.s_suppkey <> b.s_suppkey
+),
+x0 AS (SELECT s_suppkey AS node,
+              CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS feat
+       FROM supplier)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+nb{i} AS (
+  SELECT e.dst AS node,
+         CAST(FLOOR((2 * CAST(SUM(x.feat) AS BIGINT) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS m
+  FROM edges e JOIN x{i-1} x ON e.src = x.node
+  GROUP BY e.dst
+),
+x{i} AS (
+  SELECT x.node,
+         CASE WHEN nb{i}.m IS NOT NULL
+              THEN CAST(FLOOR((2 * x.feat + 2 * nb{i}.m + 2) / 4.0) AS BIGINT)
+              ELSE x.feat END AS feat
+  FROM x{i-1} x LEFT JOIN nb{i} ON x.node = nb{i}.node
+)""")
+    return head + "".join(steps) + f"""
+SELECT node AS s_suppkey, feat AS smoothed_micro FROM x{rounds}
+"""
+
+
+ORACLE_FEATURE_PROP = _feature_prop_oracle(_FP_ROUNDS)
+
+QUERIES["feature_propagation"] = q_feature_propagation
+ORACLES["feature_propagation"] = ORACLE_FEATURE_PROP

@@ -274,3 +274,97 @@ FROM ip, tj GROUP BY tj.t
 
 QUERIES["cms_join_size"] = q_cms_join_size
 ORACLES["cms_join_size"] = ORACLE_CMS_JOIN_SIZE
+
+
+# --- Q-digest quantile sketch (operators/qdigest.py) ------------------
+
+_QD_LOG_U = 6  # l_quantity domain 1..50 < 64
+
+
+def q_qdigest_exact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-compression q-digest twin (●): with k ≥ n the fold threshold
+    floor(n/k) is 0, so compression provably does nothing and the
+    digest state IS the exact leaf histogram (node = value + 2^L) — a
+    plain SQL GROUP BY. Proves the build path (domain filter, leaf
+    numbering, histogram) end-to-end."""
+    from kg_etl_spark.operators.qdigest import qdigest_build
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return qdigest_build(li, "l_quantity", log_u=_QD_LOG_U, k=2_000_000_000)
+
+
+ORACLE_QDIGEST_EXACT = f"""
+SELECT CAST(l_quantity AS BIGINT) + {1 << _QD_LOG_U} AS node,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+WHERE CAST(l_quantity AS BIGINT) >= 0 AND CAST(l_quantity AS BIGINT) < {1 << _QD_LOG_U}
+GROUP BY 1
+"""
+
+QUERIES["qdigest_exact_state"] = q_qdigest_exact_state
+ORACLES["qdigest_exact_state"] = ORACLE_QDIGEST_EXACT
+
+
+_QDB_LOG_U = 17  # l_extendedprice in whole dollars < 131072
+_QDB_K = 2048
+_QDB_QS = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def q_qdigest_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-digest rank-error guarantee as an oracle row (●): for each
+    quantile q, the estimate from the COMPRESSED digest (k=2048 over
+    whole-dollar prices) must satisfy the theorem
+        #{v <= est} >= ceil(q·n)   and
+        #{v <  est} <= ceil(q·n) + (L+1)·floor(n/k)
+    (every internal node holds < floor(n/k) mass by construction; at
+    most L ancestors span the estimate, plus the stopping node). The
+    two ranks are computed EXACTLY on the corpus, so `within_bound`
+    is a theorem-backed constant-true oracle — a wrong compression,
+    walk order, or threshold shows up as false/hash-mismatch."""
+    from kg_etl_spark.operators.qdigest import (
+        qdigest_build,
+        qdigest_quantile,
+        qdigest_state_dict,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.floor("l_extendedprice").cast("long").alias("v")
+    ).filter((F.col("v") >= 0) & (F.col("v") < (1 << _QDB_LOG_U)))
+    state = qdigest_state_dict(
+        qdigest_build(li, "v", log_u=_QDB_LOG_U, k=_QDB_K)
+    )  # digest: <= 3k rows of model state
+    n = sum(state.values())
+    thr = n // _QDB_K
+    ests = {q: qdigest_quantile(state, q, _QDB_LOG_U) for q in _QDB_QS}
+
+    aggs = []
+    for i, q in enumerate(_QDB_QS):
+        target = -(-int(q * n * 1_000_000) // 1_000_000)  # ceil, float-drift-free
+        aggs.append(
+            (
+                (F.sum((F.col("v") <= ests[q]).cast("long")) >= target)
+                & (
+                    F.sum((F.col("v") < ests[q]).cast("long"))
+                    <= target + (_QDB_LOG_U + 1) * thr
+                )
+            ).alias(f"b{i}")
+        )
+    row = li.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(q).alias("q"), F.col(f"b{i}").alias("within_bound"))
+            for i, q in enumerate(_QDB_QS)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("s"))
+        .select(F.col("s.q").alias("q"), F.col("s.within_bound").alias("within_bound"))
+    )
+
+
+ORACLE_QDIGEST_BOUND = "SELECT q, CAST(true AS BOOLEAN) AS within_bound FROM (VALUES " + ", ".join(
+    f"(CAST({q} AS DOUBLE))" for q in _QDB_QS
+) + ") t(q)"
+
+QUERIES["qdigest_quantile_bound"] = q_qdigest_quantile_bound
+ORACLES["qdigest_quantile_bound"] = ORACLE_QDIGEST_BOUND

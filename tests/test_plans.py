@@ -275,6 +275,11 @@ def test_shuffle_budgets_hold(spark):
         # round-3 continued: temporal/incremental join ops
         "interval_overlap": 0,   # cell-blocked equi-join broadcasts at this SF
         "delta_join_view": 1,    # three delta joins broadcast; one agg shuffle
+        # round-3 continued: ordering / sketch / propagation ops
+        "epoch_shuffle": 1,      # per-(epoch,shard) window is the only shuffle
+        "qdigest_exact_state": 2,  # histogram agg + state-sized applyInPandas
+        "qdigest_quantile_bound": 1,  # bound check is one scan-agg
+        "feature_propagation": 5,  # 2 rounds x (join+agg) over node-keyed data
     }
     actual = {name: n_exchanges(name) for name in budgets}
     over = {
