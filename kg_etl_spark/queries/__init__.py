@@ -12,6 +12,7 @@ Determinism contract (so the driver's value-hash matches):
 from __future__ import annotations
 
 from kg_etl_spark.queries import (
+    analytic,
     er,
     events,
     filters,
@@ -41,6 +42,7 @@ for mod in (
     filters,
     sketchq,
     governance,
+    analytic,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,233 @@
+"""Analytic-SQL breadth catalog: distribution window functions
+(NTILE / PERCENT_RANK / CUME_DIST), set operations (INTERSECT),
+gaps-and-islands streak detection, explicit GROUPING SETS with
+GROUPING() flags, and deterministic per-group mode.
+
+Reference parity: the reference's analytics layer ranks and buckets
+entities per city (kg-etl analysis queries, see `etl/analytics.py`);
+these queries re-express that family through the full ANSI window /
+set-operation surface so a reference user has the complete analytic
+vocabulary, not just RANK.
+
+Determinism contract (kg_etl_spark.queries.__init__): every ORDER BY
+inside a window carries a unique-id total tie-break; double outputs
+rounded at the edge; identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kg_etl_spark.session import read_table, register_views
+
+DAY_US = 86_400 * 1_000_000
+
+QUERIES = {}
+ORACLES = {}
+
+
+# --- distribution window functions ------------------------------------
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) / PERCENT_RANK / CUME_DIST per nation over customer
+    balances — one window sort per nation partition (single shuffle on
+    c_nationkey; at 100 TB the per-nation partitions are the skew unit,
+    but distribution functions need the full partition ordered anyway —
+    this is the minimal plan).
+
+    ORDER BY (c_acctbal, c_custkey): the unique-key tie-break makes
+    every rank-derived value deterministic.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+ORACLE_WINDOW_DISTRIBUTION = """
+SELECT c_custkey, c_nationkey,
+       CAST(NTILE(4) OVER w AS INT) AS bal_quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+QUERIES["window_distribution"] = q_window_distribution
+ORACLES["window_distribution"] = ORACLE_WINDOW_DISTRIBUTION
+
+
+# --- set operations: INTERSECT ----------------------------------------
+
+
+def q_priority_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with BOTH an urgent and a low-priority order —
+    INTERSECT of two key sets. Spark lowers INTERSECT to a left-semi
+    hash join over distinct keys: two pruned scans of the same table,
+    one shuffle each, no row explosion. (The alternative — self-join
+    then distinct — shuffles the wide rows; INTERSECT shuffles keys
+    only, which is what survives at 100 TB.)
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low)
+
+
+ORACLE_PRIORITY_INTERSECT = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+QUERIES["priority_intersect"] = q_priority_intersect
+ORACLES["priority_intersect"] = ORACLE_PRIORITY_INTERSECT
+
+
+# --- gaps and islands: longest consecutive-day streak ------------------
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-
+    islands): distinct active days → island id = day − row_number()
+    (constant within a consecutive run) → per-island length/start →
+    rank-1 per user (longest, then earliest).
+
+    Day arithmetic in integer epoch-micros div 86400e6 (tz-free; see
+    events._trunc_us rationale). Plan: one distinct shuffle on
+    (user, day), then all three window/agg steps reuse the same
+    user-hash partitioning — Catalyst collapses them into a single
+    sort-based stage per user partition, no extra exchange.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    islands = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start_day"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start_day").asc()
+    )
+    return (
+        islands.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "streak_len", "streak_start_day")
+    )
+
+
+# epoch_us(ts) // 86400000000: positive epochs, so DuckDB floor-div and
+# Spark's cast-to-long truncation agree.
+ORACLE_ACTIVITY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, grp, COUNT(*) AS streak_len, MIN(day) AS streak_start_day
+  FROM r GROUP BY user_id, grp
+)
+SELECT user_id, streak_len, streak_start_day
+FROM (
+  SELECT user_id, streak_len, streak_start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, streak_start_day) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+QUERIES["activity_streaks"] = q_activity_streaks
+ORACLES["activity_streaks"] = ORACLE_ACTIVITY_STREAKS
+
+
+# --- explicit GROUPING SETS with GROUPING() flags ----------------------
+
+# One-text SQL (same string runs verbatim in Spark SQL and DuckDB, like
+# SQL_EXISTS_AGG): explicit GROUPING SETS — detail, per-flag subtotal,
+# grand total — with GROUPING() null-vs-subtotal disambiguation flags.
+# Spark computes all three sets in a single Expand+hash-agg pass (one
+# shuffle, rows×3 expand — cheaper than 3 scans at any scale).
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_GROUPING_SETS)
+
+
+QUERIES["grouping_sets_profile"] = q_grouping_sets_profile
+ORACLES["grouping_sets_profile"] = SQL_GROUPING_SETS
+
+
+# --- deterministic per-group mode --------------------------------------
+
+
+def q_modal_segment_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent market segment per nation — mode with an explicit
+    total tie-break (highest count, then lexicographically smallest
+    segment), because bare mode()/arg_max() is nondeterministic on
+    ties in both engines. Plan: hash-agg on (nation, segment) — 25×5
+    groups, partials map-side — then a 125-row window; nothing here
+    grows with table size.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pick = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("modal_segment"),
+            F.col("n").alias("modal_count"),
+        )
+    )
+
+
+ORACLE_MODAL_SEGMENT = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment AS modal_segment, n AS modal_count
+FROM (
+  SELECT c_nationkey, c_mktsegment, n,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY n DESC, c_mktsegment) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+QUERIES["modal_segment_per_nation"] = q_modal_segment_per_nation
+ORACLES["modal_segment_per_nation"] = ORACLE_MODAL_SEGMENT

@@ -1,0 +1,117 @@
+"""Semantic checks for the analytic-SQL breadth family beyond the
+oracle hash: window-distribution invariants, INTERSECT set semantics,
+streak correctness against a brute-force single-user recomputation,
+grouping-set flag arithmetic, and modal tie-break determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg_etl_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_window_distribution_invariants(spark):
+    rows = QUERIES["window_distribution"](spark, SF).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["c_nationkey"], []).append(r)
+    for _nation, grp in by_nation.items():
+        n = len(grp)
+        # quartiles within 1..4 and balanced (ntile size skew <= 1)
+        sizes = {}
+        for r in grp:
+            assert 1 <= r["bal_quartile"] <= 4
+            sizes[r["bal_quartile"]] = sizes.get(r["bal_quartile"], 0) + 1
+        if n >= 4:
+            assert max(sizes.values()) - min(sizes.values()) <= 1
+        # cume_dist ends at exactly 1.0; percent_rank starts at 0.0
+        assert max(r["bal_cume_dist"] for r in grp) == 1.0
+        assert min(r["bal_pct_rank"] for r in grp) == 0.0
+
+
+def test_priority_intersect_matches_set_algebra(spark):
+    from kg_etl_spark.session import read_table
+
+    orders = read_table(spark, SF, "orders")
+    urgent = {
+        r["o_custkey"]
+        for r in orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .collect()
+    }
+    low = {
+        r["o_custkey"]
+        for r in orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select("o_custkey")
+        .collect()
+    }
+    got = {r["custkey"] for r in QUERIES["priority_intersect"](spark, SF).collect()}
+    assert got == (urgent & low)
+
+
+def test_activity_streaks_brute_force_one_user(spark):
+    from kg_etl_spark.session import read_table
+
+    ev = read_table(spark, SF, "events")
+    uid = ev.select("user_id").first()["user_id"]
+    days = sorted(
+        {
+            r[0]
+            for r in ev.filter(F.col("user_id") == uid)
+            .select((F.unix_micros("ts") / F.lit(86_400 * 1_000_000)).cast("long"))
+            .collect()
+        }
+    )
+    best_len, best_start = 0, None
+    run_len, run_start = 0, None
+    prev = None
+    for d in days:
+        if prev is not None and d == prev + 1:
+            run_len += 1
+        else:
+            run_len, run_start = 1, d
+        if run_len > best_len:
+            best_len, best_start = run_len, run_start
+        prev = d
+    got = (
+        QUERIES["activity_streaks"](spark, SF)
+        .filter(F.col("user_id") == uid)
+        .collect()[0]
+    )
+    assert got["streak_len"] == best_len
+    assert got["streak_start_day"] == best_start
+
+
+def test_grouping_sets_flags_and_totals(spark):
+    rows = QUERIES["grouping_sets_profile"](spark, SF).collect()
+    detail = [r for r in rows if r["g_flag"] == 0 and r["g_status"] == 0]
+    subtotal = [r for r in rows if r["g_flag"] == 0 and r["g_status"] == 1]
+    grand = [r for r in rows if r["g_flag"] == 1 and r["g_status"] == 1]
+    assert len(grand) == 1
+    # grand total equals the sum of detail rows; subtotals partition it
+    assert grand[0]["n_rows"] == sum(r["n_rows"] for r in detail)
+    assert grand[0]["n_rows"] == sum(r["n_rows"] for r in subtotal)
+    # each flag subtotal equals the sum of its detail rows
+    for s in subtotal:
+        assert s["n_rows"] == sum(
+            r["n_rows"] for r in detail if r["l_returnflag"] == s["l_returnflag"]
+        )
+
+
+def test_modal_segment_is_argmax_with_tiebreak(spark):
+    from kg_etl_spark.session import read_table
+
+    cust = read_table(spark, SF, "customer")
+    counts = {}
+    for r in cust.select("c_nationkey", "c_mktsegment").collect():
+        counts.setdefault(r["c_nationkey"], {}).setdefault(r["c_mktsegment"], 0)
+        counts[r["c_nationkey"]][r["c_mktsegment"]] += 1
+    got = {
+        r["c_nationkey"]: (r["modal_segment"], r["modal_count"])
+        for r in QUERIES["modal_segment_per_nation"](spark, SF).collect()
+    }
+    for nation, segs in counts.items():
+        best = min(((-n, s) for s, n in segs.items()))
+        assert got[nation] == (best[1], -best[0])
