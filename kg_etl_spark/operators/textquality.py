@@ -230,3 +230,32 @@ def bigram_surprisal(
             ),
         )
     )
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy of the character distribution (bits/char) — the
+    gibberish / base64-blob / repeated-char detector a crawl-filter
+    stack runs next to length and stopword ratios (low entropy =
+    repetitive junk, ~6+ = random blobs).
+
+    Computed natively WITHOUT an explode: per-char counts via
+    higher-order functions over the char array (distinct alphabet is
+    small — ≤ printable set — so the filter-per-distinct-char scan is
+    O(|alphabet|·len) inside whole-stage codegen, zero shuffle, zero
+    Python). Per-char terms −p·log2 p are rounded to 6 dp and summed
+    as DECIMAL over the SORTED distinct alphabet — order-independent
+    and exact, the established float-oracle idiom
+    (cf. unigram_surprisal).
+    """
+    chars = F.filter(F.split(text, ""), lambda x: x != F.lit(""))
+    total = F.size(chars).cast("double")
+    dist = F.array_sort(F.array_distinct(chars))
+    p = lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / total
+    term = lambda c: F.round(-p(c) * F.log2(p(c)), 6).cast("decimal(28,6)")
+    return F.aggregate(
+        dist,
+        F.lit(0).cast("decimal(28,6)"),
+        # decimal + widens to (29,6); cast back — the sum of ≤ alphabet
+        # terms each < 1 can't overflow (28,6)
+        lambda acc, c: (acc + term(c)).cast("decimal(28,6)"),
+    ).cast("double")

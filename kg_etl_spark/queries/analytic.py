@@ -231,3 +231,106 @@ FROM (
 
 QUERIES["modal_segment_per_nation"] = q_modal_segment_per_nation
 ORACLES["modal_segment_per_nation"] = ORACLE_MODAL_SEGMENT
+
+
+# --- time-series linear interpolation ----------------------------------
+
+DEC = "decimal(28,6)"
+
+
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR interpolation (the timescale
+    `interpolate()` counterpart of the LOCF fill in
+    events.q_gapfill_locf): densify each event type's sparse daily
+    series to its full day span, then fill each gap day from the
+    bracketing observations:
+
+        v = prev + (next − prev) · (day − prev_day)/(next_day − prev_day)
+
+    Bracketing values via last(...ignorenulls) over the preceding frame
+    and first(...ignorenulls) over the following frame — two frames on
+    the SAME per-type sort, so Catalyst evaluates both in one window
+    stage; the only shuffles are the daily hash-agg and the per-type
+    window exchange. Grid explode is map-side. At 100 TB the unit of
+    parallelism is the series key (event_type here); day spans are
+    bounded (years ≈ thousands of rows per series), so no partition
+    outgrows memory.
+
+    Determinism: daily means from exact decimal sums / counts cast to
+    double, identical IEEE arithmetic both engines, rounded at output.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value") > 180)
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(DAY_US)).cast("long").alias("day"),
+    ).agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "day_value"
+        )
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    j = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.col("day_value").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(wp).alias("_pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("_pd"),
+        F.first("day_value", ignorenulls=True).over(wn).alias("_nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("_nd"),
+    )
+    interp = F.when(
+        F.col("_pd").isNotNull() & F.col("_nd").isNotNull() & (F.col("_nd") != F.col("_pd")),
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * ((F.col("day") - F.col("_pd")).cast("double") / (F.col("_nd") - F.col("_pd")).cast("double")),
+    ).otherwise(F.coalesce("_pv", "_nv"))
+    return j.select(
+        "event_type", "day", "observed", F.round(interp, 6).alias("filled_value")
+    )
+
+
+ORACLE_LINEAR_INTERPOLATE = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS day_value
+  FROM events WHERE value > 180 GROUP BY 1, 2
+), span AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1
+), grid AS (
+  SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM span
+), j AS (
+  SELECT g.event_type, g.day,
+         d.day_value IS NOT NULL AS observed,
+         LAST_VALUE(d.day_value IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN g.day END IGNORE NULLS) OVER wp AS pd,
+         FIRST_VALUE(d.day_value IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN g.day END IGNORE NULLS) OVER wn AS nd
+  FROM grid g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day
+  WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY g.event_type ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day, observed,
+       ROUND(CASE WHEN pd IS NOT NULL AND nd IS NOT NULL AND nd <> pd
+                  THEN pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                  ELSE COALESCE(pv, nv) END, 6) AS filled_value
+FROM j
+"""
+
+QUERIES["linear_interpolate"] = q_linear_interpolate
+ORACLES["linear_interpolate"] = ORACLE_LINEAR_INTERPOLATE

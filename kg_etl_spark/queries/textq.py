@@ -1133,3 +1133,44 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ngram_jaccard_prefix"] = q_ngram_jaccard_prefix
 ORACLES["ngram_jaccard_prefix"] = ORACLE_NGRAM_JACCARD
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal per document (bits/char) plus
+    alphabet size — shuffle-free map pass (see
+    operators/textquality.py `char_entropy`)."""
+    from kg_etl_spark.operators.textquality import char_entropy
+
+    docs = read_table(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda x: x != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(chars).cast("long").alias("n_chars_counted"),
+        F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
+        char_entropy(F.col("text")).alias("char_entropy"),
+    )
+
+
+# Same math as the Spark side: per-(doc,char) counts, p = cnt/n, term
+# rounded to 6 dp, decimal-summed (order-independent) → double.
+ORACLE_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+), cc AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM ch WHERE c <> '' GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS n_distinct_chars
+  FROM cc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n AS n_chars_counted,
+       t.n_distinct_chars,
+       CAST(SUM(ROUND(-(CAST(cc.cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * log2(CAST(cc.cnt AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+                :: DECIMAL(28,6)) AS DOUBLE) AS char_entropy
+FROM cc JOIN tot t ON cc.doc_id = t.doc_id
+GROUP BY t.doc_id, t.n, t.n_distinct_chars
+"""
+
+QUERIES["char_entropy"] = q_char_entropy
+ORACLES["char_entropy"] = ORACLE_CHAR_ENTROPY

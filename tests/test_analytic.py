@@ -115,3 +115,43 @@ def test_modal_segment_is_argmax_with_tiebreak(spark):
     for nation, segs in counts.items():
         best = min(((-n, s) for s, n in segs.items()))
         assert got[nation] == (best[1], -best[0])
+
+
+def test_char_entropy_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.operators.textquality import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("abcd",)], ["t"]
+    ).select(char_entropy(F.col("t")).alias("h"))
+    vals = [r["h"] for r in df.collect()]
+    assert vals[0] == 0.0
+    assert abs(vals[1] - 1.0) < 1e-9
+    assert abs(vals[2] - 2.0) < 1e-9
+
+
+def test_linear_interpolate_brackets_gaps(spark):
+    rows = (
+        QUERIES["linear_interpolate"](spark, SF)
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    assert any(not r["observed"] for r in rows), "fixture has no gaps"
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for _t, grp in by_type.items():
+        obs = [(r["day"], r["filled_value"]) for r in grp if r["observed"]]
+        days = {d: v for d, v in obs}
+        for r in grp:
+            if r["observed"]:
+                continue
+            prev = max((d, v) for d, v in obs if d < r["day"])
+            nxt = min((d, v) for d, v in obs if d > r["day"])
+            expect = prev[1] + (nxt[1] - prev[1]) * (r["day"] - prev[0]) / (
+                nxt[0] - prev[0]
+            )
+            assert abs(r["filled_value"] - expect) < 1e-5
+        # interpolated values lie within the bracketing envelope
+        assert days
