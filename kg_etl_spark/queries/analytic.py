@@ -334,3 +334,94 @@ FROM j
 
 QUERIES["linear_interpolate"] = q_linear_interpolate
 ORACLES["linear_interpolate"] = ORACLE_LINEAR_INTERPOLATE
+
+
+# --- strongly connected components -------------------------------------
+
+
+def q_scc_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCCs of the user-transition graph: edge u→v when v's event
+    directly follows u's within one event_type stream (ordered by
+    ts, event_id — deterministic). Mutually-reachable user groups =
+    behavioral loops. Hash/fixpoint-free oracle impossible on real
+    data (reachability isn't SQL-expressible) → rows-only; the
+    value-checked twin is `scc_planted_recall`."""
+    from kg_etl_spark.operators.scc import scc_sizes, strongly_connected_components
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    scc = strongly_connected_components(edges)
+    return scc_sizes(scc).select("node", "scc_id", "scc_size")
+
+
+QUERIES["scc_user_transitions"] = q_scc_user_transitions
+# rows-only: reachability fixpoint not SQL-expressible; twin below is
+# the value gate.
+
+
+def q_scc_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin of `scc_user_transitions` (pattern of
+    minhash_identical_recall): per nation, the ≤4 smallest customer
+    ids form a directed CYCLE — one SCC per nation, id = min member —
+    plus ONE acyclic cross edge (global-min cycle's min → max-min
+    cycle's min). The cross edge proves DAG edges never merge SCCs and
+    forces a second outer FW-BW round (its target cycle sees
+    F = global-min ≠ B until the source cycle settles); everything is
+    enumerable in SQL without a reachability fixpoint. 1-customer
+    nations yield a filtered self-loop → no edges → excluded on both
+    sides (the operator's domain is vertices with edges)."""
+    from kg_etl_spark.operators.scc import scc_sizes, strongly_connected_components
+
+    cust = read_table(spark, sf_dir, "customer")
+    wr = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    picked = (
+        cust.select("c_custkey", "c_nationkey", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= 4)
+        .localCheckpoint(eager=True)
+    )
+    wc = Window.partitionBy("c_nationkey").orderBy("rn")
+    cycle = picked.select(
+        F.col("c_custkey").alias("src"),
+        F.coalesce(
+            F.lead("c_custkey").over(wc),
+            F.first("c_custkey").over(
+                wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        ).alias("dst"),
+    )
+    mins = picked.groupBy("c_nationkey").agg(F.min("c_custkey").alias("mn"))
+    cross = mins.agg(
+        F.min("mn").alias("src"), F.max("mn").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    scc = strongly_connected_components(cycle.union(cross))
+    return scc_sizes(scc).select("node", "scc_id", "scc_size")
+
+
+ORACLE_SCC_PLANTED = """
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+), picked AS (
+  SELECT c_custkey, c_nationkey FROM ranked WHERE rn <= 4
+), g AS (
+  SELECT c_nationkey, MIN(c_custkey) AS mn, COUNT(*) AS m
+  FROM picked GROUP BY c_nationkey
+)
+SELECT p.c_custkey AS node, g.mn AS scc_id, g.m AS scc_size
+FROM picked p JOIN g ON p.c_nationkey = g.c_nationkey
+WHERE g.m >= 2
+"""
+
+QUERIES["scc_planted_recall"] = q_scc_planted_recall
+ORACLES["scc_planted_recall"] = ORACLE_SCC_PLANTED
