@@ -425,3 +425,133 @@ WHERE g.m >= 2
 
 QUERIES["scc_planted_recall"] = q_scc_planted_recall
 ORACLES["scc_planted_recall"] = ORACLE_SCC_PLANTED
+
+
+# --- rolling correlation (windowed power sums) -------------------------
+
+
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between two derived daily
+    series (mean value vs event count) per event type — the windowed
+    feature a monitoring/feature-engineering pipeline computes.
+
+    Cross-engine exactness: Spark slides window aggregates
+    incrementally while DuckDB uses a segment tree — double sums would
+    differ in fold order. So the rolling Σx, Σy, Σxy, Σx², Σy² are
+    taken over DECIMAL daily terms (x = mean rounded to 6 dp): decimal
+    addition is exact in any order, and the final corr is one double
+    expression over identical exact sums. One shuffle (daily agg);
+    the window reuses the type-hash partitioning.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long").alias("day"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.count(F.lit(1)).cast("decimal(18,6)").alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w).cast("double")
+    sy = F.sum("y").over(w).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).over(w).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).over(w).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).over(w).cast("double")
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    corr = F.when(den > 0, (n * sxy - sx * sy) / den)
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(corr, 6).alias("rolling_corr"),
+        n.cast("long").alias("n_window"),
+    )
+
+
+ORACLE_ROLLING_CORRELATION = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(18,6)) AS x,
+         CAST(COUNT(*) AS DECIMAL(18,6)) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, day,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) OVER w AS DOUBLE) AS syy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       ROUND(CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS rolling_corr,
+       CAST(n AS BIGINT) AS n_window
+FROM s
+"""
+
+QUERIES["rolling_correlation"] = q_rolling_correlation
+ORACLES["rolling_correlation"] = ORACLE_ROLLING_CORRELATION
+
+
+# --- top-k per group WITH ties (RANK vs ROW_NUMBER) --------------------
+
+
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order-count customers per nation INCLUDING ties — RANK()
+    keeps tied peers (the WITH TIES semantics), where the row_number
+    variant (`topk_per_group`) would drop them arbitrarily. The
+    rank input (n_orders) is discrete so ties are real; output is
+    still deterministic because the SET of kept rows is tie-closed.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"), "o_custkey")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("n_orders").desc())
+    return (
+        per_cust.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_nationkey",
+            F.col("o_custkey").alias("custkey"),
+            "n_orders",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+ORACLE_TOPK_WITH_TIES = """
+WITH per_cust AS (
+  SELECT o.o_custkey AS custkey, c.c_nationkey, COUNT(*) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+)
+SELECT c_nationkey, custkey, n_orders,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT c_nationkey, custkey, n_orders,
+         RANK() OVER (PARTITION BY c_nationkey ORDER BY n_orders DESC) AS rnk
+  FROM per_cust
+) WHERE rnk <= 3
+"""
+
+QUERIES["topk_with_ties"] = q_topk_with_ties
+ORACLES["topk_with_ties"] = ORACLE_TOPK_WITH_TIES

@@ -140,3 +140,36 @@ def session_window_agg(
             "sum_value",
         )
     )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window (overlapping) per-type counts — the trending-
+    topics shape: each event contributes to window/slide overlapping
+    windows (Spark expands it map-side into that many window rows; no
+    extra shuffle vs tumbling). Emits (win_start_us, event_type,
+    n_events, sum_value); ranking the top type per window is a
+    downstream batch/foreachBatch concern, kept out of the stream so
+    the state store holds only the running aggregates."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -810,3 +810,53 @@ def test_streaming_incremental_minhash_foreachbatch(spark, tmp_path):
     }
     assert got == want
     assert (1, 3) in got and (1, 10) in got and (3, 10) in got
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    # sliding (overlapping) windows: every event lands in exactly
+    # window/slide = 2 windows; stream result == batch result on the
+    # same rows, and the per-window top type is derivable downstream.
+    from kg_etl_spark.streaming.stateful import (
+        read_event_stream,
+        sliding_window_counts,
+    )
+
+    src = tmp_path / "ev_slide"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "click", "value": 1.0,
+         "ts": "2024-01-01T00:10:00.000Z"},
+        {"event_id": 2, "user_id": 2, "event_type": "click", "value": 2.0,
+         "ts": "2024-01-01T00:40:00.000Z"},
+        {"event_id": 3, "user_id": 3, "event_type": "view", "value": 4.0,
+         "ts": "2024-01-01T00:40:00.000Z"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    q = (
+        sliding_window_counts(read_event_stream(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("sliding_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_stream").collect()
+    }
+
+    batch_df = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, ts timestamp"
+    ).json(str(src))
+    want = {
+        (r["win_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_window_counts(batch_df).collect()
+    }
+    assert got == want
+    # each event contributes to exactly 2 overlapping windows
+    assert sum(n for n, _ in got.values()) == 2 * len(rows)
+    # the [00:00, 01:00) window sees both clicks
+    t0 = 1704067200000000
+    assert got[(t0, "click")] == (2, 3.0)
