@@ -555,3 +555,117 @@ FROM (
 
 QUERIES["topk_with_ties"] = q_topk_with_ties
 ORACLES["topk_with_ties"] = ORACLE_TOPK_WITH_TIES
+
+
+# --- cumulative COUNT(DISTINCT) over a window --------------------------
+
+
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type by day — the
+    cumulative-uniques curve (DAU→CAU). COUNT(DISTINCT) isn't a
+    window aggregate in either engine; the scalable form is the
+    first-occurrence trick: mark each (type, user)'s FIRST day (one
+    hash-agg), count firsts per day, running-sum them. Two narrow
+    shuffles, no per-day distinct re-scan — at 100 TB the naive
+    per-day COUNT(DISTINCT user) would re-shuffle the fact table once
+    per day; this shuffles it once total."""
+    ev = read_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("event_type", "user_id").agg(
+        F.min((F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long")).alias("day")
+    )
+    per_day = first_day.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )
+
+
+ORACLE_CUMULATIVE_DISTINCT = """
+WITH first_day AS (
+  SELECT event_type, user_id, MIN(epoch_us(ts) // 86400000000) AS day
+  FROM events GROUP BY event_type, user_id
+), per_day AS (
+  SELECT event_type, day, COUNT(*) AS new_users
+  FROM first_day GROUP BY event_type, day
+)
+SELECT event_type, day, new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_distinct_users
+FROM per_day
+"""
+
+QUERIES["cumulative_distinct_users"] = q_cumulative_distinct_users
+ORACLES["cumulative_distinct_users"] = ORACLE_CUMULATIVE_DISTINCT
+
+
+# --- recursive hierarchy traversal (pointer doubling) ------------------
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root + depth for every node of a deterministic forest over
+    customer keys (parent = custkey div 10 when that key exists — a
+    digits-deep hierarchy), resolved in ⌈log₂ depth⌉ joins via pointer
+    doubling (operators/hierarchy.py) where the oracle's WITH RECURSIVE
+    needs depth linear iterations. The capability Spark lacks as
+    syntax, expressed as the scalable plan."""
+    from kg_etl_spark.operators.hierarchy import ancestor_paths
+
+    keys = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    # parent = node div 10 — except node 0, whose div-parent is itself
+    # (self-loop = cycle): NULL it to a root on both sides
+    cand = keys.select(
+        "node",
+        F.when(F.expr("node div 10") != F.col("node"), F.expr("node div 10")).alias(
+            "_p"
+        ),
+    )
+    parents = cand.join(
+        keys.select(F.col("node").alias("_p")).distinct(),
+        "_p",
+        "left_semi",
+    ).select("node", F.col("_p").alias("parent")).unionByName(
+        cand.join(
+            keys.select(F.col("node").alias("_p")).distinct(), "_p", "left_anti"
+        ).select("node", F.lit(None).cast("long").alias("parent"))
+    )
+    return ancestor_paths(parents)
+
+
+ORACLE_HIERARCHY_ROLLUP = """
+WITH RECURSIVE keys AS (
+  SELECT c_custkey AS k FROM customer
+), par AS (
+  SELECT k.k AS node,
+         CASE WHEN k.k // 10 <> k.k
+                   AND EXISTS (SELECT 1 FROM keys p WHERE p.k = k.k // 10)
+              THEN k.k // 10 END AS parent
+  FROM keys k
+), up AS (
+  SELECT node AS origin, node AS cur, 0 AS depth FROM par
+  UNION ALL
+  SELECT u.origin, p.parent, u.depth + 1
+  FROM up u JOIN par p ON p.node = u.cur
+  WHERE p.parent IS NOT NULL
+)
+SELECT origin AS node, cur AS root, depth
+FROM (
+  SELECT origin, cur, depth,
+         ROW_NUMBER() OVER (PARTITION BY origin ORDER BY depth DESC) AS rn
+  FROM up
+) WHERE rn = 1
+"""
+
+QUERIES["hierarchy_rollup"] = q_hierarchy_rollup
+ORACLES["hierarchy_rollup"] = ORACLE_HIERARCHY_ROLLUP
