@@ -1,0 +1,92 @@
+"""Deterministic random walks over a directed graph — the
+DeepWalk/node2vec corpus-generation stage (Perozzi et al., KDD'14),
+made reproducible: the "random" neighbor at step t of the walk started
+at `origin` is chosen by a hash of (origin, t, current), so the walk
+corpus is a pure function of the graph — re-runnable, diffable, and
+value-checkable against a SQL oracle (no RNG state, no seed plumbing
+across executors).
+
+Step rule: neighbors of `cur` ranked by dst id; pick
+    rank = H(origin, t, cur) mod outdeg(cur) + 1
+    H(o, t, c) = (A·o + B·c + C·t) mod P      (P = 2^31−1 prime;
+                                               products < 2^63, no
+                                               overflow either engine)
+Dead ends absorb (walk stays at a sink node).
+
+Scale shape: the neighbor table (src, dst, rank, deg) is built once —
+one window pass over the edge list. Each of the `length` steps is ONE
+equi-join of the walk frontier against it on (cur = src, rank) — both
+sides hash-partitioned on the node key, so Catalyst reuses the
+partitioning across steps; the frontier never exceeds |V| rows. At
+100 TB this is `length` edge-keyed shuffles, the same budget as
+`length` PageRank iterations, and the emitted corpus streams to the
+sink without ever concentrating on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_A = 1_315_423_911
+_B = 2_654_435_761
+_C = 97_531
+_P = 2_147_483_647
+
+
+def _pick(origin, t: int, cur):
+    return (_A * origin + _B * cur + F.lit(_C * t)) % F.lit(_P)
+
+
+def deterministic_walks(edges: DataFrame, *, length: int = 3) -> DataFrame:
+    """(origin, step, node) walk corpus: one walk of `length` steps
+    from every vertex of the (src, dst) long-id edge list (step 0 is
+    the origin itself)."""
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    nbrs = e.select(
+        "src",
+        "dst",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("src").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("deg"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.select(F.col("node").alias("origin"), F.col("node").alias("cur"))
+    out = [frontier.select("origin", F.lit(0).alias("step"), F.col("cur").alias("node"))]
+    for t in range(1, length + 1):
+        step = (
+            frontier.join(
+                nbrs.withColumnRenamed("src", "cur"), "cur", "left"
+            )
+            .filter(
+                F.col("rank").isNull()
+                | (
+                    F.col("rank")
+                    == _pick(F.col("origin"), t, F.col("cur")) % F.col("deg") + 1
+                )
+            )
+            .select(
+                "origin",
+                F.coalesce("dst", F.col("cur")).alias("cur"),
+            )
+        )
+        frontier = step.localCheckpoint(eager=True)
+        out.append(
+            frontier.select(
+                "origin", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    corpus = out[0]
+    for part in out[1:]:
+        corpus = corpus.union(part)
+    return corpus

@@ -669,3 +669,74 @@ FROM (
 
 QUERIES["hierarchy_rollup"] = q_hierarchy_rollup
 ORACLES["hierarchy_rollup"] = ORACLE_HIERARCHY_ROLLUP
+
+
+# --- deterministic random-walk corpus (DeepWalk stage) -----------------
+
+
+def q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step deterministic random walks from every node of the user-
+    transition graph (operators/walks.py) — the DeepWalk/node2vec
+    corpus-generation stage with hash-derived (reproducible) neighbor
+    choices, so the full walk corpus is VALUE-checkable: the oracle
+    unrolls the same 3 steps as SQL CTEs."""
+    from kg_etl_spark.operators.walks import deterministic_walks
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    return deterministic_walks(edges, length=3)
+
+
+ORACLE_WALK_CORPUS = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+           LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL AND src <> dst
+), nbrs AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM e
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), s0 AS (
+  SELECT node AS origin, node AS cur FROM nodes
+), s1 AS (
+  SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
+  FROM s0 s LEFT JOIN nbrs n
+    ON n.src = s.cur
+   AND n.rnk = (1315423911 * s.origin + 2654435761 * s.cur + 97531 * 1)
+               % 2147483647 % n.deg + 1
+), s2 AS (
+  SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
+  FROM s1 s LEFT JOIN nbrs n
+    ON n.src = s.cur
+   AND n.rnk = (1315423911 * s.origin + 2654435761 * s.cur + 97531 * 2)
+               % 2147483647 % n.deg + 1
+), s3 AS (
+  SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
+  FROM s2 s LEFT JOIN nbrs n
+    ON n.src = s.cur
+   AND n.rnk = (1315423911 * s.origin + 2654435761 * s.cur + 97531 * 3)
+               % 2147483647 % n.deg + 1
+)
+SELECT origin, 0 AS step, cur AS node FROM s0
+UNION ALL SELECT origin, 1 AS step, cur FROM s1
+UNION ALL SELECT origin, 2 AS step, cur FROM s2
+UNION ALL SELECT origin, 3 AS step, cur FROM s3
+"""
+
+QUERIES["walk_corpus"] = q_walk_corpus
+ORACLES["walk_corpus"] = ORACLE_WALK_CORPUS

@@ -240,3 +240,45 @@ def test_topk_with_ties_is_tie_closed(spark):
         # ties kept: never fewer than 3 when >= 3 customers exist
         if len(all_counts) >= 3:
             assert len(kept) >= 3
+
+
+def test_deterministic_walks_follow_edges(spark):
+    from kg_etl_spark.operators.walks import deterministic_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    rows = deterministic_walks(edges, length=4).collect()
+    # one position per (origin, step)
+    seen = {(r["origin"], r["step"]) for r in rows}
+    assert len(seen) == len(rows) == 3 * 5
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["origin"], {})[r["step"]] = r["node"]
+    adj = {1: {2, 3}, 2: {3}, 3: {1}}
+    for origin, path in walks.items():
+        assert path[0] == origin
+        for t in range(1, 5):
+            prev, cur = path[t - 1], path[t]
+            # every transition is a real edge (or absorbed at a sink —
+            # not possible here, all nodes have out-edges)
+            assert cur in adj[prev]
+    # rerun is bit-identical (deterministic)
+    again = {
+        (r["origin"], r["step"]): r["node"]
+        for r in deterministic_walks(edges, length=4).collect()
+    }
+    assert again == {(r["origin"], r["step"]): r["node"] for r in rows}
+
+
+def test_deterministic_walks_absorb_at_sink(spark):
+    from kg_etl_spark.operators.walks import deterministic_walks
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    walks = {
+        (r["origin"], r["step"]): r["node"]
+        for r in deterministic_walks(edges, length=3).collect()
+    }
+    # node 2 is a sink: its walk stays put; node 1 moves to 2 and stays
+    assert walks[(2, 0)] == 2 and walks[(2, 3)] == 2
+    assert walks[(1, 1)] == 2 and walks[(1, 3)] == 2
