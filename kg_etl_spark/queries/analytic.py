@@ -740,3 +740,196 @@ UNION ALL SELECT origin, 3 AS step, cur FROM s3
 
 QUERIES["walk_corpus"] = q_walk_corpus
 ORACLES["walk_corpus"] = ORACLE_WALK_CORPUS
+
+
+# --- ML feature engineering: WOE binning -------------------------------
+
+
+def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence per balance decile (credit-scoring feature
+    prep): customers deciled by account balance (total-order tie-break
+    on custkey), label = has ≥1 urgent order (semi-join flag), WOE =
+    ln of the Laplace-smoothed odds ratio vs the global odds. One
+    window sort + one 10-row aggregate; the label semi-join shuffles
+    keys only. All inputs to the single ln() are exact integer ratios,
+    rounded at output — the float-oracle idiom."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    labeled = cust.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit(1).alias("y")
+    ).unionByName(
+        cust.join(urgent, "c_custkey", "left_anti").select(
+            "c_custkey", F.lit(0).alias("y")
+        )
+    ).join(cust.select("c_custkey", "c_acctbal"), "c_custkey")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    binned = labeled.select(
+        "y", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    woe = F.log(
+        ((F.col("n_pos") + F.lit(0.5)) / (F.col("n_neg") + F.lit(0.5)))
+        / ((F.col("tp") + F.lit(0.5)) / (F.col("tn") + F.lit(0.5)))
+    )
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(woe, 6).alias("woe"),
+    )
+
+
+ORACLE_WOE_BINNING = """
+WITH labeled AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer c
+), binned AS (
+  SELECT y, CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS decile
+  FROM labeled
+), per_bin AS (
+  SELECT decile,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM binned GROUP BY decile
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS tp, CAST(SUM(n_neg) AS BIGINT) AS tn
+  FROM per_bin
+)
+SELECT decile, n_pos, n_neg,
+       ROUND(ln(((n_pos + 0.5) / (n_neg + 0.5)) / ((tp + 0.5) / (tn + 0.5))), 6) AS woe
+FROM per_bin, tot
+"""
+
+QUERIES["woe_binning"] = q_woe_binning
+ORACLES["woe_binning"] = ORACLE_WOE_BINNING
+
+
+# --- ML feature engineering: leave-one-fold-out target encoding --------
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding of c_mktsegment: each customer's
+    encoding is the urgent-order rate of its segment computed WITHOUT
+    its own fold (fold = custkey mod 5) — the K-fold mean-target
+    scheme that avoids self-leakage at training time. Two hash-aggs
+    (segment×fold, then segment) + a broadcast-back join; exact
+    integer arithmetic until the final divide."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    labeled = cust.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", "c_mktsegment", F.lit(1).alias("y")
+    ).unionByName(
+        cust.join(urgent, "c_custkey", "left_anti").select(
+            "c_custkey", "c_mktsegment", F.lit(0).alias("y")
+        )
+    ).withColumn("fold", (F.col("c_custkey") % 5).cast("int"))
+    seg_fold = labeled.groupBy("c_mktsegment", "fold").agg(
+        F.sum("y").alias("f_pos"), F.count(F.lit(1)).alias("f_n")
+    )
+    seg = seg_fold.groupBy("c_mktsegment").agg(
+        F.sum("f_pos").alias("s_pos"), F.sum("f_n").alias("s_n")
+    )
+    enc = (
+        labeled.join(F.broadcast(seg_fold), ["c_mktsegment", "fold"])
+        .join(F.broadcast(seg), "c_mktsegment")
+    )
+    te = F.when(
+        (F.col("s_n") - F.col("f_n")) > 0,
+        (F.col("s_pos") - F.col("f_pos")).cast("double")
+        / (F.col("s_n") - F.col("f_n")).cast("double"),
+    )
+    return enc.select(
+        "c_custkey",
+        "c_mktsegment",
+        "fold",
+        F.round(te, 6).alias("target_enc"),
+    )
+
+
+ORACLE_TARGET_ENCODE = """
+WITH labeled AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(c.c_custkey % 5 AS INT) AS fold,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer c
+), seg_fold AS (
+  SELECT c_mktsegment, fold,
+         CAST(SUM(y) AS BIGINT) AS f_pos, COUNT(*) AS f_n
+  FROM labeled GROUP BY c_mktsegment, fold
+), seg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(f_pos) AS BIGINT) AS s_pos,
+         CAST(SUM(f_n) AS BIGINT) AS s_n
+  FROM seg_fold GROUP BY c_mktsegment
+)
+SELECT l.c_custkey, l.c_mktsegment, l.fold,
+       ROUND(CASE WHEN (s.s_n - sf.f_n) > 0
+                  THEN CAST(s.s_pos - sf.f_pos AS DOUBLE)
+                       / CAST(s.s_n - sf.f_n AS DOUBLE) END, 6) AS target_enc
+FROM labeled l
+JOIN seg_fold sf ON l.c_mktsegment = sf.c_mktsegment AND l.fold = sf.fold
+JOIN seg s ON l.c_mktsegment = s.c_mktsegment
+"""
+
+QUERIES["target_encode_loo"] = q_target_encode_loo
+ORACLES["target_encode_loo"] = ORACLE_TARGET_ENCODE
+
+
+# --- sequence pattern matching (MATCH_RECOGNIZE-lite) ------------------
+
+
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral pattern detection: does the user's event
+    sequence contain view → click → purchase as a SUBSEQUENCE (other
+    events may interleave)? The MATCH_RECOGNIZE shape expressed as
+    order-preserving aggregation + one regex: sort-struct collect per
+    user (array_sort on (ts, event_id) makes the aggregation order-
+    independent — collect_list alone is partition-order-dependent!),
+    project to the type string, regex for the subsequence. One
+    shuffle; the regex is per-row codegen."""
+    ev = read_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("_s")
+    )
+    types = F.concat_ws(
+        ",", F.transform("_s", lambda s: s.getField("event_type"))
+    )
+    return seq.select(
+        "user_id",
+        F.size("_s").cast("long").alias("n_events"),
+        types.rlike("view.*click.*purchase").alias("matched"),
+    )
+
+
+ORACLE_SEQUENCE_PATTERN = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       regexp_matches(string_agg(event_type, ',' ORDER BY ts, event_id),
+                      'view.*click.*purchase') AS matched
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["sequence_pattern_match"] = q_sequence_pattern_match
+ORACLES["sequence_pattern_match"] = ORACLE_SEQUENCE_PATTERN

@@ -282,3 +282,68 @@ def test_deterministic_walks_absorb_at_sink(spark):
     # node 2 is a sink: its walk stays put; node 1 moves to 2 and stays
     assert walks[(2, 0)] == 2 and walks[(2, 3)] == 2
     assert walks[(1, 1)] == 2 and walks[(1, 3)] == 2
+
+
+def test_woe_binning_semantics(spark):
+    import math
+
+    rows = {r["decile"]: r for r in QUERIES["woe_binning"](spark, SF).collect()}
+    assert set(rows) == set(range(1, 11))
+    tp = sum(r["n_pos"] for r in rows.values())
+    tn = sum(r["n_neg"] for r in rows.values())
+    for r in rows.values():
+        want = math.log(
+            ((r["n_pos"] + 0.5) / (r["n_neg"] + 0.5)) / ((tp + 0.5) / (tn + 0.5))
+        )
+        assert abs(r["woe"] - want) < 1e-5
+
+
+def test_target_encode_excludes_own_fold(spark):
+    rows = QUERIES["target_encode_loo"](spark, SF).collect()
+    # recompute for one (segment, fold) cell by brute force
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.session import read_table
+
+    cust = read_table(spark, SF, "customer")
+    urgent = {
+        r["o_custkey"]
+        for r in read_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .collect()
+    }
+    by_cell = {}
+    for r in cust.collect():
+        y = 1 if r["c_custkey"] in urgent else 0
+        by_cell.setdefault((r["c_mktsegment"], r["c_custkey"] % 5), []).append(y)
+    seg_tot = {}
+    for (seg, fold), ys in by_cell.items():
+        t = seg_tot.setdefault(seg, [0, 0])
+        t[0] += sum(ys)
+        t[1] += len(ys)
+    for r in rows[:50]:
+        seg, fold = r["c_mktsegment"], r["fold"]
+        f_pos = sum(by_cell[(seg, fold)])
+        f_n = len(by_cell[(seg, fold)])
+        s_pos, s_n = seg_tot[seg]
+        if s_n - f_n > 0:
+            assert abs(r["target_enc"] - (s_pos - f_pos) / (s_n - f_n)) < 1e-6
+
+
+def test_sequence_pattern_brute_force(spark):
+    import re
+
+    from kg_etl_spark.session import read_table
+
+    ev = read_table(spark, SF, "events").collect()
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"])
+    got = {
+        r["user_id"]: (r["n_events"], r["matched"])
+        for r in QUERIES["sequence_pattern_match"](spark, SF).collect()
+    }
+    for uid, types in seqs.items():
+        want = bool(re.search("view.*click.*purchase", ",".join(types)))
+        assert got[uid] == (len(types), want)
