@@ -933,3 +933,148 @@ GROUP BY user_id
 
 QUERIES["sequence_pattern_match"] = q_sequence_pattern_match
 ORACLES["sequence_pattern_match"] = ORACLE_SEQUENCE_PATTERN
+
+
+# --- survival analysis: Kaplan-Meier retention -------------------------
+
+
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between
+    first and last event), right-censored at the observation edge:
+    users whose last event falls in the final 7 days of the dataset
+    are censored (still alive), earlier last-events are churn events.
+    Cohorts = first-seen event type (total-order pick on (ts,
+    event_id)).
+
+    KM estimator: at each lifetime t with d churns out of n at-risk,
+    S(t) = Π (1 − d/n). The running product is exp(Σ ln factor) with
+    per-step terms rounded then decimal-summed — the order-independent
+    float idiom — and S snaps to exact 0 from the first step where the
+    whole risk set churns. Two hash-aggs + one cohort window; the
+    at-risk count comes from a cumulative sum, not a per-t re-scan."""
+    ev = read_table(spark, sf_dir, "events")
+    day = (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long")
+    w1 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    per_user = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            F.row_number().over(w1).alias("_rn"),
+            F.col("event_type"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.max(F.when(F.col("_rn") == 1, F.col("event_type"))).alias("cohort"),
+        )
+    )
+    max_day = per_user.agg(F.max("last_day").alias("mx"))
+    lab = per_user.crossJoin(F.broadcast(max_day)).select(
+        "cohort",
+        (F.col("last_day") - F.col("first_day")).alias("t"),
+        F.when(F.col("last_day") <= F.col("mx") - 7, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("churn"),
+    )
+    per_t = lab.groupBy("cohort", "t").agg(
+        F.sum("churn").alias("d"), F.count(F.lit(1)).alias("exits")
+    )
+    tot = lab.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    wt = Window.partitionBy("cohort").orderBy("t")
+    km = (
+        per_t.join(F.broadcast(tot), "cohort")
+        .withColumn(
+            "n_at_risk",
+            F.col("n_cohort")
+            - F.coalesce(
+                F.sum("exits").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_term",
+            F.when(
+                F.col("d") < F.col("n_at_risk"),
+                F.round(
+                    F.log(
+                        (F.col("n_at_risk") - F.col("d")).cast("double")
+                        / F.col("n_at_risk").cast("double")
+                    ),
+                    8,
+                ).cast("decimal(28,8)"),
+            ),
+        )
+        .withColumn(
+            "_dead",
+            F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(
+                wt.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "_cum",
+            F.sum("_term").over(wt.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    surv = F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("_cum").cast("double"))
+    )
+    return km.select(
+        "cohort",
+        "t",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH ranked AS (
+  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), pu AS (
+  SELECT user_id,
+         MIN(day) AS first_day,
+         MAX(day) AS last_day,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS cohort
+  FROM ranked GROUP BY user_id
+), mx AS (
+  SELECT MAX(last_day) AS mx FROM pu
+), lab AS (
+  SELECT cohort, last_day - first_day AS t,
+         CASE WHEN last_day <= mx - 7 THEN 1 ELSE 0 END AS churn
+  FROM pu, mx
+), per_t AS (
+  SELECT cohort, t, CAST(SUM(churn) AS BIGINT) AS d, COUNT(*) AS exits
+  FROM lab GROUP BY cohort, t
+), tot AS (
+  SELECT cohort, COUNT(*) AS n_cohort FROM lab GROUP BY cohort
+), km AS (
+  SELECT p.cohort, p.t, p.d,
+         tot.n_cohort
+         - COALESCE(SUM(p.exits) OVER (PARTITION BY p.cohort ORDER BY p.t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM per_t p JOIN tot ON p.cohort = tot.cohort
+), terms AS (
+  SELECT cohort, t, d, n_at_risk,
+         CASE WHEN d < n_at_risk
+              THEN CAST(ROUND(ln(CAST(n_at_risk - d AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE)), 8)
+                        AS DECIMAL(28,8)) END AS term,
+         MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+             OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+  FROM km
+)
+SELECT cohort, t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_churned,
+       ROUND(CASE WHEN dead = 1 THEN 0.0
+                  ELSE exp(CAST(SUM(term) OVER (PARTITION BY cohort ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS DOUBLE)) END, 6) AS survival
+FROM terms
+"""
+
+QUERIES["kaplan_meier_retention"] = q_kaplan_meier_retention
+ORACLES["kaplan_meier_retention"] = ORACLE_KAPLAN_MEIER

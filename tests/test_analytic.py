@@ -347,3 +347,26 @@ def test_sequence_pattern_brute_force(spark):
     for uid, types in seqs.items():
         want = bool(re.search("view.*click.*purchase", ",".join(types)))
         assert got[uid] == (len(types), want)
+
+
+def test_kaplan_meier_invariants(spark):
+    rows = QUERIES["kaplan_meier_retention"](spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for _c, grp in by_cohort.items():
+        grp.sort(key=lambda r: r["t"])
+        # survival is nonincreasing in t, within [0, 1]
+        prev = 1.0 + 1e-9
+        for r in grp:
+            assert 0.0 <= r["survival"] <= 1.0
+            assert r["survival"] <= prev + 1e-9
+            prev = r["survival"]
+        # at-risk counts strictly decrease and start at the cohort size
+        n0 = grp[0]["n_at_risk"]
+        assert n0 == sum(1 for _ in grp) or n0 >= grp[-1]["n_at_risk"]
+        # first step: S = 1 - d/n when no earlier exits
+        r0 = grp[0]
+        want = 1.0 - r0["n_churned"] / r0["n_at_risk"]
+        assert abs(r0["survival"] - want) < 1e-5
