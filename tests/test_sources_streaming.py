@@ -860,3 +860,44 @@ def test_streaming_sliding_window_matches_batch(spark, tmp_path):
     # the [00:00, 01:00) window sees both clicks
     t0 = 1704067200000000
     assert got[(t0, "click")] == (2, 3.0)
+
+
+def test_python_streaming_datasource_exactly_once(spark, tmp_path):
+    # Spark 4 Python streaming DataSource: counter offsets, pure-
+    # function rows -> every id delivered exactly once, values
+    # reproducible from the id.
+    import time
+
+    from kg_etl_spark.sources.pystream_src import (
+        SynthEventsDataSource,
+        synth_event,
+    )
+
+    spark.dataSource.register(SynthEventsDataSource)
+    q = (
+        spark.readStream.format("synthevents")
+        .option("total_rows", "100")
+        .option("batch_rows", "30")
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_events_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) c FROM synth_events_stream").collect()[0]["c"]
+            if n >= 100:
+                break
+            time.sleep(1)
+        rows = spark.sql("SELECT * FROM synth_events_stream").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == list(range(100))  # exactly once, no gaps, no dups
+    for r in rows[:10]:
+        assert (
+            r["event_id"], r["user_id"], r["event_type"], r["value"]
+        ) == synth_event(r["event_id"])
