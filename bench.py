@@ -51,6 +51,13 @@ HEADLINE = [
     "gopher_quality",
     "hybrid_rrf_search",
     "hll_distinct_users",
+    # round 3 (continued): analytic-SQL breadth, feature engineering,
+    # graph-ML corpus prep
+    "char_entropy",
+    "activity_streaks",
+    "rolling_correlation",
+    "target_encode_loo",
+    "walk_corpus",
 ]
 
 

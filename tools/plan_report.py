@@ -61,6 +61,9 @@ REPORT_QUERIES = [
     "window_distribution", "priority_intersect", "activity_streaks",
     "grouping_sets_profile", "modal_segment_per_nation",
     "linear_interpolate", "char_entropy", "scc_planted_recall",
+    "rolling_correlation", "topk_with_ties", "cumulative_distinct_users",
+    "hierarchy_rollup", "walk_corpus", "woe_binning", "target_encode_loo",
+    "sequence_pattern_match", "kaplan_meier_retention",
 ]
 
 
@@ -120,8 +123,11 @@ def main() -> None:
         "`embedding_topk`, `forget_cascade` crosses its three "
         "1-row count aggregates into the 3-row audit, and "
         "`chi_square_priority_status` crosses the 1-row (n, dof) "
-        "aggregate into the |A|×|B|-cell grid, and `cms_join_size` "
-        "crosses its 1-row exact-count twin into the 1-row estimate. "
+        "aggregate into the |A|×|B|-cell grid, `cms_join_size` "
+        "crosses its 1-row exact-count twin into the 1-row estimate, "
+        "`woe_binning` crosses the 1-row (tp, tn) totals into the "
+        "10-row bin table, and `kaplan_meier_retention` crosses the "
+        "1-row max-day censoring threshold into the per-user frame. "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",
