@@ -1078,3 +1078,81 @@ FROM terms
 
 QUERIES["kaplan_meier_retention"] = q_kaplan_meier_retention
 ORACLES["kaplan_meier_retention"] = ORACLE_KAPLAN_MEIER
+
+
+# --- maximal independent set (Luby, deterministic priorities) ----------
+
+
+def q_mis_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby MIS over the (symmetrized) user-transition graph — the
+    parallel-scheduling primitive (conflict-free subset selection).
+    Convergence round count is graph-dependent → rows-only; the
+    value-checked twin is `mis_planted_recall` (matching graph, round
+    1 provably resolves everything)."""
+    from kg_etl_spark.operators.mis import luby_mis
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    return luby_mis(edges)
+
+
+QUERIES["mis_user_graph"] = q_mis_user_graph
+# rows-only: settle-round depends on the convergence trajectory; the
+# planted twin below is the value gate.
+
+
+def q_mis_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin of `mis_user_graph`: a PERFECT MATCHING
+    (disjoint edges — consecutive customers by key rank). On a
+    matching, Luby round 0 fully resolves: each edge independently
+    selects its smaller-priority endpoint and dominates the other, so
+    the exact output — including the hash comparisons — is enumerable
+    in SQL with the same (A·v + C) mod P arithmetic."""
+    from kg_etl_spark.operators.mis import luby_mis
+
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")  # global rank: planted input, OK
+    ranked = cust.select(
+        "c_custkey", F.row_number().over(w).alias("rn")
+    ).localCheckpoint(eager=True)
+    left = ranked.filter(F.col("rn") % 2 == 1).select(
+        F.col("c_custkey").alias("src"), ((F.col("rn") + 1) / 2).cast("long").alias("_pair")
+    )
+    right = ranked.filter(F.col("rn") % 2 == 0).select(
+        F.col("c_custkey").alias("dst"), (F.col("rn") / 2).cast("long").alias("_pair")
+    )
+    edges = left.join(right, "_pair").select("src", "dst")
+    return luby_mis(edges)
+
+
+ORACLE_MIS_PLANTED = """
+WITH ranked AS (
+  SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+  FROM customer
+), pairs AS (
+  SELECT l.c_custkey AS src, r.c_custkey AS dst
+  FROM ranked l JOIN ranked r ON r.rn = l.rn + 1
+  WHERE l.rn % 2 = 1
+), pri AS (
+  SELECT src, dst,
+         (1103515245 * src + 1013904223) % 2147483647 AS ps,
+         (1103515245 * dst + 1013904223) % 2147483647 AS pd
+  FROM pairs
+)
+SELECT src AS node, ps < pd AS selected, 0 AS round FROM pri
+UNION ALL
+SELECT dst AS node, pd < ps AS selected, 0 AS round FROM pri
+"""
+
+QUERIES["mis_planted_recall"] = q_mis_planted_recall
+ORACLES["mis_planted_recall"] = ORACLE_MIS_PLANTED
