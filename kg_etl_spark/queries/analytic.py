@@ -1156,3 +1156,159 @@ SELECT dst AS node, pd < ps AS selected, 0 AS round FROM pri
 
 QUERIES["mis_planted_recall"] = q_mis_planted_recall
 ORACLES["mis_planted_recall"] = ORACLE_MIS_PLANTED
+
+
+# --- isotonic regression (PAV calibration) -----------------------------
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone (isotonic) fit of daily mean value per event type —
+    PAV calibration over the daily series (operators/isotonic.py).
+    The pooling recursion isn't SQL-expressible → rows-only; the
+    value gate is `isotonic_planted_recall`."""
+    from kg_etl_spark.operators.isotonic import isotonic_fit
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long").alias("day"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("day_value")
+    )
+    return isotonic_fit(daily, "event_type", "day", "day_value", "day")
+
+
+QUERIES["isotonic_calibration"] = q_isotonic_calibration
+# rows-only: PAV pooling is sequential; planted twin below is the gate.
+
+
+def q_isotonic_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin of `isotonic_calibration`: per nation,
+    customers ranked by key form the x-axis; EVEN nations get a
+    strictly increasing y (PAV is the identity — zero pooling), ODD
+    nations a strictly decreasing y (PAV collapses to ONE pool — the
+    group mean everywhere). Both extremes are enumerable in SQL, and
+    together they pin the two boundary behaviors of the pooling rule."""
+    from kg_etl_spark.operators.isotonic import isotonic_fit
+
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    planted = cust.select(
+        "c_nationkey",
+        F.row_number().over(w).alias("x"),
+    ).withColumn(
+        "y",
+        F.when(
+            F.col("c_nationkey") % 2 == 0, F.col("x").cast("double")
+        ).otherwise(-F.col("x").cast("double")),
+    )
+    return isotonic_fit(planted, "c_nationkey", "x", "y", "x")
+
+
+ORACLE_ISOTONIC_PLANTED = """
+WITH planted AS (
+  SELECT c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS x
+  FROM customer
+), y AS (
+  SELECT c_nationkey, x,
+         CASE WHEN c_nationkey % 2 = 0 THEN CAST(x AS DOUBLE)
+              ELSE -CAST(x AS DOUBLE) END AS y
+  FROM planted
+), g AS (
+  SELECT c_nationkey, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_y
+  FROM y GROUP BY c_nationkey
+)
+SELECT y.c_nationkey, y.x, y.y,
+       ROUND(CASE WHEN y.c_nationkey % 2 = 0 THEN y.y ELSE g.mean_y END, 6)
+         AS y_fit
+FROM y JOIN g ON y.c_nationkey = g.c_nationkey
+"""
+
+QUERIES["isotonic_planted_recall"] = q_isotonic_planted_recall
+ORACLES["isotonic_planted_recall"] = ORACLE_ISOTONIC_PLANTED
+
+
+# --- governance: l-diversity audit -------------------------------------
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity check (Machanavajjhala et al., ICDE'06) on the
+    (nation, segment) quasi-identifier groups with balance sign as the
+    sensitive attribute: a group where every member shares one
+    sensitive value (n_sensitive < 2) is re-identifiable even when
+    k-anonymous — the audit k_anonymity alone misses. One hash-agg."""
+    cust = read_table(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") >= 0, F.lit("nonneg")).otherwise(F.lit("neg"))
+    return (
+        cust.select("c_nationkey", "c_mktsegment", sens.alias("_s"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("_s").alias("n_sensitive"),
+        )
+        .withColumn("l_diverse", F.col("n_sensitive") >= 2)
+    )
+
+
+ORACLE_L_DIVERSITY = """
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS group_size,
+       COUNT(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'nonneg' ELSE 'neg' END)
+         AS n_sensitive,
+       COUNT(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'nonneg' ELSE 'neg' END) >= 2
+         AS l_diverse
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+QUERIES["l_diversity_audit"] = q_l_diversity_audit
+ORACLES["l_diversity_audit"] = ORACLE_L_DIVERSITY
+
+
+# --- governance: noisy counts (Laplace mechanism, fixed seed) ----------
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy per-nation counts (sensitivity 1,
+    ε = 1): noise = −b·sign(u−½)·ln(1−2|u−½|) with u inverse-CDF-
+    sampled from a HASH of the group key instead of an RNG. The
+    mechanism arithmetic is the real one; the fixed hash seed makes
+    runs reproducible and cross-engine checkable — a production
+    release would swap the hash for a fresh random draw per release
+    (noted; determinism is the catalog contract here). One hash-agg +
+    map-side noise."""
+    cust = read_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("true_count"))
+    u = (
+        (F.lit(1103515245) * F.col("c_nationkey").cast("long") + F.lit(1013904223))
+        % F.lit(2147483647)
+    ).cast("double") / F.lit(2147483647.0)
+    c = u - F.lit(0.5)
+    noise = -F.signum(c) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    return counts.select(
+        "c_nationkey",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )
+
+
+ORACLE_DP_NOISY = """
+WITH counts AS (
+  SELECT c_nationkey, COUNT(*) AS true_count FROM customer GROUP BY c_nationkey
+), u AS (
+  SELECT c_nationkey, true_count,
+         CAST((1103515245 * CAST(c_nationkey AS BIGINT) + 1013904223)
+              % 2147483647 AS DOUBLE)
+           / 2147483647.0 - 0.5 AS c
+  FROM counts
+)
+SELECT c_nationkey, true_count,
+       ROUND(true_count + (-sign(c) * ln(1.0 - 2.0 * abs(c))), 6) AS noisy_count
+FROM u
+"""
+
+QUERIES["dp_noisy_counts"] = q_dp_noisy_counts
+ORACLES["dp_noisy_counts"] = ORACLE_DP_NOISY
