@@ -1312,3 +1312,80 @@ FROM u
 
 QUERIES["dp_noisy_counts"] = q_dp_noisy_counts
 ORACLES["dp_noisy_counts"] = ORACLE_DP_NOISY
+
+
+# --- MERGE INTO upsert/delete ------------------------------------------
+
+
+def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO semantics in one full-outer join
+    (operators/merge.py): a CDC-style source (per-customer order
+    stats, plus synthetic NEW keys for heavy customers) merged into
+    the customer dimension —
+      WHEN MATCHED AND n_orders >= 20 THEN DELETE
+      WHEN MATCHED THEN UPDATE balance += n_orders
+      WHEN NOT MATCHED THEN INSERT (new key, balance = n_orders).
+    """
+    from kg_etl_spark.operators.merge import merge_into
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    stats = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    src = stats.select(
+        F.col("o_custkey").alias("c_custkey"), "n_orders"
+    ).unionByName(
+        stats.filter(F.col("n_orders") >= 15).select(
+            (F.col("o_custkey") + 1_000_000).alias("c_custkey"), "n_orders"
+        )
+    )
+    merged = merge_into(
+        cust,
+        src,
+        "c_custkey",
+        matched_delete=F.col("src_n_orders") >= 20,
+        matched_update={
+            "c_acctbal": F.round(
+                F.col("c_acctbal") + F.col("src_n_orders").cast("double"), 6
+            )
+        },
+        not_matched_insert={
+            "c_custkey": F.col("__sk"),
+            "c_name": F.lit("new-customer"),
+            "c_nationkey": F.lit(-1),
+            "c_acctbal": F.col("src_n_orders").cast("double"),
+            "c_mktsegment": F.lit("UNKNOWN"),
+        },
+    )
+    return merged.withColumn("c_acctbal", F.round("c_acctbal", 6))
+
+
+ORACLE_MERGE_UPSERT = """
+WITH stats AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+), src AS (
+  SELECT o_custkey AS k, n_orders FROM stats
+  UNION ALL
+  SELECT o_custkey + 1000000 AS k, n_orders FROM stats WHERE n_orders >= 15
+), j AS (
+  SELECT c.*, s.k, s.n_orders
+  FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+)
+SELECT COALESCE(c_custkey, k) AS c_custkey,
+       CASE WHEN c_custkey IS NULL THEN 'new-customer' ELSE c_name END AS c_name,
+       CASE WHEN c_custkey IS NULL THEN -1 ELSE c_nationkey END AS c_nationkey,
+       ROUND(CASE WHEN c_custkey IS NULL THEN CAST(n_orders AS DOUBLE)
+                  WHEN k IS NOT NULL THEN c_acctbal + n_orders
+                  ELSE c_acctbal END, 6) AS c_acctbal,
+       CASE WHEN c_custkey IS NULL THEN 'UNKNOWN' ELSE c_mktsegment END
+         AS c_mktsegment
+FROM j
+WHERE NOT (c_custkey IS NOT NULL AND k IS NOT NULL AND n_orders >= 20)
+"""
+
+QUERIES["merge_upsert_delete"] = q_merge_upsert_delete
+ORACLES["merge_upsert_delete"] = ORACLE_MERGE_UPSERT
