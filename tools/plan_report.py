@@ -64,6 +64,8 @@ REPORT_QUERIES = [
     "rolling_correlation", "topk_with_ties", "cumulative_distinct_users",
     "hierarchy_rollup", "walk_corpus", "woe_binning", "target_encode_loo",
     "sequence_pattern_match", "kaplan_meier_retention",
+    "mis_planted_recall", "isotonic_planted_recall", "l_diversity_audit",
+    "dp_noisy_counts", "merge_upsert_delete",
 ]
 
 
