@@ -1389,3 +1389,255 @@ WHERE NOT (c_custkey IS NOT NULL AND k IS NOT NULL AND n_orders >= 20)
 
 QUERIES["merge_upsert_delete"] = q_merge_upsert_delete
 ORACLES["merge_upsert_delete"] = ORACLE_MERGE_UPSERT
+
+
+# --- statistics: exact distribution moments ----------------------------
+
+
+def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / skewness / kurtosis per event type computed
+    from EXACT power sums — not the built-in skewness()/kurtosis()
+    aggregates, whose bias conventions differ between engines (Spark:
+    population g1/g2; DuckDB: sample-corrected). Per-row powers are
+    rounded to 6 dp and decimal-summed (order-independent), then the
+    raw-moment formulas run in identical double arithmetic both
+    sides. One hash-agg; map-side partials."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value")
+    p = lambda k: F.round(v ** k, 6).cast("decimal(28,6)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p(1)).cast("double").alias("s1"),
+        F.sum(p(2)).cast("double").alias("s2"),
+        F.sum(p(3)).cast("double").alias("s3"),
+        F.sum(p(4)).cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * F.col("s2") / n + 2 * mean ** 3
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * F.col("s3") / n
+        + 6 * mean * mean * F.col("s2") / n
+        - 3 * mean ** 4
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(m2, 6).alias("variance"),
+        F.round(m3 / (m2 ** F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+ORACLE_DISTRIBUTION_MOMENTS = """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value, 6)          AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ROUND(value * value, 6)  AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(ROUND(value * value * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(ROUND(value * value * value * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s4
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(s1 / n, 6) AS mean,
+       ROUND(s2 / n - (s1/n) * (s1/n), 6) AS variance,
+       ROUND((s3/n - 3 * (s1/n) * s2/n + 2 * pow(s1/n, 3))
+             / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skewness,
+       ROUND((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n - 3*pow(s1/n, 4))
+             / pow(s2/n - (s1/n)*(s1/n), 2) - 3, 6) AS excess_kurtosis
+FROM s
+"""
+
+QUERIES["distribution_moments"] = q_distribution_moments
+ORACLES["distribution_moments"] = ORACLE_DISTRIBUTION_MOMENTS
+
+
+# --- statistics: two-sample Kolmogorov-Smirnov -------------------------
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between 'click' and 'view' value
+    distributions: D = sup |F1 − F2| over the pooled sample. Exact:
+    per distinct value, cumulative per-group counts over the value
+    order (one global window — at 100 TB pre-bin to quantile grids;
+    noted in SCALE.md), D from integer rationals. Deterministic, one
+    row out."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_v = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
+    )
+    tot = per_v.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_v.select(
+        F.sum("c1").over(w).alias("a1"), F.sum("c2").over(w).alias("a2")
+    )
+    d = cdf.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("a1").cast("double") / F.col("n1").cast("double")
+            - F.col("a2").cast("double") / F.col("n2").cast("double")
+        ).alias("_d"),
+        "n1",
+        "n2",
+    )
+    return d.groupBy("n1", "n2").agg(F.round(F.max("_d"), 6).alias("d_stat")).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "d_stat",
+    )
+
+
+ORACLE_KS_TWO_SAMPLE = """
+WITH per_v AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_v
+), cdf AS (
+  SELECT CAST(SUM(c1) OVER w AS BIGINT) AS a1, CAST(SUM(c2) OVER w AS BIGINT) AS a2
+  FROM per_v
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT n1, n2,
+       ROUND(MAX(abs(CAST(a1 AS DOUBLE)/n1 - CAST(a2 AS DOUBLE)/n2)), 6) AS d_stat
+FROM cdf, tot
+GROUP BY n1, n2
+"""
+
+QUERIES["ks_two_sample"] = q_ks_two_sample
+ORACLES["ks_two_sample"] = ORACLE_KS_TWO_SAMPLE
+
+
+# --- statistics: Welch's t-test ----------------------------------------
+
+
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic + Welch–Satterthwaite df
+    between 'purchase' and 'error' values — exact decimal power sums,
+    sample variances, one double expression. (No p-value: neither
+    engine has a portable student-t CDF; t + df are the mergeable
+    cluster-side outputs, the CDF lookup is a driver-side constant
+    table at any scale.)"""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    p = lambda k: F.round(F.col("value") ** k, 6).cast("decimal(28,6)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p(1)).cast("double").alias("s1"),
+        F.sum(p(2)).cast("double").alias("s2"),
+    )
+    stats = agg.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("_m"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("_v"),
+    )
+    a = stats.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("_m").alias("m1"), F.col("_v").alias("v1")
+    )
+    b = stats.filter(F.col("event_type") == "error").select(
+        F.col("n").alias("n2"), F.col("_m").alias("m2"), F.col("_v").alias("v2")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_w = (se2 * se2) / (
+        (F.col("v1") / F.col("n1")) ** 2 / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) ** 2 / (F.col("n2") - 1)
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df_w, 6).alias("df"),
+    )
+
+
+ORACLE_WELCH_T = """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s2
+  FROM events WHERE event_type IN ('purchase', 'error')
+  GROUP BY event_type
+), st AS (
+  SELECT event_type, n, s1 / n AS m, (s2 - s1 * s1 / n) / (n - 1) AS v FROM s
+), a AS (SELECT n AS n1, m AS m1, v AS v1 FROM st WHERE event_type = 'purchase'),
+b AS (SELECT n AS n2, m AS m2, v AS v2 FROM st WHERE event_type = 'error')
+SELECT n1, n2,
+       ROUND((m1 - m2) / sqrt(v1/n1 + v2/n2), 6) AS t_stat,
+       ROUND(pow(v1/n1 + v2/n2, 2)
+             / (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)), 6) AS df
+FROM a, b
+"""
+
+QUERIES["welch_t_test"] = q_welch_t_test
+ORACLES["welch_t_test"] = ORACLE_WELCH_T
+
+
+# --- time series: EWMA via sequential fold -----------------------------
+
+
+def q_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each type's daily
+    series, alpha = 0.3 — the recursive smoother. A window SUM of
+    pow-weights would fight engine fold order; instead BOTH engines
+    run the SAME sequential left fold over the day-ordered array
+    (Spark: array_sort + aggregate HOF; DuckDB: list(ORDER BY) +
+    list_reduce) — bit-identical recursion, the deterministic-fold
+    idiom from pagerank's oracle path. Emits the final smoothed level
+    per type. Fold state is one double; the array lives on the
+    executor (per-series length bound, as with sessionize)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long").alias("day"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("_s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    vals = F.transform("_s", lambda s: s.getField("v"))
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(0.3) * x + F.lit(0.7) * acc
+        ),
+    )
+    return series.select(
+        "event_type", "n_days", F.round(ewma, 6).alias("ewma")
+    )
+
+
+ORACLE_EWMA = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, COUNT(*) AS n_days,
+       ROUND(list_reduce(list(v ORDER BY day),
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM daily GROUP BY event_type
+"""
+
+QUERIES["ewma_final"] = q_ewma_final
+ORACLES["ewma_final"] = ORACLE_EWMA

@@ -370,3 +370,78 @@ def test_kaplan_meier_invariants(spark):
         r0 = grp[0]
         want = 1.0 - r0["n_churned"] / r0["n_at_risk"]
         assert abs(r0["survival"] - want) < 1e-5
+
+
+def test_distribution_moments_vs_numpy(spark):
+    import numpy as np
+
+    from kg_etl_spark.session import read_table
+
+    vals = {}
+    for r in read_table(spark, SF, "events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    got = {r["event_type"]: r for r in QUERIES["distribution_moments"](spark, SF).collect()}
+    for t, xs in vals.items():
+        a = np.array(xs)
+        m = a.mean()
+        m2 = ((a - m) ** 2).mean()
+        m3 = ((a - m) ** 3).mean()
+        m4 = ((a - m) ** 4).mean()
+        r = got[t]
+        assert r["n"] == len(xs)
+        assert abs(r["mean"] - m) < 1e-4
+        assert abs(r["variance"] - m2) < 1e-3
+        assert abs(r["skewness"] - m3 / m2 ** 1.5) < 1e-3
+        assert abs(r["excess_kurtosis"] - (m4 / m2 ** 2 - 3)) < 1e-3
+
+
+def test_ks_statistic_vs_brute_force(spark):
+    from kg_etl_spark.session import read_table
+
+    rows = (
+        read_table(spark, SF, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(r["value"] for r in rows if r["event_type"] == "click")
+    b = sorted(r["value"] for r in rows if r["event_type"] == "view")
+    import bisect
+
+    grid = sorted(set(a) | set(b))
+    d = max(
+        abs(bisect.bisect_right(a, x) / len(a) - bisect.bisect_right(b, x) / len(b))
+        for x in grid
+    )
+    got = QUERIES["ks_two_sample"](spark, SF).collect()[0]
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert abs(got["d_stat"] - d) < 1e-6
+
+
+def test_ewma_final_recursion(spark):
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        read_table(spark, SF, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400 * 1_000_000)).cast("long").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["v"]))
+    got = {r["event_type"]: r["ewma"] for r in QUERIES["ewma_final"](spark, SF).collect()}
+    for t, pts in series.items():
+        acc = None
+        for _, v in sorted(pts):
+            acc = v if acc is None else 0.3 * v + 0.7 * acc
+        assert abs(got[t] - acc) < 1e-6
