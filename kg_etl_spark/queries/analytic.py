@@ -1641,3 +1641,106 @@ FROM daily GROUP BY event_type
 
 QUERIES["ewma_final"] = q_ewma_final
 ORACLES["ewma_final"] = ORACLE_EWMA
+
+
+# --- audit: Benford first-digit law ------------------------------------
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic fabricated-numbers detector. First significant digit via
+    floor(x / 10^floor(log10 x)); per-digit observed vs expected
+    log10(1 + 1/d) counts and the per-digit chi-square contribution.
+    One hash-agg on a 9-value key."""
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    per_d = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    tot = per_d.agg(F.sum("observed").alias("n"))
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * F.col("n")
+    return per_d.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("observed").cast("long").alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("observed") - exp) ** 2 / exp, 6).alias("chi2_term"),
+    )
+
+
+ORACLE_BENFORD = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice)))) AS INT)
+           AS digit
+  FROM orders WHERE o_totalprice > 0
+), per_d AS (
+  SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit
+), tot AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS n FROM per_d
+)
+SELECT digit, observed,
+       ROUND(log10(1.0 + 1.0 / digit) * n, 6) AS expected,
+       ROUND(pow(observed - log10(1.0 + 1.0 / digit) * n, 2)
+             / (log10(1.0 + 1.0 / digit) * n), 6) AS chi2_term
+FROM per_d, tot
+"""
+
+QUERIES["benford_audit"] = q_benford_audit
+ORACLES["benford_audit"] = ORACLE_BENFORD
+
+
+# --- inventory: floor-clamped running balance (sequential fold) --------
+
+
+def q_stock_running_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running stock level per supplier: daily net
+    quantity deltas (shipments negative on odd days — a deterministic
+    in/out signal), folded as level = max(0, level + delta). The
+    clamp makes this NON-window-expressible (the reset propagates
+    recursively) — the sequential-fold idiom again: both engines run
+    the identical day-ordered left fold (aggregate HOF vs
+    list_reduce). Emits the final level per supplier."""
+    li = read_table(spark, sf_dir, "lineitem")
+    day = (F.unix_micros(F.col("l_shipdate")) / F.lit(DAY_US)).cast("long")
+    daily = li.groupBy(
+        "l_suppkey", day.alias("day")
+    ).agg(
+        F.sum(
+            F.when(day % 2 == 1, -F.col("l_quantity")).otherwise(F.col("l_quantity"))
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("delta")
+    )
+    series = daily.groupBy("l_suppkey").agg(
+        F.array_sort(F.collect_list(F.struct("day", "delta"))).alias("_s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    deltas = F.transform("_s", lambda s: s.getField("delta"))
+    level = F.aggregate(
+        deltas,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + x),
+    )
+    return series.select(
+        "l_suppkey", "n_days", F.round(level, 6).alias("final_level")
+    )
+
+
+ORACLE_STOCK_FLOOR = """
+WITH daily AS (
+  SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(SUM(CAST(CASE WHEN (epoch_us(l_shipdate) // 86400000000) % 2 = 1
+                            THEN -l_quantity ELSE l_quantity END
+                       AS DECIMAL(28,6))) AS DOUBLE) AS delta
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, COUNT(*) AS n_days,
+       ROUND(list_reduce(list_prepend(0.0, list(delta ORDER BY day)),
+                         (acc, x) -> greatest(0.0, acc + x)), 6) AS final_level
+FROM daily GROUP BY l_suppkey
+"""
+
+QUERIES["stock_running_floor"] = q_stock_running_floor
+ORACLES["stock_running_floor"] = ORACLE_STOCK_FLOOR
