@@ -66,6 +66,8 @@ REPORT_QUERIES = [
     "sequence_pattern_match", "kaplan_meier_retention",
     "mis_planted_recall", "isotonic_planted_recall", "l_diversity_audit",
     "dp_noisy_counts", "merge_upsert_delete",
+    "distribution_moments", "ks_two_sample", "welch_t_test", "ewma_final",
+    "benford_audit", "stock_running_floor",
 ]
 
 
