@@ -131,7 +131,9 @@ def main() -> None:
         "crosses its 1-row exact-count twin into the 1-row estimate, "
         "`woe_binning` crosses the 1-row (tp, tn) totals into the "
         "10-row bin table, and `kaplan_meier_retention` crosses the "
-        "1-row max-day censoring threshold into the per-user frame. "
+        "1-row max-day censoring threshold into the per-user frame, "
+        "as do the statistics/audit 1-row total crosses "
+        "(`ks_two_sample`, `welch_t_test`, `benford_audit`). "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",
