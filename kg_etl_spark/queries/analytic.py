@@ -1,7 +1,14 @@
-"""Analytic-SQL breadth catalog: distribution window functions
-(NTILE / PERCENT_RANK / CUME_DIST), set operations (INTERSECT),
-gaps-and-islands streak detection, explicit GROUPING SETS with
-GROUPING() flags, and deterministic per-group mode.
+"""Analytic-SQL breadth + advanced-analytics catalog: distribution
+window functions (NTILE / PERCENT_RANK / CUME_DIST), set operations
+(INTERSECT), gaps-and-islands streaks, explicit GROUPING SETS,
+deterministic mode, RANK-with-ties top-k, rolling correlation,
+cumulative COUNT(DISTINCT), linear interpolation; directed-graph
+algorithms (SCC, pointer-doubling hierarchy traversal, deterministic
+random walks, Luby MIS); ML feature engineering (WOE binning,
+leave-one-fold-out target encoding, sequence patterns, isotonic
+calibration); statistics (exact moments, KS test, Welch t-test, EWMA,
+Kaplan-Meier survival); governance (l-diversity, Laplace-noised
+counts); MERGE INTO; Benford + floor-clamped-balance audits.
 
 Reference parity: the reference's analytics layer ranks and buckets
 entities per city (kg-etl analysis queries, see `etl/analytics.py`);
