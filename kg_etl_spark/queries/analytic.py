@@ -1751,3 +1751,164 @@ FROM daily GROUP BY l_suppkey
 
 QUERIES["stock_running_floor"] = q_stock_running_floor
 ORACLES["stock_running_floor"] = ORACLE_STOCK_FLOOR
+
+
+# --- statistics: two-proportion z-test (A/B) ---------------------------
+
+
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic A/B split (variant =
+    user_id mod 2): conversion = user ever purchased. Pooled-variance
+    z statistic from exact integer counts — one hash-agg per variant,
+    a 2-row broadcast cross. The experimentation-readout primitive."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    per_variant = per_user.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    a = per_variant.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n1"), F.col("conv").alias("c1")
+    )
+    b = per_variant.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n2"), F.col("conv").alias("c2")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("c2").cast("double") / F.col("n2").cast("double")
+    pp = (F.col("c1") + F.col("c2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("c2").cast("long").alias("c2"),
+        F.round(p1 - p2, 6).alias("rate_diff"),
+        F.round(F.when(se > 0, (p1 - p2) / se), 6).alias("z_stat"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), pv AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY 1
+), a AS (SELECT n AS n1, conv AS c1 FROM pv WHERE variant = 0),
+b AS (SELECT n AS n2, conv AS c2 FROM pv WHERE variant = 1)
+SELECT n1, c1, n2, c2,
+       ROUND(CAST(c1 AS DOUBLE)/n1 - CAST(c2 AS DOUBLE)/n2, 6) AS rate_diff,
+       ROUND(CASE WHEN sqrt((CAST(c1+c2 AS DOUBLE)/(n1+n2))
+                            * (1.0 - CAST(c1+c2 AS DOUBLE)/(n1+n2))
+                            * (1.0/n1 + 1.0/n2)) > 0
+                  THEN (CAST(c1 AS DOUBLE)/n1 - CAST(c2 AS DOUBLE)/n2)
+                       / sqrt((CAST(c1+c2 AS DOUBLE)/(n1+n2))
+                              * (1.0 - CAST(c1+c2 AS DOUBLE)/(n1+n2))
+                              * (1.0/n1 + 1.0/n2)) END, 6) AS z_stat
+FROM a, b
+"""
+
+QUERIES["ab_test_proportions"] = q_ab_test_proportions
+ORACLES["ab_test_proportions"] = ORACLE_AB_TEST
+
+
+# --- time series: autocorrelation function -----------------------------
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1–7 of each type's daily mean series — the
+    seasonality/persistence readout. Per lag: a self-join of the
+    daily frame on (type, day+lag) — the join key reuses the daily
+    hash partitioning, so the 7 lags are 7 cheap co-partitioned
+    joins (one plan via the lag dimension explode, not 7 scans).
+    Numerator/denominator from exact decimal sums of rounded daily
+    values; mean-centering uses the same exact mean both sides."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long").alias("day"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("v")
+    ).localCheckpoint(eager=True)
+    stats = daily.groupBy("event_type").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("_mu"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double").alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    lags = daily.select(
+        "event_type", "day", "v", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag")
+    )
+    nxt = daily.select(
+        "event_type",
+        (F.col("day")).alias("_d2"),
+        F.col("v").alias("_v2"),
+    )
+    pairs = lags.join(
+        nxt,
+        (lags.event_type == nxt.event_type) & (F.col("_d2") == F.col("day") + F.col("lag")),
+    ).select(lags.event_type.alias("event_type"), "lag", "v", "_v2")
+    prod = pairs.groupBy("event_type", "lag").agg(
+        F.sum((F.col("v") * F.col("_v2")).cast("decimal(38,12)")).cast("double").alias("_sxy"),
+        F.sum(F.col("v").cast(DEC)).cast("double").alias("_sx"),
+        F.sum(F.col("_v2").cast(DEC)).cast("double").alias("_sy"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    j = prod.join(F.broadcast(stats), "event_type")
+    num = F.col("_sxy") - F.col("_mu") * (F.col("_sx") + F.col("_sy")) + F.col("_k") * F.col("_mu") * F.col("_mu")
+    den = F.col("_s2") - F.lit(2.0) * F.col("_mu") * F.col("_mu") * F.col("_n") + F.col("_n") * F.col("_mu") * F.col("_mu")
+    return j.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("_k").cast("long").alias("n_pairs"),
+        F.round(F.when(den > 0, num / den), 6).alias("acf"),
+    )
+
+
+ORACLE_AUTOCORRELATION = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS v
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM daily GROUP BY event_type
+), lags AS (
+  SELECT d.event_type, l.lag, d.v, d2.v AS v2
+  FROM daily d
+  JOIN (SELECT UNNEST(generate_series(1, 7)) AS lag) l ON TRUE
+  JOIN daily d2 ON d2.event_type = d.event_type AND d2.day = d.day + l.lag
+), prod AS (
+  SELECT event_type, lag,
+         CAST(SUM(CAST(v * v2 AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(v2 AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         COUNT(*) AS k
+  FROM lags GROUP BY event_type, lag
+)
+SELECT p.event_type, CAST(p.lag AS INT) AS lag, p.k AS n_pairs,
+       ROUND(CASE WHEN (s.s2 - 2.0*s.mu*s.mu*s.n + s.n*s.mu*s.mu) > 0
+                  THEN (p.sxy - s.mu*(p.sx + p.sy) + p.k*s.mu*s.mu)
+                       / (s.s2 - 2.0*s.mu*s.mu*s.n + s.n*s.mu*s.mu)
+             END, 6) AS acf
+FROM prod p JOIN stats s ON p.event_type = s.event_type
+"""
+
+QUERIES["autocorrelation"] = q_autocorrelation
+ORACLES["autocorrelation"] = ORACLE_AUTOCORRELATION

@@ -445,3 +445,67 @@ def test_ewma_final_recursion(spark):
         for _, v in sorted(pts):
             acc = v if acc is None else 0.3 * v + 0.7 * acc
         assert abs(got[t] - acc) < 1e-6
+
+
+def test_autocorrelation_vs_numpy(spark):
+    import numpy as np
+
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        read_table(spark, SF, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400 * 1_000_000)).cast("long").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], {})[r["day"]] = r["v"]
+    got = {
+        (r["event_type"], r["lag"]): r["acf"]
+        for r in QUERIES["autocorrelation"](spark, SF).collect()
+    }
+    for t, dv in series.items():
+        days = sorted(dv)
+        xs = np.array([dv[d] for d in days])
+        mu = xs.mean()
+        den = ((xs - mu) ** 2).sum()
+        for lag in (1, 2, 3):
+            # pairs restricted to days where day+lag exists (gaps allowed)
+            num = sum(
+                (dv[d] - mu) * (dv[d + lag] - mu)
+                for d in days
+                if d + lag in dv
+            )
+            if (t, lag) in got and got[(t, lag)] is not None:
+                assert abs(got[(t, lag)] - num / den) < 1e-4
+
+
+def test_ab_test_counts(spark):
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    per_user = (
+        read_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("int")).alias("c"))
+        .collect()
+    )
+    n = {0: 0, 1: 0}
+    c = {0: 0, 1: 0}
+    for r in per_user:
+        v = r["user_id"] % 2
+        n[v] += 1
+        c[v] += r["c"]
+    got = QUERIES["ab_test_proportions"](spark, SF).collect()[0]
+    assert (got["n1"], got["c1"], got["n2"], got["c2"]) == (n[0], c[0], n[1], c[1])
