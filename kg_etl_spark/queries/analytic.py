@@ -1912,3 +1912,101 @@ FROM prod p JOIN stats s ON p.event_type = s.event_type
 
 QUERIES["autocorrelation"] = q_autocorrelation
 ORACLES["autocorrelation"] = ORACLE_AUTOCORRELATION
+
+
+# --- temporal graph: earliest-arrival reachability ---------------------
+
+
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting (temporal) reachability: earliest-arrival time
+    from a seed user over the transition graph where each edge u→v
+    carries the timestamp of v's event and may only be taken AT or
+    AFTER arriving at u — the temporal-network primitive (Holme &
+    Saramäki, Phys. Rep. 2012) that static reachability gets wrong
+    (paths must be time-ordered).
+
+    Fixed 3 relaxation rounds on BOTH sides (each round is one
+    edge-keyed shuffle: min arrival per head over tails satisfying
+    t ≥ ea(tail)), so the oracle unrolls the identical 3 rounds as
+    CTEs and the result is fully value-checked. Earliest-arrival
+    relaxation is monotone, so fixed-round prefixes are well-defined.
+    Seed = the global minimum user id, ea = 0."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+            F.lead(F.unix_micros("ts")).over(w).alias("t"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.min("t").alias("t"))  # keep earliest copy of each edge
+        .localCheckpoint(eager=True)
+    )
+    seed = edges.select(F.least(F.min("src"), F.min("dst")).alias("node"))
+    ea = seed.select("node", F.lit(0).cast("long").alias("ea"))
+    for _ in range(3):
+        relax = (
+            edges.join(
+                ea.select(F.col("node").alias("src"), F.col("ea").alias("_t0")),
+                "src",
+            )
+            .filter(F.col("t") >= F.col("_t0"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("t").alias("_cand"))
+        )
+        # full_outer merge; least() ignores NULLs, so a node seen on
+        # only one side keeps that side's arrival
+        ea = (
+            ea.join(relax, "node", "full_outer")
+            .select("node", F.least("ea", "_cand").alias("ea"))
+            .localCheckpoint(eager=True)
+        )
+    return ea.select("node", F.col("ea").alias("earliest_arrival_us"))
+
+
+ORACLE_TEMPORAL_REACHABILITY = """
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER w AS dst,
+         LEAD(epoch_us(ts)) OVER w AS t
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), e AS (
+  SELECT src, dst, MIN(t) AS t FROM raw
+  WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst
+), seed AS (
+  SELECT LEAST(MIN(src), MIN(dst)) AS node, CAST(0 AS BIGINT) AS ea FROM e
+), r1 AS (
+  SELECT node, MIN(ea) AS ea FROM (
+    SELECT node, ea FROM seed
+    UNION ALL
+    SELECT e.dst AS node, MIN(e.t) AS ea
+    FROM e JOIN seed s ON e.src = s.node AND e.t >= s.ea
+    GROUP BY e.dst
+  ) GROUP BY node
+), r2 AS (
+  SELECT node, MIN(ea) AS ea FROM (
+    SELECT node, ea FROM r1
+    UNION ALL
+    SELECT e.dst AS node, MIN(e.t) AS ea
+    FROM e JOIN r1 s ON e.src = s.node AND e.t >= s.ea
+    GROUP BY e.dst
+  ) GROUP BY node
+), r3 AS (
+  SELECT node, MIN(ea) AS ea FROM (
+    SELECT node, ea FROM r2
+    UNION ALL
+    SELECT e.dst AS node, MIN(e.t) AS ea
+    FROM e JOIN r2 s ON e.src = s.node AND e.t >= s.ea
+    GROUP BY e.dst
+  ) GROUP BY node
+)
+SELECT node, ea AS earliest_arrival_us FROM r3
+"""
+
+QUERIES["temporal_reachability"] = q_temporal_reachability
+ORACLES["temporal_reachability"] = ORACLE_TEMPORAL_REACHABILITY

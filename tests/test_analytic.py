@@ -509,3 +509,37 @@ def test_ab_test_counts(spark):
         c[v] += r["c"]
     got = QUERIES["ab_test_proportions"](spark, SF).collect()[0]
     assert (got["n1"], got["c1"], got["n2"], got["c2"]) == (n[0], c[0], n[1], c[1])
+
+
+def test_temporal_reachability_respects_time_order(spark):
+    rows = {
+        r["node"]: r["earliest_arrival_us"]
+        for r in QUERIES["temporal_reachability"](spark, SF).collect()
+    }
+    seed = min(rows)  # smallest user id is the seed by construction
+    assert rows[seed] == 0
+    # brute-force earliest arrival on the same edge list
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F, Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    edges = (
+        read_table(spark, SF, "events")
+        .select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+            F.lead(F.unix_micros("ts")).over(w).alias("t"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.min("t").alias("t"))
+        .collect()
+    )
+    ea = {seed: 0}
+    for _ in range(3):
+        nxt = dict(ea)
+        for e in edges:
+            if e["src"] in ea and e["t"] >= ea[e["src"]]:
+                nxt[e["dst"]] = min(nxt.get(e["dst"], e["t"]), e["t"])
+        ea = nxt
+    assert rows == ea
