@@ -2010,3 +2010,34 @@ SELECT node, ea AS earliest_arrival_us FROM r3
 
 QUERIES["temporal_reachability"] = q_temporal_reachability
 ORACLES["temporal_reachability"] = ORACLE_TEMPORAL_REACHABILITY
+
+
+# --- SQL surface: correlated scalar subqueries -------------------------
+
+# One-text SQL (runs verbatim in Spark SQL and DuckDB): correlated
+# scalar subqueries in the SELECT list + EXISTS/IN disjunction in the
+# WHERE — Catalyst decorrelates all three into outer joins + aggregates
+# (visible in PLANS.md: no per-row re-execution, unlike a naive
+# tuple-at-a-time engine).
+SQL_CORRELATED_SCALARS = """
+SELECT c.c_custkey,
+       c.c_nationkey,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+   OR c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def q_sql_correlated_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_CORRELATED_SCALARS)
+
+
+QUERIES["sql_correlated_scalars"] = q_sql_correlated_scalars
+ORACLES["sql_correlated_scalars"] = SQL_CORRELATED_SCALARS

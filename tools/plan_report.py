@@ -68,6 +68,7 @@ REPORT_QUERIES = [
     "dp_noisy_counts", "merge_upsert_delete",
     "distribution_moments", "ks_two_sample", "welch_t_test", "ewma_final",
     "benford_audit", "stock_running_floor",
+    "ab_test_proportions", "autocorrelation", "temporal_reachability",
 ]
 
 
