@@ -901,3 +901,46 @@ def test_python_streaming_datasource_exactly_once(spark, tmp_path):
         assert (
             r["event_id"], r["user_id"], r["event_type"], r["value"]
         ) == synth_event(r["event_id"])
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    # linearity: the streamed (multi-batch, versioned-merge) CMS equals
+    # the batch CMS over the union of rows, bit for bit — and the
+    # estimates never underestimate the true counts.
+    from kg_etl_spark.operators.sketches import cms_estimate
+    from kg_etl_spark.streaming.cms_stream import cms_state_estimate, cms_stream
+
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    rows1 = [{"event_id": i, "user_id": i % 7, "event_type": "click", "value": 1.0,
+              "ts": "2024-01-01T00:00:00.000Z"} for i in range(40)]
+    rows2 = [{"event_id": 100 + i, "user_id": i % 3, "event_type": "view", "value": 1.0,
+              "ts": "2024-01-01T01:00:00.000Z"} for i in range(30)]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    state_root = str(tmp_path / "cms_state")
+    q = cms_stream(stream, "user_id", state_root, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    batch_df = spark.read.schema(schema).json(str(src))
+    keys = batch_df.select("user_id").distinct()
+    streamed = {
+        r["user_id"]: r["cms_estimate"]
+        for r in cms_state_estimate(spark, state_root, keys, "user_id").collect()
+    }
+    batch = {
+        r["user_id"]: r["cms_estimate"]
+        for r in cms_estimate(batch_df, keys, "user_id").collect()
+    }
+    assert streamed == batch
+    true_counts = {
+        r["user_id"]: r["n"]
+        for r in batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, est in streamed.items():
+        assert est >= true_counts[k]  # CMS never underestimates
