@@ -69,6 +69,7 @@ REPORT_QUERIES = [
     "distribution_moments", "ks_two_sample", "welch_t_test", "ewma_final",
     "benford_audit", "stock_running_floor",
     "ab_test_proportions", "autocorrelation", "temporal_reachability",
+    "sql_correlated_scalars",
 ]
 
 
