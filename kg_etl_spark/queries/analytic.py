@@ -2041,3 +2041,190 @@ def q_sql_correlated_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_correlated_scalars"] = q_sql_correlated_scalars
 ORACLES["sql_correlated_scalars"] = SQL_CORRELATED_SCALARS
+
+
+# --- business analytics: Gini coefficient ------------------------------
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue (inequality audit):
+    G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over revenue sorted ascending
+    (rank tie-broken by custkey — a total order, so the rank·x sum is
+    deterministic). Revenue and the rank-weighted sum are exact
+    decimal aggregates; one global window (1 row out — at 100 TB the
+    sort is the cost, same note as ks_two_sample)."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        "rev", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("double").alias("s"),
+        F.sum((F.col("rnk") * F.col("rev")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rs"),
+    )
+    n = F.col("n").cast("double")
+    gini = F.lit(2.0) * F.col("rs") / (n * F.col("s")) - (n + 1) / n
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("s"), 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+ORACLE_REVENUE_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS rnk
+  FROM per_cust
+), agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(rev) AS DOUBLE) AS s,
+         CAST(SUM(CAST(rnk * rev AS DECIMAL(38,6))) AS DOUBLE) AS rs
+  FROM ranked
+)
+SELECT n AS n_customers,
+       ROUND(s, 2) AS total_revenue,
+       ROUND(2.0 * rs / (n * s) - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+FROM agg
+"""
+
+QUERIES["revenue_gini"] = q_revenue_gini
+ORACLES["revenue_gini"] = ORACLE_REVENUE_GINI
+
+
+# --- business analytics: RFM segmentation ------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order, relative to
+    the dataset max day), frequency (order count), monetary (revenue)
+    — each scored into quintiles with total tie-breaks, concatenated
+    into the classic 3-digit segment code. Three windows over one
+    per-customer aggregate; the max-day scalar broadcasts."""
+    orders = read_table(spark, sf_dir, "orders")
+    day = (F.unix_micros(F.col("o_orderdate")) / F.lit(DAY_US)).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+    )
+    mx = per_cust.agg(F.max("last_day").alias("mxd"))
+    base = per_cust.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.col("mxd") - F.col("last_day")
+    )
+    # recency: LOWER is better → score 5 for the most recent quintile
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("freq").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    inv = lambda q: F.lit(6) - q  # ntile 1 (best) -> score 5
+    return base.select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("freq").cast("long").alias("freq"),
+        F.round("monetary", 2).alias("monetary"),
+        inv(F.ntile(5).over(wr)).cast("int").alias("r_score"),
+        inv(F.ntile(5).over(wf)).cast("int").alias("f_score"),
+        inv(F.ntile(5).over(wm)).cast("int").alias("m_score"),
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), mx AS (SELECT MAX(last_day) AS mxd FROM per_cust)
+SELECT o_custkey,
+       CAST(mxd - last_day AS BIGINT) AS recency_days,
+       freq,
+       ROUND(monetary, 2) AS monetary,
+       CAST(6 - NTILE(5) OVER (ORDER BY mxd - last_day, o_custkey) AS INT) AS r_score,
+       CAST(6 - NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS INT) AS f_score,
+       CAST(6 - NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+FROM per_cust, mx
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = ORACLE_RFM
+
+
+# --- business analytics: cohort LTV curve ------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per acquisition cohort by age (30-day
+    periods since first order) — the LTV curve. Two hash-aggs + one
+    cumsum window per cohort; cohort sizes come from the first agg, so
+    the per-customer normalization never rescans orders."""
+    orders = read_table(spark, sf_dir, "orders")
+    day = (F.unix_micros(F.col("o_orderdate")) / F.lit(DAY_US)).cast("long")
+    with_day = orders.select("o_custkey", day.alias("day"), "o_totalprice")
+    firsts = with_day.groupBy("o_custkey").agg(F.min("day").alias("first_day"))
+    cohorted = with_day.join(firsts, "o_custkey").select(
+        (F.col("first_day") / 30).cast("long").alias("cohort"),
+        ((F.col("day") - F.col("first_day")) / 30).cast("long").alias("age"),
+        "o_totalprice",
+        "o_custkey",
+    )
+    sizes = cohorted.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    per_age = cohorted.groupBy("cohort", "age").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_age.withColumn("cum_rev", F.sum("rev").over(w).cast("double"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "cohort_size",
+            F.round("cum_rev", 2).alias("cum_revenue"),
+            F.round(F.col("cum_rev") / F.col("cohort_size"), 6).alias("ltv_per_user"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH wd AS (
+  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day, o_totalprice
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, MIN(day) AS first_day FROM wd GROUP BY o_custkey
+), cohorted AS (
+  SELECT f.first_day // 30 AS cohort, (w.day - f.first_day) // 30 AS age,
+         w.o_totalprice, w.o_custkey
+  FROM wd w JOIN firsts f ON w.o_custkey = f.o_custkey
+), sizes AS (
+  SELECT cohort, COUNT(DISTINCT o_custkey) AS cohort_size FROM cohorted GROUP BY cohort
+), per_age AS (
+  SELECT cohort, age, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM cohorted GROUP BY cohort, age
+), cum AS (
+  SELECT cohort, age,
+         CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+  FROM per_age
+)
+SELECT c.cohort, c.age, s.cohort_size,
+       ROUND(c.cum_rev, 2) AS cum_revenue,
+       ROUND(c.cum_rev / s.cohort_size, 6) AS ltv_per_user
+FROM cum c JOIN sizes s ON c.cohort = s.cohort
+"""
+
+QUERIES["cohort_ltv"] = q_cohort_ltv
+ORACLES["cohort_ltv"] = ORACLE_COHORT_LTV

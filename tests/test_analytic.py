@@ -543,3 +543,60 @@ def test_temporal_reachability_respects_time_order(spark):
                 nxt[e["dst"]] = min(nxt.get(e["dst"], e["t"]), e["t"])
         ea = nxt
     assert rows == ea
+
+
+def test_gini_known_distributions(spark):
+    # uniform revenue -> G = 0; extreme concentration -> G near 1
+    from kg_etl_spark.queries.analytic import QUERIES as _  # noqa: F401
+
+    def gini_of(vals):
+        n = len(vals)
+        xs = sorted(vals)
+        s = sum(xs)
+        rs = sum((i + 1) * x for i, x in enumerate(xs))
+        return 2 * rs / (n * s) - (n + 1) / n
+
+    assert abs(gini_of([5.0] * 10)) < 1e-12
+    assert gini_of([0.0001] * 9 + [1000.0]) > 0.85
+    # catalog value within [0, 1)
+    g = QUERIES["revenue_gini"](spark, SF).collect()[0]["gini"]
+    assert 0.0 <= g < 1.0
+
+
+def test_rfm_scores_quintile_balanced(spark):
+    rows = QUERIES["rfm_segments"](spark, SF).collect()
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            assert 1 <= r[col] <= 5
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1
+    # best recency scores 5: the most recent customer must hold an r_score of 5
+    best = min(rows, key=lambda r: (r["recency_days"], r["o_custkey"]))
+    assert best["r_score"] == 5
+
+
+def test_cohort_ltv_monotone_and_consistent(spark):
+    rows = QUERIES["cohort_ltv"](spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    total = 0.0
+    for _c, grp in by_cohort.items():
+        grp.sort(key=lambda r: r["age"])
+        prev = 0.0
+        for r in grp:
+            assert r["cum_revenue"] >= prev - 1e-6  # cumulative is monotone
+            prev = r["cum_revenue"]
+            assert abs(r["ltv_per_user"] * r["cohort_size"] - r["cum_revenue"]) < 0.01 * r["cohort_size"]
+        total += grp[-1]["cum_revenue"]
+    # final cumulative revenue across cohorts == total order revenue
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    want = (
+        read_table(spark, SF, "orders")
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2).cast("double"))
+        .collect()[0][0]
+    )
+    assert abs(total - want) < 0.5
