@@ -2228,3 +2228,62 @@ FROM cum c JOIN sizes s ON c.cohort = s.cohort
 
 QUERIES["cohort_ltv"] = q_cohort_ltv
 ORACLES["cohort_ltv"] = ORACLE_COHORT_LTV
+
+
+# --- business analytics: Lorenz curve ----------------------------------
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve behind `revenue_gini`: customers deciled by
+    revenue ascending (total tie-break), per-decile revenue share and
+    cumulative share — the concentration readout ("bottom 50% of
+    customers hold X% of revenue"). Exact decimal sums; one global
+    NTILE window + a 10-row cumsum."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    deciled = per_cust.select(
+        F.ntile(10).over(w).cast("int").alias("decile"), "rev"
+    )
+    per_d = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("rev"),
+    )
+    tot = per_d.agg(F.sum("rev").alias("t"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round((F.col("rev") / F.col("t")).cast("double"), 6).alias("rev_share"),
+            F.round(
+                (F.sum("rev").over(wc) / F.col("t")).cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+ORACLE_LORENZ = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders GROUP BY o_custkey
+), deciled AS (
+  SELECT CAST(NTILE(10) OVER (ORDER BY rev, o_custkey) AS INT) AS decile, rev
+  FROM per_cust
+), per_d AS (
+  SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS rev
+  FROM deciled GROUP BY decile
+), tot AS (SELECT SUM(rev) AS t FROM per_d)
+SELECT decile, n_customers,
+       ROUND(CAST(rev / t AS DOUBLE), 6) AS rev_share,
+       ROUND(CAST(SUM(rev) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t AS DOUBLE), 6)
+         AS cum_share
+FROM per_d, tot
+"""
+
+QUERIES["lorenz_curve"] = q_lorenz_curve
+ORACLES["lorenz_curve"] = ORACLE_LORENZ

@@ -600,3 +600,18 @@ def test_cohort_ltv_monotone_and_consistent(spark):
         .collect()[0][0]
     )
     assert abs(total - want) < 0.5
+
+
+def test_lorenz_curve_properties(spark):
+    rows = sorted(
+        QUERIES["lorenz_curve"](spark, SF).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # shares sum to 1, cumulative is convex-increasing, ends at 1
+    assert abs(sum(r["rev_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-6
+    prev_cum, prev_share = 0.0, 0.0
+    for r in rows:
+        assert r["cum_share"] >= prev_cum - 1e-9
+        assert r["rev_share"] >= prev_share - 1e-4  # sorted ascending deciles
+        prev_cum, prev_share = r["cum_share"], r["rev_share"]

@@ -70,7 +70,7 @@ REPORT_QUERIES = [
     "benford_audit", "stock_running_floor",
     "ab_test_proportions", "autocorrelation", "temporal_reachability",
     "sql_correlated_scalars",
-    "revenue_gini", "rfm_segments", "cohort_ltv",
+    "revenue_gini", "rfm_segments", "cohort_ltv", "lorenz_curve",
 ]
 
 
