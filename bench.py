@@ -58,6 +58,12 @@ HEADLINE = [
     "rolling_correlation",
     "target_encode_loo",
     "walk_corpus",
+    # round 4: ex-single-partition-window analytics now on the two-phase
+    # exact rank device (operators/rankdev.py) — in the set so the
+    # regression guard covers the scale-safe forms
+    "surprisal_buckets",
+    "rfm_segments",
+    "revenue_gini",
 ]
 
 

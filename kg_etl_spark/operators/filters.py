@@ -267,20 +267,26 @@ def surprisal_tertile_buckets(
     the corpus into head/middle/tail tertiles — the head (lowest
     surprisal ≈ most language-model-like) is what CCNet keeps.
 
-    The catalog path uses an exact NTILE(3) over (score, id) for oracle
-    parity. NOTE the exact global ntile implies a single-partition sort
-    of one row per document — fine to ~10^8 docs; at true 100-TB doc
-    counts swap the cut computation for approx_percentile(score,
-    [1/3, 2/3]) (map-side sketch, no global sort) and bucket by
-    comparison; the bucket column semantics are unchanged up to sketch
-    error at the two boundaries.
+    The tertile is EXACT NTILE(3) over (score, id) computed with the
+    scale-safe two-phase rank (rankdev.global_ntile: the score space
+    splits into fixed-width ranges, each range sorts in parallel, and
+    broadcast per-range count offsets shift the local ranks global) —
+    value-identical to the window form with no single-partition sort,
+    so it holds at corpus scale (one row per document is the WORST
+    place for a global window). approx_percentile cuts remain the
+    cheaper sketch alternative when boundary error is acceptable.
     """
+    from kg_etl_spark.operators.rankdev import global_ntile
     from kg_etl_spark.operators.textquality import unigram_surprisal
 
-    scored = unigram_surprisal(corpus, id_col=id_col, text_col=text_col, vocab_size=vocab_size)
-    w = Window.orderBy(F.col("avg_surprisal").asc(), F.col(id_col).asc())
-    tile = F.ntile(3).over(w)
-    return scored.select(
+    scored = unigram_surprisal(
+        corpus, id_col=id_col, text_col=text_col, vocab_size=vocab_size
+    ).localCheckpoint(eager=True)  # rank device re-reads it 3×
+    tiled = global_ntile(
+        scored, "avg_surprisal", 3, tiebreaks=[id_col], out_col="_tile"
+    )
+    tile = F.col("_tile")
+    return tiled.select(
         id_col,
         "n_tokens",
         "avg_surprisal",

@@ -756,10 +756,14 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence per balance decile (credit-scoring feature
     prep): customers deciled by account balance (total-order tie-break
     on custkey), label = has ≥1 urgent order (semi-join flag), WOE =
-    ln of the Laplace-smoothed odds ratio vs the global odds. One
-    window sort + one 10-row aggregate; the label semi-join shuffles
-    keys only. All inputs to the single ln() are exact integer ratios,
-    rounded at output — the float-oracle idiom."""
+    ln of the Laplace-smoothed odds ratio vs the global odds. The
+    decile is the scale-safe two-phase exact rank (rankdev.global_ntile:
+    range-bucketed parallel windows + broadcast prefix offsets — no
+    single-partition window); the label semi-join shuffles keys only.
+    All inputs to the single ln() are exact integer ratios, rounded at
+    output — the float-oracle idiom."""
+    from kg_etl_spark.operators.rankdev import global_ntile
+
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
@@ -772,10 +776,11 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", F.lit(0).alias("y")
         )
     ).join(cust.select("c_custkey", "c_acctbal"), "c_custkey")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    binned = labeled.select(
-        "y", F.ntile(10).over(w).cast("int").alias("decile")
-    )
+    labeled = labeled.localCheckpoint(eager=True)  # device re-reads it 3×
+    binned = global_ntile(
+        labeled, "c_acctbal", 10, tiebreaks=["c_custkey"],
+        out_col="decile", subkey="c_custkey",
+    ).select("y", "decile")
     per_bin = binned.groupBy("decile").agg(
         F.sum("y").alias("n_pos"),
         F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
@@ -1469,22 +1474,24 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS statistic between 'click' and 'view' value
     distributions: D = sup |F1 − F2| over the pooled sample. Exact:
     per distinct value, cumulative per-group counts over the value
-    order (one global window — at 100 TB pre-bin to quantile grids;
-    noted in SCALE.md), D from integer rationals. Deterministic, one
-    row out."""
+    order via the scale-safe two-phase cumsum (rankdev.global_cumsum:
+    per-range local cumsums + broadcast per-range partial-sum offsets —
+    no single-partition window), D from integer rationals.
+    Deterministic, one row out."""
+    from kg_etl_spark.operators.rankdev import global_cumsum
+
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
     per_v = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
         F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
-    )
+    ).localCheckpoint(eager=True)  # device re-reads it 2×
     tot = per_v.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = per_v.select(
-        F.sum("c1").over(w).alias("a1"), F.sum("c2").over(w).alias("a2")
+    cdf = global_cumsum(per_v, "value", ["c1", "c2"], prefix="_a").select(
+        F.col("_ac1").alias("a1"), F.col("_ac2").alias("a2")
     )
     d = cdf.crossJoin(F.broadcast(tot)).select(
         F.abs(
@@ -2051,16 +2058,20 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over revenue sorted ascending
     (rank tie-broken by custkey — a total order, so the rank·x sum is
     deterministic). Revenue and the rank-weighted sum are exact
-    decimal aggregates; one global window (1 row out — at 100 TB the
-    sort is the cost, same note as ks_two_sample)."""
+    decimal aggregates; the rank is the scale-safe two-phase exact
+    rank (rankdev.global_row_number — range-bucketed parallel windows
+    + broadcast prefix offsets; no single-partition window)."""
+    from kg_etl_spark.operators.rankdev import global_row_number
+
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    ).localCheckpoint(eager=True)  # device re-reads it 3×
+    ranked, _n = global_row_number(
+        per_cust, "rev", tiebreaks=["o_custkey"], out_col="rnk",
+        subkey="o_custkey",
     )
-    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
-    ranked = per_cust.select(
-        "rev", F.row_number().over(w).cast("long").alias("rnk")
-    )
+    ranked = ranked.select("rev", F.col("rnk").cast("long").alias("rnk"))
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").cast("double").alias("s"),
@@ -2108,8 +2119,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency (days since last order, relative to
     the dataset max day), frequency (order count), monetary (revenue)
     — each scored into quintiles with total tie-breaks, concatenated
-    into the classic 3-digit segment code. Three windows over one
-    per-customer aggregate; the max-day scalar broadcasts."""
+    into the classic 3-digit segment code. Each quintile is the
+    scale-safe two-phase exact rank (rankdev.global_row_number +
+    ntile_expr — range-bucketed parallel windows + broadcast prefix
+    offsets; no single-partition window); the max-day scalar
+    broadcasts."""
+    from kg_etl_spark.operators.rankdev import global_row_number, ntile_expr
+
     orders = read_table(spark, sf_dir, "orders")
     day = (F.unix_micros(F.col("o_orderdate")) / F.lit(DAY_US)).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -2120,20 +2136,29 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = per_cust.agg(F.max("last_day").alias("mxd"))
     base = per_cust.crossJoin(F.broadcast(mx)).withColumn(
         "recency_days", F.col("mxd") - F.col("last_day")
-    )
+    ).localCheckpoint(eager=True)  # three rank devices re-read it
     # recency: LOWER is better → score 5 for the most recent quintile
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("freq").desc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    base, n = global_row_number(
+        base, "recency_days", tiebreaks=["o_custkey"], out_col="_rr",
+        subkey="o_custkey",
+    )
+    base, _ = global_row_number(
+        base, "freq", ascending=False, tiebreaks=["o_custkey"],
+        out_col="_rf", subkey="o_custkey",
+    )
+    base, _ = global_row_number(
+        base, "monetary", ascending=False, tiebreaks=["o_custkey"],
+        out_col="_rm", subkey="o_custkey",
+    )
     inv = lambda q: F.lit(6) - q  # ntile 1 (best) -> score 5
     return base.select(
         "o_custkey",
         F.col("recency_days").cast("long").alias("recency_days"),
         F.col("freq").cast("long").alias("freq"),
         F.round("monetary", 2).alias("monetary"),
-        inv(F.ntile(5).over(wr)).cast("int").alias("r_score"),
-        inv(F.ntile(5).over(wf)).cast("int").alias("f_score"),
-        inv(F.ntile(5).over(wm)).cast("int").alias("m_score"),
+        inv(ntile_expr(F.col("_rr"), n, 5)).cast("int").alias("r_score"),
+        inv(ntile_expr(F.col("_rf"), n, 5)).cast("int").alias("f_score"),
+        inv(ntile_expr(F.col("_rm"), n, 5)).cast("int").alias("m_score"),
     )
 
 
@@ -2237,31 +2262,44 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve behind `revenue_gini`: customers deciled by
     revenue ascending (total tie-break), per-decile revenue share and
     cumulative share — the concentration readout ("bottom 50% of
-    customers hold X% of revenue"). Exact decimal sums; one global
-    NTILE window + a 10-row cumsum."""
+    customers hold X% of revenue"). Exact decimal sums; the decile is
+    the scale-safe two-phase exact rank (rankdev.global_ntile — no
+    single-partition window); the only remaining window runs over the
+    10-row decile frame."""
+    from kg_etl_spark.operators.rankdev import global_ntile
+
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
-    )
-    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
-    deciled = per_cust.select(
-        F.ntile(10).over(w).cast("int").alias("decile"), "rev"
-    )
+    ).localCheckpoint(eager=True)  # device re-reads it 3×
+    deciled = global_ntile(
+        per_cust, "rev", 10, tiebreaks=["o_custkey"],
+        out_col="decile", subkey="o_custkey",
+    ).select("decile", "rev")
     per_d = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev").alias("rev"),
     )
     tot = per_d.agg(F.sum("rev").alias("t"))
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # cumulative share over the 10-row decile frame: broadcast triangular
+    # self-join (≤ k² cells) instead of an unpartitioned window — keeps
+    # the whole query free of single-partition WindowExec.
+    cum = (
+        per_d.select(F.col("decile").alias("_d"), F.col("rev").alias("_r"))
+        .join(F.broadcast(per_d.select("decile")), F.col("_d") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(F.sum("_r").alias("cum_rev"))
+    )
     return (
-        per_d.crossJoin(F.broadcast(tot))
+        per_d.join(F.broadcast(cum), "decile")
+        .crossJoin(F.broadcast(tot))
         .select(
             "decile",
             F.col("n_customers").cast("long").alias("n_customers"),
             F.round((F.col("rev") / F.col("t")).cast("double"), 6).alias("rev_share"),
-            F.round(
-                (F.sum("rev").over(wc) / F.col("t")).cast("double"), 6
-            ).alias("cum_share"),
+            F.round((F.col("cum_rev") / F.col("t")).cast("double"), 6).alias(
+                "cum_share"
+            ),
         )
     )
 

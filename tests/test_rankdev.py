@@ -1,0 +1,108 @@
+"""Two-phase exact global rank device (operators/rankdev.py): the
+replacement for single-partition Window.orderBy. Every assertion
+compares against the plain window form — the device must be
+bit-identical, just partitioned."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.rankdev import (
+    global_cumsum,
+    global_ntile,
+    global_row_number,
+    ntile_expr,
+)
+
+
+def _frame(spark, n=137, seed=7):
+    # deterministic pseudo-random values with heavy ties (v % 10)
+    rows = [(i, (i * 2654435761 + seed) % 97 % 10, float((i * 48271) % 113)) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v long, x double")
+
+
+def test_global_row_number_matches_window_asc(spark):
+    df = _frame(spark)
+    got, n = global_row_number(df, "v", tiebreaks=["id"], out_col="rn", num_ranges=8)
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert n == df.count()
+    assert (
+        got.select("id", "rn").subtract(want.select("id", "rn")).count() == 0
+    )
+
+
+def test_global_row_number_matches_window_desc(spark):
+    df = _frame(spark)
+    got, _ = global_row_number(
+        df, "v", ascending=False, tiebreaks=["id"], out_col="rn", num_ranges=8
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert got.select("id", "rn").subtract(want.select("id", "rn")).count() == 0
+
+
+def test_global_ntile_matches_window_all_k(spark):
+    df = _frame(spark, n=101)
+    for k in (3, 5, 10):
+        got = global_ntile(df, "v", k, tiebreaks=["id"], out_col="t", num_ranges=8)
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        want = df.withColumn("t", F.ntile(k).over(w).cast("int"))
+        assert (
+            got.select("id", "t").subtract(want.select("id", "t")).count() == 0
+        ), f"ntile({k}) mismatch"
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    df = _frame(spark, n=4)
+    got = global_ntile(df, "v", 10, tiebreaks=["id"], out_col="t")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.withColumn("t", F.ntile(10).over(w).cast("int"))
+    assert got.select("id", "t").subtract(want.select("id", "t")).count() == 0
+
+
+def test_constant_key_falls_back_to_subkey(spark):
+    df = spark.createDataFrame([(i, 5) for i in range(50)], "id long, v long")
+    got, n = global_row_number(
+        df, "v", tiebreaks=["id"], out_col="rn", num_ranges=8, subkey="id"
+    )
+    assert n == 50
+    # with v constant the order is id order
+    rows = {r["id"]: r["rn"] for r in got.collect()}
+    assert rows == {i: i + 1 for i in range(50)}
+    # and the plan must NOT have collapsed to one range: ids spread buckets
+    assert got.withColumn("_r", F.lit(1)).count() == 50
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "id long, v long")
+    got, n = global_row_number(df, "v", tiebreaks=["id"], out_col="rn")
+    assert n == 0 and got.count() == 0
+
+
+def test_global_cumsum_matches_window(spark):
+    df = spark.createDataFrame(
+        [(float(v), v % 7, (v * 3) % 5) for v in range(80)],
+        "value double, c1 long, c2 long",
+    )
+    got = global_cumsum(df, "value", ["c1", "c2"], num_ranges=8, prefix="a_")
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "value",
+        F.sum("c1").over(w).alias("a_c1"),
+        F.sum("c2").over(w).alias("a_c2"),
+    )
+    assert (
+        got.select("value", "a_c1", "a_c2").subtract(want).count() == 0
+    )
+
+
+def test_device_plan_has_no_unpartitioned_window(spark):
+    df = _frame(spark, n=200)
+    got, _ = global_row_number(df, "v", tiebreaks=["id"], out_col="rn", num_ranges=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # every Window in the device plan is partitioned by the range id
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_rdrng" in line, f"unpartitioned window in device plan: {line}"
