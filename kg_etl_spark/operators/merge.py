@@ -39,20 +39,30 @@ def merge_into(
     columns under their names, source columns under ``src_<name>``).
     Clause order follows the standard: DELETE is tested before UPDATE.
     """
+    # Row-origin markers, NOT key nullability: a NULL merge key never
+    # equi-joins, so a NULL-keyed target row must land in the
+    # unmatched-target arm (standard MERGE retains it) — but after the
+    # full-outer join its __tk is NULL too, indistinguishable from a
+    # source-only row by key columns alone.
     src = source.select(
         F.col(on).alias("__sk"),
+        F.lit(True).alias("__is_s"),
         *[F.col(c).alias(f"src_{c}") for c in source.columns if c != on],
     )
-    j = target.withColumn("__tk", F.col(on)).join(
-        src, F.col("__tk") == F.col("__sk"), "full_outer"
+    j = (
+        target.withColumn("__tk", F.col(on))
+        .withColumn("__is_t", F.lit(True))
+        .join(src, F.col("__tk") == F.col("__sk"), "full_outer")
     )
-    matched = F.col("__tk").isNotNull() & F.col("__sk").isNotNull()
-    target_only = F.col("__tk").isNotNull() & F.col("__sk").isNull()
-    source_only = F.col("__tk").isNull() & F.col("__sk").isNotNull()
+    matched = F.col("__is_t").isNotNull() & F.col("__is_s").isNotNull()
+    target_only = F.col("__is_t").isNotNull() & F.col("__is_s").isNull()
+    source_only = F.col("__is_t").isNull() & F.col("__is_s").isNotNull()
 
     keep = target_only
     if matched_delete is not None:
-        keep = keep | (matched & ~matched_delete)
+        # SQL WHEN MATCHED AND cond THEN DELETE: a NULL condition does
+        # NOT fire the clause — the row falls through to UPDATE.
+        keep = keep | (matched & ~F.coalesce(matched_delete, F.lit(False)))
     else:
         keep = keep | matched
     if not_matched_insert is not None:

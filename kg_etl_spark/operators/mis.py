@@ -6,11 +6,22 @@ pure function of the graph (re-runnable, and a fixed-round prefix is
 value-checkable against unrolled SQL).
 
 Round r:
-  priority p_r(v) = (A·v + C·r) mod P          (P = 2^31−1)
-  select v if p_r(v) < p_r(u) for EVERY active neighbor u
-           (ties impossible: v ↦ A·v mod P is injective on id ranges
-            < P, and neighbors are distinct ids)
+  priority p_r(v) = (A^(r+1)·(v mod P) + C) mod P     (P = 2^31−1)
+  select v if (p_r(v), v) <lex (p_r(u), u) for EVERY active neighbor
+           u — the node id breaks priority ties (ids ≥ P or congruent
+           mod P can collide in p_r; the lexicographic struct
+           comparison keeps the selection a strict total order, so no
+           adjacent pair can deadlock across rounds)
   deactivate selected ∪ neighbors(selected); repeat.
+
+The round enters MULTIPLICATIVELY (A^(r+1) mod P, computed in Python
+per round): per-round priority orders decorrelate, preserving Luby's
+geometric-shrink expectation — an additive round shift would cancel
+in every comparison and freeze one global order, degenerating to
+sequential greedy MIS on adversarial chains. Round 0 reduces to
+(A·v + C) mod P, which is what the planted-recall oracle unrolls.
+(v mod P) is applied before the multiply so the arithmetic stays
+within 64 bits for any long id: (P−1)² < 2⁶³.
 
 Every selected set is independent by construction; on termination
 (no active vertices) it is maximal: a vertex only deactivates by
@@ -34,7 +45,13 @@ _P = 2_147_483_647
 
 
 def _prio(node, r: int):
-    return (F.lit(_A) * node + F.lit(_C * (r + 1))) % F.lit(_P)
+    a = pow(_A, r + 1, _P)  # Python-side: r is a loop constant
+    return (F.lit(a) * F.pmod(node, F.lit(_P)) + F.lit(_C)) % F.lit(_P)
+
+
+def _prio_key(node, r: int):
+    """Lexicographic (priority, id) — the tie-broken total order."""
+    return F.struct(_prio(node, r).alias("p"), node.alias("n"))
 
 
 def luby_mis(edges: DataFrame, *, max_rounds: int = 30) -> DataFrame:
@@ -57,7 +74,7 @@ def luby_mis(edges: DataFrame, *, max_rounds: int = 30) -> DataFrame:
             break
         min_nbr = (
             adj.select(
-                "src", _prio(F.col("dst"), r).alias("_np")
+                "src", _prio_key(F.col("dst"), r).alias("_np")
             )
             .groupBy("src")
             .agg(F.min("_np").alias("_mn"))
@@ -68,7 +85,7 @@ def luby_mis(edges: DataFrame, *, max_rounds: int = 30) -> DataFrame:
                 "node",
                 (
                     F.col("_mn").isNull()  # isolated in active subgraph
-                    | (_prio(F.col("node"), r) < F.col("_mn"))
+                    | (_prio_key(F.col("node"), r) < F.col("_mn"))
                 ).alias("_sel"),
             )
             .localCheckpoint(eager=True)
@@ -95,6 +112,12 @@ def luby_mis(edges: DataFrame, *, max_rounds: int = 30) -> DataFrame:
             .join(active.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+    if not settled_parts:  # empty input / self-loops only: no vertices
+        return active.select(
+            "node",
+            F.lit(True).alias("selected"),
+            F.lit(0).alias("round"),
+        ).limit(0)
     out = settled_parts[0]
     for p in settled_parts[1:]:
         out = out.union(p)

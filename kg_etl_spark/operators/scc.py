@@ -375,15 +375,34 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
 
-    out = settled_parts[0]
-    for p in settled_parts[1:]:
-        out = out.union(p)
-    # anything still active after max_outer levels settles as its own id
-    # — a 4^30-deep recursion bound, not a silent wrong answer in
-    # practice; documented escape hatch.
+    if settled_parts:
+        out = settled_parts[0]
+        for p in settled_parts[1:]:
+            out = out.union(p)
+    else:  # empty input / self-loops-only: no vertices to settle
+        out = active.select("node", F.col("node").alias("scc_id")).limit(0)
+    # Anything still active after max_outer levels settles as its own id
+    # (a 4^30-deep recursion bound) — but NEVER silently: a non-empty
+    # leftover means those singleton labels may be WRONG (unsplit SCCs),
+    # so it is counted and warned loudly. (Round-3 lesson: a mislabeled
+    # own-id fallback passes every planted oracle while being wrong at
+    # scale — silent-wrong must become visible failure.)
     leftover = active.select("node").join(out, "node", "left_anti").select(
         "node", F.col("node").alias("scc_id")
     )
+    n_left = leftover.limit(1).count()
+    if n_left > 0:
+        import warnings
+
+        warnings.warn(
+            "strongly_connected_components: recursion bound "
+            f"max_outer={max_outer} exhausted with vertices still "
+            "unsettled; they are emitted as singleton SCCs and may be "
+            "WRONG (unsplit components). Raise max_outer or "
+            "cutover_edges.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return out.union(leftover)
 
 

@@ -406,7 +406,15 @@ def q_scc_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dst"),
     )
-    mins = picked.groupBy("c_nationkey").agg(F.min("c_custkey").alias("mn"))
+    # cross-edge endpoints only from nations with >= 2 picked customers
+    # (= nations that actually form a cycle): a 1-customer nation's
+    # self-loop is filtered inside the operator, so a cross edge touching
+    # it would emit a singleton SCC the oracle's g.m >= 2 gate omits
+    mins = (
+        picked.groupBy("c_nationkey")
+        .agg(F.min("c_custkey").alias("mn"), F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= 2)
+    )
     cross = mins.agg(
         F.min("mn").alias("src"), F.max("mn").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
@@ -1161,9 +1169,11 @@ WITH ranked AS (
          (1103515245 * dst + 1013904223) % 2147483647 AS pd
   FROM pairs
 )
-SELECT src AS node, ps < pd AS selected, 0 AS round FROM pri
+SELECT src AS node,
+       (ps < pd OR (ps = pd AND src < dst)) AS selected, 0 AS round FROM pri
 UNION ALL
-SELECT dst AS node, pd < ps AS selected, 0 AS round FROM pri
+SELECT dst AS node,
+       (pd < ps OR (pd = ps AND dst < src)) AS selected, 0 AS round FROM pri
 """
 
 QUERIES["mis_planted_recall"] = q_mis_planted_recall

@@ -1138,10 +1138,19 @@ ORACLES["ngram_jaccard_prefix"] = ORACLE_NGRAM_JACCARD
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal per document (bits/char) plus
     alphabet size — shuffle-free map pass (see
-    operators/textquality.py `char_entropy`)."""
+    operators/textquality.py `char_entropy`).
+
+    Domain: non-empty texts, filtered EXPLICITLY on the Spark side so
+    both engines drop the same rows (the oracle's per-char join drops
+    empty texts implicitly). BMP-only contract: Spark's split("")
+    yields UTF-16 code units while DuckDB string_split yields
+    codepoints — identical for BMP text (the documents fixture), they
+    diverge on surrogate pairs; documented, not special-cased."""
     from kg_etl_spark.operators.textquality import char_entropy
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
     chars = F.filter(F.split(F.col("text"), ""), lambda x: x != F.lit(""))
     return docs.select(
         "doc_id",

@@ -50,3 +50,22 @@ def test_mis_deterministic_rerun(spark):
     a = sorted((r["node"], r["selected"], r["round"]) for r in luby_mis(df).collect())
     b = sorted((r["node"], r["selected"], r["round"]) for r in luby_mis(df).collect())
     assert a == b
+
+
+def test_mis_empty_and_selfloop_only_inputs(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert luby_mis(empty).count() == 0
+    loops = spark.createDataFrame([(5, 5)], ["src", "dst"])
+    assert luby_mis(loops).count() == 0
+
+
+def test_mis_priority_tie_ids_congruent_mod_p(spark):
+    # 2^31-1 = Luby prime P: ids v and v+P collide in every round's
+    # priority; the (priority, id) struct tie-break must still settle
+    # them (pre-fix they ping-ponged forever and vanished from output)
+    P = 2_147_483_647
+    edges = [(7, 7 + P), (7 + P, 7 + 2 * P)]  # path of 3 congruent ids
+    sel, allv, rows = _run(spark, edges)
+    assert allv == {7, 7 + P, 7 + 2 * P}
+    _check_invariants(edges, sel, allv)
+    assert len(rows) == 3  # all settled, exactly once

@@ -57,3 +57,41 @@ def test_scc_sizes_consistent(spark):
         for r in scc_sizes(strongly_connected_components(df)).collect()
     }
     assert out == {1: (1, 2), 2: (1, 2), 3: (3, 1)}
+
+
+def test_scc_empty_and_selfloop_only_inputs(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert strongly_connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2), (1, 1)], ["src", "dst"])
+    assert strongly_connected_components(loops).count() == 0
+
+
+def test_scc_exhausted_recursion_warns(spark):
+    import warnings
+
+    # chain of 3 cycles: one FW-BW round settles only the pivot's cycle,
+    # so max_outer=1 with the cutover disabled leaves vertices unsettled
+    edges = []
+    for b in (0, 10, 20):
+        edges += [(b + 1, b + 2), (b + 2, b + 3), (b + 3, b + 1)]
+    edges += [(3, 11), (13, 21)]  # DAG bridges between the cycles
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = strongly_connected_components(df, max_outer=1, cutover_edges=0)
+        n = out.count()
+    assert n == 9  # every vertex still gets a row (escape-hatch labels)
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "max_outer" in str(w.message)
+        for w in caught
+    ), "exhausted recursion must warn"
+    # normal bound: same graph, no warning
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        comps, _ = _run(spark, edges)
+    assert comps == {
+        frozenset({1, 2, 3}),
+        frozenset({11, 12, 13}),
+        frozenset({21, 22, 23}),
+    }
+    assert not any(issubclass(w.category, RuntimeWarning) for w in caught2)
