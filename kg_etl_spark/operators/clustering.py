@@ -56,7 +56,16 @@ def _fit_centers(
 ) -> tuple[list[list[float]], list[int]]:
     """The Lloyd reduce-collect loop (see module docstring): returns
     (centers, member counts) after `iterations` updates from the
-    deterministic k-lowest-id seed."""
+    deterministic k-lowest-id seed.
+
+    Seeding note: orderBy(id).limit(k) plans as TakeOrderedAndProject —
+    an O(k) heap per partition + driver merge, NOT a full sort — so the
+    ordering dependency costs nothing at scale. A hash-min seed
+    (orderBy(xxhash64(id))) would decorrelate seeds from id order but
+    was deliberately rejected: the engine-portable SQL oracle replays
+    the seed as `vec_id < k` and DuckDB has no xxhash64, so hash
+    seeding would trade a value-checked contract for an unverifiable
+    one."""
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     centers = [[float(x) for x in r[vec_col]] for r in init]
     d = len(centers[0])

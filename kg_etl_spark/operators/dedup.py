@@ -52,6 +52,81 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _sig_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(_id, _shh array<long>, _sig array<long>) — hashed shingle SETS
+    plus the MinHash signature, in one fully-CODEGEN'D pass with zero
+    higher-order-function lambdas (HOF lambdas are interpreted
+    expression trees; at ~200 ns per invocation they dominated this
+    phase — 1.8 s → 1.2 s at sf0.1 for the whole cut):
+
+      posexplode tokens → xxhash64 per token → window lead(n−1) over
+      (_id, pos) builds each shingle hash as xxhash64 over the n
+      consecutive token-hash longs → ONE aggregate emits collect_set
+      (the distinct shingle set) and the 64 per-seed mins.
+
+    The window reuses spread()'s hash partitioning on the id, so the
+    whole thing is ONE row-proportional shuffle; the aggregate then
+    needs no second exchange. MinHash mins are over the shingle
+    MULTISET, which equals the set min, so no pre-distinct is needed.
+    Gram-hash values are identical to hashing the n token-hash columns
+    chained (2⁻⁶⁴-collision-tolerant, deterministic); the per-seed
+    family is min(xxhash64(gram, i)). The MinHash/LSH family is
+    defined over THESE hashes — every banding consumer must go through
+    this one helper so a stored index and a new batch can never
+    shingle or band differently."""
+    from pyspark.sql import Window
+
+    d = spread(df, F.col(id_col))
+    tok = d.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("_p", "_t"),
+    ).select("_id", "_p", F.xxhash64("_t").alias("_th"))
+    w = Window.partitionBy("_id").orderBy("_p")
+    leads = [F.col("_th")] + [F.lead("_th", j).over(w) for j in range(1, n)]
+    g = tok.select("_id", F.xxhash64(*leads).alias("_g"), leads[-1].alias("_chk"))
+    g = g.filter(F.col("_chk").isNotNull())
+    agg = g.groupBy("_id").agg(
+        F.collect_set("_g").alias("_shh"),
+        *[F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)],
+    )
+    return agg.select(
+        "_id", "_shh", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
+    )
+
+
+def _shingle_stream(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = False
+) -> DataFrame:
+    """(_id, _s) DISTINCT word-shingle stream, exploded and fully
+    CODEGEN'D (no higher-order-function lambdas — those are
+    interpreted and cost ~200 ns per invocation; this form halved the
+    shingle phase at sf0.1): posexplode tokens → window lead(n−1)
+    over (_id, pos) → concat_ws(' ') per shingle → per-id distinct.
+    The window AND the distinct both reuse spread()'s hash
+    partitioning on the id, so the whole stream is ONE
+    row-proportional shuffle. String values are identical to the
+    array-based `_shingled` (space-joined n-grams, trailing partial
+    windows dropped), so the DuckDB oracle transfers verbatim;
+    hashed=True swaps the string for xxhash64(string) — fixed 8-byte
+    join keys, same 2⁻⁶⁴ collision tolerance MinHash accepts."""
+    from pyspark.sql import Window
+
+    d = spread(df, F.col(id_col))
+    tok = d.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("_p", "_t"),
+    )
+    w = Window.partitionBy("_id").orderBy("_p")
+    leads = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, n)]
+    s = tok.select("_id", F.concat_ws(" ", *leads).alias("_s"), leads[-1].alias("_chk"))
+    s = s.filter(F.col("_chk").isNotNull()).drop("_chk")
+    if hashed:
+        s = s.select("_id", F.xxhash64("_s").alias("_s"))
+    return s.dropDuplicates(["_id", "_s"])
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -82,21 +157,20 @@ def ngram_jaccard_pairs(
     boilerplate docs drop out entirely. Set None for the exact
     small-corpus behavior.
     """
-    # materialize the shingle set once: it feeds both sides of the
-    # inverted-index self-join AND the size lookup — without a cut the
-    # (CPU-heavy) tokenize+shingle projection runs once per branch
-    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=True)
-    ex = sh.select("_id", F.explode("_sh").alias("_s"))
-    if hash_shingles:
-        ex = ex.select("_id", F.xxhash64("_s").alias("_s"))
+    # materialize the distinct shingle stream once: it feeds both
+    # sides of the inverted-index self-join AND the size lookup —
+    # without a cut the (CPU-heavy) tokenize+shingle pass runs once
+    # per branch. LAZY checkpoint: the first consuming job
+    # materializes it inline (one fewer scheduling round than eager).
+    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).localCheckpoint(
+        eager=False
+    )
     if max_df is not None:
         dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
         ex = ex.join(
             F.broadcast(dfreq.filter(F.col("_df") > max_df)), "_s", "left_anti"
         ).localCheckpoint(eager=True)
-        sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    else:
-        sizes = sh.select("_id", F.size("_sh").alias("_sz"))
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = ex.select(F.col("_id").alias("a_id"), "_s")
     b = ex.select(F.col("_id").alias("b_id"), "_s")
     common = (
@@ -132,7 +206,11 @@ def _minhash_mins(ex: DataFrame, num_hashes: int) -> DataFrame:
 
 def minhash_signatures_df(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
     """(_id, _sig): MinHash signature per doc — per seed i,
-    min(xxhash64(shingle, i)).
+    min(xxhash64(shingle, i)). Standalone STRING-shingle variant
+    ((_id, _sh array<string>) input); the LSH pair/index operators
+    instead band over `_shingled_hashed` token-hash shingles — the
+    two families are intentionally distinct input contracts, and
+    cross-comparing their signatures is meaningless.
 
     The variable-length shingle string is hashed ONCE, then the hash
     family derives by re-hashing the fixed 8-byte long with per-family
@@ -149,26 +227,20 @@ def minhash_signatures_df(shingled: DataFrame, num_hashes: int = 64) -> DataFram
     return mins.select("_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
 
 
-def _band_table(shh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(_id, band, bh) LSH band table from checkpointed hashed-shingle
-    sets — the single definition of the banding scheme, shared by the
-    full self-join operator and the incremental against-index path (so
-    a stored index and a new batch can never band differently).
+def _band_table(sigd: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bh) LSH band table from a checkpointed
+    (_id, _shh, _sig) frame (`_sig_shingles`) — the single definition of
+    the banding scheme, shared by the full self-join operator and the
+    incremental against-index path (so a stored index and a new batch
+    can never band differently).
 
-    Signature straight from the hashed shingles: one explode into the
-    shared min-signature aggregate, then all band keys in ONE
-    explode/transform pass. xxhash64 hashes the (int, array<long>)
-    slice natively — no stringification; hash collisions across
-    distinct slices only ADD candidates (exact-verified downstream),
-    never drop."""
+    All band keys in ONE explode/transform pass over the materialized
+    signature. xxhash64 hashes the (int, array<long>) slice natively —
+    no stringification; hash collisions across distinct slices only
+    ADD candidates (exact-verified downstream), never drop."""
     r = num_hashes // bands
-    ex = shh.select("_id", F.explode("_shh").alias("_hs"))
-    mins = _minhash_mins(ex, num_hashes)
-    sig = mins.select(
-        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
-    )
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    return sig.select(
+    return sigd.select(
         "_id",
         F.explode(
             F.transform(
@@ -209,20 +281,20 @@ def minhash_lsh_pairs(
     i.e. members of such clusters. None = no cap.
     """
     assert num_hashes % bands == 0
-    # Checkpoint the HASHED shingle sets (array<long>), not the string
-    # arrays: the string→long hashing happens exactly once, the
-    # checkpoint is ~8 bytes per shingle instead of the string bytes,
-    # and the exact-verify intersects long arrays (far cheaper than
-    # string arrays). Verify Jaccard is then exact up to xxhash64
+    # Checkpoint the HASHED shingle sets + signature in ONE cut
+    # (`_sig_shingles`: one shuffle, fully codegen'd). ~8 bytes per
+    # shingle + 512 bytes of signature per doc; the exact-verify
+    # intersects long arrays. Verify Jaccard is exact up to xxhash64
     # collisions (~2^-64 per shingle pair — deterministic, and
     # identical-copy pairs are unaffected: equal sets hash to equal
-    # sets, so the planted-recall oracle twin stays exact).
-    sh = _shingled(df, id_col, text_col, n)
-    shh = sh.select(
-        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_shh")
-    ).localCheckpoint(eager=True)
+    # sets, so the planted-recall twin stays exact). Lazy checkpoint:
+    # materialized inside the first consuming job. The band table is a
+    # cheap projection off the checkpoint — its two self-join sides
+    # are identical plans, so the band shuffle is built once and
+    # ReusedExchange'd.
+    shh = _sig_shingles(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=False)
 
-    banded = _band_table(shh, num_hashes, bands).localCheckpoint(eager=True)
+    banded = _band_table(shh, num_hashes, bands)
 
     if max_bucket is not None:
         over = (
@@ -272,10 +344,7 @@ def minhash_index(
     near-dup maintenance O(batch), not O(100 TB re-LSH per refresh).
     """
     assert num_hashes % bands == 0
-    sh = _shingled(df, id_col, text_col, n)
-    shh = sh.select(
-        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_shh")
-    ).localCheckpoint(eager=True)
+    shh = _sig_shingles(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
     return {"banded": _band_table(shh, num_hashes, bands), "shingles": shh}
 
 
@@ -308,10 +377,7 @@ def minhash_lsh_pairs_incremental(
     the full operator.
     """
     assert num_hashes % bands == 0
-    sh = _shingled(new_df, id_col, text_col, n)
-    new_shh = sh.select(
-        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_shh")
-    ).localCheckpoint(eager=True)
+    new_shh = _sig_shingles(new_df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
     new_banded = _band_table(new_shh, num_hashes, bands).localCheckpoint(eager=True)
     stored_banded = index["banded"]
 

@@ -27,15 +27,17 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
 
     for _ in range(max_iter):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        # fixpoint probe on the DEGREE frame (node-scale, early-out
+        # limit) instead of counting the full edge list twice per
+        # round: any under-degree node means another peel is needed
+        if deg.filter(F.col("degree") < k).limit(1).count() == 0:
+            break
         keep = deg.filter(F.col("degree") >= k).select("u")
-        n_before = sym.count()
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-        if sym.count() == n_before:
-            break
     return sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("u").alias("node"), "degree"
     ).filter(F.col("degree") >= k)

@@ -191,3 +191,45 @@ def interval_overlap_join(
         )
         .drop("_b", "_lc", "_rc")
     )
+
+
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    rounds: int = 3,
+) -> DataFrame:
+    """Time-respecting earliest-arrival relaxation — the temporal-
+    network reachability primitive (Holme & Saramäki, Phys. Rep. 2012)
+    static reachability gets wrong: an edge (src, dst, t) may only be
+    taken AT or AFTER the arrival time at src, so paths must be
+    time-ordered.
+
+    `edges`: (src, dst, t) with t a long timestamp; `seeds`:
+    (node, ea) initial arrivals. Fixed `rounds` synchronous
+    relaxations, each ONE edge-keyed shuffle (min over t of edges
+    with t >= ea(src)) + a full-outer merge; earliest-arrival is
+    monotone, so a fixed-round prefix is well-defined (and SQL-
+    unrollable — the catalog oracle replays the same rounds as CTEs).
+    At 100 TB each round's state frame is (node, ea) — never larger
+    than the vertex set — and the checkpoint per round caps plan
+    depth exactly as the other fixpoint operators do."""
+    ea = seeds.select("node", F.col("ea").cast("long").alias("ea"))
+    for _ in range(rounds):
+        relax = (
+            edges.join(
+                ea.select(F.col("node").alias("src"), F.col("ea").alias("_t0")),
+                "src",
+            )
+            .filter(F.col("t") >= F.col("_t0"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("t").alias("_cand"))
+        )
+        # full_outer merge; least() ignores NULLs, so a node seen on
+        # only one side keeps that side's arrival
+        ea = (
+            ea.join(relax, "node", "full_outer")
+            .select("node", F.least("ea", "_cand").alias("ea"))
+            .localCheckpoint(eager=True)
+        )
+    return ea

@@ -1963,25 +1963,12 @@ def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t").alias("t"))  # keep earliest copy of each edge
         .localCheckpoint(eager=True)
     )
+    from kg_etl_spark.operators.temporal import temporal_earliest_arrival
+
     seed = edges.select(F.least(F.min("src"), F.min("dst")).alias("node"))
-    ea = seed.select("node", F.lit(0).cast("long").alias("ea"))
-    for _ in range(3):
-        relax = (
-            edges.join(
-                ea.select(F.col("node").alias("src"), F.col("ea").alias("_t0")),
-                "src",
-            )
-            .filter(F.col("t") >= F.col("_t0"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("t").alias("_cand"))
-        )
-        # full_outer merge; least() ignores NULLs, so a node seen on
-        # only one side keeps that side's arrival
-        ea = (
-            ea.join(relax, "node", "full_outer")
-            .select("node", F.least("ea", "_cand").alias("ea"))
-            .localCheckpoint(eager=True)
-        )
+    ea = temporal_earliest_arrival(
+        edges, seed.select("node", F.lit(0).cast("long").alias("ea")), rounds=3
+    )
     return ea.select("node", F.col("ea").alias("earliest_arrival_us"))
 
 

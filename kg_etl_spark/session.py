@@ -13,8 +13,14 @@ import os
 from pyspark.sql import SparkSession
 
 # AQE coalesces small post-shuffle partitions at runtime, so a value
-# sized for the largest stage is safe for the small ones too.
-DEFAULT_SHUFFLE_PARTITIONS = "32"
+# sized for the largest stage is safe for the small ones too. 16 (not
+# 32) is the measured local-mode sweet spot at bench SF — the mapper
+# split count, which AQE can't shrink, dominates tiny stages (A/B on
+# the 10 heaviest queries: 16 → 12.4-13.0 s vs 32 → 13.9-14.3 s).
+# Cluster deployments size this to the data (SCALE.md), and every
+# catalog query is partition-count-independent by the determinism
+# gate (tools/check_determinism.py runs 7 vs 32).
+DEFAULT_SHUFFLE_PARTITIONS = "16"
 
 
 def get_spark(app_name: str = "kg_etl_spark", shuffle_partitions: str | None = None) -> SparkSession:
@@ -85,6 +91,17 @@ _NANOS_TS_COLS = {
 }
 
 
+import weakref
+
+# Per-session memo of analyzed scan DataFrames: file listing + footer
+# schema read + conf round-trips cost ~75 ms per read_table call, and a
+# catalog query calls it 1-4×. The DataFrame is a lazy plan — data is
+# still read fresh at every action — so memoizing is pure overhead
+# removal. Weak-keyed so a stopped/collected session never leaks or
+# resurrects stale plans into a new session.
+_READ_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Scan one testdata table (plain parquet; pushdown/pruning native).
 
@@ -96,6 +113,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     external driver) may inject a session built without ``get_spark``,
     and it is a runtime-settable SQL conf.
     """
+    try:
+        memo = _READ_MEMO.setdefault(spark, {})
+    except TypeError:  # non-weakrefable session stub (tests/mocks)
+        memo = {}
+    key = (sf_dir, name)
+    if key in memo:
+        return memo[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Read tz-less µs timestamps as instants (not TIMESTAMP_NTZ) and pin
     # the session to UTC: stored micros == epoch micros, identical to
@@ -108,4 +132,5 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    memo[key] = df
     return df

@@ -245,8 +245,121 @@ def stress_scc_dist(spark):
             f"(giant SCC {giant}, {n_nodes} nodes)")
 
 
+def stress_temporal(spark):
+    # deep time-chain, forward AND time-reversed: 1M-node chain where
+    # edge i -> i+1 carries t=i (every step time-feasible) vs t=N-i
+    # (every step after the first time-blocked). Invariants are exact:
+    # forward reaches exactly rounds+1 nodes with ea(k)=k-1; reversed
+    # reaches exactly 2 no matter how many rounds (the property static
+    # reachability gets wrong).
+    from kg_etl_spark.operators.temporal import temporal_earliest_arrival
+
+    n, rounds = 1_000_000, 8
+    base = spark.range(n - 1)
+    fwd = base.select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"), F.col("id").alias("t")
+    ).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame([(0, 0)], "node long, ea long")
+    t0 = time.time()
+    ea_f = temporal_earliest_arrival(fwd, seeds, rounds=rounds)
+    reached_f = ea_f.count()
+    sum_f = ea_f.agg(F.sum("ea")).collect()[0][0]
+    dt_f = time.time() - t0
+    want_sum = sum(k - 1 for k in range(1, rounds + 1))
+    assert reached_f == rounds + 1, (reached_f, rounds + 1)
+    assert sum_f == want_sum, (sum_f, want_sum)
+
+    rev = base.select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"),
+        (F.lit(n) - F.col("id")).alias("t"),
+    ).localCheckpoint(eager=True)
+    t1 = time.time()
+    reached_r = temporal_earliest_arrival(rev, seeds, rounds=rounds).count()
+    dt_r = time.time() - t1
+    assert reached_r == 2, reached_r
+    return (f"temporal: {n-1}-edge chain, {rounds} rounds in {dt_f:.1f}s fwd "
+            f"(reached {reached_f}, ea-sum ok) / {dt_r:.1f}s reversed (reached {reached_r})")
+
+
+def stress_propagation(spark):
+    # long dependency chain: 1M-node path (symmetrized), 5 rounds.
+    # Invariants: a constant field is a FIXPOINT of smoothing (blend of
+    # x and mean(x)=x is x), and any field's output stays inside the
+    # input [min, max] envelope (means and convex blends can't escape).
+    from kg_etl_spark.operators.propagation import feature_propagation
+
+    n, rounds = 1_000_000, 5
+    base = spark.range(n - 1)
+    e = base.select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    const = nodes.select("node", F.lit(123_456).cast("long").alias("feat_micro"))
+    t0 = time.time()
+    out_c = feature_propagation(edges, const, rounds=rounds)
+    bad = out_c.filter(F.col("feat_micro") != 123_456).count()
+    dt_c = time.time() - t0
+    assert bad == 0, f"{bad} nodes drifted off the constant fixpoint"
+
+    grad = nodes.select(
+        "node", (F.col("node") % 1000 * 1000).cast("long").alias("feat_micro")
+    )
+    t1 = time.time()
+    out_g = feature_propagation(edges, grad, rounds=rounds)
+    mm = out_g.agg(
+        F.min("feat_micro").alias("lo"), F.max("feat_micro").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    dt_g = time.time() - t1
+    assert mm["n"] == n and 0 <= mm["lo"] and mm["hi"] <= 999_000, dict(mm.asDict())
+    return (f"propagation: 1M-node chain, {rounds} rounds in {dt_c:.1f}s const "
+            f"(fixpoint exact) / {dt_g:.1f}s gradient (envelope [{mm['lo']},{mm['hi']}])")
+
+
+def stress_ppr(spark):
+    # personalized pagerank at 10x: same 1.5M-edge graph as
+    # stress_pagerank, teleport restricted to node%50==0 seeds. Checks
+    # (a) restart mass stays on the seed-reachable set (symmetrized
+    # graph: total mass == 1 within fp tolerance) and (b) the job count
+    # under AQE stays O(iterations) — the 37-Exchange static plan must
+    # not re-execute per stage.
+    n, deg, iters = 300_000, 5, 3
+    base = spark.range(n * deg)
+    edges = base.select(
+        (F.col("id") % n).cast("string").alias("src"),
+        (((F.col("id") % n) * 2654435761 + (F.col("id") / n).cast("long") * 2246822519 + 17) % n)
+        .cast("string")
+        .alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    ne = sym.count()
+    seeds = spark.range(0, n, 50).select(F.col("id").cast("string").alias("node"))
+    from kg_etl_spark.operators.pagerank import pagerank
+
+    sc = spark.sparkContext
+    sc.setJobGroup("stress_ppr", "ppr probe")
+    t0 = time.time()
+    out = pagerank(sym, iterations=iters, damping=0.85, deterministic=True, teleport=seeds)
+    mass = out.agg(F.sum("rank")).collect()[0][0]
+    dt = time.time() - t0
+    jobs = len(sc.statusTracker().getJobIdsForGroup("stress_ppr"))
+    sc.setJobGroup(None, None)
+    assert abs(mass - 1.0) < 1e-6, mass
+    # O(iters) bound: setup counts/actions + AQE stage jobs; 37-Exchange
+    # static plan executed adaptively lands well under this
+    assert jobs <= 12 + 4 * iters, f"job count {jobs} not O(iters)"
+    return (f"ppr: {ne} sym edges, {iters} iters in {dt:.1f}s "
+            f"(mass={mass:.6f}, {jobs} jobs under AQE)")
+
+
 STRESSES = {
     "pagerank": stress_pagerank,
+    "temporal": stress_temporal,
+    "propagation": stress_propagation,
+    "ppr": stress_ppr,
     "triangles": stress_triangles,
     "kmeans": stress_kmeans,
     "bm25": stress_bm25,
