@@ -31,11 +31,19 @@ from pyspark.sql import functions as F
 _A = 1_315_423_911
 _B = 2_654_435_761
 _C = 97_531
+_D = 40_503
 _P = 2_147_483_647
 
 
 def _pick(origin, t: int, cur):
     return (_A * origin + _B * cur + F.lit(_C * t)) % F.lit(_P)
+
+
+def _pick2(origin, t: int, cur, prev):
+    # second-order variant: the choice must depend on the edge
+    # (prev, cur), not cur alone, or every visit to a node from any
+    # predecessor would repeat the same successor
+    return (_A * origin + _B * cur + _D * prev + F.lit(_C * t)) % F.lit(_P)
 
 
 def deterministic_walks(
@@ -97,6 +105,123 @@ def deterministic_walks(
             frontier.select(
                 "origin", F.lit(t).alias("step"), F.col("cur").alias("node")
             )
+        )
+    corpus = out[0]
+    for part in out[1:]:
+        corpus = corpus.union(part)
+    return corpus
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    *,
+    length: int = 3,
+    return_weight: int = 500,
+    out_weight: int = 2000,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(origin, step, node) SECOND-ORDER biased walk corpus — the
+    node2vec step rule (Grover & Leskovec, KDD'16 §3.2), deterministic
+    like `deterministic_walks`: the transition at step t depends on
+    (prev, cur), weighting each candidate successor x of cur by
+
+        return_weight   if x == prev            (node2vec 1/p)
+        1000            if edge prev→x exists   (distance 1)
+        out_weight      otherwise               (node2vec 1/q)
+
+    Integer milli-weights keep the selection exact in both engines:
+    candidates are ranked by dst id, weights prefix-summed, and the
+    pick is the candidate whose cumulative interval contains
+    H(origin, t, cur, prev) mod Σw. Step 1 has no predecessor and is
+    uniform (the first-order `_pick` rule, identical to
+    `deterministic_walks`). Dead ends absorb.
+
+    Scale shape: per step, ONE equi-join of the frontier against the
+    neighbor table on the node key, ONE broadcast-free equi-join of
+    the candidate set against the edge set on (prev, dst) for the
+    distance-1 marker, and ONE window over the per-origin candidate
+    group (size = outdeg(cur)) for the prefix sums — 3 edge-keyed
+    shuffles per step instead of plain DeepWalk's 1, the documented
+    cost of second-order bias. The frontier never exceeds |V| rows;
+    lineage is cut every `checkpoint_every` steps as in
+    `deterministic_walks`."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    nbrs = e.select(
+        "src",
+        "dst",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("src").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("deg"),
+    ).localCheckpoint(eager=True)
+    marker = e.select(F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("_d1"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    # step 1: uniform (no predecessor), same rule as deterministic_walks
+    frontier = nodes.select(F.col("node").alias("origin"), F.col("node").alias("cur"))
+    out = [frontier.select("origin", F.lit(0).alias("step"), F.col("cur").alias("node"))]
+    step1 = (
+        frontier.join(nbrs.withColumnRenamed("src", "cur"), "cur", "left")
+        .filter(
+            F.col("rank").isNull()
+            | (F.col("rank") == _pick(F.col("origin"), 1, F.col("cur")) % F.col("deg") + 1)
+        )
+        .select(
+            "origin",
+            F.col("cur").alias("prev"),
+            F.coalesce("dst", F.col("cur")).alias("cur"),
+        )
+    )
+    frontier = step1
+    out.append(frontier.select("origin", F.lit(1).alias("step"), F.col("cur").alias("node")))
+
+    for t in range(2, length + 1):
+        cand = frontier.join(
+            nbrs.select(F.col("src").alias("cur"), F.col("dst"), F.col("deg")),
+            "cur",
+            "left",
+        ).join(marker, ["prev", "dst"], "left")
+        weight = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(return_weight))
+            .when(F.col("_d1").isNotNull(), F.lit(1000))
+            .otherwise(F.lit(out_weight))
+        )
+        ww = Window.partitionBy("origin").orderBy("dst")
+        csum = cand.select(
+            "origin",
+            "prev",
+            "cur",
+            "dst",
+            F.sum(weight).over(ww).alias("_hi"),
+            (F.sum(weight).over(ww) - weight).alias("_lo"),
+            F.sum(weight).over(
+                Window.partitionBy("origin").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_tot"),
+        )
+        r = _pick2(F.col("origin"), t, F.col("cur"), F.col("prev")) % F.col("_tot")
+        step = csum.filter(
+            F.col("dst").isNull() | ((F.col("_lo") <= r) & (r < F.col("_hi")))
+        ).select(
+            "origin",
+            F.col("cur").alias("prev"),
+            F.coalesce("dst", F.col("cur")).alias("cur"),
+        )
+        frontier = (
+            step.localCheckpoint(eager=True)
+            if (t % checkpoint_every == 0 and t < length)
+            else step
+        )
+        out.append(
+            frontier.select("origin", F.lit(t).alias("step"), F.col("cur").alias("node"))
         )
     corpus = out[0]
     for part in out[1:]:

@@ -757,6 +757,89 @@ QUERIES["walk_corpus"] = q_walk_corpus
 ORACLES["walk_corpus"] = ORACLE_WALK_CORPUS
 
 
+def q_node2vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step SECOND-ORDER (node2vec) biased walks over the same
+    user-transition graph as `walk_corpus` — return weight 500 (p=2),
+    out weight 2000 (q=0.5). The hash-derived picks make the biased
+    corpus a pure function of the graph, so even the second-order
+    rule is VALUE-checkable: the oracle unrolls each biased step as a
+    candidate-join + distance-1-marker + window-prefix-sum CTE."""
+    from kg_etl_spark.operators.walks import node2vec_walks
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    return node2vec_walks(edges, length=3, return_weight=500, out_weight=2000)
+
+
+def _n2v_step_sql(t: int) -> str:
+    """One biased node2vec step as SQL CTEs (weights 500/1000/2000)."""
+    return f"""c{t} AS (
+  SELECT s.origin, s.prev, s.cur, n.dst,
+         CASE WHEN n.dst = s.prev THEN 500
+              WHEN m.src IS NOT NULL THEN 1000
+              ELSE 2000 END AS w
+  FROM s{t - 1} s LEFT JOIN nbrs n ON n.src = s.cur
+  LEFT JOIN e m ON m.src = s.prev AND m.dst = n.dst
+), p{t} AS (
+  SELECT origin, prev, cur, dst,
+         CAST(SUM(w) OVER (PARTITION BY origin ORDER BY dst) AS BIGINT) AS hi,
+         CAST(SUM(w) OVER (PARTITION BY origin ORDER BY dst) - w AS BIGINT) AS lo,
+         CAST(SUM(w) OVER (PARTITION BY origin) AS BIGINT) AS tot
+  FROM c{t}
+), s{t} AS (
+  SELECT origin, cur AS prev, COALESCE(dst, cur) AS cur
+  FROM p{t}
+  WHERE dst IS NULL
+     OR (lo <= (1315423911 * origin + 2654435761 * cur + 40503 * prev
+                + 97531 * {t}) % 2147483647 % tot
+         AND (1315423911 * origin + 2654435761 * cur + 40503 * prev
+              + 97531 * {t}) % 2147483647 % tot < hi)
+)"""
+
+
+ORACLE_NODE2VEC_CORPUS = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+           LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL AND src <> dst
+), nbrs AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM e
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), s0 AS (
+  SELECT node AS origin, node AS cur FROM nodes
+), s1 AS (
+  SELECT s.origin, s.cur AS prev, COALESCE(n.dst, s.cur) AS cur
+  FROM s0 s LEFT JOIN nbrs n
+    ON n.src = s.cur
+   AND n.rnk = (1315423911 * s.origin + 2654435761 * s.cur + 97531 * 1)
+               % 2147483647 % n.deg + 1
+), {_n2v_step_sql(2)}, {_n2v_step_sql(3)}
+SELECT origin, 0 AS step, cur AS node FROM s0
+UNION ALL SELECT origin, 1 AS step, cur FROM s1
+UNION ALL SELECT origin, 2 AS step, cur FROM s2
+UNION ALL SELECT origin, 3 AS step, cur FROM s3
+"""
+
+QUERIES["node2vec_corpus"] = q_node2vec_corpus
+ORACLES["node2vec_corpus"] = ORACLE_NODE2VEC_CORPUS
+
+
 # --- ML feature engineering: WOE binning -------------------------------
 
 

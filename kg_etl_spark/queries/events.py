@@ -847,6 +847,96 @@ QUERIES["last_touch_attribution"] = q_last_touch_attribution
 ORACLES["last_touch_attribution"] = ORACLE_ATTRIBUTION
 
 
+_DECAY_HL_US = 900 * 1_000_000  # 15-min half-life buckets
+
+
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: each purchase splits its value across
+    ALL of the user's clicks in the preceding hour — linear (equal
+    shares) and time-decay (weight 2^-k for k = ⌊Δt/15min⌋ whole
+    half-life buckets). Bucketed exponents keep every weight an EXACT
+    dyadic double (1, .5, .25, .125), so credits are bit-reproducible
+    across engines with no libm pow in sight; per-credit terms round
+    to 6 dp and sum as decimals (catalog order-independence contract).
+
+    Scale shape: one user-keyed equi-join (purchases ⋈ clicks) with
+    the interval predicate inside the join filter, then windows
+    partitioned by (user_id, purchase) — hash partitioning on user_id
+    already satisfies the clustering, so the per-purchase totals add
+    NO second exchange; one final user-keyed aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("_cid"), us.alias("_tc")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("_pid"), us.alias("_tp"), "value"
+    )
+    j = pur.join(clicks, "user_id", "left").withColumn(
+        "_hit",
+        F.col("_tc").isNotNull()
+        & (F.col("_tc") < F.col("_tp"))
+        & (F.col("_tp") - F.col("_tc") <= _ATTR_WINDOW_US),
+    )
+    # no row filtering needed: non-qualifying click rows carry zero
+    # weight/credit via the _hit flag, and a purchase with no clicks
+    # at all keeps its single null left-join row — so every purchase
+    # stays represented without a second anti-join pass
+    wn = Window.partitionBy("user_id", "_pid")
+    k = F.floor((F.col("_tp") - F.col("_tc")) / F.lit(_DECAY_HL_US))
+    w = F.when(F.col("_hit"), F.pow(F.lit(0.5), k.cast("double"))).otherwise(F.lit(0.0))
+    n_hits = F.sum(F.col("_hit").cast("long")).over(wn)
+    wsum = F.sum(w).over(wn)
+    lin = F.when(F.col("_hit"), F.col("value") / n_hits).otherwise(F.lit(0.0))
+    dec = F.when(F.col("_hit"), F.col("value") * w / wsum).otherwise(F.lit(0.0))
+    DEC28 = "decimal(28,6)"
+    per = (
+        j.withColumn("_lin", F.round(lin, 6).cast(DEC28))
+        .withColumn("_dec", F.round(dec, 6).cast(DEC28))
+    )
+    return per.groupBy("user_id").agg(
+        F.count_distinct("_pid").alias("n_purchases"),
+        F.count_distinct(F.when(F.col("_hit"), F.col("_pid"))).alias("n_attributed"),
+        F.count_distinct(F.when(F.col("_hit"), F.col("_cid"))).alias("n_touches"),
+        F.round(F.sum("_lin").cast("double"), 4).alias("linear_credit"),
+        F.round(F.sum("_dec").cast("double"), 4).alias("decay_credit"),
+    )
+
+
+ORACLE_MULTI_TOUCH = f"""
+WITH c AS (
+  SELECT user_id, event_id AS cid, epoch_us(ts) AS tc
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS pid, epoch_us(ts) AS tp, value
+  FROM events WHERE event_type = 'purchase'
+), hits AS (
+  SELECT p.user_id, p.pid, p.value, c.cid,
+         pow(0.5, CAST((p.tp - c.tc) // {_DECAY_HL_US} AS DOUBLE)) AS w
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.tc < p.tp AND p.tp - c.tc <= {_ATTR_WINDOW_US}
+), per AS (
+  SELECT user_id, pid, cid,
+         ROUND(value / (COUNT(*) OVER (PARTITION BY pid)), 6) AS lin,
+         ROUND(value * w / (SUM(w) OVER (PARTITION BY pid)), 6) AS dcy
+  FROM hits
+)
+SELECT p.user_id,
+       COUNT(DISTINCT p.pid) AS n_purchases,
+       COUNT(DISTINCT per.pid) AS n_attributed,
+       COUNT(DISTINCT per.cid) AS n_touches,
+       ROUND(CAST(COALESCE(SUM(CAST(per.lin AS DECIMAL(28,6))), 0) AS DOUBLE), 4)
+         AS linear_credit,
+       ROUND(CAST(COALESCE(SUM(CAST(per.dcy AS DECIMAL(28,6))), 0) AS DOUBLE), 4)
+         AS decay_credit
+FROM p LEFT JOIN per ON per.pid = p.pid
+GROUP BY p.user_id
+"""
+
+QUERIES["multi_touch_attribution"] = q_multi_touch_attribution
+ORACLES["multi_touch_attribution"] = ORACLE_MULTI_TOUCH
+
+
 def q_changepoint_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-contrast changepoint detection on the daily series: each
     day scores |mean(next 7 days incl. today) − mean(prior 7 days)|;
