@@ -2405,3 +2405,164 @@ FROM per_d, tot
 
 QUERIES["lorenz_curve"] = q_lorenz_curve
 ORACLES["lorenz_curve"] = ORACLE_LORENZ
+
+
+# --- Fellegi–Sunter record linkage with EM-estimated weights -----------
+
+
+_FS_ITERS = 8
+_FS_FIELDS = ["seg", "dig", "bal"]
+
+
+def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969) with
+    UNSUPERVISED weight estimation: blocked candidate pairs are
+    reduced to binary agreement patterns (same mktsegment / same
+    custkey-mod-10 digit / account balance within 100), and the
+    (λ, m_f, u_f) parameters come from 8 fixed EM iterations over the
+    ≤2³ pattern-count table (Winkler's classic formulation).
+
+    Scale shape: the ONLY distributed work is the blocked self-join
+    ((nationkey, ⌊acctbal/1000⌋) equi-block — bounded buckets, no
+    cartesian) and the 8-row pattern-count aggregate; EM runs on the
+    driver over MODEL STATE (≤8 pattern counts), the documented
+    scalar-scale exception. Every floating-point step is pinned to a
+    left-fold order over patterns sorted by (g1,g2,g3), so the
+    unrolled SQL oracle (DuckDB list_reduce folds) reproduces the
+    IEEE arithmetic bit-for-bit; outputs round at 6 dp."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (F.col("c_custkey") % 10).alias("_dig"),
+        F.floor(F.col("c_acctbal") / 1000.0).alias("_blk"),
+    )
+    def bare(c: str) -> str:
+        return c[2:] if c.startswith(("c_", "__")) else c.lstrip("_")
+
+    a = cust.select(*[F.col(c).alias("a_" + bare(c)) for c in cust.columns])
+    b = cust.select(*[F.col(c).alias("b_" + bare(c)) for c in cust.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_nationkey") == F.col("b_nationkey"))
+        & (F.col("a_blk") == F.col("b_blk"))
+        & (F.col("a_custkey") < F.col("b_custkey")),
+    )
+    pat = (
+        pairs.select(
+            (F.col("a_mktsegment") == F.col("b_mktsegment")).alias("g1"),
+            (F.col("a_dig") == F.col("b_dig")).alias("g2"),
+            (F.abs(F.col("a_acctbal") - F.col("b_acctbal")) < 100.0).alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = sorted(
+        [((r["g1"], r["g2"], r["g3"]), r["n"]) for r in pat.collect()],
+        key=lambda kv: kv[0],
+    )
+    gs = [k for k, _ in rows]
+    ns = [float(n) for _, n in rows]
+
+    def fold(vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = acc + v
+        return acc
+
+    N = fold(ns)
+    G = [fold([n * (1.0 if g[f] else 0.0) for g, n in zip(gs, ns)]) for f in range(3)]
+    lam, m, u = 0.01, [0.9, 0.9, 0.9], [0.1, 0.1, 0.1]
+    for _ in range(_FS_ITERS):
+        ws = []
+        for g in gs:
+            A = (m[0] if g[0] else 1.0 - m[0])
+            A = A * (m[1] if g[1] else 1.0 - m[1])
+            A = A * (m[2] if g[2] else 1.0 - m[2])
+            B = (u[0] if g[0] else 1.0 - u[0])
+            B = B * (u[1] if g[1] else 1.0 - u[1])
+            B = B * (u[2] if g[2] else 1.0 - u[2])
+            ws.append((lam * A) / (lam * A + (1.0 - lam) * B))
+        S = fold([n * w for n, w in zip(ns, ws)])
+        Sg = [
+            fold([n * w * (1.0 if g[f] else 0.0) for g, n, w in zip(gs, ns, ws)])
+            for f in range(3)
+        ]
+        lam = S / N
+        m = [Sg[f] / S for f in range(3)]
+        u = [(G[f] - Sg[f]) / (N - S) for f in range(3)]
+    out = [("lambda", round(lam, 6))]
+    for f, name in enumerate(_FS_FIELDS):
+        out.append((f"m_{name}", round(m[f], 6)))
+        out.append((f"u_{name}", round(u[f], 6)))
+    return spark.createDataFrame(out, "param string, value double")
+
+
+def _fs_oracle_sql() -> str:
+    ordered = "ORDER BY g1, g2, g3"
+    sql = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+         c_custkey % 10 AS dig, FLOOR(c_acctbal / 1000.0) AS blk
+  FROM customer
+), pat AS (
+  SELECT a.c_mktsegment = b.c_mktsegment AS g1,
+         a.dig = b.dig AS g2,
+         ABS(a.c_acctbal - b.c_acctbal) < 100.0 AS g3,
+         COUNT(*) AS n
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+  GROUP BY 1, 2, 3
+), consts AS (
+  SELECT list_reduce(list(CAST(n AS DOUBLE) {ordered}), (a, b) -> a + b) AS N,
+         list_reduce(list(n * (CASE WHEN g1 THEN 1.0 ELSE 0.0 END) {ordered}), (a, b) -> a + b) AS G1,
+         list_reduce(list(n * (CASE WHEN g2 THEN 1.0 ELSE 0.0 END) {ordered}), (a, b) -> a + b) AS G2,
+         list_reduce(list(n * (CASE WHEN g3 THEN 1.0 ELSE 0.0 END) {ordered}), (a, b) -> a + b) AS G3
+  FROM pat
+), em0 AS (
+  SELECT 0.01 AS lam, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+         0.1 AS u1, 0.1 AS u2, 0.1 AS u3
+)"""
+    A = (
+        "(CASE WHEN g1 THEN e.m1 ELSE 1.0 - e.m1 END)"
+        " * (CASE WHEN g2 THEN e.m2 ELSE 1.0 - e.m2 END)"
+        " * (CASE WHEN g3 THEN e.m3 ELSE 1.0 - e.m3 END)"
+    )
+    B = (
+        "(CASE WHEN g1 THEN e.u1 ELSE 1.0 - e.u1 END)"
+        " * (CASE WHEN g2 THEN e.u2 ELSE 1.0 - e.u2 END)"
+        " * (CASE WHEN g3 THEN e.u3 ELSE 1.0 - e.u3 END)"
+    )
+    for k in range(1, _FS_ITERS + 1):
+        w = f"(e.lam * {A}) / (e.lam * {A} + (1.0 - e.lam) * {B})"
+        sql += f""", s{k} AS (
+  SELECT list_reduce(list(n * {w} {ordered}), (a, b) -> a + b) AS S,
+         list_reduce(list(n * {w} * (CASE WHEN g1 THEN 1.0 ELSE 0.0 END) {ordered}), (a, b) -> a + b) AS Sg1,
+         list_reduce(list(n * {w} * (CASE WHEN g2 THEN 1.0 ELSE 0.0 END) {ordered}), (a, b) -> a + b) AS Sg2,
+         list_reduce(list(n * {w} * (CASE WHEN g3 THEN 1.0 ELSE 0.0 END) {ordered}), (a, b) -> a + b) AS Sg3
+  FROM pat, em{k - 1} e GROUP BY ALL
+), em{k} AS (
+  SELECT s.S / c.N AS lam,
+         s.Sg1 / s.S AS m1, s.Sg2 / s.S AS m2, s.Sg3 / s.S AS m3,
+         (c.G1 - s.Sg1) / (c.N - s.S) AS u1,
+         (c.G2 - s.Sg2) / (c.N - s.S) AS u2,
+         (c.G3 - s.Sg3) / (c.N - s.S) AS u3
+  FROM s{k} s, consts c
+)"""
+    last = f"em{_FS_ITERS}"
+    sel = [("lambda", "lam")]
+    for i, name in enumerate(_FS_FIELDS, start=1):
+        sel.append((f"m_{name}", f"m{i}"))
+        sel.append((f"u_{name}", f"u{i}"))
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{p}' AS param, ROUND({c}, 6) AS value FROM {last}" for p, c in sel
+    )
+    return sql + "\n" + unions
+
+
+ORACLE_FELLEGI_SUNTER = _fs_oracle_sql()
+
+QUERIES["fellegi_sunter_em"] = q_fellegi_sunter_em
+ORACLES["fellegi_sunter_em"] = ORACLE_FELLEGI_SUNTER

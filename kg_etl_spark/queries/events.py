@@ -937,6 +937,102 @@ QUERIES["multi_touch_attribution"] = q_multi_touch_attribution
 ORACLES["multi_touch_attribution"] = ORACLE_MULTI_TOUCH
 
 
+_MARKOV_ITERS = 12
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain: the
+    `event_transitions` counts Laplace-smoothed into a row-stochastic
+    5×5 matrix P(i,j) = (n_ij + 1)/(n_i + 5) (smoothing makes the
+    chain ergodic, so the power iteration converges to the unique π),
+    then π ← πP for a FIXED 12 iterations from uniform.
+
+    Scale shape: the transition-count aggregate is the only
+    distributed work (one window shuffle + one 25-row hash-agg — the
+    100-TB cost is identical to `event_transitions`); the 5×5 matrix
+    is MODEL STATE (≤25 rows collected, the documented scalar-scale
+    exception), and the power iteration is driver arithmetic with a
+    pinned left-to-right accumulation order so the unrolled SQL
+    oracle reproduces it bit-for-bit in IEEE doubles."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+
+    types = _EVENT_TYPES
+    cnt = {(r["from_type"], r["to_type"]): r["n"] for r in counts.collect()}
+    row_tot = {i: sum(cnt.get((i, j), 0) for j in types) for i in types}
+    P = {
+        (i, j): (cnt.get((i, j), 0) + 1.0) / (row_tot[i] + float(len(types)))
+        for i in types
+        for j in types
+    }
+    pi = {i: 1.0 / len(types) for i in types}
+    for _ in range(_MARKOV_ITERS):
+        new = {}
+        for j in types:
+            acc = pi[types[0]] * P[(types[0], j)]
+            for i in types[1:]:
+                acc = acc + pi[i] * P[(i, j)]
+            new[j] = acc
+        pi = new
+    rows = [(ty, round(pi[ty], 6)) for ty in types]
+    return spark.createDataFrame(rows, "event_type string, stationary_p double")
+
+
+def _markov_oracle_sql() -> str:
+    types = _EVENT_TYPES
+    cnts = ",\n    ".join(
+        f"SUM(CASE WHEN from_type='{i}' AND to_type='{j}' THEN 1 ELSE 0 END) AS n_{i}_{j}"
+        for i in types
+        for j in types
+    )
+    tots = ", ".join(
+        "(" + " + ".join(f"n_{i}_{j}" for j in types) + f") AS tot_{i}" for i in types
+    )
+    ps = ", ".join(
+        f"(n_{i}_{j} + 1.0)/(tot_{i} + {float(len(types))}) AS p_{i}_{j}"
+        for i in types
+        for j in types
+    )
+    it_prev = ", ".join(f"{1.0 / len(types)} AS pi_{t}" for t in types)
+    sql = f"""
+WITH t AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT {cnts}
+  FROM t WHERE to_type IS NOT NULL
+), tot AS (
+  SELECT *, {tots} FROM c
+), m AS (
+  SELECT {ps} FROM tot
+), it0 AS (
+  SELECT {it_prev}
+)"""
+    for k in range(1, _MARKOV_ITERS + 1):
+        exprs = ", ".join(
+            "(" + " + ".join(f"it{k-1}.pi_{i} * m.p_{i}_{j}" for i in types) + f") AS pi_{j}"
+            for j in types
+        )
+        sql += f", it{k} AS (\n  SELECT {exprs} FROM it{k-1}, m\n)"
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{ty}' AS event_type, ROUND(pi_{ty}, 6) AS stationary_p FROM it{_MARKOV_ITERS}"
+        for ty in types
+    )
+    return sql + "\n" + unions
+
+
+ORACLE_MARKOV_STATIONARY = _markov_oracle_sql()
+
+QUERIES["markov_stationary"] = q_markov_stationary
+ORACLES["markov_stationary"] = ORACLE_MARKOV_STATIONARY
+
+
 def q_changepoint_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-contrast changepoint detection on the daily series: each
     day scores |mean(next 7 days incl. today) − mean(prior 7 days)|;

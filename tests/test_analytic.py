@@ -339,6 +339,38 @@ def test_node2vec_absorbs_at_sink(spark):
     assert walks[(1, 1)] == 2 and walks[(1, 3)] == 2
 
 
+def test_markov_stationary_is_distribution_and_fixpoint(spark):
+    pis = {r["event_type"]: r["stationary_p"] for r in QUERIES["markov_stationary"](spark, SF).collect()}
+    assert abs(sum(pis.values()) - 1.0) < 1e-4
+    assert all(0.0 < p < 1.0 for p in pis.values())
+    # π must be (approximately) a fixpoint of the smoothed transition
+    # matrix rebuilt from event_transitions output
+    from pyspark.sql import functions as F
+
+    trans = QUERIES["event_transitions"](spark, SF).collect()
+    types = sorted(pis)
+    cnt = {(r["from_type"], r["to_type"]): r["n"] for r in trans}
+    tot = {i: sum(cnt.get((i, j), 0) for j in types) for i in types}
+    for j in types:
+        nxt = sum(
+            pis[i] * (cnt.get((i, j), 0) + 1.0) / (tot[i] + 5.0) for i in types
+        )
+        assert abs(nxt - pis[j]) < 1e-3, (j, nxt, pis[j])
+
+
+def test_fellegi_sunter_em_parameter_semantics(spark):
+    params = {r["param"]: r["value"] for r in QUERIES["fellegi_sunter_em"](spark, SF).collect()}
+    assert set(params) == {"lambda", "m_seg", "u_seg", "m_dig", "u_dig", "m_bal", "u_bal"}
+    assert 0.0 < params["lambda"] < 1.0
+    for f in ("seg", "dig", "bal"):
+        assert 0.0 < params[f"u_{f}"] < 1.0
+        assert 0.0 < params[f"m_{f}"] <= 1.0
+    # u_seg ≈ P(same segment | non-match) ≈ 1/5 on uniform segments,
+    # u_dig ≈ 1/10 on uniform digits — EM must recover the chance rates
+    assert abs(params["u_seg"] - 0.2) < 0.1
+    assert abs(params["u_dig"] - 0.1) < 0.07
+
+
 def test_woe_binning_semantics(spark):
     import math
 
