@@ -1,0 +1,117 @@
+"""Sampled betweenness centrality — Brandes' dependency accumulation
+(Brandes, J. Math. Sociol. 2001) from k deterministic pivots, batched:
+all pivots advance through ONE level-synchronous BFS keyed by
+(pivot, node), then ONE backward sweep per depth level. Betweenness
+from a pivot subset is the standard unbiased building block (Brandes &
+Pich 2007 estimate = n/k × the sampled sum; this operator returns the
+raw sampled sum and leaves scaling to the caller).
+
+Per forward level: frontier ⋈ edges on the node key + one
+(pivot, node) hash-agg summing path counts σ. Per backward level:
+level-d nodes ⋈ edges ⋈ level-(d+1) nodes — the successor join —
+and a hash-agg accumulating Brandes' δ(v) = Σ_w σv/σw·(1+δw).
+Everything is keyed by (pivot, node); with k pivots the state is at
+most k·|V| rows, and the per-level frames are kept (bounded by
+max_depth) so the backward sweep never re-filters the settled set.
+
+σ path counts are exact integers; δ is rational — on planted twin
+shapes (star/path: σ ≡ 1) δ stays integral, which is what makes the
+catalog recall twin SQL-enumerable despite the float division here.
+
+100 TB shape: 2·max_depth edge-keyed shuffles total (NOT per pivot —
+pivots ride the same joins), frontier bounded by k·|V|, localCheckpoint
+every other level caps lineage. max_depth truncates to k-bounded
+betweenness (documented variant); raise it toward the diameter for the
+exact-from-pivots quantity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    *,
+    k_pivots: int = 8,
+    max_depth: int = 6,
+) -> DataFrame:
+    """(node, bc): raw sampled betweenness — Σ over the k lowest-id
+    pivots of Brandes' dependency δ_pivot(node). ``edges``: directed
+    (src, dst) long ids; symmetrize upstream for undirected graphs.
+    Pivots are the k LOWEST node ids (TakeOrderedAndProject — an O(k)
+    heap per partition, not a sort; the id-deterministic choice keeps
+    planted twins engine-replayable, the `clustering.py` seeding
+    contract)."""
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pivots = nodes.orderBy("node").limit(k_pivots)
+
+    # forward: level-synchronous BFS counting shortest paths
+    frontier = pivots.select(
+        F.col("node").alias("pivot"),
+        F.col("node"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    levels = [frontier]  # levels[d] = (pivot, node, sigma) at depth d
+    seen = frontier.select("pivot", "node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            levels[-1]
+            .join(e.withColumnRenamed("src", "node"), "node")
+            .select("pivot", F.col("dst").alias("node"), "sigma")
+            .groupBy("pivot", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen, ["pivot", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        levels.append(nxt)
+        seen = seen.union(nxt.select("pivot", "node"))
+        if d % 2 == 0:
+            seen = seen.localCheckpoint(eager=True)
+
+    # backward: accumulate δ from the deepest level inward
+    deltas = [None] * len(levels)
+    deltas[-1] = levels[-1].select("pivot", "node", F.lit(0.0).alias("delta"))
+    for d in range(len(levels) - 2, -1, -1):
+        succ = (
+            deltas[d + 1]
+            .join(levels[d + 1].select("pivot", "node", "sigma"), ["pivot", "node"])
+            .select(
+                "pivot",
+                F.col("node").alias("dst"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_t"),
+            )
+        )
+        contrib = (
+            levels[d]
+            .join(e.withColumnRenamed("src", "node"), "node")
+            .join(succ, ["pivot", "dst"])
+            .groupBy("pivot", "node", "sigma")
+            .agg(F.sum("_t").alias("_s"))
+            .select("pivot", "node", (F.col("sigma") * F.col("_s")).alias("delta"))
+        )
+        deltas[d] = (
+            levels[d]
+            .select("pivot", "node")
+            .join(contrib, ["pivot", "node"], "left")
+            .select("pivot", "node", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+
+    acc = None
+    for d in range(1, len(levels)):  # depth 0 is the pivot itself: excluded
+        part = deltas[d].select("node", "delta")
+        acc = part if acc is None else acc.unionByName(part)
+    if acc is None:
+        return nodes.select("node", F.lit(0.0).alias("bc")).limit(0)
+    return acc.groupBy("node").agg(F.round(F.sum("delta"), 6).alias("bc"))

@@ -2566,3 +2566,68 @@ ORACLE_FELLEGI_SUNTER = _fs_oracle_sql()
 
 QUERIES["fellegi_sunter_em"] = q_fellegi_sunter_em
 ORACLES["fellegi_sunter_em"] = ORACLE_FELLEGI_SUNTER
+
+
+# --- sampled betweenness centrality ------------------------------------
+
+
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-pivot Brandes betweenness over the symmetrized user-transition
+    graph (operators/centrality.py). Path-count ratios make the full
+    output non-SQL-expressible in general → rows-only; the planted
+    star twin below value-checks the identical kernel on a shape where
+    σ ≡ 1 keeps every δ integral."""
+    from kg_etl_spark.operators.centrality import betweenness_sampled
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return betweenness_sampled(sym, k_pivots=8, max_depth=6)
+
+
+_BETW_K = 8
+
+
+def q_betweenness_star_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin for `betweenness_sampled`: a star graph
+    (center = MAX custkey, every other customer a leaf). From a leaf
+    pivot, depth-1 = {center} and depth-2 = the other leaves with
+    σ ≡ 1, so Brandes gives δ(center) = n−2 exactly and 0 for leaves;
+    with the k lowest ids as pivots (all leaves), bc(center) must be
+    EXACTLY k·(n−2) and every leaf 0 — any drift in the σ aggregate,
+    the successor join, or the backward accumulation breaks equality."""
+    from kg_etl_spark.operators.centrality import betweenness_sampled
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("node")
+    )
+    mx = cust.agg(F.max("node").alias("m"))
+    leaves = cust.join(mx, cust["node"] == mx["m"], "left_anti")
+    edges = leaves.crossJoin(F.broadcast(mx)).select(
+        F.col("node").alias("src"), F.col("m").alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return betweenness_sampled(sym, k_pivots=_BETW_K, max_depth=4)
+
+
+ORACLE_BETWEENNESS_STAR = f"""
+WITH n AS (SELECT COUNT(*) AS n, MAX(c_custkey) AS center FROM customer)
+SELECT CAST(center AS BIGINT) AS node,
+       ROUND({_BETW_K} * (n - 2) * 1.0, 6) AS bc
+FROM n
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT) AS node, 0.0 AS bc
+FROM customer, n WHERE c_custkey <> center
+"""
+
+QUERIES["betweenness_sampled"] = q_betweenness_sampled
+QUERIES["betweenness_star_recall"] = q_betweenness_star_recall
+ORACLES["betweenness_star_recall"] = ORACLE_BETWEENNESS_STAR

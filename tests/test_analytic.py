@@ -339,6 +339,30 @@ def test_node2vec_absorbs_at_sink(spark):
     assert walks[(1, 1)] == 2 and walks[(1, 3)] == 2
 
 
+def test_betweenness_exact_on_path(spark):
+    from kg_etl_spark.operators.centrality import betweenness_sampled
+
+    # P5 path 0-1-2-3-4, all 5 nodes as pivots → exact betweenness:
+    # node i carries 2·i·(4−i) ordered pairs (σ ≡ 1 on a path)
+    e = spark.createDataFrame([(i, i + 1) for i in range(4)], ["src", "dst"])
+    sym = e.union(e.select(e.dst.alias("src"), e.src.alias("dst")))
+    bc = {r["node"]: r["bc"] for r in betweenness_sampled(sym, k_pivots=5, max_depth=4).collect()}
+    assert bc == {0: 0.0, 1: 6.0, 2: 8.0, 3: 6.0, 4: 0.0}
+
+
+def test_betweenness_diamond_splits_paths(spark):
+    from kg_etl_spark.operators.centrality import betweenness_sampled
+
+    # diamond 0→{1,2}→3 (undirected): two shortest 0–3 paths, so the
+    # σ-ratio machinery must split credit: δ gives 1 and 2 each 0.5
+    # per endpoint pivot ⇒ bc = 1.0; corners get 0·(pairs through)
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    sym = e.union(e.select(e.dst.alias("src"), e.src.alias("dst")))
+    bc = {r["node"]: r["bc"] for r in betweenness_sampled(sym, k_pivots=4, max_depth=3).collect()}
+    assert bc == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
+
+
 def test_markov_stationary_is_distribution_and_fixpoint(spark):
     pis = {r["event_type"]: r["stationary_p"] for r in QUERIES["markov_stationary"](spark, SF).collect()}
     assert abs(sum(pis.values()) - 1.0) < 1e-4
