@@ -115,3 +115,63 @@ def betweenness_sampled(
     if acc is None:
         return nodes.select("node", F.lit(0.0).alias("bc")).limit(0)
     return acc.groupBy("node").agg(F.round(F.sum("delta"), 6).alias("bc"))
+
+
+def hits_scores(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
+    """(node, hub, auth, hub_share, auth_share) — HITS (Kleinberg,
+    JACM 1999) run UNNORMALIZED for a fixed number of rounds: after k
+    rounds auth(v) counts the alternating in-paths of length 2k−1 and
+    hub(v) the out-paths of length 2k — exact BIGINTs, so the whole
+    iteration is value-checkable with order-independent integer sums
+    (no per-round L2 normalization, whose float sums would not be).
+    The shares divide by the exact global totals at the end — one
+    double division per row off two exact longs.
+
+    Per round: two edge-keyed join+hash-aggs (in-sum then out-sum),
+    each followed by a left join against the node set so sinks/sources
+    keep explicit zeros. 100 TB shape: state is one long per node per
+    side; counts grow like deg^(2k) — keep iterations small (the
+    default 2 ⇒ ≤ deg⁴) or move the column to decimal(38,0) before
+    overflow territory."""
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(iterations):
+        a_in = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a = nodes.join(a_in, "node", "left").select(
+            "node", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+        )
+        h_out = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h = nodes.join(h_out, "node", "left").select(
+            "node", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+        )
+    tot = h.join(a, "node").agg(
+        F.sum("h").alias("_th"), F.sum("a").alias("_ta")
+    )
+    return (
+        h.join(a, "node")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.col("h").alias("hub"),
+            F.col("a").alias("auth"),
+            F.round(F.col("h") / F.col("_th"), 6).alias("hub_share"),
+            F.round(F.col("a") / F.col("_ta"), 6).alias("auth_share"),
+        )
+    )

@@ -2631,3 +2631,66 @@ FROM customer, n WHERE c_custkey <> center
 QUERIES["betweenness_sampled"] = q_betweenness_sampled
 QUERIES["betweenness_star_recall"] = q_betweenness_star_recall
 ORACLES["betweenness_star_recall"] = ORACLE_BETWEENNESS_STAR
+
+
+# --- HITS hubs/authorities (integer iterates) --------------------------
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the DIRECTED user-transition graph, 2 unnormalized
+    rounds (operators/centrality.py `hits_scores`): the iterates are
+    exact alternating-path counts, so the full iteration is
+    value-checked by an unrolled SQL oracle with integer sums — an
+    iterative graph op with a bit-exact oracle, no planted twin
+    needed."""
+    from kg_etl_spark.operators.centrality import hits_scores
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    return hits_scores(edges, iterations=2)
+
+
+ORACLE_HITS = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+           LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), a1 AS (
+  SELECT n.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS a FROM nodes n
+  LEFT JOIN (SELECT dst AS node, COUNT(*) AS s FROM e GROUP BY dst) x USING (node)
+), h1 AS (
+  SELECT n.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS h FROM nodes n
+  LEFT JOIN (SELECT e.src AS node, SUM(a1.a) AS s FROM e JOIN a1 ON a1.node = e.dst
+             GROUP BY e.src) x USING (node)
+), a2 AS (
+  SELECT n.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS a FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, SUM(h1.h) AS s FROM e JOIN h1 ON h1.node = e.src
+             GROUP BY e.dst) x USING (node)
+), h2 AS (
+  SELECT n.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS h FROM nodes n
+  LEFT JOIN (SELECT e.src AS node, SUM(a2.a) AS s FROM e JOIN a2 ON a2.node = e.dst
+             GROUP BY e.src) x USING (node)
+), tot AS (
+  SELECT CAST(SUM(h2.h) AS BIGINT) AS th, CAST(SUM(a2.a) AS BIGINT) AS ta
+  FROM h2 JOIN a2 USING (node)
+)
+SELECT h2.node, h2.h AS hub, a2.a AS auth,
+       ROUND(h2.h * 1.0 / tot.th, 6) AS hub_share,
+       ROUND(a2.a * 1.0 / tot.ta, 6) AS auth_share
+FROM h2 JOIN a2 USING (node), tot
+"""
+
+QUERIES["hits_scores"] = q_hits_scores
+ORACLES["hits_scores"] = ORACLE_HITS

@@ -363,6 +363,19 @@ def test_betweenness_diamond_splits_paths(spark):
     assert bc == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
 
 
+def test_hits_integer_iterates_on_known_graph(spark):
+    from kg_etl_spark.operators.centrality import hits_scores
+
+    # 1→3, 2→3, 3→4: a1 = indegree = {3:2, 4:1}; h1 = {1:2, 2:2, 3:1};
+    # a2 = {3: h1(1)+h1(2)=4, 4: h1(3)=1}; h2 = {1:4, 2:4, 3:1, 4:0}
+    e = spark.createDataFrame([(1, 3), (2, 3), (3, 4)], ["src", "dst"])
+    rows = {r["node"]: r for r in hits_scores(e, iterations=2).collect()}
+    assert {n: r["hub"] for n, r in rows.items()} == {1: 4, 2: 4, 3: 1, 4: 0}
+    assert {n: r["auth"] for n, r in rows.items()} == {1: 0, 2: 0, 3: 4, 4: 1}
+    assert abs(rows[1]["hub_share"] - 4 / 9) < 1e-6
+    assert abs(rows[3]["auth_share"] - 4 / 5) < 1e-6
+
+
 def test_markov_stationary_is_distribution_and_fixpoint(spark):
     pis = {r["event_type"]: r["stationary_p"] for r in QUERIES["markov_stationary"](spark, SF).collect()}
     assert abs(sum(pis.values()) - 1.0) < 1e-4
