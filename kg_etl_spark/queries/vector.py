@@ -555,3 +555,109 @@ ORACLE_KCENTER = _kcenter_oracle(_KC_K)
 
 QUERIES["kcenter_select"] = q_kcenter_select
 ORACLES["kcenter_select"] = ORACLE_KCENTER
+
+
+# --- PCA top component via power iteration -----------------------------
+
+
+_PCA_ITERS = 8
+_DEC12 = "decimal(28,12)"
+
+
+def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — value-checked END TO END despite being an iterative
+    ML primitive:
+
+    - the centered covariance accumulates as exact decimal sums of
+      per-row products rounded at 9 dp (order-independent, the
+      measure_correlations discipline), one vec_id-keyed self-join of
+      the exploded (row, dim, value) frame with map-side partial
+      aggregation — the only distributed work, one shuffle of 4096
+      keys;
+    - the 64×64 matrix is MODEL STATE (collected, documented scalar-
+      scale exception); 8 L1-normalized power iterations run on the
+      driver with every sum a pinned left fold over dims in order,
+      mirrored in the oracle via DuckDB list_reduce — bit-identical
+      IEEE arithmetic, outputs rounded at 6 dp.
+
+    At 100 TB the d² shuffle keys are constant and the exploded
+    self-join is d× row-proportional — the covariance pass scales; the
+    driver never sees more than d² values."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
+        "vec_id", "i", F.round(F.col("x").cast("double"), 9).alias("x")
+    )
+    means = ex.groupBy("i").agg(
+        (F.sum(F.col("x").cast(_DEC12)).cast("double") / F.lit(float(n))).alias("m")
+    )
+    # checkpoint the centered frame: both sides of the outer-product
+    # self-join read it, and without the cut each side re-runs the
+    # means broadcast subtree (recompute + a planner stall observed)
+    d = (
+        ex.join(F.broadcast(means), "i")
+        .select("vec_id", "i", (F.col("x") - F.col("m")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    b = d.select("vec_id", F.col("i").alias("j"), F.col("d").alias("e"))
+    cov = (
+        d.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.round(F.col("d") * F.col("e"), 9).cast(_DEC12)).alias("s"))
+    )
+    rows = cov.collect()
+    C = {(r["i"], r["j"]): float(r["s"]) / float(n) for r in rows}
+    dims = sorted({r["i"] for r in rows})
+    x = {i: 1.0 / float(len(dims)) for i in dims}
+
+    def fold(vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = acc + v
+        return acc
+
+    for _ in range(_PCA_ITERS):
+        y = {i: fold([C[(i, j)] * x[j] for j in dims]) for i in dims}
+        l1 = fold([abs(y[i]) for i in dims])
+        x = {i: y[i] / l1 for i in dims}
+    out = [(int(i), round(x[i], 6)) for i in dims]
+    return spark.createDataFrame(out, "dim int, loading double")
+
+
+def _pca_oracle_sql() -> str:
+    sql = """
+WITH p AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+  FROM embeddings
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+means AS (
+  SELECT i, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / (SELECT n FROM nn) AS m
+  FROM p GROUP BY i
+), d AS (
+  SELECT p.vec_id, p.i, p.x - m.m AS d FROM p JOIN means m USING (i)
+), cov AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(ROUND(a.d * b.d, 9) AS DECIMAL(28,12))) AS DOUBLE)
+           / (SELECT n FROM nn) AS c
+  FROM d a JOIN d b USING (vec_id) GROUP BY a.i, b.i
+), x0 AS (
+  SELECT i AS dim, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM means) AS v FROM means
+)"""
+    for k in range(1, _PCA_ITERS + 1):
+        sql += f""", y{k} AS MATERIALIZED (
+  SELECT c.i AS dim, list_reduce(list(c.c * x.v ORDER BY c.j), (a, b) -> a + b) AS y
+  FROM cov c JOIN x{k - 1} x ON x.dim = c.j GROUP BY c.i
+), n{k} AS MATERIALIZED (
+  SELECT list_reduce(list(abs(y) ORDER BY dim), (a, b) -> a + b) AS l1 FROM y{k}
+), x{k} AS MATERIALIZED (
+  SELECT dim, y / (SELECT l1 FROM n{k}) AS v FROM y{k}
+)"""
+    return sql + f"\nSELECT CAST(dim AS INT) AS dim, ROUND(v, 6) AS loading FROM x{_PCA_ITERS}"
+
+
+ORACLE_PCA_POWER = _pca_oracle_sql()
+
+QUERIES["pca_power_top"] = q_pca_power_top
+ORACLES["pca_power_top"] = ORACLE_PCA_POWER

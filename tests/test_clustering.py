@@ -113,3 +113,28 @@ def test_mmr_diversifies_planted_clusters(spark):
     div_ids = [r["neighbor_id"] for r in div.orderBy("mmr_rank").collect()]
     assert all(i < 5 for i in rel_ids)  # pure relevance: cluster A only
     assert any(i >= 5 for i in div_ids[:2])  # diversity pulls B in early
+
+
+def test_pca_power_top_is_near_eigenvector(spark):
+    import numpy as np
+
+    from kg_etl_spark.queries.vector import QUERIES as VQ
+    from kg_etl_spark.session import read_table
+
+    sf = "/root/testdata/sf0.001"
+    load = {r["dim"]: r["loading"] for r in VQ["pca_power_top"](spark, sf).collect()}
+    x = np.array([load[i] for i in range(64)])
+    emb = read_table(spark, sf, "embeddings").select("embedding").toPandas()
+    M = np.array([list(map(float, e)) for e in emb["embedding"]])
+    C = np.cov(M, rowvar=False, bias=True)
+    y = C @ x
+    cos = abs(y @ x) / (np.linalg.norm(y) * np.linalg.norm(x))
+    # 8 power iterations approach the top eigenvector (the synthetic
+    # corpus is near-isotropic, so the eigengap is small)
+    assert cos > 0.99, cos
+    lam = (x @ C @ x) / (x @ x)
+    ev = np.linalg.eigvalsh(C)
+    # near-isotropic spectrum: 8 iterations reach ≥85% of the top
+    # eigenvalue and sit far above the average direction
+    assert lam > 0.85 * ev[-1], (lam, ev[-1])
+    assert lam > 1.5 * ev.mean(), (lam, ev.mean())
