@@ -64,6 +64,10 @@ HEADLINE = [
     "surprisal_buckets",
     "rfm_segments",
     "revenue_gini",
+    # round 4: second-order walks, link analysis, exact-oracle PCA
+    "node2vec_corpus",
+    "hits_scores",
+    "pca_power_top",
 ]
 
 

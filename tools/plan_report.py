@@ -71,6 +71,9 @@ REPORT_QUERIES = [
     "ab_test_proportions", "autocorrelation", "temporal_reachability",
     "sql_correlated_scalars",
     "revenue_gini", "rfm_segments", "cohort_ltv", "lorenz_curve",
+    "node2vec_corpus", "multi_touch_attribution", "markov_stationary",
+    "fellegi_sunter_em", "betweenness_sampled", "hits_scores",
+    "pca_power_top",
 ]
 
 
@@ -136,7 +139,9 @@ def main() -> None:
         "10-row bin table, and `kaplan_meier_retention` crosses the "
         "1-row max-day censoring threshold into the per-user frame, "
         "as do the statistics/audit 1-row total crosses "
-        "(`ks_two_sample`, `welch_t_test`, `benford_audit`). "
+        "(`ks_two_sample`, `welch_t_test`, `benford_audit`), and "
+        "`hits_scores` crosses its 1-row exact hub/auth totals into "
+        "the per-node share projection. "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",

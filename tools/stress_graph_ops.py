@@ -355,8 +355,64 @@ def stress_ppr(spark):
             f"(mass={mass:.6f}, {jobs} jobs under AQE)")
 
 
+def stress_betweenness(spark):
+    # 1M-node path, pivots = the 8 lowest ids (one end), max_depth=6:
+    # from pivot p, reachable nodes are p±1..p±6 (truncated BFS), and
+    # σ ≡ 1 on a path keeps every δ integral — the truncated Brandes
+    # values are exactly enumerable. For interior node v and pivot p
+    # with d = |v−p| ∈ [1,6]: walking outward contributes
+    # δ_p(v) = 6 − d on the away-from-p side (chain of depth 6−d
+    # below v), so bc(v) = Σ_{p: |v−p|≤6} (6 − |v−p|) over both sides
+    # of v where the path extends. Spot-check a deep-interior node
+    # (v=20: only pivots 0..7 lie within 6 ⇒ none, bc=0) and v=10
+    # (pivots 4..7 at d=6..3 ⇒ bc = 0+1+2+3 = 6).
+    from kg_etl_spark.operators.centrality import betweenness_sampled
+
+    n = 1_000_000
+    base = spark.range(n - 1)
+    e = base.select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).localCheckpoint(
+        eager=True
+    )
+    t0 = time.time()
+    bc = betweenness_sampled(sym, k_pivots=8, max_depth=6).localCheckpoint(eager=True)
+    dt = time.time() - t0
+    rows = {r["node"]: r["bc"] for r in bc.filter(F.col("node").isin(10, 20, 1, 7)).collect()}
+    n_nonzero = bc.filter(F.col("bc") > 0).count()
+    assert rows.get(20, 0.0) == 0.0, rows
+    assert rows.get(10) == 6.0, rows
+    # nonzero bc only within 6 of some pivot, pivots span ids 0..7 ⇒
+    # candidates are 1..13 minus chain ends' zeros — exact small count
+    assert n_nonzero <= 13, n_nonzero
+    return (f"betweenness: 1M-node path, k=8 depth=6 in {dt:.1f}s "
+            f"(truncated-Brandes values exact, {n_nonzero} nonzero)")
+
+
+def stress_node2vec(spark):
+    # 1M-node directed CYCLE: outdeg ≡ 1, so the biased walk is FORCED
+    # regardless of p/q — node at step t is (origin + t) mod n, an
+    # exact invariant over 3M corpus rows; also re-runs bit-identical.
+    from kg_etl_spark.operators.walks import node2vec_walks
+
+    n, length = 1_000_000, 3
+    base = spark.range(n)
+    e = base.select(F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    t0 = time.time()
+    corpus = node2vec_walks(e, length=length, return_weight=100, out_weight=4000)
+    bad = corpus.filter(F.col("node") != (F.col("origin") + F.col("step")) % n).count()
+    rows = corpus.count()
+    dt = time.time() - t0
+    assert bad == 0, f"{bad} corpus rows off the forced cycle walk"
+    assert rows == n * (length + 1), rows
+    return f"node2vec: 1M-node cycle, length {length} in {dt:.1f}s ({rows} rows, walk exact)"
+
+
 STRESSES = {
     "pagerank": stress_pagerank,
+    "betweenness": stress_betweenness,
+    "node2vec": stress_node2vec,
     "temporal": stress_temporal,
     "propagation": stress_propagation,
     "ppr": stress_ppr,
