@@ -43,3 +43,77 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
             .select(F.col("n").alias("node"), "label")
         )
     return labels
+
+
+def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    graph: per-community contribution rows plus the grand total.
+
+    ``edges``: unique (a_id, b_id) pairs, no self-loops/duplicates.
+    ``assignment``: (node, community) — every edge endpoint must be
+    assigned exactly once.
+
+    Q = sum_c [ e_c / m  -  (d_c / (2m))^2 ]  where m = |E|, e_c =
+    intra-community edge count, d_c = total degree of community c.
+    Returns (community, intra_edges, degree_sum, contribution) plus a
+    community = NULL row carrying Q in `contribution`.
+
+    All inputs to the float division are exact integer aggregates
+    (counts and degree sums), so the result is order-independent and a
+    plain SQL oracle replays it bit-for-bit. Execution: two broadcast-
+    or hash-joins to tag edge endpoints with communities, one edge
+    hash-agg, one node hash-agg, one 1-row total cross — no windows,
+    no iteration. At 100 TB: the joins key on node ids (the same
+    partitioning label-propagation already uses); the rollup output is
+    one row per community."""
+    asg_a = assignment.select(F.col("node").alias("a_id"), F.col("community").alias("ca"))
+    asg_b = assignment.select(F.col("node").alias("b_id"), F.col("community").alias("cb"))
+    tagged = edges.join(asg_a, "a_id").join(asg_b, "b_id")
+
+    m = edges.count()
+    if m == 0:
+        raise ValueError("modularity of an empty edge set is undefined")
+
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    # degree sums: each edge contributes 1 to each endpoint's community
+    deg = (
+        tagged.select(F.col("ca").alias("community"))
+        .union(tagged.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("degree_sum"))
+    )
+    per_c = (
+        deg.join(intra, "community", "left")
+        .fillna(0, subset=["intra_edges"])
+        .withColumn(
+            "contribution",
+            F.round(
+                F.col("intra_edges") / F.lit(float(m))
+                - (F.col("degree_sum") / F.lit(2.0 * m)) ** 2,
+                6,
+            ),
+        )
+    )
+    # the grand total from EXACT integer/decimal sums only (the repo's
+    # order-independence discipline): Q = sum(e_c)/m - sum(d_c^2)/(2m)^2
+    total = per_c.agg(
+        F.lit(None).cast(per_c.schema["community"].dataType).alias("community"),
+        F.sum("intra_edges").alias("intra_edges"),
+        F.sum("degree_sum").alias("degree_sum"),
+        F.round(
+            (
+                F.sum("intra_edges").cast("decimal(38,0)").cast("double") / F.lit(float(m))
+            )
+            - (
+                F.sum(F.col("degree_sum").cast("decimal(38,0)") * F.col("degree_sum"))
+                .cast("double")
+                / F.lit(float(2 * m) ** 2)
+            ),
+            6,
+        ).alias("contribution"),
+    )
+    return per_c.unionByName(total)

@@ -345,7 +345,14 @@ def minhash_index(
     """
     assert num_hashes % bands == 0
     shh = _sig_shingles(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
-    return {"banded": _band_table(shh, num_hashes, bands), "shingles": shh}
+    # stored shingle frame is (_id, _shh) ONLY: the signature is fully
+    # encoded in the band table, so persisting _sig would just bloat
+    # the index (and the store schema is a public contract — streaming
+    # maintainers append to it batch after batch)
+    return {
+        "banded": _band_table(shh, num_hashes, bands),
+        "shingles": shh.select("_id", "_shh"),
+    }
 
 
 def minhash_lsh_pairs_incremental(
@@ -404,7 +411,9 @@ def minhash_lsh_pairs_incremental(
         .distinct()
     )
 
-    all_shh = index["shingles"].unionByName(new_shh)
+    all_shh = index["shingles"].select("_id", "_shh").unionByName(
+        new_shh.select("_id", "_shh")
+    )
     sh_a = all_shh.select(F.col("_id").alias("a_id"), F.col("_shh").alias("a_sh"))
     sh_b = all_shh.select(F.col("_id").alias("b_id"), F.col("_shh").alias("b_sh"))
     verified = (

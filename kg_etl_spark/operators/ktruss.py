@@ -1,0 +1,133 @@
+"""Distributed k-truss decomposition (edge peel by triangle support).
+
+The k-truss of an undirected graph is the maximal subgraph in which
+every edge participates in at least k-2 triangles WITHIN the subgraph
+(Cohen 2008, "Trusses: cohesive subgraphs for social network
+analysis"). It is a stricter cohesion notion than the k-core (every
+k-truss is contained in the (k-1)-core) and is the standard
+community-backbone extractor in graph mining.
+
+Reference parity: the reference's graph module stops at connected
+components and per-node cluster stats (see SURVEY.md A7/A6;
+etl/graph.py in the reference builds per-group union-find components);
+k-truss extends the same edge-list representation to cohesive-subgraph
+extraction for the LLM-pipeline graph family.
+
+Execution shape (100 TB): each peel round is
+  support count:  one self-join of the ORIENTED edge list on the wedge
+                  tail + one left-semi close (the Suri-Vassilvitskii
+                  edge-iterator used by operators/triangles.py, degree
+                  orientation caps wedge fan-out at O(sqrt(|E|)) per
+                  node regardless of skew), then one edge-keyed
+                  hash-agg -> per-edge support;
+  peel:           drop edges with support < k-2 and loop until the
+                  under-support probe is empty.
+Everything is equi-joins + hash aggregates on edge keys; nothing is
+collected to the driver. Lineage is cut per round with an eager
+localCheckpoint (the components/pagerank idiom) so the plan does not
+grow with rounds; the fixpoint probe is a limit(1).count() on the
+under-support frame (node-scale early-out, the kcore.py idiom), ONE
+extra job per round rather than two full counts.
+
+Convergence: every round removes >= 1 edge or stops, so rounds are
+bounded by |E|; in practice peel cascades behave like the k-core's
+(tens of rounds). `max_iter` guards pathological inputs; exhausting it
+raises RuntimeWarning loudly (the scc.py settled-clean discipline)
+instead of returning a silently-unfinished truss.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support for canonical (u, v) edges with u < v:
+    returns (u, v, support). Edges in no triangle get support 0 via the
+    left join against the closed-wedge counts."""
+    sym = edges.select(F.col("u"), F.col("v")).union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranked = (
+        sym.join(deg.withColumnRenamed("u", "u_"), F.col("u") == F.col("u_"))
+        .drop("u_")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(F.col("u").alias("v_"), F.col("deg").alias("dv")),
+            F.col("v") == F.col("v_"),
+        )
+        .drop("v_")
+    )
+    key_u = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    key_v = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = ranked.filter(key_u < key_v).select("u", "v", key_v.alias("vk"))
+
+    # wedges x->y, x->z (rank(y) < rank(z)); the closing oriented edge
+    # y->z completes triangle {x,y,z}. Each triangle closes exactly one
+    # wedge, and contributes support to ALL THREE of its edges.
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.vk") < F.col("e2.vk"))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("y"), F.col("v").alias("z")),
+        ["y", "z"],
+        "left_semi",
+    )
+    # triangle {x,y,z} -> its three edges in canonical u<v form
+    tri_edges = (
+        tri.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        .union(tri.select(F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")))
+        .union(tri.select(F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")))
+    )
+    sup = tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    return (
+        edges.select("u", "v")
+        .join(sup, ["u", "v"], "left")
+        .fillna(0, subset=["support"])
+    )
+
+
+def ktruss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """Edges of the k-truss of an undirected graph given as unique
+    (a_id, b_id) pairs (self-loops and duplicates must be absent).
+    Returns (u, v, support) with u < v and the edge's triangle support
+    WITHIN the truss (>= k-2 by definition)."""
+    if k < 3:
+        raise ValueError(f"k-truss requires k >= 3, got {k}")
+    need = k - 2
+    cur = (
+        edges.select(
+            F.least("a_id", "b_id").alias("u"), F.greatest("a_id", "b_id").alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sup = _edge_support(cur).localCheckpoint(eager=True)
+        if sup.filter(F.col("support") < need).limit(1).count() == 0:
+            return sup
+        cur = (
+            sup.filter(F.col("support") >= need)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    # loud escape, never a silently-unfinished truss (scc.py idiom)
+    warnings.warn(
+        f"ktruss: peel did not converge within max_iter={max_iter}; "
+        "returning the last support frame filtered to the threshold — "
+        "edge supports may still exceed the true in-truss values",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return _edge_support(cur)
