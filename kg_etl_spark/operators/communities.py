@@ -86,16 +86,16 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
         .groupBy("community")
         .agg(F.count(F.lit(1)).alias("degree_sum"))
     )
+    # explicit ratio*ratio (not **2): POWER() routes through libm pow
+    # on one engine and exact squaring on the other — multiplication is
+    # IEEE-identical everywhere
+    ratio = F.col("degree_sum") / F.lit(2.0 * m)
     per_c = (
         deg.join(intra, "community", "left")
         .fillna(0, subset=["intra_edges"])
         .withColumn(
             "contribution",
-            F.round(
-                F.col("intra_edges") / F.lit(float(m))
-                - (F.col("degree_sum") / F.lit(2.0 * m)) ** 2,
-                6,
-            ),
+            F.round(F.col("intra_edges") / F.lit(float(m)) - ratio * ratio, 6),
         )
     )
     # the grand total from EXACT integer/decimal sums only (the repo's
@@ -111,7 +111,7 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
             - (
                 F.sum(F.col("degree_sum").cast("decimal(38,0)") * F.col("degree_sum"))
                 .cast("double")
-                / F.lit(float(2 * m) ** 2)
+                / F.lit(float(2 * m) * float(2 * m))
             ),
             6,
         ).alias("contribution"),

@@ -922,3 +922,141 @@ ORACLE_HARMONIC = _harmonic_oracle(3)
 
 QUERIES["harmonic_centrality"] = q_harmonic_centrality
 ORACLES["harmonic_centrality"] = ORACLE_HARMONIC
+
+
+# --- k-truss decomposition (cohesive-subgraph family) -------------------
+
+
+def q_ktruss_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the 800 m customer-proximity graph: the maximal
+    subgraph where every edge closes >= 1 triangle
+    (operators/ktruss.py — support peel over the degree-oriented edge
+    iterator). Iterative peel is not SQL-expressible → rows-only; the
+    planted twin below value-checks the peel semantics."""
+    from kg_etl_spark.operators.ktruss import ktruss
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
+        F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
+    )
+    return ktruss(pairs, k=3)
+
+
+def q_ktruss_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin for `ktruss_spatial` (the
+    kcore_planted_recall pattern): K5 on custkeys 1..5 (every edge in
+    3 triangles), a triangle strip on 6..12 (edges (i,i+1) and
+    (i,i+2): interior short edges sit in exactly 2 triangles, long
+    edges in 1), and a triangle-free bridge (1,6). The 4-truss peel
+    needs support >= 2, so it must cascade: round 1 removes the
+    support-1 long edges and the support-0 bridge, which strands the
+    short path edges at support 0 for round 2, and only then does the
+    probe see a clean frame — a bulk one-shot support filter would
+    leave the strip's short edges behind and fail the hash. Unique
+    4-truss: the K5, every edge at in-truss support 3."""
+    from kg_etl_spark.operators.ktruss import ktruss
+
+    ids = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"))
+        .filter(F.col("id") <= 12)
+    )
+    a = ids.select(F.col("id").alias("a_id"))
+    b = ids.select(F.col("id").alias("b_id"))
+    clique = a.filter(F.col("a_id").between(1, 5)).join(
+        b.filter(F.col("b_id").between(1, 5)), F.col("a_id") < F.col("b_id")
+    )
+    short = ids.filter((F.col("id") >= 6) & (F.col("id") <= 11)).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    long_ = ids.filter((F.col("id") >= 6) & (F.col("id") <= 10)).select(
+        F.col("id").alias("a_id"), (F.col("id") + 2).alias("b_id")
+    )
+    bridge = ids.filter(F.col("id") == 1).select(
+        F.col("id").alias("a_id"), F.lit(6).cast(ids.schema["id"].dataType).alias("b_id")
+    )
+    edges = clique.unionByName(short).unionByName(long_).unionByName(bridge)
+    return ktruss(edges, k=4)
+
+
+ORACLE_KTRUSS_PLANTED = """
+SELECT a.c_custkey AS u, b.c_custkey AS v, CAST(3 AS BIGINT) AS support
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey BETWEEN 1 AND 5 AND b.c_custkey BETWEEN 1 AND 5
+"""
+
+QUERIES["ktruss_spatial"] = q_ktruss_spatial
+QUERIES["ktruss_planted_recall"] = q_ktruss_planted_recall
+ORACLES["ktruss_planted_recall"] = ORACLE_KTRUSS_PLANTED
+
+
+# --- modularity of a community assignment -------------------------------
+
+
+def q_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the 800 m
+    customer-proximity graph (operators/communities.py `modularity`):
+    per-nation contribution rows + the community=NULL grand total. The
+    synthetic coordinate scramble is nation-independent, so Q should
+    sit near 0 — the value check is exact either way (pure integer
+    aggregates into one rounded division)."""
+    from kg_etl_spark.operators.communities import modularity
+
+    cust = _with_coords(read_table(spark, sf_dir, "customer"), "c_custkey")
+    pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
+        F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
+    )
+    asg = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"), F.col("c_nationkey").alias("community")
+    )
+    return modularity(pairs, asg)
+
+
+_D_MOD = _SQL_EQUIRECT.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")
+ORACLE_MODULARITY = f"""
+WITH c AS ({_sql_cust_coords()}),
+e AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE {_D_MOD} <= 800.0
+),
+m AS (SELECT COUNT(*) AS m FROM e),
+t AS (
+  SELECT ca.c_nationkey AS ca_n, cb.c_nationkey AS cb_n
+  FROM e JOIN customer ca ON ca.c_custkey = e.a_id
+         JOIN customer cb ON cb.c_custkey = e.b_id
+),
+deg AS (
+  SELECT community, COUNT(*) AS degree_sum FROM (
+    SELECT ca_n AS community FROM t UNION ALL SELECT cb_n FROM t
+  ) GROUP BY community
+),
+intra AS (
+  SELECT ca_n AS community, COUNT(*) AS intra_edges FROM t
+  WHERE ca_n = cb_n GROUP BY ca_n
+),
+per_c AS (
+  SELECT d.community,
+         CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+         CAST(d.degree_sum AS BIGINT) AS degree_sum,
+         ROUND(
+           COALESCE(i.intra_edges, 0) / CAST(m.m AS DOUBLE)
+           - (d.degree_sum / CAST(2 * m.m AS DOUBLE)) * (d.degree_sum / CAST(2 * m.m AS DOUBLE)), 6
+         ) AS contribution
+  FROM deg d LEFT JOIN intra i USING (community), m
+)
+SELECT community, intra_edges, degree_sum, contribution FROM per_c
+UNION ALL
+SELECT NULL,
+       CAST(SUM(intra_edges) AS BIGINT),
+       CAST(SUM(degree_sum) AS BIGINT),
+       ROUND(
+         CAST(CAST(SUM(intra_edges) AS HUGEINT) AS DOUBLE) / CAST(m.m AS DOUBLE)
+         - CAST(SUM(CAST(degree_sum AS HUGEINT) * degree_sum) AS DOUBLE)
+           / (CAST(2 * m.m AS DOUBLE) * CAST(2 * m.m AS DOUBLE)), 6
+       )
+FROM per_c, m GROUP BY m.m
+"""
+
+QUERIES["modularity_nations"] = q_modularity_nations
+ORACLES["modularity_nations"] = ORACLE_MODULARITY

@@ -409,10 +409,48 @@ def stress_node2vec(spark):
     return f"node2vec: 1M-node cycle, length {length} in {dt:.1f}s ({rows} rows, walk exact)"
 
 
+def stress_ktruss(spark):
+    # 500k DISJOINT triangles (nodes 3i, 3i+1, 3i+2 — every edge at
+    # support exactly 1) + a K6 planted on nodes {0, 3, 6, 9, 12, 15}
+    # (its edges gain >= 4 in-clique support). The 4-truss peel must
+    # bulk-remove all 1.5M chain edges in ROUND 1 and converge in round
+    # 2 with exactly the 15 clique edges — output invariant, not just
+    # wall time. Adversarial: 97% of edges die at once (peel is bulk,
+    # the opposite shape of the planted twin's cascade).
+    from kg_etl_spark.operators.ktruss import ktruss
+
+    n_tri = 500_000
+    base = spark.range(n_tri)
+    tri = (
+        base.select((F.col("id") * 3).alias("a_id"), (F.col("id") * 3 + 1).alias("b_id"))
+        .union(base.select((F.col("id") * 3).alias("a_id"), (F.col("id") * 3 + 2).alias("b_id")))
+        .union(base.select((F.col("id") * 3 + 1).alias("a_id"), (F.col("id") * 3 + 2).alias("b_id")))
+    )
+    k6 = [0, 3, 6, 9, 12, 15]
+    clique = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(k6) for b in k6[i + 1 :]], "a_id long, b_id long"
+    )
+    edges = tri.unionByName(clique).distinct().localCheckpoint(eager=True)
+    ne = edges.count()
+    t0 = time.time()
+    out = ktruss(edges, k=4).localCheckpoint(eager=True)
+    dt = time.time() - t0
+    n_edges = out.count()
+    nodes = set()
+    for r in out.collect():
+        nodes.add(r["u"])
+        nodes.add(r["v"])
+    assert n_edges == 15, n_edges
+    assert nodes == set(k6), nodes
+    assert out.filter(F.col("support") < 4).count() == 0
+    return f"ktruss: {ne} edges, 4-truss in {dt:.1f}s (15 clique edges exact)"
+
+
 STRESSES = {
     "pagerank": stress_pagerank,
     "betweenness": stress_betweenness,
     "node2vec": stress_node2vec,
+    "ktruss": stress_ktruss,
     "temporal": stress_temporal,
     "propagation": stress_propagation,
     "ppr": stress_ppr,
