@@ -2244,3 +2244,115 @@ ORACLE_FEATURE_PROP = _feature_prop_oracle(_FP_ROUNDS)
 
 QUERIES["feature_propagation"] = q_feature_propagation
 ORACLES["feature_propagation"] = ORACLE_FEATURE_PROP
+
+
+# --- salted join (explicit skew mitigation, value-checked) ---------------
+
+
+def q_salted_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders enriched with per-status stats through operators/skew.py
+    `salted_join` — o_orderstatus has 3 values over the whole table,
+    the canonical pathological-key shape where one reducer would
+    otherwise take the entire probe side. The build side (3 rows) is
+    replicated 8x and the probe scattered by a row hash, so each hot
+    key spreads over 8 tasks; the oracle is the PLAIN join — salting
+    must be invisible in the values. above_avg compares through the
+    exact decimal sum (price > avg as double division of the decimal
+    total — identical IEEE ops both engines)."""
+    from kg_etl_spark.operators.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    stats = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("status_n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_tot"),
+    )
+    joined = salted_join(orders, stats, on="o_orderstatus", salt=8)
+    return joined.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "status_n",
+        F.round(F.col("_tot").cast("double") / F.col("status_n"), 6).alias("status_avg"),
+        (
+            F.col("o_totalprice") > F.col("_tot").cast("double") / F.col("status_n")
+        ).alias("above_avg"),
+    )
+
+
+ORACLE_SALTED_STATUS = """
+WITH s AS (
+  SELECT o_orderstatus, COUNT(*) AS status_n,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS tot
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderkey, o.o_orderstatus, s.status_n,
+       ROUND(CAST(s.tot AS DOUBLE) / s.status_n, 6) AS status_avg,
+       (o.o_totalprice > CAST(s.tot AS DOUBLE) / s.status_n) AS above_avg
+FROM orders o JOIN s USING (o_orderstatus)
+"""
+
+QUERIES["salted_status_join"] = q_salted_status_join
+ORACLES["salted_status_join"] = ORACLE_SALTED_STATUS
+
+
+# --- item-item cosine similarity (co-occurrence recommender kernel) ------
+
+_COS_MIN_SUPPORT = 3
+_COS_TOPN = 20
+
+
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine over order baskets: for part pairs co-occurring
+    in >= 3 orders, cosine = support / sqrt(n_a * n_b) on binary
+    basket-membership vectors — the similarity kernel of item-based
+    collaborative filtering (the co-occurrence counts are
+    copurchase_pairs'; this normalizes them by item popularity). The
+    pair join keys on l_orderkey so fan-out is bounded by basket size;
+    frequencies attach by two broadcast-size joins. sqrt/division are
+    single IEEE ops on exact integers — bit-identical cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _COS_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a")
+        .join(freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("support") / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")), 6
+            ),
+        )
+    )
+    return scored.select("part_a", "part_b", "support", "n_a", "n_b", "cosine").orderBy(
+        F.col("cosine").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(_COS_TOPN)
+
+
+ORACLE_ITEM_COSINE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+f AS (SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY l_partkey),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_COS_MIN_SUPPORT}
+)
+SELECT part_a, part_b, support, fa.n AS n_a, fb.n AS n_b,
+       ROUND(support / sqrt(CAST(fa.n * fb.n AS DOUBLE)), 6) AS cosine
+FROM p JOIN f fa ON fa.l_partkey = part_a JOIN f fb ON fb.l_partkey = part_b
+ORDER BY cosine DESC, part_a ASC, part_b ASC LIMIT {_COS_TOPN}
+"""
+
+QUERIES["item_cosine"] = q_item_cosine
+ORACLES["item_cosine"] = ORACLE_ITEM_COSINE

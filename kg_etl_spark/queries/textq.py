@@ -1183,3 +1183,60 @@ GROUP BY t.doc_id, t.n, t.n_distinct_chars
 
 QUERIES["char_entropy"] = q_char_entropy
 ORACLES["char_entropy"] = ORACLE_CHAR_ENTROPY
+
+
+# --- readability scoring (Flesch-style, exact arithmetic) ---------------
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading-ease per document from three exact counts:
+    whitespace words, sentence delimiters ([.!?]+ runs), and vowel-group
+    "syllables" ([aeiouy]+ runs over the lowered text) — the standard
+    cheap readability signal in LLM corpus filtering (reference parity:
+    the quality-feature family, SURVEY §2 F-group; this adds the
+    classic score the reference's quality filters approximate).
+    score = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    every input an integer count, every op a single IEEE double op in
+    the same order both engines, rounded at the edge. Zero guards via
+    greatest(x, 1); NULL texts filtered identically both sides.
+    Map-side only: one parquet scan, no shuffle, fully codegen."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.greatest(token_count(F.col("text")).cast("long"), F.lit(1).cast("long"))
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    y = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+        - F.lit(84.6) * (y.cast("double") / w.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )
+
+
+ORACLE_READABILITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         GREATEST(CAST(len({_SQL_TOKS}) AS BIGINT), 1) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(
+         CAST(206.835 AS DOUBLE)
+         - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6
+       ) AS flesch
+FROM t
+"""
+
+QUERIES["readability_scores"] = q_readability_scores
+ORACLES["readability_scores"] = ORACLE_READABILITY

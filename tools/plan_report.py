@@ -74,6 +74,8 @@ REPORT_QUERIES = [
     "node2vec_corpus", "multi_touch_attribution", "markov_stationary",
     "fellegi_sunter_em", "betweenness_sampled", "hits_scores",
     "pca_power_top",
+    "ktruss_planted_recall", "modularity_nations", "salted_status_join",
+    "item_cosine", "readability_scores",
 ]
 
 
