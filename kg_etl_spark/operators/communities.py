@@ -68,9 +68,15 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     one row per community."""
     asg_a = assignment.select(F.col("node").alias("a_id"), F.col("community").alias("ca"))
     asg_b = assignment.select(F.col("node").alias("b_id"), F.col("community").alias("cb"))
-    tagged = edges.join(asg_a, "a_id").join(asg_b, "b_id")
+    # the tagged edge list is the multi-consumer cut (m, intra, deg all
+    # read it): materialize ONCE so an expensive upstream edge plan —
+    # a blocked spatial self-join, an LSH band join — is not re-executed
+    # per consumer
+    tagged = edges.join(asg_a, "a_id").join(asg_b, "b_id").localCheckpoint(eager=True)
 
-    m = edges.count()
+    # m from the TAGGED frame: edges with an unassigned endpoint drop
+    # out of the inner joins and must not count toward 2m either
+    m = tagged.count()
     if m == 0:
         raise ValueError("modularity of an empty edge set is undefined")
 
