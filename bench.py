@@ -68,6 +68,13 @@ HEADLINE = [
     "node2vec_corpus",
     "hits_scores",
     "pca_power_top",
+    # round 5 (r4 directive #6): the remaining iterative graph ops and
+    # the two re-shaped pair generators join the regression guard
+    "betweenness_sampled",
+    "ktruss_spatial",
+    "modularity_nations",
+    "fellegi_sunter_em",
+    "multi_touch_attribution",
 ]
 
 

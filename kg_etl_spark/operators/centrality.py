@@ -121,18 +121,22 @@ def hits_scores(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
     """(node, hub, auth, hub_share, auth_share) — HITS (Kleinberg,
     JACM 1999) run UNNORMALIZED for a fixed number of rounds: after k
     rounds auth(v) counts the alternating in-paths of length 2k−1 and
-    hub(v) the out-paths of length 2k — exact BIGINTs, so the whole
-    iteration is value-checkable with order-independent integer sums
-    (no per-round L2 normalization, whose float sums would not be).
-    The shares divide by the exact global totals at the end — one
-    double division per row off two exact longs.
+    hub(v) the out-paths of length 2k — exact decimal(38,0) integers,
+    so the whole iteration is value-checkable with order-independent
+    integer sums (no per-round L2 normalization, whose float sums
+    would not be). The shares divide by the exact global totals at the
+    end — one double division per row off two exact decimals.
 
     Per round: two edge-keyed join+hash-aggs (in-sum then out-sum),
     each followed by a left join against the node set so sinks/sources
-    keep explicit zeros. 100 TB shape: state is one long per node per
-    side; counts grow like deg^(2k) — keep iterations small (the
-    default 2 ⇒ ≤ deg⁴) or move the column to decimal(38,0) before
-    overflow territory."""
+    keep explicit zeros. 100 TB shape: state is one decimal(38,0) per
+    node per side — counts grow like deg^(2k), which exits LONG range
+    at deg ≈ 55k for the default 2 iterations (a single celebrity
+    node), and non-ANSI Spark would WRAP silently. decimal(38,0)
+    accumulation (r4 directive #3) holds exact counts to 10³⁸ —
+    deg ≤ 10⁹ is safe through iterations=4 — at negligible cost for
+    per-node state; the share divisions cast to double explicitly."""
+    DEC = "decimal(38,0)"
     e = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")
     ).distinct().localCheckpoint(eager=True)
@@ -142,36 +146,71 @@ def hits_scores(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    h = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    # Loud overflow discipline (scc.py settled-clean idiom): a decimal
+    # sum that exits 38 digits goes NULL under non-ANSI Spark, and the
+    # sink-zero coalesce below would silently turn it into 0. The cheap
+    # a-priori bound |iterate| ≤ maxdeg^(2k) ≤ |E|^(2k) decides whether
+    # overflow is even REACHABLE — (|E|+1)^(2k+1) < 10^38 covers every
+    # per-node value AND the grand totals, so the common case adds zero
+    # jobs. Only past that bound does each round pay an exact
+    # pre-coalesce null probe (a real overflow, not the bound, raises).
+    n_e = e.count()
+    probe_overflow = bool(n_e) and (n_e + 1) ** (2 * iterations + 1) >= 10 ** 38
+
+    def _no_overflow(agg: DataFrame, cols, rnd: int) -> DataFrame:
+        if not probe_overflow:
+            return agg
+        agg = agg.localCheckpoint(eager=True)
+        null_any = None
+        for c in cols:
+            cond = F.col(c).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        if agg.filter(null_any).limit(1).count() > 0:
+            raise ValueError(
+                f"hits_scores: {'/'.join(cols)} sum exceeded decimal(38,0) "
+                f"at round {rnd} — unnormalized path counts this deep are "
+                "not exactly representable; reduce iterations"
+            )
+        return agg
+
+    h = nodes.select("node", F.lit(1).cast(DEC).alias("h"))
     a = None
-    for _ in range(iterations):
-        a_in = (
+    for r in range(iterations):
+        a_in = _no_overflow(
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").alias("a"))
+            .agg(F.sum("h").alias("a")),
+            ["a"],
+            r,
         )
         a = nodes.join(a_in, "node", "left").select(
-            "node", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+            "node", F.coalesce("a", F.lit(0)).cast(DEC).alias("a")
         )
-        h_out = (
+        h_out = _no_overflow(
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").alias("h"))
+            .agg(F.sum("a").alias("h")),
+            ["h"],
+            r,
         )
         h = nodes.join(h_out, "node", "left").select(
-            "node", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+            "node", F.coalesce("h", F.lit(0)).cast(DEC).alias("h")
         )
-    tot = h.join(a, "node").agg(
-        F.sum("h").alias("_th"), F.sum("a").alias("_ta")
+    tot = _no_overflow(
+        h.join(a, "node").agg(
+            F.sum("h").cast(DEC).alias("_th"), F.sum("a").cast(DEC).alias("_ta")
+        ),
+        ["_th", "_ta"],
+        iterations,
     )
     return (
         h.join(a, "node")
         .crossJoin(F.broadcast(tot))
         .select(
             "node",
-            F.col("h").alias("hub"),
-            F.col("a").alias("auth"),
-            F.round(F.col("h") / F.col("_th"), 6).alias("hub_share"),
-            F.round(F.col("a") / F.col("_ta"), 6).alias("auth_share"),
+            F.col("h").cast(DEC).alias("hub"),
+            F.col("a").cast(DEC).alias("auth"),
+            F.round(F.col("h").cast("double") / F.col("_th").cast("double"), 6).alias("hub_share"),
+            F.round(F.col("a").cast("double") / F.col("_ta").cast("double"), 6).alias("auth_share"),
         )
     )

@@ -14,12 +14,22 @@ Everything native (xxhash64, higher-order array fns); no Python UDFs.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kg_etl_spark.functions.text import word_shingles
 from kg_etl_spark.operators.textquality import ws_tokens
 from kg_etl_spark.operators.util import spread
+
+
+# Version marker for the LSH shingle-hash family. v2 = xxhash64 over
+# chained token-hash longs (`_sig_shingles`); v1 (pre-rewrite) hashed the
+# joined shingle STRING. Signatures across families never collide on
+# equal content, so banding a v1-persisted index with v2 batches yields
+# zero candidates — a silent-false-negative class this marker makes loud.
+LSH_FAMILY = "tokenchain-xxhash64-v2"
 
 
 def normalized_fingerprint(text: Column) -> Column:
@@ -352,6 +362,7 @@ def minhash_index(
     return {
         "banded": _band_table(shh, num_hashes, bands),
         "shingles": shh.select("_id", "_shh"),
+        "family": LSH_FAMILY,
     }
 
 
@@ -384,6 +395,24 @@ def minhash_lsh_pairs_incremental(
     the full operator.
     """
     assert num_hashes % bands == 0
+    fam = index.get("family")
+    if fam is None:
+        warnings.warn(
+            "minhash index carries no 'family' marker — assuming the "
+            f"current shingle-hash family ({LSH_FAMILY}). An index "
+            "persisted under an older family bands/verifies to ZERO "
+            "candidates (silent false negatives); rebuild it with "
+            "minhash_index if its provenance is uncertain.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    elif fam != LSH_FAMILY:
+        raise ValueError(
+            f"minhash index shingle-hash family {fam!r} does not match "
+            f"this build's {LSH_FAMILY!r} — rebuild the index with "
+            "minhash_index (cross-family signatures never collide on "
+            "equal content, so proceeding would silently miss all pairs)"
+        )
     new_shh = _sig_shingles(new_df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
     new_banded = _band_table(new_shh, num_hashes, bands).localCheckpoint(eager=True)
     stored_banded = index["banded"]

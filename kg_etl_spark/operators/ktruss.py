@@ -130,4 +130,4 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         RuntimeWarning,
         stacklevel=2,
     )
-    return _edge_support(cur)
+    return _edge_support(cur).filter(F.col("support") >= need)

@@ -91,6 +91,11 @@ def global_row_number(
     rng = _range_expr(F.col(bucket_key), lo, hi, num_ranges)
     # Range ids ascend with the bucket key; for a DESC sort the offsets
     # accumulate from the highest range down so offset+local stays global.
+    # EXCEPT in the constant-key subkey fallback: a constant key
+    # contributes nothing to the total order, so the effective global
+    # order is subkey ASC (the tie-break contract) REGARDLESS of
+    # `ascending` — offsets must then accumulate in ascending range
+    # order to match the subkey-ASC local windows.
     ranged = df.withColumn("_rdrng", rng)
     order = [F.col(key).asc() if ascending else F.col(key).desc()]
     if bucket_key != key:
@@ -102,7 +107,7 @@ def global_row_number(
     counts = sorted(
         ranged.groupBy("_rdrng").agg(F.count(F.lit(1)).alias("_n")).collect(),
         key=lambda r: r["_rdrng"],
-        reverse=not ascending,
+        reverse=(not ascending) and bucket_key == key,
     )
     offsets, running = {}, 0
     for r in counts:

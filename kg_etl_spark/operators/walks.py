@@ -36,14 +36,28 @@ _P = 2_147_483_647
 
 
 def _pick(origin, t: int, cur):
-    return (_A * origin + _B * cur + F.lit(_C * t)) % F.lit(_P)
+    # ids reduce mod P BEFORE the multiply (mis.py idiom): raw
+    # _B * id overflows a long for ids above ~3.4e9 and Spark wraps
+    # silently while DuckDB raises — the reduced products stay below
+    # (A+B)·(P−1) ≈ 8.5e18 < 2^63, exact in both engines; pmod keeps
+    # the result non-negative for negative ids too.
+    return F.pmod(
+        _A * F.pmod(origin, F.lit(_P)) + _B * F.pmod(cur, F.lit(_P)) + F.lit(_C * t),
+        F.lit(_P),
+    )
 
 
 def _pick2(origin, t: int, cur, prev):
     # second-order variant: the choice must depend on the edge
     # (prev, cur), not cur alone, or every visit to a node from any
     # predecessor would repeat the same successor
-    return (_A * origin + _B * cur + _D * prev + F.lit(_C * t)) % F.lit(_P)
+    return F.pmod(
+        _A * F.pmod(origin, F.lit(_P))
+        + _B * F.pmod(cur, F.lit(_P))
+        + _D * F.pmod(prev, F.lit(_P))
+        + F.lit(_C * t),
+        F.lit(_P),
+    )
 
 
 def deterministic_walks(

@@ -23,6 +23,8 @@ rounded at the edge; identical aliases both sides.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -732,19 +734,22 @@ WITH e AS (
   SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
   FROM s0 s LEFT JOIN nbrs n
     ON n.src = s.cur
-   AND n.rnk = (1315423911 * s.origin + 2654435761 * s.cur + 97531 * 1)
+   AND n.rnk = (1315423911 * (s.origin % 2147483647)
+                + 2654435761 * (s.cur % 2147483647) + 97531 * 1)
                % 2147483647 % n.deg + 1
 ), s2 AS (
   SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
   FROM s1 s LEFT JOIN nbrs n
     ON n.src = s.cur
-   AND n.rnk = (1315423911 * s.origin + 2654435761 * s.cur + 97531 * 2)
+   AND n.rnk = (1315423911 * (s.origin % 2147483647)
+                + 2654435761 * (s.cur % 2147483647) + 97531 * 2)
                % 2147483647 % n.deg + 1
 ), s3 AS (
   SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
   FROM s2 s LEFT JOIN nbrs n
     ON n.src = s.cur
-   AND n.rnk = (1315423911 * s.origin + 2654435761 * s.cur + 97531 * 3)
+   AND n.rnk = (1315423911 * (s.origin % 2147483647)
+                + 2654435761 * (s.cur % 2147483647) + 97531 * 3)
                % 2147483647 % n.deg + 1
 )
 SELECT origin, 0 AS step, cur AS node FROM s0
@@ -800,9 +805,13 @@ def _n2v_step_sql(t: int) -> str:
   SELECT origin, cur AS prev, COALESCE(dst, cur) AS cur
   FROM p{t}
   WHERE dst IS NULL
-     OR (lo <= (1315423911 * origin + 2654435761 * cur + 40503 * prev
+     OR (lo <= (1315423911 * (origin % 2147483647)
+                + 2654435761 * (cur % 2147483647)
+                + 40503 * (prev % 2147483647)
                 + 97531 * {t}) % 2147483647 % tot
-         AND (1315423911 * origin + 2654435761 * cur + 40503 * prev
+         AND (1315423911 * (origin % 2147483647)
+              + 2654435761 * (cur % 2147483647)
+              + 40503 * (prev % 2147483647)
               + 97531 * {t}) % 2147483647 % tot < hi)
 )"""
 
@@ -827,7 +836,8 @@ WITH e AS (
   SELECT s.origin, s.cur AS prev, COALESCE(n.dst, s.cur) AS cur
   FROM s0 s LEFT JOIN nbrs n
     ON n.src = s.cur
-   AND n.rnk = (1315423911 * s.origin + 2654435761 * s.cur + 97531 * 1)
+   AND n.rnk = (1315423911 * (s.origin % 2147483647)
+                + 2654435761 * (s.cur % 2147483647) + 97531 * 1)
                % 2147483647 % n.deg + 1
 ), {_n2v_step_sql(2)}, {_n2v_step_sql(3)}
 SELECT origin, 0 AS step, cur AS node FROM s0
@@ -2412,9 +2422,18 @@ ORACLES["lorenz_curve"] = ORACLE_LORENZ
 
 _FS_ITERS = 8
 _FS_FIELDS = ["seg", "dig", "bal"]
+# Deterministic per-block member cap (reference precedent: per-bin
+# comparison caps in diagnostics/spotcheck.py:146). Block membership
+# grows linearly with the corpus, so UNCAPPED upper-triangle pairs grow
+# quadratically — at 100× data each block would do 10,000× the work.
+# Keeping the first CAP members by custkey bounds every block at
+# CAP·(CAP−1)/2 pairs; EM over the ≤8 pattern COUNTS is insensitive to
+# a deterministic subsample, and the cap is pinned into the oracle's
+# pair CTE so both engines see the identical pair set.
+_FS_BLOCK_CAP = 200
 
 
-def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fellegi_sunter_em(cust_raw: DataFrame) -> DataFrame:
     """Fellegi–Sunter probabilistic record linkage (JASA 1969) with
     UNSUPERVISED weight estimation: blocked candidate pairs are
     reduced to binary agreement patterns (same mktsegment / same
@@ -2423,20 +2442,49 @@ def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤2³ pattern-count table (Winkler's classic formulation).
 
     Scale shape: the ONLY distributed work is the blocked self-join
-    ((nationkey, ⌊acctbal/1000⌋) equi-block — bounded buckets, no
-    cartesian) and the 8-row pattern-count aggregate; EM runs on the
-    driver over MODEL STATE (≤8 pattern counts), the documented
-    scalar-scale exception. Every floating-point step is pinned to a
-    left-fold order over patterns sorted by (g1,g2,g3), so the
-    unrolled SQL oracle (DuckDB list_reduce folds) reproduces the
-    IEEE arithmetic bit-for-bit; outputs round at 6 dp."""
-    cust = read_table(spark, sf_dir, "customer").select(
+    ((nationkey, ⌊acctbal/1000⌋) equi-block, each block CAPPED at its
+    first `_FS_BLOCK_CAP` members by custkey — one row_number window
+    per block, so pairs per block are bounded at CAP²/2 no matter how
+    the corpus grows; total drops are counted in one tiny aggregate
+    and reported loudly) and the 8-row pattern-count aggregate; EM
+    runs on the driver over MODEL STATE (≤8 pattern counts), the
+    documented scalar-scale exception. Every floating-point step is
+    pinned to a left-fold order over patterns sorted by (g1,g2,g3),
+    so the unrolled SQL oracle (DuckDB list_reduce folds, QUALIFY'd
+    to the same cap) reproduces the IEEE arithmetic bit-for-bit;
+    outputs round at 6 dp.
+
+    Takes the raw customer frame (c_custkey, c_nationkey,
+    c_mktsegment, c_acctbal) so the hot-block stress probe can drive
+    it directly."""
+    cust = cust_raw.select(
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
         "c_acctbal",
         (F.col("c_custkey") % 10).alias("_dig"),
         F.floor(F.col("c_acctbal") / 1000.0).alias("_blk"),
+    )
+    dropped = (
+        cust.groupBy("c_nationkey", "_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(F.greatest(F.col("_n") - _FS_BLOCK_CAP, F.lit(0))).alias("_d"))
+        .collect()[0]["_d"]
+    )
+    if dropped:
+        warnings.warn(
+            f"fellegi_sunter_em: {dropped} customers beyond the per-block "
+            f"cap of {_FS_BLOCK_CAP} excluded from pair generation "
+            "(deterministic first-by-custkey subsample; EM pattern "
+            "frequencies are insensitive to the cap)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    wb = Window.partitionBy("c_nationkey", "_blk").orderBy("c_custkey")
+    cust = (
+        cust.withColumn("_rnb", F.row_number().over(wb))
+        .filter(F.col("_rnb") <= _FS_BLOCK_CAP)
+        .drop("_rnb")
     )
     def bare(c: str) -> str:
         return c[2:] if c.startswith(("c_", "__")) else c.lstrip("_")
@@ -2496,7 +2544,13 @@ def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f, name in enumerate(_FS_FIELDS):
         out.append((f"m_{name}", round(m[f], 6)))
         out.append((f"u_{name}", round(u[f], 6)))
-    return spark.createDataFrame(out, "param string, value double")
+    return cust_raw.sparkSession.createDataFrame(out, "param string, value double")
+
+
+def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: :func:`fellegi_sunter_em` over the customer
+    table (see that docstring for semantics and the block cap)."""
+    return fellegi_sunter_em(read_table(spark, sf_dir, "customer"))
 
 
 def _fs_oracle_sql() -> str:
@@ -2506,12 +2560,16 @@ WITH c AS (
   SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
          c_custkey % 10 AS dig, FLOOR(c_acctbal / 1000.0) AS blk
   FROM customer
+), c2 AS (
+  SELECT * FROM c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey, blk
+                             ORDER BY c_custkey) <= {_FS_BLOCK_CAP}
 ), pat AS (
   SELECT a.c_mktsegment = b.c_mktsegment AS g1,
          a.dig = b.dig AS g2,
          ABS(a.c_acctbal - b.c_acctbal) < 100.0 AS g3,
          COUNT(*) AS n
-  FROM c a JOIN c b
+  FROM c2 a JOIN c2 b
     ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
    AND a.c_custkey < b.c_custkey
   GROUP BY 1, 2, 3
@@ -2655,7 +2713,16 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .distinct()
     )
-    return hits_scores(edges, iterations=2)
+    out = hits_scores(edges, iterations=2)
+    # the operator accumulates/returns exact decimal(38,0) (overflow-
+    # safe default); the catalog contract casts back to long for the
+    # DuckDB side-by-side — DuckDB's pandas bridge renders DECIMAL as
+    # float64, which the dtype-faithful compare rejects. Catalog-graph
+    # counts are << 2^63; the operator's loud probe guards the general
+    # case.
+    return out.withColumn("hub", F.col("hub").cast("long")).withColumn(
+        "auth", F.col("auth").cast("long")
+    )
 
 
 ORACLE_HITS = """
@@ -2687,8 +2754,8 @@ WITH e AS (
   FROM h2 JOIN a2 USING (node)
 )
 SELECT h2.node, h2.h AS hub, a2.a AS auth,
-       ROUND(h2.h * 1.0 / tot.th, 6) AS hub_share,
-       ROUND(a2.a * 1.0 / tot.ta, 6) AS auth_share
+       ROUND(CAST(h2.h AS DOUBLE) / CAST(tot.th AS DOUBLE), 6) AS hub_share,
+       ROUND(CAST(a2.a AS DOUBLE) / CAST(tot.ta AS DOUBLE), 6) AS auth_share
 FROM h2 JOIN a2 USING (node), tot
 """
 

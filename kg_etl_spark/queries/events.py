@@ -850,7 +850,7 @@ ORACLES["last_touch_attribution"] = ORACLE_ATTRIBUTION
 _DECAY_HL_US = 900 * 1_000_000  # 15-min half-life buckets
 
 
-def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multi_touch_attribution(ev: DataFrame) -> DataFrame:
     """Multi-touch attribution: each purchase splits its value across
     ALL of the user's clicks in the preceding hour — linear (equal
     shares) and time-decay (weight 2^-k for k = ⌊Δt/15min⌋ whole
@@ -859,48 +859,76 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines with no libm pow in sight; per-credit terms round
     to 6 dp and sum as decimals (catalog order-independence contract).
 
-    Scale shape: one user-keyed equi-join (purchases ⋈ clicks) with
-    the interval predicate inside the join filter, then windows
-    partitioned by (user_id, purchase) — hash partitioning on user_id
-    already satisfies the clustering, so the per-purchase totals add
-    NO second exchange; one final user-keyed aggregate."""
-    ev = read_table(spark, sf_dir, "events")
+    Scale shape (the temporal.py range-join device, r4 directive #1):
+    clicks key by their hour bucket ⌊t/W⌋ and each purchase PROBES its
+    own and the previous bucket, so the purchases ⋈ clicks equi-join
+    on (user_id, bucket) emits ONLY pairs within ~2W before the exact
+    ≤-W filter — a hot user contributes clicks_per_hour × purchases
+    rows per bucket, never clicks_total × purchases (the r4-flagged
+    per-user cartesian; 10⁵-click bot × 10³ purchases = 10⁸ rows in
+    one task under the old plan, stress-probed in
+    tools/stress_graph_ops.py::attribution_hot_user). The per-purchase
+    windows reuse the join's hash clustering (no second exchange);
+    purchases with zero qualifying clicks are restored by ONE
+    broadcast-friendly left join of the per-user aggregates back onto
+    the per-user purchase counts.
+
+    Takes the raw events frame (event_type, event_id, user_id, ts,
+    value) so the hot-user stress probe can drive it directly."""
     us = F.unix_micros(F.col("ts"))
+    W = _ATTR_WINDOW_US
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("_cid"), us.alias("_tc")
+        "user_id",
+        F.col("event_id").alias("_cid"),
+        us.alias("_tc"),
+        F.expr(f"unix_micros(ts) div {W}").alias("_bk"),
     )
     pur = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("_pid"), us.alias("_tp"), "value"
     )
-    j = pur.join(clicks, "user_id", "left").withColumn(
-        "_hit",
-        F.col("_tc").isNotNull()
-        & (F.col("_tc") < F.col("_tp"))
-        & (F.col("_tp") - F.col("_tc") <= _ATTR_WINDOW_US),
+    pb = F.expr(f"unix_micros(ts) div {W}")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("_pid"),
+        us.alias("_tp"),
+        "value",
+        F.explode(F.array(pb - 1, pb)).alias("_bk"),
     )
-    # no row filtering needed: non-qualifying click rows carry zero
-    # weight/credit via the _hit flag, and a purchase with no clicks
-    # at all keeps its single null left-join row — so every purchase
-    # stays represented without a second anti-join pass
+    hits = probe.join(clicks, ["user_id", "_bk"]).filter(
+        (F.col("_tc") < F.col("_tp")) & (F.col("_tp") - F.col("_tc") <= W)
+    )
     wn = Window.partitionBy("user_id", "_pid")
     k = F.floor((F.col("_tp") - F.col("_tc")) / F.lit(_DECAY_HL_US))
-    w = F.when(F.col("_hit"), F.pow(F.lit(0.5), k.cast("double"))).otherwise(F.lit(0.0))
-    n_hits = F.sum(F.col("_hit").cast("long")).over(wn)
-    wsum = F.sum(w).over(wn)
-    lin = F.when(F.col("_hit"), F.col("value") / n_hits).otherwise(F.lit(0.0))
-    dec = F.when(F.col("_hit"), F.col("value") * w / wsum).otherwise(F.lit(0.0))
+    w = F.pow(F.lit(0.5), k.cast("double"))
     DEC28 = "decimal(28,6)"
-    per = (
-        j.withColumn("_lin", F.round(lin, 6).cast(DEC28))
-        .withColumn("_dec", F.round(dec, 6).cast(DEC28))
+    per = hits.select(
+        "user_id",
+        "_pid",
+        "_cid",
+        F.round(F.col("value") / F.count(F.lit(1)).over(wn), 6).cast(DEC28).alias("_lin"),
+        F.round(F.col("value") * w / F.sum(w).over(wn), 6).cast(DEC28).alias("_dec"),
     )
-    return per.groupBy("user_id").agg(
-        F.count_distinct("_pid").alias("n_purchases"),
-        F.count_distinct(F.when(F.col("_hit"), F.col("_pid"))).alias("n_attributed"),
-        F.count_distinct(F.when(F.col("_hit"), F.col("_cid"))).alias("n_touches"),
-        F.round(F.sum("_lin").cast("double"), 4).alias("linear_credit"),
-        F.round(F.sum("_dec").cast("double"), 4).alias("decay_credit"),
+    attr = per.groupBy("user_id").agg(
+        F.count_distinct("_pid").alias("_na"),
+        F.count_distinct("_cid").alias("_nt"),
+        F.sum("_lin").alias("_sl"),
+        F.sum("_dec").alias("_sd"),
     )
+    base = pur.groupBy("user_id").agg(F.count_distinct("_pid").alias("n_purchases"))
+    return base.join(attr, "user_id", "left").select(
+        "user_id",
+        "n_purchases",
+        F.coalesce("_na", F.lit(0)).alias("n_attributed"),
+        F.coalesce("_nt", F.lit(0)).alias("n_touches"),
+        F.round(F.coalesce(F.col("_sl"), F.lit(0).cast(DEC28)).cast("double"), 4).alias("linear_credit"),
+        F.round(F.coalesce(F.col("_sd"), F.lit(0).cast(DEC28)).cast("double"), 4).alias("decay_credit"),
+    )
+
+
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: :func:`multi_touch_attribution` over the events
+    table (see that docstring for semantics and the 100-TB shape)."""
+    return multi_touch_attribution(read_table(spark, sf_dir, "events"))
 
 
 ORACLE_MULTI_TOUCH = f"""

@@ -95,9 +95,14 @@ import weakref
 
 # Per-session memo of analyzed scan DataFrames: file listing + footer
 # schema read + conf round-trips cost ~75 ms per read_table call, and a
-# catalog query calls it 1-4×. The DataFrame is a lazy plan — data is
-# still read fresh at every action — so memoizing is pure overhead
-# removal. Weak-keyed so a stopped/collected session never leaks or
+# catalog query calls it 1-4×. Row DATA is re-read at every action, but
+# the FILE LISTING is captured at first analysis — files appended to
+# sf_dir later in the session are not seen by the memoized plan. That is
+# the right trade for the static bench/test dirs this serves; a caller
+# that appends to sf_dir mid-session must call
+# `spark.catalog.refreshByPath(sf_dir)` AND bypass/clear the memo
+# (`clear_read_memo(spark)`) to observe new files. Weak-keyed so a
+# stopped/collected session never leaks or
 # resurrects stale plans into a new session.
 _READ_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
@@ -134,3 +139,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     memo[key] = df
     return df
+
+
+def clear_read_memo(spark: SparkSession) -> None:
+    """Drop the memoized scan plans for this session — required (along
+    with ``spark.catalog.refreshByPath``) before :func:`read_table` can
+    observe files appended to an sf_dir it already analyzed."""
+    try:
+        _READ_MEMO.pop(spark, None)
+    except TypeError:  # non-weakrefable session stub
+        pass

@@ -327,6 +327,88 @@ def test_node2vec_walks_follow_edges_and_bias(spark):
     assert paths(1_000_000, 1) == returny
 
 
+def _py_pick(o, t, c, prev=None):
+    # exact-integer mirror of walks._pick/_pick2 (Python ints never wrap)
+    A, B, C, D, P = 1_315_423_911, 2_654_435_761, 97_531, 40_503, 2_147_483_647
+    h = A * (o % P) + B * (c % P) + C * t
+    if prev is not None:
+        h += D * (prev % P)
+    return h % P
+
+
+def test_deterministic_walks_large_ids_no_overflow(spark):
+    # ADVICE r4 regression: raw _B * id overflowed a long for ids above
+    # ~3.4e9 — Spark's sign-preserving % then went negative, no rank
+    # matched, and the origin's walk SILENTLY vanished. The mod-P-reduced
+    # hash must match exact Python big-int arithmetic at any id.
+    from kg_etl_spark.operators.walks import deterministic_walks
+
+    BASE = 5_000_000_000  # > 2^63 / _B ≈ 3.47e9: wraps pre-fix
+    pairs = [(BASE + a, BASE + b) for a, b in
+             [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 0), (3, 1)]]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        (r["origin"], r["step"]): r["node"]
+        for r in deterministic_walks(edges, length=4).collect()
+    }
+    nbrs = {}
+    for s, d in pairs:
+        nbrs.setdefault(s, []).append(d)
+    nodes = {x for p in pairs for x in p}
+    assert len(got) == len(nodes) * 5, "an origin's walk vanished (overflow)"
+    for o in nodes:
+        cur = o
+        for t in range(0, 5):
+            assert got[(o, t)] == cur
+            if t < 4:
+                out = sorted(nbrs.get(cur, []))
+                if out:
+                    cur = out[_py_pick(o, t + 1, cur) % len(out)]
+
+
+def test_node2vec_walks_large_ids_no_overflow(spark):
+    from kg_etl_spark.operators.walks import node2vec_walks
+
+    BASE = 5_000_000_000
+    pairs = [(BASE + a, BASE + b) for a, b in
+             [(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2), (3, 4), (4, 3)]]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rw, ow = 500, 2000
+    got = {
+        (r["origin"], r["step"]): r["node"]
+        for r in node2vec_walks(edges, length=3, return_weight=rw, out_weight=ow).collect()
+    }
+    nbrs, eset = {}, set(pairs)
+    for s, d in pairs:
+        nbrs.setdefault(s, []).append(d)
+    nodes = {x for p in pairs for x in p}
+    assert len(got) == len(nodes) * 4, "an origin's walk vanished (overflow)"
+    for o in nodes:
+        prev, cur = None, o
+        for t in range(0, 4):
+            assert got[(o, t)] == cur, (o, t)
+            if t == 3:
+                break
+            out = sorted(nbrs.get(cur, []))
+            if not out:
+                prev = cur
+                continue
+            if t == 0:  # step 1 is first-order uniform
+                nxt = out[_py_pick(o, 1, cur) % len(out)]
+            else:
+                ws = [rw if x == prev else (1000 if (prev, x) in eset else ow)
+                      for x in out]
+                tot = sum(ws)
+                r = _py_pick(o, t + 1, cur, prev) % tot
+                lo, nxt = 0, out[-1]
+                for x, wt in zip(out, ws):
+                    if lo <= r < lo + wt:
+                        nxt = x
+                        break
+                    lo += wt
+            prev, cur = cur, nxt
+
+
 def test_node2vec_absorbs_at_sink(spark):
     from kg_etl_spark.operators.walks import node2vec_walks
 
@@ -374,6 +456,41 @@ def test_hits_integer_iterates_on_known_graph(spark):
     assert {n: r["auth"] for n, r in rows.items()} == {1: 0, 2: 0, 3: 4, 4: 1}
     assert abs(rows[1]["hub_share"] - 4 / 9) < 1e-6
     assert abs(rows[3]["auth_share"] - 4 / 5) < 1e-6
+
+
+def test_hits_decimal_survives_long_overflow(spark):
+    # r4 directive #3 regression: counts grow like deg^(2k); a long
+    # column wraps SILENTLY under non-ANSI Spark. 1000-leaf star at
+    # iterations=7 reaches auth(center) = 1000^7 = 10^21 > 2^63 ≈ 9.2e18
+    # — exact only in decimal(38,0).
+    from decimal import Decimal
+
+    from kg_etl_spark.operators.centrality import hits_scores
+
+    d = 1000
+    e = spark.createDataFrame([(i, 0) for i in range(1, d + 1)], ["src", "dst"])
+    rows = {r["node"]: r for r in hits_scores(e, iterations=7).collect()}
+    assert rows[0]["auth"] == Decimal(10) ** 21
+    assert rows[1]["hub"] == Decimal(10) ** 21
+    assert rows[0]["hub"] == 0
+    # the center holds ALL authority; each leaf 1/d of the hub mass
+    assert abs(rows[0]["auth_share"] - 1.0) < 1e-9
+    assert abs(rows[1]["hub_share"] - 1.0 / d) < 1e-9
+
+
+def test_hits_loud_on_decimal_range_exit(spark):
+    # beyond 38 digits the count is not representable: under ANSI the
+    # decimal sum raises Spark-side; under non-ANSI it would go NULL and
+    # the operator's pre-coalesce probe raises ValueError. Either way the
+    # failure is LOUD — never a silent wrap/zero. 1000-leaf star with
+    # iterations=13 overflows (10^39).
+    import pytest as _pytest
+
+    from kg_etl_spark.operators.centrality import hits_scores
+
+    e = spark.createDataFrame([(i, 0) for i in range(1, 1001)], ["src", "dst"])
+    with _pytest.raises(Exception, match="(?i)decimal|overflow|out of range|exceeded"):
+        hits_scores(e, iterations=13).collect()
 
 
 def test_markov_stationary_is_distribution_and_fixpoint(spark):

@@ -69,6 +69,22 @@ def test_ktruss_cascading_peel(spark):
     assert out3 == clique | strip
 
 
+def test_ktruss_max_iter_escape_filters_to_threshold(spark):
+    # ADVICE r4 regression: on max_iter exhaustion the warning promises a
+    # frame "filtered to the threshold" — the return must honor that (no
+    # edge with support < k-2 may leak out of a non-converged run).
+    clique = set(itertools.combinations(range(1, 6), 2))
+    strip = {(i, i + 1) for i in range(6, 12)} | {(i, i + 2) for i in range(6, 11)}
+    edges = clique | strip | {(1, 6)}  # needs 2+ peel rounds for k=4
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = ktruss(_mk_edges(spark, edges), k=4, max_iter=1).collect()
+    assert all(r["support"] >= 2 for r in out)
+    # the converged truss is a subset of the escape frame (supports are
+    # measured pre-final-peel, so extras may remain — but never below k-2)
+    kept = {(r["u"], r["v"]) for r in out}
+    assert set(clique) <= kept
+
+
 def test_ktruss_empty_and_triangle_free(spark):
     empty = spark.createDataFrame([], "a_id long, b_id long")
     assert ktruss(empty, k=3).count() == 0

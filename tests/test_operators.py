@@ -315,6 +315,37 @@ def test_minhash_incremental_matches_full(spark):
     assert any(a == 11 and b == 12 for a, b, _ in inc)  # new×new pair found
 
 
+def test_minhash_index_family_marker(spark):
+    # ADVICE r4: a pre-rewrite index hashes shingles differently, so
+    # banding it with current batches yields zero candidates SILENTLY.
+    # The index now carries a family marker: mismatch raises, absence
+    # warns loudly (hand-assembled dicts from a parquet store).
+    import pytest as _pytest
+
+    from kg_etl_spark.operators.dedup import (
+        LSH_FAMILY,
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    stored = spark.createDataFrame([(1, base)], "id long, text string")
+    new = spark.createDataFrame(
+        [(10, base.replace("tok39", "tokX"))], "id long, text string"
+    )
+    idx = minhash_index(stored, "id")
+    assert idx["family"] == LSH_FAMILY
+
+    bad = dict(idx, family="string-xxhash64-v1")
+    with _pytest.raises(ValueError, match="family"):
+        minhash_lsh_pairs_incremental(new, bad, "id")
+
+    legacy = {k: v for k, v in idx.items() if k != "family"}
+    with _pytest.warns(RuntimeWarning, match="family"):
+        pairs = minhash_lsh_pairs_incremental(new, legacy, "id", threshold=0.5)
+    assert pairs.count() == 1  # same-family data still works under the warning
+
+
 def test_minhash_incremental_combined_bucket_cap(spark):
     # cap semantics count stored + new members together: 8 stored +
     # 8 new copies of one doc = bucket of 16 > cap 10 → all its pairs

@@ -75,6 +75,34 @@ def test_constant_key_falls_back_to_subkey(spark):
     assert got.withColumn("_r", F.lit(1)).count() == 50
 
 
+def test_constant_key_subkey_fallback_descending(spark):
+    # ADVICE r4 regression: with the key constant and ascending=False the
+    # subkey-fallback offsets used to accumulate from the highest subkey
+    # range DOWN while the local windows ranked subkey ASC — ranks matched
+    # no total order. A constant key contributes nothing to ORDER BY, so
+    # the correct global order is subkey ASC regardless of `ascending`.
+    df = spark.createDataFrame([(i, 5) for i in range(50)], "id long, v long")
+    got, n = global_row_number(
+        df, "v", ascending=False, tiebreaks=["id"], out_col="rn",
+        num_ranges=8, subkey="id",
+    )
+    assert n == 50
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert got.select("id", "rn").subtract(want.select("id", "rn")).count() == 0
+
+
+def test_constant_key_subkey_fallback_descending_ntile(spark):
+    df = spark.createDataFrame([(i, 9) for i in range(41)], "id long, v long")
+    got = global_ntile(
+        df, "v", 4, ascending=False, tiebreaks=["id"], out_col="t",
+        num_ranges=8, subkey="id",
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = df.withColumn("t", F.ntile(4).over(w).cast("int"))
+    assert got.select("id", "t").subtract(want.select("id", "t")).count() == 0
+
+
 def test_empty_frame(spark):
     df = spark.createDataFrame([], "id long, v long")
     got, n = global_row_number(df, "v", tiebreaks=["id"], out_col="rn")

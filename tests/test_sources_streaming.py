@@ -745,6 +745,7 @@ def test_streaming_incremental_minhash_foreachbatch(spark, tmp_path):
     import json as _json
 
     from kg_etl_spark.operators.dedup import (
+        LSH_FAMILY,
         minhash_index,
         minhash_lsh_pairs,
         minhash_lsh_pairs_incremental,
@@ -778,6 +779,7 @@ def test_streaming_incremental_minhash_foreachbatch(spark, tmp_path):
         index = {
             "banded": s.read.parquet(banded_store),
             "shingles": s.read.parquet(shingle_store),
+            "family": LSH_FAMILY,
         }
         pairs = minhash_lsh_pairs_incremental(batch_df, index, "doc_id", threshold=0.5)
         pairs.write.mode("append").parquet(sink)

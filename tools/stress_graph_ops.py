@@ -446,8 +446,87 @@ def stress_ktruss(spark):
     return f"ktruss: {ne} edges, 4-truss in {dt:.1f}s (15 clique edges exact)"
 
 
+def stress_attribution(spark):
+    # r4 directive #1 "done" probe: ONE bot user with 100k clicks and
+    # 1k purchases. The old user_id-only join materialized 10^8 pair
+    # rows in a single user partition; the bucketed join emits only
+    # clicks-within-2h × purchases ≈ 4×10^5 rows. Layout: clicks every
+    # 36 s (100/hour over 1000 h), purchases mid-hour every hour for
+    # the first 1000 h — every purchase therefore attributes, and the
+    # linear credits per user must sum to the user's total purchase
+    # value EXACTLY up to the 6-dp per-credit rounding (invariant
+    # checked, not just wall time). 2k normal users ride along.
+    from kg_etl_spark.queries.events import multi_touch_attribution
+
+    HOUR = 3_600 * 1_000_000
+    clicks = spark.range(100_000).select(
+        F.lit("click").alias("event_type"),
+        (F.col("id") + 10_000_000).alias("event_id"),
+        F.lit(0).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 36_000_000).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    purchases = spark.range(1_000).select(
+        F.lit("purchase").alias("event_type"),
+        (F.col("id") + 20_000_000).alias("event_id"),
+        F.lit(0).alias("user_id"),
+        F.timestamp_micros(F.col("id") * HOUR + HOUR // 2).alias("ts"),
+        F.lit(10.0).alias("value"),
+    )
+    normal = spark.range(2_000).select(
+        F.when(F.col("id") % 2 == 0, "click").otherwise("purchase").alias("event_type"),
+        (F.col("id") + 30_000_000).alias("event_id"),
+        (F.col("id") % 500 + 1).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 77_000_000).alias("ts"),
+        F.lit(5.0).alias("value"),
+    )
+    ev = clicks.unionByName(purchases).unionByName(normal).localCheckpoint(eager=True)
+    t0 = time.time()
+    out = multi_touch_attribution(ev).localCheckpoint(eager=True)
+    dt = time.time() - t0
+    hot = out.filter(F.col("user_id") == 0).collect()[0]
+    assert hot["n_purchases"] == 1_000, hot
+    assert hot["n_attributed"] == 1_000, hot
+    # every purchase fully attributed: linear credit == 1000 × 10.0
+    # (each credit rounds at 6 dp; 100 shares of 0.1 are exact dyadic-
+    # adjacent decimals, so the decimal sum is exact)
+    assert abs(hot["linear_credit"] - 10_000.0) < 1e-3, hot
+    return (
+        f"attribution_hot_user: 100k clicks × 1k purchases on one user "
+        f"in {dt:.1f}s (bucketed join; exact credit invariant holds)"
+    )
+
+
+def stress_fellegi(spark):
+    # r4 directive #2 "done" probe: 500k customers collapsed into ONE
+    # (nationkey, acctbal-bucket) block. Uncapped upper-triangle pairs
+    # = 1.25×10^11 (plan death); the per-block cap keeps the first 200
+    # members by custkey → exactly C(200,2) = 19,900 pairs, and EM runs
+    # on the ≤8 pattern counts as usual.
+    from kg_etl_spark.queries.analytic import fellegi_sunter_em
+
+    cust = spark.range(500_000).select(
+        F.col("id").alias("c_custkey"),
+        F.lit(7).alias("c_nationkey"),
+        F.when(F.col("id") % 3 == 0, "BUILDING").otherwise("MACHINERY").alias("c_mktsegment"),
+        (500.0 + (F.col("id") % 400)).alias("c_acctbal"),  # all in block ⌊bal/1000⌋=0
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = {r["param"]: r["value"] for r in fellegi_sunter_em(cust).collect()}
+    dt = time.time() - t0
+    assert len(out) == 7 and 0.0 < out["lambda"] < 1.0, out
+    assert any("per-block cap" in str(w.message) for w in caught), "drop warning missing"
+    return f"fellegi_hot_block: 500k single-block customers in {dt:.1f}s (cap held, drop warned)"
+
+
 STRESSES = {
     "pagerank": stress_pagerank,
+    "attribution": stress_attribution,
+    "fellegi": stress_fellegi,
     "betweenness": stress_betweenness,
     "node2vec": stress_node2vec,
     "ktruss": stress_ktruss,
