@@ -19,6 +19,7 @@ from kg_etl_spark.queries import (
     geo,
     governance,
     media,
+    ml,
     pipeline,
     quality,
     relational,
@@ -43,6 +44,7 @@ for mod in (
     sketchq,
     governance,
     analytic,
+    ml,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,108 @@
+"""Classical-ML query family (queries/ml.py) and spectral bisection
+(operators/spectral.py): semantic checks on planted shapes, beyond the
+DuckDB oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_naive_bayes_confusion_is_complete(spark):
+    from kg_etl_spark.queries.ml import q_naive_bayes_segment
+
+    rows = q_naive_bayes_segment(spark, SF).collect()
+    n_test = sum(r["n"] for r in rows)
+    # every odd-custkey customer classified exactly once
+    from kg_etl_spark.session import read_table
+
+    expect = read_table(spark, SF, "customer").filter(F.col("c_custkey") % 2 == 1).count()
+    assert n_test == expect
+    # predictions come only from classes seen in training
+    train_classes = {
+        r["c_mktsegment"]
+        for r in read_table(spark, SF, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_mktsegment")
+        .distinct()
+        .collect()
+    }
+    assert {r["predicted"] for r in rows} <= train_classes
+
+
+def test_decision_stump_prefers_separating_threshold(spark):
+    # planted separable data: balance bucket < 5 → never urgent,
+    # bucket >= 5 → always urgent. The stump must pick threshold 5
+    # with weighted Gini 0 — exercised through the same operators the
+    # catalog query uses, on a frame-level rebuild of its plan.
+    from kg_etl_spark.queries.ml import _STUMP_THRESHOLDS
+
+    assert _STUMP_THRESHOLDS == list(range(10))
+    rows = [(i, float(1000 * (i % 10) + 500)) for i in range(200)]
+    cust = spark.createDataFrame(rows, "c_custkey long, c_acctbal double")
+    lab = cust.select(
+        F.least(F.greatest(F.floor(F.col("c_acctbal") / 1000.0), F.lit(-1)), F.lit(9))
+        .cast("long")
+        .alias("bkt")
+    ).withColumn("y", (F.col("bkt") >= 5).cast("long"))
+    bux = lab.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    thr = F.explode(F.array(*[F.lit(t) for t in range(10)])).alias("thr")
+    splits = (
+        bux.select("bkt", "n", "pos", thr)
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("bkt") < F.col("thr"), F.col("pos")).otherwise(0)).alias("p_l"),
+            F.sum(F.when(F.col("bkt") < F.col("thr"), F.col("n") - F.col("pos")).otherwise(0)).alias("nneg_l"),
+            F.sum(F.when(F.col("bkt") >= F.col("thr"), F.col("pos")).otherwise(0)).alias("p_r"),
+            F.sum(F.when(F.col("bkt") >= F.col("thr"), F.col("n") - F.col("pos")).otherwise(0)).alias("nneg_r"),
+        )
+        .collect()
+    )
+    perfect = [r["thr"] for r in splits if r["p_l"] == 0 and r["nneg_r"] == 0]
+    assert perfect == [5]
+
+
+def test_conformal_bound_covers_at_target_rate(spark):
+    from kg_etl_spark.queries.ml import q_conformal_spend_bound
+
+    rows = q_conformal_spend_bound(spark, SF).collect()
+    assert rows, "no segments"
+    for r in rows:
+        assert r["n_covered"] <= r["n_test"]
+        # split conformal at alpha=0.1 over exchangeable data: coverage
+        # concentrates near 0.9 — allow slack for small per-segment n
+        assert r["coverage"] >= 0.75, r
+        # k-th order statistic really is from the calibration set
+        assert r["qhat"] > 0
+
+
+def test_spectral_bisection_separates_two_cliques(spark):
+    from kg_etl_spark.operators.spectral import spectral_bisection
+
+    # two K6 cliques joined by a single bridge edge — the canonical
+    # spectral-bisection shape; the sign split must recover the cliques
+    a = list(range(0, 6))
+    b = list(range(10, 16))
+    edges = (
+        [(x, y) for x, y in itertools.combinations(a, 2)]
+        + [(x, y) for x, y in itertools.combinations(b, 2)]
+        + [(5, 10)]
+    )
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    out = {r["node"]: r["side"] for r in spectral_bisection(df, iterations=3).collect()}
+    sides_a = {out[x] for x in a}
+    sides_b = {out[x] for x in b}
+    assert len(sides_a) == 1 and len(sides_b) == 1 and sides_a != sides_b, out
+
+
+def test_spectral_bisection_deterministic(spark):
+    from kg_etl_spark.operators.spectral import spectral_bisection
+
+    edges = [(i, (i * 7 + 1) % 20) for i in range(20) if i != (i * 7 + 1) % 20]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    r1 = sorted((r["node"], r["val"]) for r in spectral_bisection(df).collect())
+    r2 = sorted((r["node"], r["val"]) for r in spectral_bisection(df).collect())
+    assert r1 == r2

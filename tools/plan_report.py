@@ -76,6 +76,9 @@ REPORT_QUERIES = [
     "pca_power_top",
     "ktruss_planted_recall", "modularity_nations", "salted_status_join",
     "item_cosine", "readability_scores",
+    # round 5: classical-ML family + spectral bisection
+    "naive_bayes_segment", "decision_stump", "conformal_spend_bound",
+    "spectral_split_users",
 ]
 
 
