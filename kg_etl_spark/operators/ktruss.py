@@ -44,10 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _edge_support(edges: DataFrame) -> DataFrame:
-    """Per-edge triangle support for canonical (u, v) edges with u < v:
-    returns (u, v, support). Edges in no triangle get support 0 via the
-    left join against the closed-wedge counts."""
+def _triangle_support(edges: DataFrame) -> DataFrame:
+    """(u, v, support) for ONLY the canonical edges that close >= 1
+    triangle — the inner core of :func:`_edge_support` (every tri_edge
+    row is an existing edge, so no join back is needed to know
+    membership)."""
     sym = edges.select(F.col("u"), F.col("v")).union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -91,7 +92,14 @@ def _edge_support(edges: DataFrame) -> DataFrame:
         .union(tri.select(F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")))
         .union(tri.select(F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")))
     )
-    sup = tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    return tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+
+
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support for canonical (u, v) edges with u < v:
+    returns (u, v, support). Edges in no triangle get support 0 via the
+    left join against the closed-wedge counts."""
+    sup = _triangle_support(edges)
     return (
         edges.select("u", "v")
         .join(sup, ["u", "v"], "left")
@@ -113,6 +121,14 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    if k == 3:
+        # Closed form, no peel: a support-0 edge lies in NO triangle, so
+        # removing it cannot destroy one — every surviving edge keeps its
+        # exact support and the fixpoint is reached after ONE pass. The
+        # support table alone IS the answer (its keys are exactly the
+        # edges in >= 1 triangle), so the zero-fill left join is skipped
+        # too — one support pass, no probes, no second round.
+        return _triangle_support(cur)
     for _ in range(max_iter):
         sup = _edge_support(cur).localCheckpoint(eager=True)
         if sup.filter(F.col("support") < need).limit(1).count() == 0:

@@ -1061,6 +1061,106 @@ QUERIES["markov_stationary"] = q_markov_stationary
 ORACLES["markov_stationary"] = ORACLE_MARKOV_STATIONARY
 
 
+_ABSORB_ITERS = 12
+_ABSORB_TARGET = "purchase"
+
+
+def q_absorbing_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected number of steps to FIRST reach the absorbing 'purchase'
+    state from each journey state, on the same Laplace-smoothed chain
+    as `markov_stationary` — the fundamental-matrix quantity N·1
+    (Kemeny & Snell, Finite Markov Chains ch. 3) computed by the
+    truncated recursion E ← 1 + P_NA·E for a FIXED 12 iterations from
+    E=0 (equivalently: expected steps within a 12-step horizon).
+
+    Scale shape: identical to `markov_stationary` — ONE window shuffle
+    + one ≤25-row aggregate is the only distributed work; the 4×4
+    sub-matrix recursion is driver MODEL-STATE arithmetic with pinned
+    left-fold order, replayed bit-for-bit by the unrolled SQL oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+
+    types = _EVENT_TYPES
+    na = [ty for ty in types if ty != _ABSORB_TARGET]
+    cnt = {(r["from_type"], r["to_type"]): r["n"] for r in counts.collect()}
+    row_tot = {i: sum(cnt.get((i, j), 0) for j in types) for i in types}
+    P = {
+        (i, j): (cnt.get((i, j), 0) + 1.0) / (row_tot[i] + float(len(types)))
+        for i in types
+        for j in types
+    }
+    E = {i: 0.0 for i in na}
+    for _ in range(_ABSORB_ITERS):
+        new = {}
+        for i in na:
+            acc = P[(i, na[0])] * E[na[0]]
+            for j in na[1:]:
+                acc = acc + P[(i, j)] * E[j]
+            new[i] = 1.0 + acc
+        E = new
+    rows = [(ty, round(E[ty], 6)) for ty in na] + [(_ABSORB_TARGET, 0.0)]
+    return spark.createDataFrame(rows, "event_type string, exp_steps double")
+
+
+def _absorbing_oracle_sql() -> str:
+    types = _EVENT_TYPES
+    na = [ty for ty in types if ty != _ABSORB_TARGET]
+    cnts = ",\n    ".join(
+        f"SUM(CASE WHEN from_type='{i}' AND to_type='{j}' THEN 1 ELSE 0 END) AS n_{i}_{j}"
+        for i in types
+        for j in types
+    )
+    tots = ", ".join(
+        "(" + " + ".join(f"n_{i}_{j}" for j in types) + f") AS tot_{i}" for i in types
+    )
+    ps = ", ".join(
+        f"(n_{i}_{j} + 1.0)/(tot_{i} + {float(len(types))}) AS p_{i}_{j}"
+        for i in types
+        for j in types
+    )
+    it_prev = ", ".join(f"0.0 AS e_{t}" for t in na)
+    sql = f"""
+WITH t AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT {cnts}
+  FROM t WHERE to_type IS NOT NULL
+), tot AS (
+  SELECT *, {tots} FROM c
+), m AS (
+  SELECT {ps} FROM tot
+), it0 AS (
+  SELECT {it_prev}
+)"""
+    for k in range(1, _ABSORB_ITERS + 1):
+        exprs = ", ".join(
+            "(1.0 + ("
+            + " + ".join(f"m.p_{i}_{j} * it{k-1}.e_{j}" for j in na)
+            + f")) AS e_{i}"
+            for i in na
+        )
+        sql += f", it{k} AS (\n  SELECT {exprs} FROM it{k-1}, m\n)"
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{ty}' AS event_type, ROUND(e_{ty}, 6) AS exp_steps FROM it{_ABSORB_ITERS}"
+        for ty in na
+    )
+    unions += f"\nUNION ALL SELECT '{_ABSORB_TARGET}' AS event_type, 0.0 AS exp_steps"
+    return sql + "\n" + unions
+
+
+ORACLE_ABSORBING_STEPS = _absorbing_oracle_sql()
+
+QUERIES["absorbing_steps"] = q_absorbing_steps
+ORACLES["absorbing_steps"] = ORACLE_ABSORBING_STEPS
+
+
 def q_changepoint_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-contrast changepoint detection on the daily series: each
     day scores |mean(next 7 days incl. today) − mean(prior 7 days)|;

@@ -443,3 +443,90 @@ SELECT node, ROUND(v, 6) AS val, v >= 0 AS side FROM v3
 
 QUERIES["spectral_split_users"] = q_spectral_split_users
 ORACLES["spectral_split_users"] = ORACLE_SPECTRAL
+
+
+# --- Huber robust location (IRLS) per nation --------------------------
+
+
+_HUBER_C = 1000.0
+_HUBER_ITERS = 3
+
+
+def _huber_step_exprs(m_col):
+    """Per-row Huber weight at the current center, and the two
+    scaled-long partial sums (PCA idiom: round(·10⁶) summed as BIGINT
+    — exact and order-independent; |w·x| ≤ 10⁴ so longs hold through
+    ~10¹² rows per nation)."""
+    r = F.abs(F.col("x") - m_col)
+    w = F.when(r <= _HUBER_C, F.lit(1.0)).otherwise(F.lit(_HUBER_C) / r)
+    swx = F.sum(F.round(w * F.col("x") * F.lit(1.0e6), 0).cast("long"))
+    sw = F.sum(F.round(w * F.lit(1.0e6), 0).cast("long"))
+    return swx, sw
+
+
+def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Huber M-estimate of account balance — 3 IRLS
+    iterations with weights w = min(1, c/|x−m|), c = 1000 (Huber 1964;
+    the standard robust location under outliers). Start m₀ is the
+    exact cent-scaled mean.
+
+    Determinism: every corpus-scale sum runs through the scaled-long
+    exact device (round(·10⁶) summed as BIGINT, order-independent on
+    any partitioning); weights and the per-iteration ratio are IEEE
+    doubles from identical inputs — the unrolled 3-step SQL oracle
+    replays bit-for-bit.
+
+    100 TB shape: 1+3 hash aggregates keyed by nation (map-side
+    partial combine; 25 output rows each) over one cached projection —
+    nothing else moves; no windows, no joins after the first."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", F.col("c_acctbal").cast("double").alias("x")
+    ).localCheckpoint(eager=False)
+    m0 = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.round(F.col("x") * 100.0, 0).cast("long")).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("m")
+    )
+    m = m0
+    for _ in range(_HUBER_ITERS):
+        joined = cust.join(F.broadcast(m), "c_nationkey")
+        swx, sw = _huber_step_exprs(F.col("m"))
+        m = joined.groupBy("c_nationkey").agg(
+            (swx.cast("double") / sw.cast("double")).alias("m")
+        )
+    return m.select("c_nationkey", F.round(F.col("m"), 6).alias("huber_mean"))
+
+
+def _huber_oracle_sql() -> str:
+    sql = """
+WITH c AS MATERIALIZED (
+  SELECT c_nationkey, CAST(c_acctbal AS DOUBLE) AS x FROM customer
+), m0 AS MATERIALIZED (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(ROUND(x * 100.0, 0) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(COUNT(*) AS DOUBLE)) AS m
+  FROM c GROUP BY c_nationkey
+)"""
+    for k in range(1, _HUBER_ITERS + 1):
+        sql += f""", m{k} AS MATERIALIZED (
+  SELECT c.c_nationkey,
+         CAST(SUM(CAST(ROUND(
+           (CASE WHEN ABS(c.x - p.m) <= {_HUBER_C} THEN 1.0
+                 ELSE {_HUBER_C} / ABS(c.x - p.m) END) * c.x * 1000000.0,
+           0) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(ROUND(
+           (CASE WHEN ABS(c.x - p.m) <= {_HUBER_C} THEN 1.0
+                 ELSE {_HUBER_C} / ABS(c.x - p.m) END) * 1000000.0,
+           0) AS BIGINT)) AS DOUBLE) AS m
+  FROM c JOIN m{k - 1} p USING (c_nationkey) GROUP BY c.c_nationkey
+)"""
+    return sql + f"""
+SELECT c_nationkey, ROUND(m, 6) AS huber_mean FROM m{_HUBER_ITERS}
+"""
+
+
+ORACLE_HUBER = _huber_oracle_sql()
+
+QUERIES["huber_location"] = q_huber_location
+ORACLES["huber_location"] = ORACLE_HUBER

@@ -98,6 +98,46 @@ def test_spectral_bisection_separates_two_cliques(spark):
     assert len(sides_a) == 1 and len(sides_b) == 1 and sides_a != sides_b, out
 
 
+def test_absorbing_steps_semantics(spark):
+    from kg_etl_spark.queries.events import q_absorbing_steps
+
+    rows = {r["event_type"]: r["exp_steps"] for r in q_absorbing_steps(spark, SF).collect()}
+    assert rows["purchase"] == 0.0
+    # every non-absorbing state needs >= 1 step, and the 12-step
+    # truncation bounds the expectation by 12
+    for ty, e in rows.items():
+        if ty != "purchase":
+            assert 1.0 <= e <= 12.0, (ty, e)
+
+
+def test_huber_location_resists_outliers(spark):
+    # planted: 99 values at 100 ± small jitter plus one 1e6 outlier.
+    # The mean is dragged to ~10k; the Huber estimate must stay near 100.
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.queries.ml import _HUBER_C, _HUBER_ITERS, _huber_step_exprs
+
+    rows = [(1, 100.0 + (i % 7) - 3.0) for i in range(99)] + [(1, 1_000_000.0)]
+    cust = spark.createDataFrame(rows, "c_nationkey int, x double")
+    m = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.round(F.col("x") * 100.0, 0).cast("long")).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("m")
+    )
+    for _ in range(_HUBER_ITERS):
+        joined = cust.join(F.broadcast(m), "c_nationkey")
+        swx, sw = _huber_step_exprs(F.col("m"))
+        m = joined.groupBy("c_nationkey").agg(
+            (swx.cast("double") / sw.cast("double")).alias("m")
+        )
+    est = m.collect()[0]["m"]
+    plain_mean = sum(x for _, x in rows) / len(rows)
+    assert plain_mean > 9000  # the outlier wrecked the mean
+    assert abs(est - 100.0) < 150.0, est  # Huber stayed near the bulk
+    assert _HUBER_C == 1000.0
+
+
 def test_spectral_bisection_deterministic(spark):
     from kg_etl_spark.operators.spectral import spectral_bisection
 

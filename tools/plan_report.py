@@ -78,7 +78,7 @@ REPORT_QUERIES = [
     "item_cosine", "readability_scores",
     # round 5: classical-ML family + spectral bisection
     "naive_bayes_segment", "decision_stump", "conformal_spend_bound",
-    "spectral_split_users",
+    "spectral_split_users", "absorbing_steps", "huber_location",
 ]
 
 
