@@ -8,10 +8,10 @@ across executors).
 
 Step rule: neighbors of `cur` ranked by dst id; pick
     rank = H(origin, t, cur) mod outdeg(cur) + 1
-    H(o, t, c) = (A·o + B·c + C·t) mod P      (P = 2^31−1 prime;
-                                               products < 2^63, no
-                                               overflow either engine)
-Dead ends absorb (walk stays at a sink node).
+    H(o, t, c) = (A·(o&M) + B·(c&M) + C·t) mod P
+(P = 2^31−1 prime; M = the low-31-bit mask, so every product stays
+below 2^63 — no overflow in either engine at any id, one bitwise op
+per operand). Dead ends absorb (walk stays at a sink node).
 
 Scale shape: the neighbor table (src, dst, rank, deg) is built once —
 one window pass over the edge list. Each of the `length` steps is ONE
@@ -35,29 +35,34 @@ _D = 40_503
 _P = 2_147_483_647
 
 
+_MASK = 0x7FFFFFFF  # low 31 bits
+
+
+def _m31(x):
+    # ids reduce to their low 31 bits BEFORE the multiply: raw _B * id
+    # overflows a long for ids above ~3.4e9 and Spark wraps silently
+    # while DuckDB raises. The bitwise mask (identical two's-complement
+    # semantics in both engines, negatives included) keeps the weighted
+    # sum below (A+B+D)·(2³¹−1) + C·t ≈ 8.53e18 < 2^63 — exact
+    # everywhere — at ONE bitwise op per operand. An earlier
+    # F.pmod-per-operand form cost 8 long divisions per row and slowed
+    # node2vec_corpus 1.98 s → 2.91 s at sf0.1; the mask restores the
+    # raw-formula speed. The masked sum is non-negative, so the outer
+    # plain % is already the canonical residue.
+    return x.bitwiseAND(F.lit(_MASK))
+
+
 def _pick(origin, t: int, cur):
-    # ids reduce mod P BEFORE the multiply (mis.py idiom): raw
-    # _B * id overflows a long for ids above ~3.4e9 and Spark wraps
-    # silently while DuckDB raises — the reduced products stay below
-    # (A+B)·(P−1) ≈ 8.5e18 < 2^63, exact in both engines; pmod keeps
-    # the result non-negative for negative ids too.
-    return F.pmod(
-        _A * F.pmod(origin, F.lit(_P)) + _B * F.pmod(cur, F.lit(_P)) + F.lit(_C * t),
-        F.lit(_P),
-    )
+    return (_A * _m31(origin) + _B * _m31(cur) + F.lit(_C * t)) % F.lit(_P)
 
 
 def _pick2(origin, t: int, cur, prev):
     # second-order variant: the choice must depend on the edge
     # (prev, cur), not cur alone, or every visit to a node from any
     # predecessor would repeat the same successor
-    return F.pmod(
-        _A * F.pmod(origin, F.lit(_P))
-        + _B * F.pmod(cur, F.lit(_P))
-        + _D * F.pmod(prev, F.lit(_P))
-        + F.lit(_C * t),
-        F.lit(_P),
-    )
+    return (
+        _A * _m31(origin) + _B * _m31(cur) + _D * _m31(prev) + F.lit(_C * t)
+    ) % F.lit(_P)
 
 
 def deterministic_walks(
@@ -221,13 +226,22 @@ def node2vec_walks(
                 )
             ).alias("_tot"),
         )
-        r = _pick2(F.col("origin"), t, F.col("cur"), F.col("prev")) % F.col("_tot")
-        step = csum.filter(
-            F.col("dst").isNull() | ((F.col("_lo") <= r) & (r < F.col("_hi")))
-        ).select(
-            "origin",
-            F.col("cur").alias("prev"),
-            F.coalesce("dst", F.col("cur")).alias("cur"),
+        # materialize the hash pick ONCE: inlining it into both range
+        # comparisons doubles the (mod-P-reduced, 4-modulo) expression
+        # per candidate row — measured 2.5 s → 1.8 s at sf0.1
+        step = (
+            csum.withColumn(
+                "_r", _pick2(F.col("origin"), t, F.col("cur"), F.col("prev")) % F.col("_tot")
+            )
+            .filter(
+                F.col("dst").isNull()
+                | ((F.col("_lo") <= F.col("_r")) & (F.col("_r") < F.col("_hi")))
+            )
+            .select(
+                "origin",
+                F.col("cur").alias("prev"),
+                F.coalesce("dst", F.col("cur")).alias("cur"),
+            )
         )
         frontier = (
             step.localCheckpoint(eager=True)

@@ -734,22 +734,22 @@ WITH e AS (
   SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
   FROM s0 s LEFT JOIN nbrs n
     ON n.src = s.cur
-   AND n.rnk = (1315423911 * (s.origin % 2147483647)
-                + 2654435761 * (s.cur % 2147483647) + 97531 * 1)
+   AND n.rnk = (1315423911 * (s.origin & 2147483647)
+                + 2654435761 * (s.cur & 2147483647) + 97531 * 1)
                % 2147483647 % n.deg + 1
 ), s2 AS (
   SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
   FROM s1 s LEFT JOIN nbrs n
     ON n.src = s.cur
-   AND n.rnk = (1315423911 * (s.origin % 2147483647)
-                + 2654435761 * (s.cur % 2147483647) + 97531 * 2)
+   AND n.rnk = (1315423911 * (s.origin & 2147483647)
+                + 2654435761 * (s.cur & 2147483647) + 97531 * 2)
                % 2147483647 % n.deg + 1
 ), s3 AS (
   SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
   FROM s2 s LEFT JOIN nbrs n
     ON n.src = s.cur
-   AND n.rnk = (1315423911 * (s.origin % 2147483647)
-                + 2654435761 * (s.cur % 2147483647) + 97531 * 3)
+   AND n.rnk = (1315423911 * (s.origin & 2147483647)
+                + 2654435761 * (s.cur & 2147483647) + 97531 * 3)
                % 2147483647 % n.deg + 1
 )
 SELECT origin, 0 AS step, cur AS node FROM s0
@@ -805,13 +805,13 @@ def _n2v_step_sql(t: int) -> str:
   SELECT origin, cur AS prev, COALESCE(dst, cur) AS cur
   FROM p{t}
   WHERE dst IS NULL
-     OR (lo <= (1315423911 * (origin % 2147483647)
-                + 2654435761 * (cur % 2147483647)
-                + 40503 * (prev % 2147483647)
+     OR (lo <= (1315423911 * (origin & 2147483647)
+                + 2654435761 * (cur & 2147483647)
+                + 40503 * (prev & 2147483647)
                 + 97531 * {t}) % 2147483647 % tot
-         AND (1315423911 * (origin % 2147483647)
-              + 2654435761 * (cur % 2147483647)
-              + 40503 * (prev % 2147483647)
+         AND (1315423911 * (origin & 2147483647)
+              + 2654435761 * (cur & 2147483647)
+              + 40503 * (prev & 2147483647)
               + 97531 * {t}) % 2147483647 % tot < hi)
 )"""
 
@@ -836,8 +836,8 @@ WITH e AS (
   SELECT s.origin, s.cur AS prev, COALESCE(n.dst, s.cur) AS cur
   FROM s0 s LEFT JOIN nbrs n
     ON n.src = s.cur
-   AND n.rnk = (1315423911 * (s.origin % 2147483647)
-                + 2654435761 * (s.cur % 2147483647) + 97531 * 1)
+   AND n.rnk = (1315423911 * (s.origin & 2147483647)
+                + 2654435761 * (s.cur & 2147483647) + 97531 * 1)
                % 2147483647 % n.deg + 1
 ), {_n2v_step_sql(2)}, {_n2v_step_sql(3)}
 SELECT origin, 0 AS step, cur AS node FROM s0

@@ -330,9 +330,10 @@ def test_node2vec_walks_follow_edges_and_bias(spark):
 def _py_pick(o, t, c, prev=None):
     # exact-integer mirror of walks._pick/_pick2 (Python ints never wrap)
     A, B, C, D, P = 1_315_423_911, 2_654_435_761, 97_531, 40_503, 2_147_483_647
-    h = A * (o % P) + B * (c % P) + C * t
+    M = 0x7FFFFFFF  # low-31-bit mask, mirrors walks._m31
+    h = A * (o & M) + B * (c & M) + C * t
     if prev is not None:
-        h += D * (prev % P)
+        h += D * (prev & M)
     return h % P
 
 
