@@ -353,3 +353,29 @@ def test_q6_pushdown_full(spark):
     pushed = m.group(1)
     for col in ("l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_ml_family_model_state_broadcasts(spark):
+    # naive Bayes / stump / conformal: every model-state attach must be
+    # a broadcast join (never a shuffle of the corpus side), and the
+    # fellegi/pair-free queries must not plan a corpus-scale cartesian.
+    assert has_broadcast_join(QUERIES["naive_bayes_segment"](spark, SF))
+    assert has_broadcast_join(QUERIES["conformal_spend_bound"](spark, SF))
+    # huber's per-iteration center attach is broadcast too
+    assert has_broadcast_join(QUERIES["huber_location"](spark, SF))
+
+
+def test_fellegi_pairs_stay_equijoin(spark):
+    plan = physical_plan(QUERIES["fellegi_sunter_em"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_join_keys_on_bucket(spark):
+    # r4 directive #1 regression guard: the purchases x clicks join must
+    # key on (user_id, bucket), not user_id alone — the bucket column
+    # must appear in the join-key expressions of the plan.
+    plan = physical_plan(QUERIES["multi_touch_attribution"](spark, SF))
+    assert "_bk" in plan, "attribution lost its hour-bucket join key"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
