@@ -530,3 +530,100 @@ ORACLE_HUBER = _huber_oracle_sql()
 
 QUERIES["huber_location"] = q_huber_location
 ORACLES["huber_location"] = ORACLE_HUBER
+
+
+# --- Degree assortativity of the user-transition graph ----------------
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's degree assortativity coefficient (PRL 2002) of the
+    symmetrized user-transition graph: the Pearson correlation of
+    (deg(u), deg(v)) over all directed edge slots,
+        r = (M·Σxy − Σx·Σy) / √(M·Σx² − (Σx)²) / √(M·Σy² − (Σy)²).
+    Every sum is an exact decimal of integer products (order-
+    independent), the subtractions happen IN decimal, and only the
+    final √/÷ touch doubles — IEEE sqrt is correctly rounded by
+    spec, so both engines produce the identical bits before the 6 dp
+    round. By symmetry Σx = Σy, but both are computed as written so
+    the oracle matches term for term.
+
+    100 TB shape: one degree aggregate, two broadcast-joined degree
+    attaches keyed by the edge endpoints, one global 1-row aggregate —
+    no windows, nothing quadratic."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    e0 = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    e = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        e.join(F.broadcast(deg.select(F.col("node").alias("s"), F.col("d").alias("dx"))), "s")
+        .join(F.broadcast(deg.select(F.col("node").alias("t"), F.col("d").alias("dy"))), "t")
+    )
+    DEC = "decimal(38,0)"
+    agg = ed.agg(
+        F.count(F.lit(1)).cast(DEC).alias("m"),
+        F.sum(F.col("dx").cast(DEC)).alias("sx"),
+        F.sum(F.col("dy").cast(DEC)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(DEC)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(DEC)).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # zero degree variance (regular graph) leaves r undefined — report
+    # 0.0 by convention (and keep ANSI division-by-zero unreachable)
+    r = F.when((denx > 0) & (deny > 0), F.round(num / denx / deny, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("n_edge_slots"),
+        r.alias("assortativity"),
+    )
+
+
+ORACLE_ASSORTATIVITY = """
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events
+), p AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), e AS (
+  SELECT a AS s, b AS t FROM p UNION ALL SELECT b AS s, a AS t FROM p
+), deg AS (SELECT s AS node, COUNT(*) AS d FROM e GROUP BY s),
+ed AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM e JOIN deg dx ON dx.node = e.s JOIN deg dy ON dy.node = e.t
+), agg AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+         SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(dy * dy AS DECIMAL(38,0))) AS syy
+  FROM ed
+)
+SELECT CAST(m AS BIGINT) AS n_edge_slots,
+       CASE WHEN SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) > 0
+             AND SQRT(CAST(m * syy - sy * sy AS DOUBLE)) > 0
+            THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                       / SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+                       / SQRT(CAST(m * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS assortativity
+FROM agg
+"""
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+ORACLES["degree_assortativity"] = ORACLE_ASSORTATIVITY

@@ -2018,6 +2018,61 @@ QUERIES["association_rules"] = q_association_rules
 ORACLES["association_rules"] = ORACLE_ASSOC_RULES
 
 
+_APRIORI_L1_MIN = 5  # item must appear in >= 5 baskets to enter pairing
+_APRIORI_MIN_SUP = 2  # triple support threshold
+
+
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets from order baskets — the A-priori level-3
+    step (Agrawal & Srikant, VLDB'94): items below the L1 support
+    floor are pruned BEFORE any pairing (downward closure), then
+    triples are enumerated inside each basket by two ordered
+    self-joins on the basket key and counted.
+
+    100 TB shape: the L1 prune is a broadcast semi-join (frequent-item
+    list is model state), and the two self-joins key on the basket id
+    — fan-out is C(|basket|,3), bounded by basket size, never by
+    corpus size; the count is one hash aggregate on the triple key.
+    The support-2 floor keeps the output at curiosity scale while the
+    plan stays identical at any threshold."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    l1 = (
+        b.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= _APRIORI_L1_MIN)
+        .select("p")
+    )
+    bf = b.join(F.broadcast(l1), "p", "left_semi")
+    a2 = bf.select("o", F.col("p").alias("pb"))
+    a3 = bf.select("o", F.col("p").alias("pc"))
+    return (
+        bf.select("o", F.col("p").alias("pa"))
+        .join(a2, "o")
+        .filter(F.col("pb") > F.col("pa"))
+        .join(a3, "o")
+        .filter(F.col("pc") > F.col("pb"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _APRIORI_MIN_SUP)
+    )
+
+
+ORACLE_APRIORI_TRIPLES = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+l1 AS (SELECT p FROM b GROUP BY p HAVING COUNT(*) >= {_APRIORI_L1_MIN}),
+bf AS (SELECT b.o, b.p FROM b SEMI JOIN l1 ON l1.p = b.p)
+SELECT a.p AS pa, c.p AS pb, d.p AS pc, COUNT(*) AS support
+FROM bf a JOIN bf c ON c.o = a.o AND c.p > a.p
+          JOIN bf d ON d.o = a.o AND d.p > c.p
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {_APRIORI_MIN_SUP}
+"""
+
+QUERIES["apriori_triples"] = q_apriori_triples
+ORACLES["apriori_triples"] = ORACLE_APRIORI_TRIPLES
+
+
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank: random walks restarting at the customer
     seed set (custkey % 50 == 0) — 'importance relative to THESE

@@ -138,6 +138,44 @@ def test_huber_location_resists_outliers(spark):
     assert _HUBER_C == 1000.0
 
 
+def test_apriori_triples_downward_closure(spark):
+    # every frequent triple's member pairs must co-occur at least as
+    # often as the triple (downward closure — the property the L1
+    # prune relies on)
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.queries.relational import q_apriori_triples
+    from kg_etl_spark.session import read_table
+
+    triples = q_apriori_triples(spark, SF).collect()
+    if not triples:
+        return  # tiny SF may have no frequent triples — sf0.01 does
+    b = (
+        read_table(spark, SF, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    baskets = {}
+    for r in b.collect():
+        baskets.setdefault(r["o"], set()).add(r["p"])
+    for t in triples:
+        pa, pb, pc, sup = t["pa"], t["pb"], t["pc"], t["support"]
+        assert pa < pb < pc
+        n3 = sum(1 for s in baskets.values() if {pa, pb, pc} <= s)
+        assert n3 == sup
+        for x, y in ((pa, pb), (pa, pc), (pb, pc)):
+            n2 = sum(1 for s in baskets.values() if {x, y} <= s)
+            assert n2 >= sup
+
+
+def test_degree_assortativity_bounded(spark):
+    from kg_etl_spark.queries.ml import q_degree_assortativity
+
+    r = q_degree_assortativity(spark, SF).collect()[0]
+    assert r["n_edge_slots"] > 0 and r["n_edge_slots"] % 2 == 0
+    assert -1.0 <= r["assortativity"] <= 1.0
+
+
 def test_spectral_bisection_deterministic(spark):
     from kg_etl_spark.operators.spectral import spectral_bisection
 
