@@ -63,6 +63,10 @@ def betweenness_sampled(
     levels = [frontier]  # levels[d] = (pivot, node, sigma) at depth d
     seen = frontier.select("pivot", "node")
     for d in range(1, max_depth + 1):
+        # lazy checkpoint + full count: ONE job materializes the level
+        # AND answers the emptiness probe (the eager-checkpoint +
+        # limit(1).count() form paid two jobs per level — pure
+        # scheduling overhead at small SF, same plan at scale)
         nxt = (
             levels[-1]
             .join(e.withColumnRenamed("src", "node"), "node")
@@ -70,9 +74,9 @@ def betweenness_sampled(
             .groupBy("pivot", "node")
             .agg(F.sum("sigma").alias("sigma"))
             .join(seen, ["pivot", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
         levels.append(nxt)
         seen = seen.union(nxt.select("pivot", "node"))
@@ -105,7 +109,9 @@ def betweenness_sampled(
             .select("pivot", "node")
             .join(contrib, ["pivot", "node"], "left")
             .select("pivot", "node", F.coalesce("delta", F.lit(0.0)).alias("delta"))
-            .localCheckpoint(eager=True)
+            # lazy: materializes inside the next level's job, reused by
+            # the final union — no standalone materialization job
+            .localCheckpoint(eager=False)
         )
 
     acc = None
