@@ -116,7 +116,10 @@ def spectral_bisection(edges: DataFrame, *, iterations: int = 3) -> DataFrame:
                     F.col("mx") > 0, F.round(F.col("c") / F.col("mx"), 9)
                 ).otherwise(F.lit(0.0)).alias("v"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: lineage still cut at first materialization (inside
+            # the next iteration's scalar-aggregate job) without paying
+            # a standalone job per step
+            .localCheckpoint(eager=False)
         )
     return v.select(
         "node",
