@@ -75,6 +75,11 @@ HEADLINE = [
     "modularity_nations",
     "fellegi_sunter_em",
     "multi_touch_attribution",
+    # round 5: classical-ML family + spectral + basket mining
+    "naive_bayes_segment",
+    "huber_location",
+    "spectral_split_users",
+    "apriori_triples",
 ]
 
 
