@@ -523,10 +523,55 @@ def stress_fellegi(spark):
     return f"fellegi_hot_block: 500k single-block customers in {dt:.1f}s (cap held, drop warned)"
 
 
+def stress_spectral(spark):
+    # 500k-node graph (two chorded-ring communities + 1 bridge, ~2M
+    # edges). The assertion is PARTITION INVARIANCE: the scaled-long
+    # exact-sum device must make every 9dp iterate bit-identical no
+    # matter how the edges are partitioned — run once on 64 partitions
+    # and once reshuffled to 7, compare vals exactly. (3 power steps
+    # from parity need not separate ring communities; determinism of
+    # the distributed float pipeline is what this probe certifies.)
+    from kg_etl_spark.operators.spectral import spectral_bisection
+
+    half = 250_000
+    base = spark.range(half)
+    def ring(offset):
+        e = None
+        for step in (1, 2, 7):
+            part = base.select(
+                (F.col("id") + offset).alias("a_id"),
+                ((F.col("id") + step) % half + offset).alias("b_id"),
+            )
+            e = part if e is None else e.union(part)
+        return e
+    edges = (
+        ring(0).union(ring(half))
+        .union(spark.range(1).select(F.lit(0).alias("a_id"), F.lit(half).alias("b_id")))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .localCheckpoint(eager=True)
+    )
+    ne = edges.count()
+    t0 = time.time()
+    r1 = spectral_bisection(edges, iterations=3).localCheckpoint(eager=True)
+    n1 = r1.count()
+    dt = time.time() - t0
+    r2 = spectral_bisection(edges.repartition(7), iterations=3)
+    diff = (
+        r1.select("node", "val")
+        .exceptAll(r2.select("node", "val"))
+        .limit(1)
+        .count()
+    )
+    assert n1 == 2 * half, n1
+    assert diff == 0, "iterates differ across partitionings"
+    return f"spectral: {ne} edges, 3 deflated steps in {dt:.1f}s (bit-equal across partitionings)"
+
+
 STRESSES = {
     "pagerank": stress_pagerank,
     "attribution": stress_attribution,
     "fellegi": stress_fellegi,
+    "spectral": stress_spectral,
     "betweenness": stress_betweenness,
     "node2vec": stress_node2vec,
     "ktruss": stress_ktruss,
