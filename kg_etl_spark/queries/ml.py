@@ -627,3 +627,82 @@ FROM agg
 
 QUERIES["degree_assortativity"] = q_degree_assortativity
 ORACLES["degree_assortativity"] = ORACLE_ASSORTATIVITY
+
+
+# --- Exact 4-cycle (rectangle) census ---------------------------------
+
+
+def q_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count of 4-cycles in the symmetrized user-transition
+    graph via the common-neighbor identity: for every unordered node
+    pair (x, z), w(x,z) = |N(x) ∩ N(z)| common neighbors contribute
+    C(w,2) rectangles through that diagonal, and every 4-cycle has
+    exactly TWO diagonals — so C4 = Σ C(w,2) / 2 (Chiba & Nishizeki,
+    SIAM J. Comput. 1985 lineage). All-integer arithmetic end to end.
+
+    100 TB shape: the wedge self-join keys on the CENTER node, so
+    fan-out is Σ deg(y)² — the documented hub-skew hazard of any exact
+    rectangle count; AQE skew-join splits hot centers, and the
+    follow-up is one (x,z)-keyed hash aggregate plus a 1-row sum.
+    Counts accumulate in decimal(38,0) (w² sums exit long range long
+    before 38 digits)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    e0 = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    e = e0.select(F.col("a").alias("y"), F.col("b").alias("x")).union(
+        e0.select(F.col("b").alias("y"), F.col("a").alias("x"))
+    )
+    wedges = (
+        e.join(e.withColumnRenamed("x", "z"), "y")
+        .filter(F.col("x") < F.col("z"))
+        .groupBy("x", "z")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # C4 = Σ C(w,2) / 2 = (Σw² − Σw) / 4 — exact integer arithmetic in
+    # decimal (the difference is divisible by 4 by construction); the
+    # oracle mirrors it in HUGEINT (DuckDB decimals cannot multiply at
+    # width 38×38).
+    DEC = "decimal(38,0)"
+    return wedges.agg(
+        (
+            (
+                F.sum(F.col("w").cast(DEC) * F.col("w").cast(DEC))
+                - F.sum(F.col("w").cast(DEC))
+            )
+            / 4
+        ).cast("long").alias("n_c4"),
+        F.count(F.lit(1)).alias("n_diagonal_pairs"),
+    )
+
+
+ORACLE_FOUR_CYCLE = """
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events
+), p AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), e AS (
+  SELECT a AS y, b AS x FROM p UNION ALL SELECT b AS y, a AS x FROM p
+), wedges AS (
+  SELECT e1.x, e2.x AS z, COUNT(*) AS w
+  FROM e e1 JOIN e e2 ON e2.y = e1.y AND e1.x < e2.x
+  GROUP BY e1.x, e2.x
+)
+SELECT CAST((SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))
+             - SUM(CAST(w AS HUGEINT))) // 4 AS BIGINT) AS n_c4,
+       COUNT(*) AS n_diagonal_pairs
+FROM wedges
+"""
+
+QUERIES["four_cycle_count"] = q_four_cycle_count
+ORACLES["four_cycle_count"] = ORACLE_FOUR_CYCLE
