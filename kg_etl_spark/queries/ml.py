@@ -706,3 +706,116 @@ FROM wedges
 
 QUERIES["four_cycle_count"] = q_four_cycle_count
 ORACLES["four_cycle_count"] = ORACLE_FOUR_CYCLE
+
+
+# --- Two-feature OLS per nation (normal equations, Cramer) ------------
+
+
+def q_ols2_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation multiple regression: customer total spend on
+    (account balance, order count) solved in closed form from the 3×3
+    normal equations via Cramer's rule — the distributed-regression
+    pattern where ALL corpus-scale work is one aggregate of exact
+    power sums per group, and the solve is a constant-size formula.
+
+    Determinism: x₁ (balance, 2 dp), x₂ (order count, integer), and y
+    (spend, 2 dp) make every power sum an exact decimal; the sums
+    convert to doubles once and the 3×3 determinants expand in a
+    pinned literal order — bit-identical across engines, 6 dp output.
+    Singular systems (|det| = 0) yield NULL coefficients rather than
+    an ANSI divide error.
+
+    100 TB shape: one orders aggregate + one customer join + ONE
+    nation-keyed aggregate of 9 sums (map-side combine; |nations|
+    output rows). The solve adds zero distributed work."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    per = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("x2"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"),
+        )
+        .join(cust, "c_custkey")
+    )
+    x1 = F.col("c_acctbal").cast("decimal(12,2)")
+    x2 = F.col("x2").cast("decimal(12,0)")
+    yy = F.col("y").cast("decimal(18,2)")
+    sums = per.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum((x1 * x1).cast("decimal(38,4)")).cast("double").alias("s11"),
+        F.sum((x2 * x2).cast("decimal(38,4)")).cast("double").alias("s22"),
+        F.sum((x1 * x2).cast("decimal(38,4)")).cast("double").alias("s12"),
+        F.sum(yy).cast("double").alias("sy"),
+        F.sum((x1 * yy).cast("decimal(38,4)")).cast("double").alias("s1y"),
+        F.sum((x2 * yy).cast("decimal(38,4)")).cast("double").alias("s2y"),
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        # pinned expansion along the first row, left-associated
+        return (
+            a * (e * i - f * h) - b * (d * i - f * g)
+        ) + c * (d * h - e * g)
+
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    sol = lambda dd: F.when(F.abs(det) > 0, F.round(dd / det, 6))
+    return sums.select(
+        "c_nationkey",
+        n.cast("long").alias("n_cust"),
+        sol(d0).alias("beta0"),
+        sol(d1).alias("beta1"),
+        sol(d2).alias("beta2"),
+    )
+
+
+ORACLE_OLS2 = """
+WITH per AS (
+  SELECT o.o_custkey AS c_custkey, c.c_nationkey,
+         CAST(c.c_acctbal AS DECIMAL(12,2)) AS x1,
+         CAST(COUNT(*) AS DECIMAL(12,0)) AS x2,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_nationkey, c.c_acctbal
+), sums AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,4))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,4))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,4))) AS DOUBLE) AS s12,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,4))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,4))) AS DOUBLE) AS s2y
+  FROM per GROUP BY c_nationkey
+), solved AS (
+  SELECT c_nationkey, n,
+         (n  * (s11 * s22 - s12 * s12) - s1 * (s1  * s22 - s12 * s2))
+           + s2 * (s1  * s12 - s11 * s2) AS det,
+         (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y))
+           + s2 * (s1y * s12 - s11 * s2y) AS d0,
+         (n  * (s1y * s22 - s12 * s2y) - sy * (s1  * s22 - s12 * s2))
+           + s2 * (s1  * s2y - s1y * s2) AS d1,
+         (n  * (s11 * s2y - s1y * s12) - s1 * (s1  * s2y - s1y * s2))
+           + sy * (s1  * s12 - s11 * s2) AS d2
+  FROM sums
+)
+SELECT c_nationkey, CAST(n AS BIGINT) AS n_cust,
+       CASE WHEN ABS(det) > 0 THEN ROUND(d0 / det, 6) END AS beta0,
+       CASE WHEN ABS(det) > 0 THEN ROUND(d1 / det, 6) END AS beta1,
+       CASE WHEN ABS(det) > 0 THEN ROUND(d2 / det, 6) END AS beta2
+FROM solved
+"""
+
+QUERIES["ols2_spend"] = q_ols2_spend
+ORACLES["ols2_spend"] = ORACLE_OLS2

@@ -218,6 +218,47 @@ def test_four_cycle_count_brute_force(spark):
     assert got == brute == 4  # 3 in K4 + 1 square
 
 
+def test_ols2_recovers_exact_linear_relation(spark):
+    # catalog query against numpy lstsq on the same per-customer frame
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.queries.ml import q_ols2_spend
+    from kg_etl_spark.session import read_table
+
+    out = {r["c_nationkey"]: r for r in q_ols2_spend(spark, SF).collect()}
+    orders = read_table(spark, SF, "orders")
+    cust = read_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    per = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("x2"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"),
+        )
+        .join(cust, "c_custkey")
+        .collect()
+    )
+    by_nation = {}
+    for r in per:
+        by_nation.setdefault(r["c_nationkey"], []).append(
+            (float(r["c_acctbal"]), float(r["x2"]), float(r["y"]))
+        )
+    checked = 0
+    for nation, rows in by_nation.items():
+        if len(rows) < 6 or out[nation]["beta0"] is None:
+            continue
+        A = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+        y = np.array([yv for _, _, yv in rows])
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        assert abs(out[nation]["beta0"] - beta[0]) < 1e-2 * max(1, abs(beta[0]))
+        assert abs(out[nation]["beta1"] - beta[1]) < 1e-2 * max(1, abs(beta[1]))
+        assert abs(out[nation]["beta2"] - beta[2]) < 1e-2 * max(1, abs(beta[2]))
+        checked += 1
+    assert checked >= 3
+
+
 def test_spectral_bisection_deterministic(spark):
     from kg_etl_spark.operators.spectral import spectral_bisection
 

@@ -79,7 +79,7 @@ REPORT_QUERIES = [
     # round 5: classical-ML family + spectral bisection
     "naive_bayes_segment", "decision_stump", "conformal_spend_bound",
     "spectral_split_users", "absorbing_steps", "huber_location",
-    "apriori_triples", "degree_assortativity", "four_cycle_count",
+    "apriori_triples", "degree_assortativity", "four_cycle_count", "ols2_spend",
 ]
 
 
