@@ -819,3 +819,591 @@ FROM solved
 
 QUERIES["ols2_spend"] = q_ols2_spend
 ORACLES["ols2_spend"] = ORACLE_OLS2
+
+# --- ROC AUC via the Mann-Whitney rank statistic -----------------------
+
+
+def q_roc_auc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of "extended price predicts a return" over
+    lineitem, through the tie-corrected Mann-Whitney identity:
+    grouping rows by distinct score s with pos(s)/neg(s) counts,
+        2·U = Σ_s pos(s) · (2·neg_below(s) + neg(s)),
+        AUC  = 2U / (2·n₁·n₀),
+    which equals the probability a random positive outscores a random
+    negative (ties count ½) — the standard rank-sum AUC (Hanley &
+    McNeil 1982). All counts are exact; the single division happens
+    once in IEEE double on decimal-exact operands.
+
+    100 TB shape: one hash aggregate to distinct scores (domain-
+    bounded: cents in a fixed price range), then the running
+    neg-below prefix via the two-phase exact-rank cumsum device
+    (operators/rankdev.global_cumsum — range-bucketed local windows +
+    broadcast per-range offsets; NO single-partition global window),
+    then a 1-row aggregate. Products are cast to decimal(38,0) BEFORE
+    multiplying so pos·cum_neg (~n² at corpus scale) never wraps a
+    long.
+
+    Reference parity: the reference scores its linkage/match output
+    with pandas rank-based AUC in diagnostics; re-expressed here as
+    the distributed rank-sum form.
+    """
+    from kg_etl_spark.operators.rankdev import global_cumsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("score"),
+            (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .withColumn("neg", F.col("n") - F.col("pos"))
+    )
+    cum = global_cumsum(per, "score", ["neg"])  # cum_neg INCLUDES this row
+    DEC = "decimal(38,0)"
+    agg = cum.agg(
+        F.sum("pos").cast(DEC).alias("n1"),
+        F.sum("neg").cast(DEC).alias("n0"),
+        F.sum(
+            F.col("pos").cast(DEC)
+            * (F.lit(2) * (F.col("cum_neg") - F.col("neg")) + F.col("neg")).cast(DEC)
+        ).alias("u2"),
+    )
+    auc = F.when(
+        (F.col("n1") > 0) & (F.col("n0") > 0),
+        F.round(
+            F.col("u2").cast("double")
+            / (F.lit(2).cast(DEC) * F.col("n1") * F.col("n0")).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.5))
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+ORACLE_ROC_AUC = """
+WITH sc AS (
+  SELECT CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), per AS (
+  SELECT score, COUNT(*) AS n, SUM(y) AS pos FROM sc GROUP BY score
+), cum AS (
+  SELECT score, pos, n - pos AS neg,
+         SUM(n - pos) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_neg
+  FROM per
+), agg AS (
+  SELECT SUM(CAST(pos AS DECIMAL(38,0))) AS n1,
+         SUM(CAST(neg AS DECIMAL(38,0))) AS n0,
+         SUM(CAST(pos AS DECIMAL(38,0))
+             * CAST(2 * (cum_neg - neg) + neg AS DECIMAL(38,0))) AS u2
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       CASE WHEN n1 > 0 AND n0 > 0
+            THEN ROUND(CAST(u2 AS DOUBLE)
+                       / CAST(CAST(2 AS DECIMAL(38,0)) * n1 * n0 AS DOUBLE), 6)
+            ELSE 0.5 END AS auc
+FROM agg
+"""
+
+QUERIES["roc_auc_price"] = q_roc_auc_price
+ORACLES["roc_auc_price"] = ORACLE_ROC_AUC
+
+
+# --- Cohen's kappa between two deterministic raters --------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen 1960) between two deterministic
+    document-quality raters: rater A flags length (n_chars >= 300),
+    rater B flags whitespace volume (>= 55 spaces). Kappa from exact
+    integer marginals in the 2x2 rational form
+        kappa = (N·Σagree − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k)
+    — one IEEE division over decimal-exact operands, 6 dp.
+
+    100 TB shape: one map-side projection + ONE 4-row hash aggregate
+    (the contingency table is model state); nothing shuffles more
+    than 4 rows after the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        (F.col("n_chars") >= 300).cast("long").alias("a"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            >= 55
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    DEC = "decimal(38,0)"
+    agg = rated.agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).cast(DEC).alias("agree"),
+        F.sum("a").cast(DEC).alias("a1"),
+        F.sum("b").cast(DEC).alias("b1"),
+    )
+    # chance-agreement cross term: a1·b1 + (n−a1)·(n−b1)
+    pe = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    denom = F.col("n") * F.col("n") - pe
+    kappa = F.when(
+        denom != 0,
+        F.round((F.col("n") * F.col("agree") - pe).cast("double") / denom.cast("double"), 6),
+    ).otherwise(F.lit(1.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        kappa.alias("kappa"),
+    )
+
+
+ORACLE_KAPPA = """
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) >= 55
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), agg AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS agree,
+         CAST(SUM(a) AS DECIMAL(38,0)) AS a1,
+         CAST(SUM(b) AS DECIMAL(38,0)) AS b1
+  FROM rated
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(agree AS BIGINT) AS n_agree,
+       CASE WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) <> 0
+            THEN ROUND(CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+                       / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE), 6)
+            ELSE 1.0 END AS kappa
+FROM agg
+"""
+
+QUERIES["cohens_kappa"] = q_cohens_kappa
+ORACLES["cohens_kappa"] = ORACLE_KAPPA
+
+# --- Mutual information feature ranking --------------------------------
+
+
+_MI_BAND = "least(greatest(floor(c_acctbal / 1000.0), -1), 9)"
+
+
+def q_mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) in nats for three
+    candidate categorical features (market segment, nation, account-
+    balance band) against "customer placed at least one 1-URGENT
+    order" — the classic filter-method feature ranking. Each cell
+    contributes (c/N)·ln(c·N/(c_x·c_y)); empty cells contribute 0 and
+    never materialize.
+
+    Determinism: counts are exact longs; each cell term is computed
+    with the pinned expression (c/N)·ln((c·N)/(c_x·c_y)) — two exact
+    decimal→double casts, one correctly-rounded divide, one libm ln
+    whose ulp noise is absorbed by an 8 dp round into decimal BEFORE
+    the (order-free) decimal sum — then 6 dp at output (the
+    catalog-wide libm discipline, cf. unigram_surprisal).
+
+    100 TB shape: one distinct-custkey semi-reduction of orders, one
+    customer join, then per feature ONE hash aggregate to a model-
+    state contingency table (≤ 25×2 cells) joined against its own
+    broadcast margins. Nothing beyond the scans is corpus-sized."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    base = cust.join(urgent.withColumn("_u", F.lit(1)), "c_custkey", "left").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.expr(_MI_BAND).cast("long").cast("string").alias("band"),
+        F.coalesce(F.col("_u"), F.lit(0)).alias("y"),
+    )
+
+    def mi_for(col: str) -> DataFrame:
+        cells = base.groupBy(F.col(col).alias("level"), "y").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        margx = cells.groupBy("level").agg(F.sum("c").alias("cx"))
+        margy = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+        tot = cells.agg(F.sum("c").alias("n"))
+        DEC = "decimal(38,0)"
+        term = F.round(
+            (F.col("c").cast("double") / F.col("n").cast("double"))
+            * F.log(
+                (F.col("c").cast(DEC) * F.col("n").cast(DEC)).cast("double")
+                / (F.col("cx").cast(DEC) * F.col("cy").cast(DEC)).cast("double")
+            ),
+            8,
+        ).cast("decimal(28,8)")
+        joined = (
+            cells.join(F.broadcast(margx), "level")
+            .join(F.broadcast(margy), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(term).cast("double"), 6).alias("mi_nats"),
+        ).select(F.lit(col).alias("feature"), "n_cells", "mi_nats")
+
+    return mi_for("segment").unionByName(mi_for("nation")).unionByName(mi_for("band"))
+
+
+def _mi_sql(col_expr: str, name: str) -> str:
+    return f"""
+  SELECT '{name}' AS feature, COUNT(*) AS n_cells,
+         ROUND(CAST(SUM(CAST(ROUND(
+             (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(CAST(c AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+                  / CAST(CAST(cx AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0)) AS DOUBLE)),
+             8) AS DECIMAL(28,8))) AS DOUBLE), 6) AS mi_nats
+  FROM (
+    SELECT level, y, c,
+           SUM(c) OVER (PARTITION BY level) AS cx,
+           SUM(c) OVER (PARTITION BY y) AS cy,
+           SUM(c) OVER () AS n
+    FROM (SELECT {col_expr} AS level, y, COUNT(*) AS c FROM mi_base GROUP BY 1, 2)
+  )
+"""
+
+
+ORACLE_MI = (
+    """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), mi_base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(c.c_nationkey AS VARCHAR) AS nation,
+         CAST(CAST(LEAST(GREATEST(FLOOR(c.c_acctbal / 1000.0), -1), 9) AS BIGINT)
+              AS VARCHAR) AS band,
+         CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS y
+  FROM customer c LEFT JOIN urgent u USING (c_custkey)
+)
+"""
+    + _mi_sql("segment", "segment")
+    + "UNION ALL"
+    + _mi_sql("nation", "nation")
+    + "UNION ALL"
+    + _mi_sql("band", "band")
+)
+
+QUERIES["mutual_info_features"] = q_mutual_info_features
+ORACLES["mutual_info_features"] = ORACLE_MI
+
+
+# --- Theil–Sen robust trend ---------------------------------------------
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the (lower) median of
+    all pairwise slopes (count_j − count_i)/(day_j − day_i) over the
+    daily event-count series — the classic 29%-breakdown robust
+    slope (Sen 1968). Slopes are single IEEE divisions of exact
+    integers (correctly rounded, bit-identical cross-engine); the
+    median is an exact order statistic under the total order
+    (slope, day_i, day_j).
+
+    100 TB shape: the daily series is calendar-bounded MODEL STATE
+    (#days grows with time span, not corpus size), so the per-type
+    pair fan-out is D², bounded by the calendar — the same contract
+    as holt_forecast / changepoint_scores. Corpus-scale work is the
+    one daily hash aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(b, "event_type").filter(F.col("d1") < F.col("d2"))
+    slope = (F.col("c2") - F.col("c1")).cast("double") / (
+        F.col("d2") - F.col("d1")
+    ).cast("double")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("d1").asc(), F.col("d2").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = (
+        pairs.withColumn("slope", slope)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("np", F.count(F.lit(1)).over(wn))
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("np").alias("n_pairs"),
+            F.round(F.col("slope"), 6).alias("sen_slope"),
+        )
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope,
+         a.day AS d1, b.day AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope ASC, d1 ASC, d2 ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+)
+SELECT event_type, np AS n_pairs, ROUND(slope, 6) AS sen_slope
+FROM ranked WHERE rn = (np + 1) // 2
+"""
+
+QUERIES["theil_sen_trend"] = q_theil_sen_trend
+ORACLES["theil_sen_trend"] = ORACLE_THEIL_SEN
+
+# --- Link prediction: common-neighbor family ---------------------------
+
+
+_LP_HUB_CAP = 256  # max center degree expanded into wedges
+
+
+def _user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized distinct user-transition edges (a < b) — the shared
+    graph grain of the ml family (same build as degree_assortativity)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+
+
+def q_user_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the user graph: for every non-adjacent
+    pair with >= 1 common neighbor, the three classic scores —
+    common neighbors (CN, exact int), preferential attachment
+    (PA = deg·deg, exact decimal product), and resource allocation
+    (RA = Σ_z 1/deg(z), Zhou/Lü/Zhang 2009). Top 100 candidates by
+    (CN desc, pair asc).
+
+    Hub cap: wedge expansion only routes through centers with
+    deg(z) <= 256 — the standard RA/AA practice of discounting hubs
+    made into a hard fan-out bound (deg² <= 65536 per center), applied
+    IDENTICALLY in the oracle. Without it one celebrity center emits
+    deg² wedges — the quadratic blow-up this catalog never ships.
+
+    Determinism: RA folds 1/deg(z) in sorted-by-degree order via an
+    explicit array fold — equal summands commute, so the sort on the
+    single double key pins the IEEE sum bit-for-bit cross-engine
+    (6 dp at output).
+
+    100 TB shape: one degree aggregate, a center-keyed wedge join
+    bounded by the cap, one (x,y) hash aggregate with an array fold
+    over <= cap elements, an anti join against the edge list, two
+    degree attaches, TakeOrdered(100)."""
+    return link_scores_from_edges(_user_graph(spark, sf_dir))
+
+
+def link_scores_from_edges(e0: DataFrame, hub_cap: int = _LP_HUB_CAP) -> DataFrame:
+    """CN/PA/RA link-prediction scores for the top non-adjacent pairs
+    of an undirected edge frame (a < b, distinct) — the reusable core
+    of q_user_link_prediction (planted-graph tests feed it directly)."""
+    # e0 is the multi-consumer cut (slots x2, the anti join): materialize
+    # once so the corpus-scale window that built it never re-executes
+    e0 = e0.localCheckpoint(eager=True)
+    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = slots.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    # wedges through bounded-degree centers z: (x — z — y), x < y
+    ctr = (
+        slots.join(
+            deg.filter(F.col("d") <= hub_cap).select(
+                F.col("node").alias("s"), F.col("d").alias("dc")
+            ),
+            "s",
+        )
+        .select(F.col("s").alias("z"), F.col("t").alias("x"), "dc")
+    )
+    other = ctr.select(F.col("z"), F.col("x").alias("y"))
+    wedges = (
+        ctr.join(other, "z")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y", "z", "dc")
+    )
+    cand = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.col("dc").cast("double"))),
+                F.lit(0.0),
+                lambda acc, v: acc + F.lit(1.0) / v,
+            ),
+            6,
+        ).alias("ra"),
+    )
+    fresh = cand.join(
+        e0, (cand["x"] == e0["a"]) & (cand["y"] == e0["b"]), "left_anti"
+    )
+    DEC = "decimal(38,0)"
+    scored = (
+        fresh.join(deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y")
+        .select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            "cn",
+            (F.col("dx").cast(DEC) * F.col("dy").cast(DEC)).cast("double").alias("pa"),
+            "ra",
+        )
+    )
+    return scored.orderBy(F.col("cn").desc(), F.col("u").asc(), F.col("v").asc()).limit(100)
+
+
+ORACLE_LINK_PREDICTION = f"""
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events
+), e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), slots AS (
+  SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b AS s, a AS t FROM e0
+), deg AS (SELECT s AS node, COUNT(*) AS d FROM slots GROUP BY s),
+ctr AS (
+  SELECT sl.s AS z, sl.t AS x, dg.d AS dc
+  FROM slots sl JOIN deg dg ON dg.node = sl.s
+  WHERE dg.d <= {_LP_HUB_CAP}
+), wedges AS (
+  SELECT c1.x AS x, c2.x AS y, c1.z, c1.dc
+  FROM ctr c1 JOIN ctr c2 ON c1.z = c2.z AND c1.x < c2.x
+), cand AS (
+  SELECT x, y, COUNT(*) AS cn,
+         ROUND(list_reduce(
+             list_prepend(0.0, list(CAST(dc AS DOUBLE) ORDER BY dc)),
+             (acc, v) -> acc + 1.0 / v), 6) AS ra
+  FROM wedges GROUP BY x, y
+), fresh AS (
+  SELECT c.* FROM cand c ANTI JOIN e0 ON e0.a = c.x AND e0.b = c.y
+)
+SELECT f.x AS u, f.y AS v, f.cn,
+       CAST(CAST(dx.d AS DECIMAL(38,0)) * CAST(dy.d AS DECIMAL(38,0)) AS DOUBLE) AS pa,
+       f.ra
+FROM fresh f
+JOIN deg dx ON dx.node = f.x
+JOIN deg dy ON dy.node = f.y
+ORDER BY f.cn DESC, u ASC, v ASC
+LIMIT 100
+"""
+
+QUERIES["user_link_prediction"] = q_user_link_prediction
+ORACLES["user_link_prediction"] = ORACLE_LINK_PREDICTION
+
+
+# --- Louvain first-sweep move scan --------------------------------------
+
+
+def q_louvain_move_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gain scan of Louvain's first sweep (Blondel et al. 2008)
+    from the singleton partition, synchronous variant: for node u and
+    a singleton neighbor community {v}, the modularity gain of the
+    move scaled by 2m² is exactly
+        g(u→{v}) = 2m − deg(u)·deg(v)
+    (k_{u,C}=1, Σ_tot(C)=deg(v)); u takes the best positive-gain
+    neighbor — argmax g = argmin deg(v), ties to the smallest v — or
+    stays put. Emits the per-node move decision with its exact
+    integer gain: the primitive that dominates distributed Louvain's
+    cost at scale.
+
+    Determinism: all-integer; the argmin rides ONE struct-min
+    aggregate (min (deg(v), v) is exactly the documented tie-break).
+    Positive gains always fit a long (g > 0 ⇒ g < 2m < 2⁶³).
+
+    100 TB shape: one degree aggregate, one node-keyed join+aggregate
+    over the edge slots, one 1-row scalar (2m) broadcast — no
+    windows, nothing quadratic, the same shape as one label-prop
+    round."""
+    return louvain_moves_from_edges(_user_graph(spark, sf_dir))
+
+
+def louvain_moves_from_edges(e0: DataFrame) -> DataFrame:
+    """Singleton-partition Louvain move decisions for an undirected
+    edge frame (a < b, distinct) — the reusable core of
+    q_louvain_move_scan (planted-graph tests feed it directly)."""
+    # two slot consumers (deg, 2m) plus the best-move join read e0:
+    # materialize the cut once (communities.modularity idiom)
+    e0 = e0.localCheckpoint(eager=True)
+    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = slots.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    two_m = slots.agg((F.count(F.lit(1))).alias("m2"))  # slot count == 2m
+    best = (
+        slots.join(deg.select(F.col("node").alias("t"), F.col("d").alias("dt")), "t")
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.min(F.struct(F.col("dt"), F.col("t"))).alias("bv"))
+        .select("node", F.col("bv.dt").alias("dbest"), F.col("bv.t").alias("vbest"))
+    )
+    DEC = "decimal(38,0)"
+    out = (
+        best.join(deg, "node")
+        .crossJoin(F.broadcast(two_m))
+        .withColumn(
+            "gain_dec",
+            F.col("m2").cast(DEC) - F.col("d").cast(DEC) * F.col("dbest").cast(DEC),
+        )
+    )
+    moved = F.col("gain_dec") > 0
+    return out.select(
+        F.col("node").alias("u"),
+        F.when(moved, F.col("vbest")).otherwise(F.col("node")).alias("community"),
+        moved.cast("int").alias("moved"),
+        F.when(moved, F.col("gain_dec").cast("long")).otherwise(F.lit(0)).alias("gain"),
+    )
+
+
+ORACLE_LOUVAIN_MOVE = """
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events
+), e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), slots AS (
+  SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b AS s, a AS t FROM e0
+), deg AS (SELECT s AS node, COUNT(*) AS d FROM slots GROUP BY s),
+m AS (SELECT COUNT(*) AS m2 FROM slots),
+best AS (
+  SELECT sl.s AS node, dt.d AS dbest, sl.t AS vbest,
+         ROW_NUMBER() OVER (PARTITION BY sl.s ORDER BY dt.d ASC, sl.t ASC) AS rn
+  FROM slots sl JOIN deg dt ON dt.node = sl.t
+)
+SELECT b.node AS u,
+       CASE WHEN CAST(m.m2 AS DECIMAL(38,0))
+                 - CAST(dg.d AS DECIMAL(38,0)) * CAST(b.dbest AS DECIMAL(38,0)) > 0
+            THEN b.vbest ELSE b.node END AS community,
+       CASE WHEN CAST(m.m2 AS DECIMAL(38,0))
+                 - CAST(dg.d AS DECIMAL(38,0)) * CAST(b.dbest AS DECIMAL(38,0)) > 0
+            THEN 1 ELSE 0 END AS moved,
+       CASE WHEN CAST(m.m2 AS DECIMAL(38,0))
+                 - CAST(dg.d AS DECIMAL(38,0)) * CAST(b.dbest AS DECIMAL(38,0)) > 0
+            THEN CAST(m.m2 - CAST(dg.d AS DECIMAL(38,0)) * b.dbest AS BIGINT)
+            ELSE 0 END AS gain
+FROM best b JOIN deg dg ON dg.node = b.node CROSS JOIN m
+WHERE b.rn = 1
+"""
+
+QUERIES["louvain_move_scan"] = q_louvain_move_scan
+ORACLES["louvain_move_scan"] = ORACLE_LOUVAIN_MOVE

@@ -80,6 +80,8 @@ REPORT_QUERIES = [
     "naive_bayes_segment", "decision_stump", "conformal_spend_bound",
     "spectral_split_users", "absorbing_steps", "huber_location",
     "apriori_triples", "degree_assortativity", "four_cycle_count", "ols2_spend",
+    "roc_auc_price", "cohens_kappa", "mutual_info_features", "theil_sen_trend",
+    "user_link_prediction", "louvain_move_scan",
 ]
 
 
@@ -147,7 +149,10 @@ def main() -> None:
         "as do the statistics/audit 1-row total crosses "
         "(`ks_two_sample`, `welch_t_test`, `benford_audit`), and "
         "`hits_scores` crosses its 1-row exact hub/auth totals into "
-        "the per-node share projection. "
+        "the per-node share projection, `mutual_info_features` crosses "
+        "each feature's 1-row total into its ≤50-cell contingency "
+        "table, and `louvain_move_scan` crosses the 1-row 2m scalar "
+        "into the per-node move frame. "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",
