@@ -2019,7 +2019,7 @@ ORACLES["association_rules"] = ORACLE_ASSOC_RULES
 
 
 _APRIORI_L1_MIN = 5  # item must appear in >= 5 baskets to enter pairing
-_APRIORI_MIN_SUP = 2  # triple support threshold
+_APRIORI_TOP = 50  # emit the top-N triples by support (total tie-break)
 
 
 def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2033,8 +2033,12 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is model state), and the two self-joins key on the basket id
     — fan-out is C(|basket|,3), bounded by basket size, never by
     corpus size; the count is one hash aggregate on the triple key.
-    The support-2 floor keeps the output at curiosity scale while the
-    plan stays identical at any threshold."""
+    Output contract: the TOP-50 triples by (support desc, triple asc)
+    — an absolute support floor goes degenerate as the part domain
+    grows with corpus size (at sf0.1 no triple repeats at all), while
+    top-N with a total tie-break is deterministic and non-empty at
+    every scale; the enumeration cost is identical and the final
+    top-N is a TakeOrdered, not a sort."""
     li = read_table(spark, sf_dir, "lineitem")
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     l1 = (
@@ -2054,7 +2058,13 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pc") > F.col("pb"))
         .groupBy("pa", "pb", "pc")
         .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _APRIORI_MIN_SUP)
+        .orderBy(
+            F.col("support").desc(),
+            F.col("pa").asc(),
+            F.col("pb").asc(),
+            F.col("pc").asc(),
+        )
+        .limit(_APRIORI_TOP)
     )
 
 
@@ -2066,7 +2076,8 @@ SELECT a.p AS pa, c.p AS pb, d.p AS pc, COUNT(*) AS support
 FROM bf a JOIN bf c ON c.o = a.o AND c.p > a.p
           JOIN bf d ON d.o = a.o AND d.p > c.p
 GROUP BY 1, 2, 3
-HAVING COUNT(*) >= {_APRIORI_MIN_SUP}
+ORDER BY support DESC, pa ASC, pb ASC, pc ASC
+LIMIT {_APRIORI_TOP}
 """
 
 QUERIES["apriori_triples"] = q_apriori_triples
