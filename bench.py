@@ -80,6 +80,12 @@ HEADLINE = [
     "huber_location",
     "spectral_split_users",
     "apriori_triples",
+    # round 5 (cont.): rank-device AUC, robust trend, link prediction,
+    # Louvain gain scan
+    "roc_auc_price",
+    "theil_sen_trend",
+    "user_link_prediction",
+    "louvain_move_scan",
 ]
 
 

@@ -567,11 +567,70 @@ def stress_spectral(spark):
     return f"spectral: {ne} edges, 3 deflated steps in {dt:.1f}s (bit-equal across partitionings)"
 
 
+def stress_linkpred(spark):
+    # ~1.3M edges: one 500k-leaf celebrity hub (above the 256 cap —
+    # must be EXCLUDED from wedge expansion or the probe explodes at
+    # deg² = 2.5e11) + 200k disjoint 4-cycles with exactly known
+    # diagonal scores (cn=2, pa=4, ra=1.0)
+    from kg_etl_spark.queries.ml import link_scores_from_edges
+
+    hub_n = 500_000
+    star = spark.range(1, hub_n + 1).select(
+        F.lit(0).alias("a"), (F.col("id") + 10_000_000).alias("b")
+    )
+    sq = 200_000
+    base = spark.range(sq).select((F.col("id") * 4 + 1_000_000).alias("o"))
+    squares = None
+    for i, j in ((0, 1), (1, 2), (2, 3), (0, 3)):
+        part = base.select((F.col("o") + i).alias("a"), (F.col("o") + j).alias("b"))
+        squares = part if squares is None else squares.union(part)
+    edges = star.union(squares).localCheckpoint(eager=True)
+    ne = edges.count()
+    t0 = time.time()
+    out = link_scores_from_edges(edges).localCheckpoint(eager=True)
+    top = out.collect()
+    dt = time.time() - t0
+    assert len(top) == 100, len(top)
+    assert all(r["cn"] == 2 and r["pa"] == 4.0 and r["ra"] == 1.0 for r in top), top[:3]
+    # the hub never leaks into candidates (all ids are square-range)
+    assert all(1_000_000 <= r["u"] < 1_800_000 for r in top)
+    return f"linkpred: {ne} edges (hub deg {hub_n} capped out) in {dt:.1f}s (top-100 exact)"
+
+
+def stress_louvain(spark):
+    # 100k disjoint K1,10 stars => 1.1M nodes, 1M edges, 2m = 2e6
+    # slots; every move gain is exactly 2m - 10 and every node moves
+    from kg_etl_spark.queries.ml import louvain_moves_from_edges
+
+    stars, k = 100_000, 10
+    base = spark.range(stars * k)
+    hub = (F.col("id") / k).cast("long") * (k + 1)
+    leaf = hub + (F.col("id") % k) + 1
+    edges = base.select(hub.alias("a"), leaf.alias("b")).localCheckpoint(eager=True)
+    ne = edges.count()
+    t0 = time.time()
+    out = louvain_moves_from_edges(edges).localCheckpoint(eager=True)
+    n = out.count()
+    dt = time.time() - t0
+    expect_gain = 2 * ne - k
+    bad = out.filter(
+        (F.col("moved") != 1) | (F.col("gain") != expect_gain)
+    ).count()
+    hubs_wrong = out.filter(
+        ((F.col("u") % (k + 1)) == 0) & (F.col("community") != F.col("u") + 1)
+    ).count()
+    assert n == stars * (k + 1), n
+    assert bad == 0 and hubs_wrong == 0, (bad, hubs_wrong)
+    return f"louvain: {ne} edges, {n} nodes in {dt:.1f}s (all gains == 2m-{k} exact)"
+
+
 STRESSES = {
     "pagerank": stress_pagerank,
     "attribution": stress_attribution,
     "fellegi": stress_fellegi,
     "spectral": stress_spectral,
+    "linkpred": stress_linkpred,
+    "louvain": stress_louvain,
     "betweenness": stress_betweenness,
     "node2vec": stress_node2vec,
     "ktruss": stress_ktruss,
