@@ -1532,3 +1532,64 @@ GROUP BY o_orderstatus
 
 QUERIES["delta_join_view"] = q_delta_join_view
 ORACLES["delta_join_view"] = ORACLE_DELTA_JOIN_VIEW
+
+
+# --- Sequential pattern support (gap-allowed A -> B -> C) ----------------
+
+
+def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support counts for every gap-allowed 3-step behavioural pattern
+    A → B → C over per-user event streams: a user supports (A,B,C) iff
+    some A-event strictly precedes some B-event that strictly precedes
+    some C-event. Matching uses the greedy earliest-occurrence rule
+    (take the FIRST A, then the FIRST B after it, then any later C) —
+    exact for existence queries, the same normal form PrefixSpan's
+    projected databases use (Pei et al., ICDE 2001).
+
+    Determinism: all steps are min/exists over exact timestamps;
+    strictly-after (>) comparisons make same-instant events
+    non-chainable by contract.
+
+    100 TB shape: three user-keyed hash joins whose fan-out is bounded
+    by the TYPE DOMAIN (×|T| then ×|T|², |T|=5 — never corpus²), one
+    distinct and one count on (user, pattern) keys. The pattern
+    universe (≤125 rows) is the output — model state."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = ev.groupBy("user_id", F.col("event_type").alias("ta")).agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.select("user_id", F.col("event_type").alias("tb"), F.col("ts").alias("ts2"))
+        .join(t1, "user_id")
+        .filter(F.col("ts2") > F.col("t1"))
+        .groupBy("user_id", "ta", "tb")
+        .agg(F.min("ts2").alias("t2"))
+    )
+    hits = (
+        ev.select("user_id", F.col("event_type").alias("tc"), F.col("ts").alias("ts3"))
+        .join(t2, "user_id")
+        .filter(F.col("ts3") > F.col("t2"))
+        .select("user_id", "ta", "tb", "tc")
+        .distinct()
+    )
+    return hits.groupBy("ta", "tb", "tc").agg(F.count(F.lit(1)).alias("support"))
+
+
+ORACLE_SEQUENTIAL_PATTERNS = """
+WITH t1 AS (
+  SELECT user_id, event_type AS ta, MIN(ts) AS t1
+  FROM events GROUP BY 1, 2
+), t2 AS (
+  SELECT e.user_id, t1.ta, e.event_type AS tb, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t1
+  GROUP BY 1, 2, 3
+), hits AS (
+  SELECT DISTINCT e.user_id, t2.ta, t2.tb, e.event_type AS tc
+  FROM events e JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t2
+)
+SELECT ta, tb, tc, COUNT(*) AS support
+FROM hits GROUP BY 1, 2, 3
+"""
+
+QUERIES["sequential_patterns"] = q_sequential_patterns
+ORACLES["sequential_patterns"] = ORACLE_SEQUENTIAL_PATTERNS

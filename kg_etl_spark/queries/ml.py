@@ -1407,3 +1407,120 @@ WHERE b.rn = 1
 
 QUERIES["louvain_move_scan"] = q_louvain_move_scan
 ORACLES["louvain_move_scan"] = ORACLE_LOUVAIN_MOVE
+
+# --- Propensity-style matched-pairs ATT ---------------------------------
+
+
+def q_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-pairs treatment-effect readout: BUILDING-segment
+    customers (treated) match the nearest non-BUILDING control with
+    account balance <= theirs WITHIN THE SAME NATION (exact-match
+    stratum + 1-D nearest-backward on the covariate — the greedy
+    caliper-free variant of propensity matching on one observed
+    covariate). ATT per nation = mean(treated spend − matched control
+    spend) over exact cent sums; unmatched treated are counted but
+    excluded from the effect.
+
+    Backward matching rides operators/temporal.asof_join with balance
+    cents as the 'time' axis: union → ONE window per nation → filter —
+    never an inequality join. Ties (equal cents) resolve to the
+    largest (cents, control key) struct — the device's documented
+    total order, replicated verbatim in the oracle.
+
+    100 TB shape: one custkey-keyed orders aggregate, one nation-keyed
+    sort-window (the as-of), one nation-keyed aggregate; |nations|
+    output rows. No pair fan-out at all."""
+    from kg_etl_spark.operators.temporal import asof_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("spend_c")
+    )
+    base = (
+        cust.join(spend, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("bal_c"),
+            F.coalesce(F.col("spend_c"), F.lit(0)).alias("spend_c"),
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+        )
+    )
+    t = base.filter(F.col("treated")).select(
+        "c_custkey", "c_nationkey", "bal_c", "spend_c"
+    )
+    c = base.filter(~F.col("treated")).select(
+        F.col("c_nationkey"),
+        F.col("bal_c"),
+        F.col("c_custkey").alias("ctl_key"),
+        F.col("spend_c").alias("ctl_spend"),
+    )
+    matched = asof_join(
+        t, c, on="c_nationkey", left_ts="bal_c", right_ts="bal_c",
+        right_cols=("ctl_key", "ctl_spend"),
+    )
+    DEC = "decimal(38,0)"
+    agg = matched.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_treated"),
+        F.sum(F.col("ctl_key_asof").isNotNull().cast("long")).alias("n_matched"),
+        F.sum(
+            F.when(F.col("ctl_key_asof").isNotNull(), F.col("spend_c"))
+            .otherwise(0)
+            .cast(DEC)
+        ).alias("ts"),
+        F.sum(F.coalesce(F.col("ctl_spend_asof"), F.lit(0)).cast(DEC)).alias("cs"),
+    )
+    att = F.when(
+        F.col("n_matched") > 0,
+        F.round(
+            (F.col("ts") - F.col("cs")).cast("double")
+            / (F.lit(100.0) * F.col("n_matched").cast("double")),
+            2,
+        ),
+    )
+    return agg.select(
+        "c_nationkey",
+        "n_treated",
+        "n_matched",
+        att.alias("att_dollars"),
+    )
+
+
+ORACLE_PROPENSITY = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT) AS bal_c,
+         COALESCE(s.spend_c, 0) AS spend_c,
+         c.c_mktsegment = 'BUILDING' AS treated
+  FROM customer c LEFT JOIN spend s USING (c_custkey)
+), t AS (SELECT * FROM base WHERE treated),
+c AS (SELECT * FROM base WHERE NOT treated),
+m AS (
+  SELECT t.c_custkey, t.c_nationkey, t.spend_c,
+         c.c_custkey AS ctl_key, c.spend_c AS ctl_spend,
+         ROW_NUMBER() OVER (PARTITION BY t.c_custkey
+                            ORDER BY c.bal_c DESC, c.c_custkey DESC) AS rn
+  FROM t LEFT JOIN c
+    ON c.c_nationkey = t.c_nationkey AND c.bal_c <= t.bal_c
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_treated,
+       CAST(SUM(CASE WHEN ctl_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CASE WHEN SUM(CASE WHEN ctl_key IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CAST(CASE WHEN ctl_key IS NOT NULL
+                                          THEN spend_c ELSE 0 END AS DECIMAL(38,0)))
+                            - SUM(CAST(COALESCE(ctl_spend, 0) AS DECIMAL(38,0)))
+                            AS DOUBLE)
+                       / (100.0 * SUM(CASE WHEN ctl_key IS NOT NULL THEN 1 ELSE 0 END)), 2)
+            END AS att_dollars
+FROM (SELECT * FROM m WHERE rn = 1 OR rn IS NULL)
+GROUP BY c_nationkey
+"""
+
+QUERIES["propensity_matching"] = q_propensity_matching
+ORACLES["propensity_matching"] = ORACLE_PROPENSITY

@@ -676,3 +676,149 @@ ORACLE_PCA_POWER = _pca_oracle_sql()
 
 QUERIES["pca_power_top"] = q_pca_power_top
 ORACLES["pca_power_top"] = ORACLE_PCA_POWER
+
+
+# --- Davies-Bouldin cluster quality over the labeled embeddings --------
+
+
+def q_cluster_quality_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin readout (TPAMI 1979) of the embedding labels as
+    a clustering: per label the within-cluster scatter S (RMS distance
+    to the centroid via the variance identity E[x²] − m², never a
+    second corpus pass), and the worst similarity ratio
+    R = max_{b≠a} (S_a + S_b)/‖c_a − c_b‖ — the per-cluster term whose
+    average is the DB index (lower = tighter/better separated).
+
+    Determinism (the PCA scale-exception device, vector.py:564): float
+    components round to 9 dp; per-dim sums accumulate in decimal —
+    s1 exactly, x² exactly in decimal(38,18) — so every distributed
+    aggregate is order-free; the variance/distance terms are then
+    12 dp-rounded decimals summed over the FIXED 64 dims, and only the
+    final sqrt/÷ touch IEEE doubles (correctly rounded by spec).
+    Rounding can leave a −1e-12 variance ghost: clamped at zero before
+    the sqrt on both engines.
+
+    100 TB shape: ONE (label, dim)-keyed hash aggregate over the
+    exploded corpus (d× row-proportional, map-side combine); the
+    centroid matrix (|labels|·d rows) is model state and every
+    pairwise step runs on it."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x")).select(
+        "label", "i", F.round(F.col("x").cast("double"), 9).alias("x")
+    )
+    D9 = "decimal(19,9)"
+    per = ex.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC12)).alias("s1"),
+        F.sum(F.col("x").cast(D9) * F.col("x").cast(D9)).alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n").cast("double")
+    var12 = F.round(
+        F.col("s2").cast("double") / F.col("n").cast("double") - m * m, 12
+    ).cast(_DEC12)
+    dims = per.select("label", "i", F.col("n"), m.alias("m"), var12.alias("v"))
+    stats = (
+        dims.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sqrt(F.greatest(F.sum("v").cast("double"), F.lit(0.0))).alias("s"),
+        )
+    )
+    a = dims.select(F.col("label").alias("la"), "i", F.col("m").alias("ma"))
+    b = dims.select(F.col("label").alias("lb"), "i", F.col("m").alias("mb"))
+    dist = (
+        a.join(b, "i")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.greatest(
+                    F.sum(
+                        F.round(
+                            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 12
+                        ).cast(_DEC12)
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("d")
+        )
+    )
+    sa = stats.select(F.col("label").alias("la"), F.col("s").alias("sca"))
+    sb = stats.select(F.col("label").alias("lb"), F.col("s").alias("scb"))
+    r = (
+        dist.join(sa, "la")
+        .join(sb, "lb")
+        .filter(F.col("d") > 0)
+        .select(
+            "la",
+            "lb",
+            ((F.col("sca") + F.col("scb")) / F.col("d")).alias("r"),
+        )
+    )
+    worst = (
+        r.groupBy(F.col("la").alias("label"))
+        # negated lb: at an exact r tie the SMALLEST other label wins,
+        # matching the oracle's ORDER BY r DESC, lb ASC
+        .agg(F.max(F.struct(F.col("r"), (-F.col("lb")).alias("nlb"))).alias("w"))
+        .select(
+            "label",
+            (-F.col("w.nlb")).cast("int").alias("worst_other"),
+            F.round(F.col("w.r"), 6).alias("db_term"),
+        )
+    )
+    return (
+        stats.join(worst, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("s"), 6).alias("scatter"),
+            "worst_other",
+            "db_term",
+        )
+    )
+
+
+ORACLE_CLUSTER_QUALITY_DB = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+         ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+  FROM embeddings
+), per AS (
+  SELECT label, i, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(28,12))) AS s1,
+         SUM(CAST(x AS DECIMAL(19,9)) * CAST(x AS DECIMAL(19,9))) AS s2
+  FROM ex GROUP BY 1, 2
+), dims AS (
+  SELECT label, i, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(ROUND(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS v
+  FROM per
+), stats AS (
+  SELECT label, MAX(n) AS n_vecs,
+         SQRT(GREATEST(CAST(SUM(v) AS DOUBLE), 0.0)) AS s
+  FROM dims GROUP BY label
+), dist AS (
+  SELECT a.label AS la, b.label AS lb,
+         SQRT(GREATEST(CAST(SUM(CAST(ROUND((a.m - b.m) * (a.m - b.m), 12)
+                                     AS DECIMAL(28,12))) AS DOUBLE), 0.0)) AS d
+  FROM dims a JOIN dims b ON a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2
+), r AS (
+  SELECT d.la, d.lb, (sa.s + sb.s) / d.d AS r
+  FROM dist d JOIN stats sa ON sa.label = d.la
+              JOIN stats sb ON sb.label = d.lb
+  WHERE d.d > 0
+), worst AS (
+  SELECT la AS label, lb AS worst_other, ROUND(r, 6) AS db_term,
+         ROW_NUMBER() OVER (PARTITION BY la ORDER BY r DESC, lb ASC) AS rn
+  FROM r
+)
+SELECT s.label, s.n_vecs, ROUND(s.s, 6) AS scatter, w.worst_other, w.db_term
+FROM stats s JOIN worst w ON w.label = s.label AND w.rn = 1
+"""
+
+QUERIES["cluster_quality_db"] = q_cluster_quality_db
+ORACLES["cluster_quality_db"] = ORACLE_CLUSTER_QUALITY_DB

@@ -416,3 +416,101 @@ def test_louvain_moves_stay_when_gain_nonpositive(spark):
     assert rows[2]["community"] == 6
     # leaves join their hub
     assert rows[3]["community"] == 1 and rows[6]["community"] == 2
+
+
+def test_sequential_patterns_greedy_existence(spark):
+    # brute-force greedy matcher over the same events — independent path
+    from kg_etl_spark.queries.events import q_sequential_patterns
+    from kg_etl_spark.session import read_table
+
+    got = {
+        (r["ta"], r["tb"], r["tc"]): r["support"]
+        for r in q_sequential_patterns(spark, SF).collect()
+    }
+    ev = (
+        read_table(spark, SF, "events")
+        .select("user_id", "event_type", "ts")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+    )
+    types = sorted(ev["event_type"].unique())
+    support = {}
+    for _, grp in ev.groupby("user_id"):
+        seq = list(zip(grp["event_type"], grp["ts"]))
+        for ta in types:
+            t1 = next((t for ty, t in seq if ty == ta), None)
+            if t1 is None:
+                continue
+            for tb in types:
+                t2 = next((t for ty, t in seq if ty == tb and t > t1), None)
+                if t2 is None:
+                    continue
+                for tc in types:
+                    if any(ty == tc and t > t2 for ty, t in seq):
+                        k = (ta, tb, tc)
+                        support[k] = support.get(k, 0) + 1
+    assert got == support
+
+
+def test_propensity_matching_brute_force(spark):
+    import pandas as pd
+
+    from kg_etl_spark.queries.ml import q_propensity_matching
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    got = {r["c_nationkey"]: r for r in q_propensity_matching(spark, SF).collect()}
+    cust = read_table(spark, SF, "customer").toPandas()
+    spend = (
+        read_table(spark, SF, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("sp"))
+        .toPandas()
+    )
+    df = cust.merge(spend, on="c_custkey", how="left").fillna({"sp": 0})
+    df["bal"] = (df["c_acctbal"] * 100.0).round().astype("int64")
+    df["treated"] = df["c_mktsegment"] == "BUILDING"
+    for nk, g in df.groupby("c_nationkey"):
+        t = g[g["treated"]]
+        c = g[~g["treated"]].sort_values(["bal", "c_custkey"])
+        if len(t) == 0:
+            assert nk not in got
+            continue
+        diffs, nm = [], 0
+        for _, tr in t.iterrows():
+            elig = c[c["bal"] <= tr["bal"]]
+            if len(elig) == 0:
+                continue
+            ctl = elig.iloc[-1]  # max (bal, custkey)
+            nm += 1
+            diffs.append(tr["sp"] - ctl["sp"])
+        r = got[nk]
+        assert r["n_treated"] == len(t) and r["n_matched"] == nm
+        if nm:
+            assert abs(r["att_dollars"] - round(sum(diffs) / (100.0 * nm), 2)) < 0.02
+
+
+def test_cluster_quality_db_matches_numpy(spark):
+    import numpy as np
+
+    from kg_etl_spark.queries.vector import q_cluster_quality_db
+    from kg_etl_spark.session import read_table
+
+    got = {r["label"]: r for r in q_cluster_quality_db(spark, SF).collect()}
+    pdf = read_table(spark, SF, "embeddings").toPandas()
+    X = np.round(np.stack(pdf["embedding"].to_numpy()).astype(np.float64), 9)
+    lab = pdf["label"].to_numpy()
+    labels = sorted(set(lab))
+    cent = {l: X[lab == l].mean(axis=0) for l in labels}
+    scat = {l: float(np.sqrt((X[lab == l].var(axis=0)).sum())) for l in labels}
+    for l in labels:
+        assert got[l]["n_vecs"] == int((lab == l).sum())
+        assert abs(got[l]["scatter"] - scat[l]) < 1e-4
+        rs = {
+            o: (scat[l] + scat[o]) / float(np.linalg.norm(cent[l] - cent[o]))
+            for o in labels
+            if o != l
+        }
+        worst = max(rs, key=lambda o: (rs[o], -o))
+        assert got[l]["worst_other"] == worst
+        assert abs(got[l]["db_term"] - rs[worst]) < 1e-4

@@ -81,7 +81,8 @@ REPORT_QUERIES = [
     "spectral_split_users", "absorbing_steps", "huber_location",
     "apriori_triples", "degree_assortativity", "four_cycle_count", "ols2_spend",
     "roc_auc_price", "cohens_kappa", "mutual_info_features", "theil_sen_trend",
-    "user_link_prediction", "louvain_move_scan",
+    "user_link_prediction", "louvain_move_scan", "sequential_patterns",
+    "propensity_matching", "cluster_quality_db",
 ]
 
 
