@@ -516,3 +516,91 @@ FROM grp g CROSS JOIN n JOIN gl ON CAST(ROUND(g.r0 / g.d * (n.nt - 1), 0) AS BIG
 
 QUERIES["quantile_normalize_chars"] = q_quantile_normalize_chars
 ORACLES["quantile_normalize_chars"] = ORACLE_QUANTILE_NORM
+
+
+# --- Calibration: binned reliability + per-bin Brier --------------------
+
+
+_RELI_STOPS = ["the", "a", "an", "and", "or", "of", "in", "on", "at", "to", "is"]
+
+
+def q_brier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier for the classic zero-shot
+    quality classifier "stopword fraction predicts English": score
+    s = |stopword tokens| / |tokens| per document, label y = (lang =
+    'en'), 10 equal-width score bins. Per bin: count, mean score,
+    empirical rate, Brier contribution mean((s−y)²) — the calibration
+    readout every corpus-filter classifier ships with (pairs with
+    isotonic_calibration, which FITS the correction this DIAGNOSES).
+
+    Determinism: s is one IEEE divide of exact integers (bit-identical
+    cross-engine); binning floors s·10 on identical doubles; bin
+    aggregates sum 9 dp-rounded decimals (order-free) with one divide
+    + 6 dp round at output.
+
+    100 TB shape: map-side score projection, ONE ≤10-row hash
+    aggregate. Corpus-bandwidth-bound."""
+    docs = read_table(spark, sf_dir, "documents")
+    from kg_etl_spark.operators.textquality import ws_tokens
+
+    toks = ws_tokens(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in _RELI_STOPS])
+    scored = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).alias("ns"),
+        F.size(toks).alias("nt"),
+    ).filter(F.col("nt") > 0)
+    s = F.col("ns").cast("double") / F.col("nt").cast("double")
+    binned = scored.select(
+        "y",
+        F.least(F.floor(s * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.round(s, 9).cast("decimal(28,12)").alias("s9"),
+        F.round((s - F.col("y").cast("double")) * (s - F.col("y").cast("double")), 9)
+        .cast("decimal(28,12)")
+        .alias("b9"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s9").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "avg_score"
+            ),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "rate"
+            ),
+            F.round(F.sum("b9").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "brier"
+            ),
+        )
+    )
+
+
+_RELI_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _RELI_STOPS) + "]"
+
+ORACLE_BRIER_RELIABILITY = f"""
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents
+), sc AS (
+  SELECT y,
+         CAST(len(list_filter(toks, x -> list_contains({_RELI_STOPS_SQL}, x)))
+              AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS s
+  FROM t WHERE len(toks) > 0
+), b AS (
+  SELECT y, LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin,
+         CAST(ROUND(s, 9) AS DECIMAL(28,12)) AS s9,
+         CAST(ROUND((s - y) * (s - y), 9) AS DECIMAL(28,12)) AS b9
+  FROM sc
+)
+SELECT bin, COUNT(*) AS n,
+       ROUND(CAST(SUM(s9) AS DOUBLE) / COUNT(*), 6) AS avg_score,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS rate,
+       ROUND(CAST(SUM(b9) AS DOUBLE) / COUNT(*), 6) AS brier
+FROM b GROUP BY bin
+"""
+
+QUERIES["brier_reliability"] = q_brier_reliability
+ORACLES["brier_reliability"] = ORACLE_BRIER_RELIABILITY

@@ -1240,3 +1240,57 @@ FROM t
 
 QUERIES["readability_scores"] = q_readability_scores
 ORACLES["readability_scores"] = ORACLE_READABILITY
+
+
+# --- Winnowing (MOSS) fingerprint dedup --------------------------------
+
+
+def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional near-dup pairs by winnowing-fingerprint overlap
+    (operators/dedup.winnowing_fingerprints, k=5-gram hashes, w=4
+    windows, ratio >= 0.5) — the substring-robust member of the dedup
+    family: any shared run of >= w+k-1 tokens is guaranteed to share
+    a fingerprint, which MinHash's set-sampling cannot promise.
+    Fingerprints are engine-specific xxhash64 values → rows-only; the
+    `winnowing_identical_recall` twin value-checks recall and the
+    pytest property check plants the substring guarantee."""
+    from kg_etl_spark.operators.dedup import winnowing_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_pairs(docs, "doc_id", k=5, w=4, threshold=0.5, max_df=64)
+
+
+def q_winnowing_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable twin of `winnowing_dedup` (the
+    minhash_incremental_recall pattern): docs 0..19 re-planted under
+    ids +100000 produce IDENTICAL k-gram hash sequences, hence
+    identical fingerprint sets — every planted pair with >= k+w-1
+    tokens MUST surface at ratio exactly 1.0. Output restricted to
+    the planted diagonal so the row set is SQL-enumerable."""
+    from kg_etl_spark.operators.dedup import winnowing_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    pairs = winnowing_pairs(
+        docs.unionByName(planted), "doc_id", k=5, w=4, threshold=1.0, max_df=None
+    )
+    return pairs.filter(
+        (F.col("b_id") == F.col("a_id") + 100_000) & (F.col("b_id") >= 100_000)
+    ).select("a_id", "b_id", "ratio")
+
+
+ORACLE_WINNOWING_RECALL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS t
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id AS a_id, doc_id + 100000 AS b_id, CAST(1.0 AS DOUBLE) AS ratio
+FROM tk WHERE len(t) >= 8
+"""
+
+QUERIES["winnowing_dedup"] = q_winnowing_dedup
+QUERIES["winnowing_identical_recall"] = q_winnowing_identical_recall
+ORACLES["winnowing_identical_recall"] = ORACLE_WINNOWING_RECALL

@@ -406,3 +406,46 @@ def test_ngram_jaccard_prefix_candidate_reduction(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     got = ngram_jaccard_pairs_prefix(df, "id", threshold=0.8).collect()
     assert got == []  # verified: no pair reaches 0.8
+
+
+# --- winnowing fingerprints (round-5 continuation) ----------------------
+
+
+def test_winnowing_substring_guarantee(spark):
+    # Thm-1 shape: docs sharing a run of >= w+k-1 tokens (here 8) MUST
+    # share a fingerprint value; fully disjoint vocabularies must not.
+    from kg_etl_spark.operators.dedup import winnowing_pairs
+
+    shared = " ".join(f"tok{i}" for i in range(8))
+    docs = [
+        (1, "alpha beta gamma " + shared + " delta epsilon zeta"),
+        (2, shared + " omicron pi rho sigma tau upsilon"),
+        (3, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in winnowing_pairs(df, "doc_id", k=5, w=4, threshold=0.0).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_fingerprints_partition_invariant(spark):
+    from kg_etl_spark.operators.dedup import winnowing_fingerprints
+    from kg_etl_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    a = winnowing_fingerprints(docs.repartition(3), "doc_id").collect()
+    b = winnowing_fingerprints(docs.repartition(17), "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # density sanity: roughly 2/(w+1) of k-grams get selected; at
+    # least one fingerprint for every doc long enough for one window
+    from pyspark.sql import functions as F
+
+    n_long = docs.filter(
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 8
+    ).count()
+    assert len({r["_id"] for r in a}) == n_long

@@ -82,7 +82,8 @@ REPORT_QUERIES = [
     "apriori_triples", "degree_assortativity", "four_cycle_count", "ols2_spend",
     "roc_auc_price", "cohens_kappa", "mutual_info_features", "theil_sen_trend",
     "user_link_prediction", "louvain_move_scan", "sequential_patterns",
-    "propensity_matching", "cluster_quality_db",
+    "propensity_matching", "cluster_quality_db", "brier_reliability",
+    "winnowing_dedup", "winnowing_identical_recall",
 ]
 
 
