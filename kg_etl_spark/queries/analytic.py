@@ -2761,3 +2761,221 @@ FROM h2 JOIN a2 USING (node), tot
 
 QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = ORACLE_HITS
+
+
+# --- Spearman rank correlation (exact tie-averaged ranks) ---------------
+
+
+def q_spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between account balance and total customer spend
+    — Pearson over tie-averaged ranks, with ranks built EXACTLY: per
+    distinct value v the average rank is (cum_before + (cnt+1)/2), so
+    the integer 2·r̄(v) = 2·cum(v) − cnt(v) + 1 rides the two-phase
+    exact cumsum device (rankdev.global_cumsum — no single-partition
+    window) and every distributed sum is an exact decimal of
+    integers. The factor 2 cancels in the correlation, so rho is
+    computed from the doubled ranks verbatim; only the final
+    √/÷ touch doubles (correctly rounded), 6 dp out.
+
+    100 TB shape: two distinct-value hash aggregates (domain-bounded
+    cents), two cumsum devices on those value tables, two value-keyed
+    rank attaches back to the row stream, ONE 1-row aggregate of 6
+    decimal sums. Nothing quadratic, no corpus-scale window."""
+    from kg_etl_spark.operators.rankdev import global_cumsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("y")
+    )
+    rows = cust.join(spend, "c_custkey", "left").select(
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+
+    def doubled_ranks(col: str) -> DataFrame:
+        per = rows.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+        cum = global_cumsum(per, col, ["_n"])
+        return cum.select(
+            col,
+            (F.lit(2) * F.col("cum__n") - F.col("_n") + 1).alias(f"r2_{col}"),
+        )
+
+    ranked = rows.join(doubled_ranks("x"), "x").join(doubled_ranks("y"), "y")
+    DEC = "decimal(38,0)"
+    rx, ry = F.col("r2_x").cast(DEC), F.col("r2_y").cast(DEC)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(rx).alias("sx"),
+        F.sum(ry).alias("sy"),
+        F.sum(rx * ry).alias("sxy"),
+        F.sum(rx * rx).alias("sxx"),
+        F.sum(ry * ry).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    rho = F.when((dx > 0) & (dy > 0), F.round(num / dx / dy, 6)).otherwise(F.lit(0.0))
+    return agg.select(F.col("n").cast("long").alias("n_cust"), rho.alias("spearman_rho"))
+
+
+ORACLE_SPEARMAN = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), rows_ AS (
+  SELECT CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT) AS x,
+         COALESCE(s.y, 0) AS y
+  FROM customer c LEFT JOIN spend s USING (c_custkey)
+), rkx AS (
+  SELECT x, 2 * SUM(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - n + 1 AS r2_x
+  FROM (SELECT x, COUNT(*) AS n FROM rows_ GROUP BY x)
+), rky AS (
+  SELECT y, 2 * SUM(n) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - n + 1 AS r2_y
+  FROM (SELECT y, COUNT(*) AS n FROM rows_ GROUP BY y)
+), ranked AS (
+  SELECT CAST(rkx.r2_x AS DECIMAL(38,0)) AS rx, CAST(rky.r2_y AS DECIMAL(38,0)) AS ry
+  FROM rows_ r JOIN rkx ON rkx.x = r.x JOIN rky ON rky.y = r.y
+), agg AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_cust,
+       CASE WHEN SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) > 0
+             AND SQRT(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                       / SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS spearman_rho
+FROM agg
+"""
+
+QUERIES["spearman_balance_spend"] = q_spearman_balance_spend
+ORACLES["spearman_balance_spend"] = ORACLE_SPEARMAN
+
+
+# --- Kruskal-Wallis H across market segments ----------------------------
+
+
+def q_kruskal_wallis_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank ANOVA (JASA 1952): does customer spend
+    differ across market segments? Tie-averaged ranks via the same
+    doubled-rank identity as spearman_balance_spend (2·r̄ = 2·cum −
+    cnt + 1 on the exact cumsum device); per-group rank sums R2_g and
+    the tie term Σ(t³−t) are exact decimals. With R_g = R2_g/2,
+        H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)
+          = 3/(N(N+1)) · Σ R2_g²/n_g − 3(N+1),
+    tie-corrected H' = H / (1 − Σ(t³−t)/(N³−N)). The ≤|segments|
+    per-group terms fold in segment order via an explicit sorted
+    array fold — the catalog's pinned-fold discipline — so the only
+    unpinned work is correctly-rounded ÷/√-free scalar IEEE.
+
+    100 TB shape: one distinct-value aggregate + cumsum device, one
+    value-keyed rank attach, one segment-keyed aggregate (≤5 rows),
+    one 1-row fold. No corpus-scale window, nothing quadratic."""
+    from kg_etl_spark.operators.rankdev import global_cumsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("y")
+    )
+    rows = cust.join(spend, "c_custkey", "left").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    per_v = rows.groupBy("y").agg(F.count(F.lit(1)).alias("_n"))
+    cum = global_cumsum(per_v, "y", ["_n"])
+    ranks = cum.select(
+        "y", (F.lit(2) * F.col("cum__n") - F.col("_n") + 1).alias("r2")
+    )
+    DEC = "decimal(38,0)"
+    groups = (
+        rows.join(ranks, "y")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(F.col("r2").cast(DEC)).alias("rs2"),
+        )
+    )
+    # per-group R2_g²/n_g, folded in segment order (pinned). rs2 casts
+    # to double BEFORE squaring: decimal(38,0)² overflows 38 digits
+    # once R2_g passes ~1e19, while the double square is correctly
+    # rounded and engine-identical.
+    rsd = F.col("rs2").cast("double")
+    term = rsd * rsd / F.col("ng").cast("double")
+    folded = groups.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("seg"), term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("s"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("ng").cast(DEC)).alias("n"),
+    )
+    ties = per_v.agg(
+        F.sum(
+            (F.col("_n").cast(DEC) * F.col("_n") * F.col("_n") - F.col("_n")).cast(DEC)
+        ).alias("tt")
+    )
+    j = folded.crossJoin(F.broadcast(ties))
+    nN = F.col("n").cast("double")
+    h = F.lit(3.0) / (nN * (nN + 1.0)) * F.col("s") - 3.0 * (nN + 1.0)
+    corr = 1.0 - F.col("tt").cast("double") / (nN * nN * nN - nN)
+    return j.select(
+        F.col("n").cast("long").alias("n_cust"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(h, 6).alias("h"),
+        F.when(corr > 0, F.round(h / corr, 6)).otherwise(F.lit(None)).alias("h_tie_corrected"),
+    )
+
+
+ORACLE_KRUSKAL = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), rows_ AS (
+  SELECT c.c_mktsegment AS seg, COALESCE(s.y, 0) AS y
+  FROM customer c LEFT JOIN spend s USING (c_custkey)
+), per_v AS (SELECT y, COUNT(*) AS n FROM rows_ GROUP BY y),
+ranks AS (
+  SELECT y, 2 * SUM(n) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - n + 1 AS r2
+  FROM per_v
+), groups AS (
+  SELECT seg, COUNT(*) AS ng, SUM(CAST(r.r2 AS DECIMAL(38,0))) AS rs2
+  FROM rows_ JOIN ranks r ON r.y = rows_.y
+  GROUP BY seg
+), folded AS (
+  SELECT list_reduce(
+           list_prepend(0.0, list(CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE)
+                                  / CAST(ng AS DOUBLE) ORDER BY seg)),
+           (acc, t) -> acc + t) AS s,
+         COUNT(*) AS k,
+         SUM(CAST(ng AS DECIMAL(38,0))) AS n
+  FROM groups
+), ties AS (
+  SELECT SUM(CAST(CAST(n AS DECIMAL(38,0)) * n * n - n AS DECIMAL(38,0))) AS tt
+  FROM per_v
+)
+SELECT CAST(n AS BIGINT) AS n_cust,
+       CAST(k - 1 AS BIGINT) AS dof,
+       ROUND(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+       CASE WHEN 1.0 - CAST(tt AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)) > 0
+            THEN ROUND((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+                        - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                       / (1.0 - CAST(tt AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             - CAST(n AS DOUBLE))), 6)
+            END AS h_tie_corrected
+FROM folded CROSS JOIN ties
+"""
+
+QUERIES["kruskal_wallis_spend"] = q_kruskal_wallis_spend
+ORACLES["kruskal_wallis_spend"] = ORACLE_KRUSKAL

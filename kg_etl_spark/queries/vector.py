@@ -822,3 +822,96 @@ FROM stats s JOIN worst w ON w.label = s.label AND w.rn = 1
 
 QUERIES["cluster_quality_db"] = q_cluster_quality_db
 ORACLES["cluster_quality_db"] = ORACLE_CLUSTER_QUALITY_DB
+
+
+# --- Matryoshka truncation eval: recall@k of prefix dims ---------------
+
+
+_MRL_QUERIES = 32
+_MRL_K = 10
+_MRL_DIMS = 16
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al., NeurIPS'22
+    lineage): per query, recall@10 of brute-force cosine top-10 using
+    only the FIRST 16 of 64 dims against the full-dim top-10 — the
+    readout that decides how far a deployment can truncate its
+    embeddings before ANN quality collapses.
+
+    Determinism: both retrieval passes are the exact brute_force_topk
+    device (score desc, id asc total order); recall counts are exact
+    integers over the joined rank lists; one divide at output.
+
+    100 TB shape: two broadcast-query scans of the corpus (the corpus
+    NEVER shuffles — same posture as embedding_topk), one
+    (query, neighbor)-keyed join of two k-row-per-query lists, one
+    ≤|queries|-row aggregate."""
+    from kg_etl_spark.operators.similarity import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qf = emb.filter(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = brute_force_topk(emb, qf, k=_MRL_K)
+    trunc_corpus = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding"))
+    qt = qf.select("query_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding"))
+    trunc = brute_force_topk(trunc_corpus, qt, k=_MRL_K)
+    hits = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(_MRL_K)),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_MATRYOSHKA = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, embedding[1:{_MRL_DIMS}] AS qt
+  FROM embeddings WHERE vec_id < {_MRL_QUERIES}
+), fulltop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {_SQL_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_SQL_NORM.format(a='q.qe')} * {_SQL_NORM.format(a='e.embedding')}) DESC,
+             e.vec_id ASC) AS rank
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {_MRL_K}
+), trunctop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {_SQL_DOT.format(a='q.qt', b='e.embedding[1:' + str(_MRL_DIMS) + ']')}
+               / ({_SQL_NORM.format(a='q.qt')} * {_SQL_NORM.format(a='e.embedding[1:' + str(_MRL_DIMS) + ']')}) DESC,
+             e.vec_id ASC) AS rank
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {_MRL_K}
+)
+SELECT f.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_MRL_K}.0, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM fulltop) f
+LEFT JOIN (
+  SELECT f.query_id, COUNT(*) AS n_hits
+  FROM fulltop f JOIN trunctop t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY f.query_id
+) h ON h.query_id = f.query_id
+"""
+
+QUERIES["matryoshka_recall"] = q_matryoshka_recall
+ORACLES["matryoshka_recall"] = ORACLE_MATRYOSHKA

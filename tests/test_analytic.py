@@ -857,3 +857,82 @@ def test_lorenz_curve_properties(spark):
         assert r["cum_share"] >= prev_cum - 1e-9
         assert r["rev_share"] >= prev_share - 1e-4  # sorted ascending deciles
         prev_cum, prev_share = r["cum_share"], r["rev_share"]
+
+
+# --- round-5 continuation: rank-device statistics ------------------------
+
+
+def test_spearman_matches_pandas_rank_corr(spark):
+    import numpy as np
+
+    from kg_etl_spark.queries.analytic import q_spearman_balance_spend
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    row = q_spearman_balance_spend(spark, SF).collect()[0]
+    cust = read_table(spark, SF, "customer").toPandas()
+    spend = (
+        read_table(spark, SF, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("y"))
+        .toPandas()
+    )
+    df = cust.merge(spend, on="c_custkey", how="left").fillna({"y": 0})
+    x = (df["c_acctbal"] * 100.0).round().astype("int64").rank(method="average")
+    y = df["y"].astype("int64").rank(method="average")
+    rho = float(np.corrcoef(x, y)[0, 1])
+    assert row["n_cust"] == len(df)
+    assert abs(row["spearman_rho"] - round(rho, 6)) < 1e-6
+
+
+def test_kruskal_wallis_matches_rank_formula(spark):
+    from kg_etl_spark.queries.analytic import q_kruskal_wallis_spend
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    row = q_kruskal_wallis_spend(spark, SF).collect()[0]
+    cust = read_table(spark, SF, "customer").toPandas()
+    spend = (
+        read_table(spark, SF, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("y"))
+        .toPandas()
+    )
+    df = cust.merge(spend, on="c_custkey", how="left").fillna({"y": 0})
+    df["r"] = df["y"].rank(method="average")
+    n = len(df)
+    s = sum(
+        g["r"].sum() ** 2 / len(g) for _, g in df.groupby("c_mktsegment")
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    tcounts = df["y"].value_counts()
+    c = 1.0 - float((tcounts**3 - tcounts).sum()) / (n**3 - n)
+    assert row["n_cust"] == n and row["dof"] == df["c_mktsegment"].nunique() - 1
+    assert abs(row["h"] - h) < 1e-4
+    assert abs(row["h_tie_corrected"] - h / c) < 1e-4
+
+
+def test_matryoshka_recall_matches_numpy(spark):
+    import numpy as np
+
+    from kg_etl_spark.queries.vector import _MRL_DIMS, _MRL_K, _MRL_QUERIES, q_matryoshka_recall
+    from kg_etl_spark.session import read_table
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["query_id"]: r["n_hits"] for r in q_matryoshka_recall(spark, SF).collect()}
+    pdf = read_table(spark, SF, "embeddings").toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    def topk(M, qrow, qid):
+        sims = (M @ qrow) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qrow))
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        return [ids[i] for i in order if ids[i] != qid][:_MRL_K]
+
+    for qid in ids[ids < _MRL_QUERIES]:
+        qi = int(np.where(ids == qid)[0][0])
+        full = set(topk(X, X[qi], qid))
+        trunc = set(topk(X[:, :_MRL_DIMS], X[qi, :_MRL_DIMS], qid))
+        assert got[qid] == len(full & trunc), qid

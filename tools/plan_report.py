@@ -83,7 +83,8 @@ REPORT_QUERIES = [
     "roc_auc_price", "cohens_kappa", "mutual_info_features", "theil_sen_trend",
     "user_link_prediction", "louvain_move_scan", "sequential_patterns",
     "propensity_matching", "cluster_quality_db", "brier_reliability",
-    "winnowing_dedup", "winnowing_identical_recall",
+    "winnowing_dedup", "winnowing_identical_recall", "matryoshka_recall",
+    "spearman_balance_spend", "kruskal_wallis_spend",
 ]
 
 
