@@ -714,7 +714,7 @@ def q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_walks(edges, length=3)
 
 
-ORACLE_WALK_CORPUS = """
+_WALK_CTES = """
 WITH e AS (
   SELECT DISTINCT src, dst FROM (
     SELECT user_id AS src,
@@ -751,11 +751,16 @@ WITH e AS (
    AND n.rnk = (1315423911 * (s.origin & 2147483647)
                 + 2654435761 * (s.cur & 2147483647) + 97531 * 3)
                % 2147483647 % n.deg + 1
+), walk AS (
+  SELECT origin, 0 AS step, cur AS node FROM s0
+  UNION ALL SELECT origin, 1 AS step, cur FROM s1
+  UNION ALL SELECT origin, 2 AS step, cur FROM s2
+  UNION ALL SELECT origin, 3 AS step, cur FROM s3
 )
-SELECT origin, 0 AS step, cur AS node FROM s0
-UNION ALL SELECT origin, 1 AS step, cur FROM s1
-UNION ALL SELECT origin, 2 AS step, cur FROM s2
-UNION ALL SELECT origin, 3 AS step, cur FROM s3
+"""
+
+ORACLE_WALK_CORPUS = _WALK_CTES + """
+SELECT origin, step, node FROM walk
 """
 
 QUERIES["walk_corpus"] = q_walk_corpus
@@ -2979,3 +2984,163 @@ FROM folded CROSS JOIN ties
 
 QUERIES["kruskal_wallis_spend"] = q_kruskal_wallis_spend
 ORACLES["kruskal_wallis_spend"] = ORACLE_KRUSKAL
+
+
+# --- Exact corpus-scale quantiles on the cumsum device -------------------
+
+
+_GQ_PS = (50, 90, 99)  # percents
+
+
+def q_exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT type-1 (lower order-statistic) global quantiles of the
+    extended price over ALL of lineitem — the one-giant-group case
+    where `percentile()` materializes the whole column per group and
+    dies at corpus scale. Here: distinct cents values (domain-
+    bounded) → the two-phase exact cumsum device → the p-quantile is
+    the unique value whose cumulative range covers ⌈p·N⌉. No
+    interpolation, no sort of corpus-sized data, no per-group array.
+
+    Determinism: all-integer; ⌈p·N⌉ computed as (p·N + 99) div 100 in
+    exact integer arithmetic on both engines.
+
+    100 TB shape: one hash aggregate to the bounded value domain, one
+    cumsum device (range-bucketed local windows + broadcast offsets),
+    one 1-row N scalar cross, one model-state filter — the
+    percentile() contrast case the catalog's SCALE.md argues."""
+    from kg_etl_spark.operators.rankdev import global_cumsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per = (
+        li.select(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = global_cumsum(per, "v", ["c"])
+    n = cum.agg(F.sum("c").alias("n"))
+    j = cum.crossJoin(F.broadcast(n))
+    ps = F.explode(F.array(*[F.lit(p) for p in _GQ_PS])).alias("p")
+    hit = (
+        j.select("v", "c", "cum_c", "n", ps)
+        .withColumn("k", F.expr("(p * n + 99) div 100"))
+        .filter((F.col("cum_c") >= F.col("k")) & (F.col("cum_c") - F.col("c") < F.col("k")))
+    )
+    return hit.select(
+        F.col("p").cast("int").alias("percent"),
+        (F.col("v").cast("double") / 100.0).alias("price"),
+        F.col("k").alias("order_stat"),
+    )
+
+
+ORACLE_EXACT_QUANTILES = f"""
+WITH per AS (
+  SELECT CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM per
+), n AS (SELECT SUM(c) AS n FROM per),
+px AS (SELECT unnest([{', '.join(str(p) for p in _GQ_PS)}]) AS p)
+SELECT CAST(px.p AS INT) AS percent,
+       CAST(cum.v AS DOUBLE) / 100.0 AS price,
+       CAST((px.p * n.n + 99) // 100 AS BIGINT) AS order_stat
+FROM cum CROSS JOIN n CROSS JOIN px
+WHERE cum.cum_c >= (px.p * n.n + 99) // 100
+  AND cum.cum_c - cum.c < (px.p * n.n + 99) // 100
+"""
+
+QUERIES["exact_global_quantiles"] = q_exact_global_quantiles
+ORACLES["exact_global_quantiles"] = ORACLE_EXACT_QUANTILES
+
+
+# --- Skip-gram (center, context) pairs + PMI from the walk corpus ------
+
+
+_SKIPGRAM_WINDOW = 2
+_SKIPGRAM_TOP = 200
+
+
+def q_walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec data-prep stage DeepWalk feeds: (center, context)
+    co-occurrence pairs within a ±2 window over every deterministic
+    walk, with shifted-PMI scoring ln(c_pair·T / (c_center·c_ctx)) —
+    what a downstream SGNS/GloVe trainer consumes. Top-200 pairs by
+    (count, pair) keeps the readout bounded; counts are exact and the
+    single ln rides the catalog's 6 dp libm rounding.
+
+    100 TB shape: the walk frame self-joins keyed on the WALK ID
+    (origin) with fan-out bounded by walk_length × window — never
+    corpus-quadratic; margins are one tiny aggregate each; the final
+    top-N is a TakeOrdered."""
+    from kg_etl_spark.operators.walks import deterministic_walks
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    edges = (
+        ev.select(F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    walks = deterministic_walks(edges, length=3).localCheckpoint(eager=True)
+    a = walks.select("origin", F.col("step").alias("i"), F.col("node").alias("center"))
+    b = walks.select("origin", F.col("step").alias("j"), F.col("node").alias("context"))
+    pairs = (
+        a.join(b, "origin")
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= _SKIPGRAM_WINDOW)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctr = pairs.groupBy("center").agg(F.sum("c").alias("cc"))
+    ctx = pairs.groupBy("context").agg(F.sum("c").alias("cx"))
+    tot = pairs.agg(F.sum("c").alias("t"))
+    DEC = "decimal(38,0)"
+    # margins are |V|-sized — NEVER broadcast them at corpus scale;
+    # only the 1-row total crosses
+    scored = (
+        pairs.join(ctr, "center")
+        .join(ctx, "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "c",
+            F.round(
+                F.log(
+                    (F.col("c").cast(DEC) * F.col("t").cast(DEC)).cast("double")
+                    / (F.col("cc").cast(DEC) * F.col("cx").cast(DEC)).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("c").desc(), F.col("center").asc(), F.col("context").asc()
+    ).limit(_SKIPGRAM_TOP)
+
+
+ORACLE_WALK_SKIPGRAM = _WALK_CTES + f"""
+, pairs AS (
+  SELECT a.node AS center, b.node AS context, COUNT(*) AS c
+  FROM walk a JOIN walk b
+    ON a.origin = b.origin AND a.step <> b.step
+   AND ABS(a.step - b.step) <= {_SKIPGRAM_WINDOW}
+  GROUP BY 1, 2
+), ctr AS (SELECT center, SUM(c) AS cc FROM pairs GROUP BY center),
+ctx AS (SELECT context, SUM(c) AS cx FROM pairs GROUP BY context),
+tot AS (SELECT SUM(c) AS t FROM pairs)
+SELECT p.center, p.context, p.c,
+       ROUND(ln(CAST(CAST(p.c AS DECIMAL(38,0)) * CAST(tot.t AS DECIMAL(38,0)) AS DOUBLE)
+                / CAST(CAST(ctr.cc AS DECIMAL(38,0)) * CAST(ctx.cx AS DECIMAL(38,0)) AS DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN ctr ON ctr.center = p.center
+JOIN ctx ON ctx.context = p.context
+CROSS JOIN tot
+ORDER BY p.c DESC, p.center ASC, p.context ASC
+LIMIT {_SKIPGRAM_TOP}
+"""
+
+QUERIES["walk_skipgram_pmi"] = q_walk_skipgram_pmi
+ORACLES["walk_skipgram_pmi"] = ORACLE_WALK_SKIPGRAM

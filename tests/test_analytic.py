@@ -936,3 +936,68 @@ def test_matryoshka_recall_matches_numpy(spark):
         full = set(topk(X, X[qi], qid))
         trunc = set(topk(X[:, :_MRL_DIMS], X[qi, :_MRL_DIMS], qid))
         assert got[qid] == len(full & trunc), qid
+
+
+def test_exact_global_quantiles_match_numpy_order_stats(spark):
+    import numpy as np
+
+    from kg_etl_spark.queries.analytic import _GQ_PS, q_exact_global_quantiles
+    from kg_etl_spark.session import read_table
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["percent"]: r for r in q_exact_global_quantiles(spark, SF).collect()}
+    v = np.sort(
+        np.round(
+            read_table(spark, SF, "lineitem").select("l_extendedprice").toPandas()[
+                "l_extendedprice"
+            ].to_numpy()
+            * 100.0
+        ).astype(np.int64)
+    )
+    n = len(v)
+    assert set(got) == set(_GQ_PS)
+    for p in _GQ_PS:
+        k = (p * n + 99) // 100  # ceil(p*n/100), 1-based
+        assert got[p]["order_stat"] == k
+        assert got[p]["price"] == v[k - 1] / 100.0
+
+
+def test_walk_skipgram_matches_brute_force_pairs(spark):
+    from collections import Counter
+
+    from kg_etl_spark.queries.analytic import (
+        _SKIPGRAM_TOP,
+        _SKIPGRAM_WINDOW,
+        q_walk_corpus,
+        q_walk_skipgram_pmi,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    walks = {}
+    for r in q_walk_corpus(spark, SF).collect():
+        walks.setdefault(r["origin"], {})[r["step"]] = r["node"]
+    cnt = Counter()
+    for steps in walks.values():
+        ks = sorted(steps)
+        for i in ks:
+            for j in ks:
+                if i != j and abs(i - j) <= _SKIPGRAM_WINDOW:
+                    cnt[(steps[i], steps[j])] += 1
+    got = q_walk_skipgram_pmi(spark, SF).collect()
+    assert len(got) == min(_SKIPGRAM_TOP, len(cnt))
+    import math
+
+    t = sum(cnt.values())
+    cc = Counter()
+    cx = Counter()
+    for (a, b), c in cnt.items():
+        cc[a] += c
+        cx[b] += c
+    for r in got:
+        k = (r["center"], r["context"])
+        assert cnt[k] == r["c"]
+        pmi = math.log(cnt[k] * t / (cc[k[0]] * cx[k[1]]))
+        assert abs(r["pmi"] - round(pmi, 6)) < 1e-6
+    # the returned rows are exactly the top-|got| by (c, center, context)
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert [(r["center"], r["context"]) for r in got] == [k for k, _ in expect]

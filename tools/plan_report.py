@@ -84,7 +84,8 @@ REPORT_QUERIES = [
     "user_link_prediction", "louvain_move_scan", "sequential_patterns",
     "propensity_matching", "cluster_quality_db", "brier_reliability",
     "winnowing_dedup", "winnowing_identical_recall", "matryoshka_recall",
-    "spearman_balance_spend", "kruskal_wallis_spend",
+    "spearman_balance_spend", "kruskal_wallis_spend", "exact_global_quantiles",
+    "walk_skipgram_pmi",
 ]
 
 
@@ -154,8 +155,10 @@ def main() -> None:
         "`hits_scores` crosses its 1-row exact hub/auth totals into "
         "the per-node share projection, `mutual_info_features` crosses "
         "each feature's 1-row total into its ≤50-cell contingency "
-        "table, and `louvain_move_scan` crosses the 1-row 2m scalar "
-        "into the per-node move frame. "
+        "table, `louvain_move_scan` crosses the 1-row 2m scalar "
+        "into the per-node move frame, `matryoshka_recall` broadcasts "
+        "its tiny query set twice like `embedding_topk`, and "
+        "`kruskal_wallis_spend` crosses the 1-row tie-term scalar. "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",
