@@ -1029,3 +1029,91 @@ FROM keyed
 
 QUERIES["epoch_shuffle"] = q_epoch_shuffle
 ORACLES["epoch_shuffle"] = ORACLE_EPOCH_SHUFFLE
+
+
+# --- T5-style span-corruption plan (denoising objective data prep) ------
+
+
+_SPAN_RATE_PCT = 15  # corrupt ~15% of tokens
+_SPAN_LEN = 3        # mean/fixed span length (T5 defaults)
+_SPAN_A = 1_315_423_911
+_SPAN_C = 97_531
+_SPAN_P = 2_147_483_647
+
+
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption plan (Raffel et al.,
+    JMLR'20 §3.1.4): per document, n_spans = max(1, (15%·n_tokens)
+    div 3) length-3 spans placed ONE PER EQUAL SEGMENT at a
+    hash-derived offset — non-overlapping by construction (the
+    determinism-first stand-in for T5's random non-overlapping
+    sampling; assignments never change as the corpus grows, the
+    hash-split discipline). Emits one row per span:
+    (doc_id, span_id, start, span_len) — what a denoising collator
+    consumes — plus the per-doc sentinel bookkeeping (n_tokens,
+    n_spans).
+
+    Determinism: all-integer; offsets use the catalog's multiplicative
+    hash ((A·(doc&2³¹−1) + C·(j+1)) % P) with 31-bit masked inputs so
+    the product never wraps a long (the walks.py lesson).
+
+    100 TB shape: map-side token count, a sequence() explode bounded
+    by n_spans (≤ n_tokens/20), zero joins, zero shuffles —
+    corpus-bandwidth-bound like the split/sample family."""
+    from kg_etl_spark.operators.textquality import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= _SPAN_LEN)
+    n_spans = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(n_tokens * {_SPAN_RATE_PCT} div 100) div {_SPAN_LEN}"),
+    )
+    planned = base.withColumn("n_spans", n_spans).withColumn(
+        "span_id", F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_spans") - 1))
+    )
+    seg = F.expr("n_tokens div n_spans")
+    slack = F.greatest(F.lit(1).cast("long"), seg - _SPAN_LEN + 1)
+    h = (
+        F.lit(_SPAN_A) * F.col("doc_id").bitwiseAND(F.lit(0x7FFFFFFF))
+        + F.lit(_SPAN_C) * (F.col("span_id") + 1)
+    ) % F.lit(_SPAN_P)
+    start = F.col("span_id") * seg + (h % slack)
+    return planned.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "span_id",
+        start.alias("start"),
+        F.least(F.lit(_SPAN_LEN).cast("long"), F.col("n_tokens") - start).alias("span_len"),
+    )
+
+
+ORACLE_SPAN_CORRUPTION = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+), planned AS (
+  SELECT doc_id, n_tokens,
+         GREATEST(1, (n_tokens * {_SPAN_RATE_PCT} // 100) // {_SPAN_LEN}) AS n_spans
+  FROM base WHERE n_tokens >= {_SPAN_LEN}
+), ex AS (
+  SELECT doc_id, n_tokens, n_spans, unnest(range(0, n_spans)) AS span_id
+  FROM planned
+)
+SELECT doc_id, n_tokens, n_spans, CAST(span_id AS BIGINT) AS span_id,
+       span_id * (n_tokens // n_spans)
+         + (({_SPAN_A} * (doc_id & 2147483647) + {_SPAN_C} * (span_id + 1)) % {_SPAN_P})
+           % GREATEST(1, n_tokens // n_spans - {_SPAN_LEN} + 1) AS start,
+       LEAST({_SPAN_LEN},
+             n_tokens - (span_id * (n_tokens // n_spans)
+               + (({_SPAN_A} * (doc_id & 2147483647) + {_SPAN_C} * (span_id + 1)) % {_SPAN_P})
+                 % GREATEST(1, n_tokens // n_spans - {_SPAN_LEN} + 1))) AS span_len
+FROM ex
+"""
+
+QUERIES["span_corruption_plan"] = q_span_corruption_plan
+ORACLES["span_corruption_plan"] = ORACLE_SPAN_CORRUPTION

@@ -167,3 +167,27 @@ def test_contract_csv_empty_with_header(spark, tmp_path):
     write_contract_csv(df, path)
     with open(path) as f:
         assert f.read().strip() == "a,b"
+
+
+def test_span_corruption_plan_nonoverlapping_and_budgeted(spark):
+    from kg_etl_spark.queries.pipeline import _SPAN_LEN, q_span_corruption_plan
+
+    SF = "/root/testdata/sf0.001"
+    rows = q_span_corruption_plan(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc, "no spans planned"
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_id"])
+        n = spans[0]["n_tokens"]
+        assert len(spans) == spans[0]["n_spans"]
+        prev_end = -1
+        for r in spans:
+            assert 0 <= r["start"] and r["start"] + r["span_len"] <= n
+            assert 1 <= r["span_len"] <= _SPAN_LEN
+            assert r["start"] > prev_end, (doc, r)  # non-overlapping
+            prev_end = r["start"] + r["span_len"] - 1
+        # corruption budget: ~15% of tokens, never more than 2x over
+        masked = sum(r["span_len"] for r in spans)
+        assert masked <= max(_SPAN_LEN, 0.30 * n)
