@@ -86,6 +86,11 @@ HEADLINE = [
     "theil_sen_trend",
     "user_link_prediction",
     "louvain_move_scan",
+    # round 5 (cont.): rank-device statistics, vector eval, sequence
+    # mining over events
+    "spearman_balance_spend",
+    "matryoshka_recall",
+    "sequential_patterns",
 ]
 
 

@@ -1202,10 +1202,11 @@ def q_user_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICALLY in the oracle. Without it one celebrity center emits
     deg² wedges — the quadratic blow-up this catalog never ships.
 
-    Determinism: RA folds 1/deg(z) in sorted-by-degree order via an
-    explicit array fold — equal summands commute, so the sort on the
-    single double key pins the IEEE sum bit-for-bit cross-engine
-    (6 dp at output).
+    Determinism: each RA term 1/deg(z) rounds to 12 dp into decimal
+    BEFORE the per-pair sum, so the aggregate is ORDER-FREE (plain
+    codegen SUM, no interpreted array fold) and bit-identical
+    cross-engine; ≤ cap terms keep the rounding error under 1e-10,
+    invisible at the 6 dp output.
 
     100 TB shape: one degree aggregate, a center-keyed wedge join
     bounded by the cap, one (x,y) hash aggregate with an array fold
@@ -1234,6 +1235,11 @@ def link_scores_from_edges(e0: DataFrame, hub_cap: int = _LP_HUB_CAP) -> DataFra
             "s",
         )
         .select(F.col("s").alias("z"), F.col("t").alias("x"), "dc")
+        # pre-fanout repartition: AQE sizes the wedge stage off the
+        # TINY pre-explosion slot frame and would run the deg-squared
+        # explosion in 1-2 coalesced tasks (the pca_power_top lesson,
+        # commit a0df24b) — spread the centers BEFORE the fan-out
+        .repartition(32, "z")
     )
     other = ctr.select(F.col("z"), F.col("x").alias("y"))
     wedges = (
@@ -1244,11 +1250,11 @@ def link_scores_from_edges(e0: DataFrame, hub_cap: int = _LP_HUB_CAP) -> DataFra
     cand = wedges.groupBy("x", "y").agg(
         F.count(F.lit(1)).alias("cn"),
         F.round(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.col("dc").cast("double"))),
-                F.lit(0.0),
-                lambda acc, v: acc + F.lit(1.0) / v,
-            ),
+            F.sum(
+                F.round(F.lit(1.0) / F.col("dc").cast("double"), 12).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double"),
             6,
         ).alias("ra"),
     )
@@ -1290,9 +1296,8 @@ ctr AS (
   FROM ctr c1 JOIN ctr c2 ON c1.z = c2.z AND c1.x < c2.x
 ), cand AS (
   SELECT x, y, COUNT(*) AS cn,
-         ROUND(list_reduce(
-             list_prepend(0.0, list(CAST(dc AS DOUBLE) ORDER BY dc)),
-             (acc, v) -> acc + 1.0 / v), 6) AS ra
+         ROUND(CAST(SUM(CAST(ROUND(1.0 / CAST(dc AS DOUBLE), 12)
+                             AS DECIMAL(28,12))) AS DOUBLE), 6) AS ra
   FROM wedges GROUP BY x, y
 ), fresh AS (
   SELECT c.* FROM cand c ANTI JOIN e0 ON e0.a = c.x AND e0.b = c.y
