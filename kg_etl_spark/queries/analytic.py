@@ -3144,3 +3144,141 @@ LIMIT {_SKIPGRAM_TOP}
 
 QUERIES["walk_skipgram_pmi"] = q_walk_skipgram_pmi
 ORACLES["walk_skipgram_pmi"] = ORACLE_WALK_SKIPGRAM
+
+
+# --- Leave-one-group-out influence (data-valuation readout) --------------
+
+
+def q_loo_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-group-out influence of each nation on the global
+    average order value — the group-level data-valuation primitive
+    (the exact, closed-form cousin of Shapley-style contribution
+    scoring): influence(g) = mean_without(g) − mean_all, computed
+    EXACTLY from one pass of per-group decimal sums:
+    mean_without(g) = (S − S_g)/(N − n_g). A positive influence means
+    dropping the group would RAISE the global mean (the group drags
+    it down).
+
+    100 TB shape: ONE nation-keyed aggregate of exact cent decimals +
+    a 1-row global cross onto |nations| rows; the subtraction trick
+    means no second corpus pass per group — the whole sweep is
+    closed-form."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    DEC = "decimal(38,0)"
+    per = (
+        orders.join(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+                    "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast(DEC).alias("ng"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+            .cast(DEC)
+            .alias("sg"),
+        )
+    )
+    tot = per.agg(F.sum("ng").alias("n"), F.sum("sg").alias("s"))
+    j = per.crossJoin(F.broadcast(tot))
+    mean_all = F.col("s").cast("double") / (F.lit(100.0) * F.col("n").cast("double"))
+    mean_wo = F.when(
+        F.col("n") > F.col("ng"),
+        (F.col("s") - F.col("sg")).cast("double")
+        / (F.lit(100.0) * (F.col("n") - F.col("ng")).cast("double")),
+    )
+    return j.select(
+        "c_nationkey",
+        F.col("ng").cast("long").alias("n_orders"),
+        F.round(mean_wo - mean_all, 6).alias("influence_dollars"),
+    )
+
+
+ORACLE_LOO_INFLUENCE = """
+WITH per AS (
+  SELECT c.c_nationkey,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS ng,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT))
+              AS DECIMAL(38,0)) AS sg
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), tot AS (SELECT SUM(ng) AS n, SUM(sg) AS s FROM per)
+SELECT c_nationkey, CAST(ng AS BIGINT) AS n_orders,
+       ROUND(CASE WHEN n > ng
+                  THEN CAST(s - sg AS DOUBLE) / (100.0 * CAST(n - ng AS DOUBLE))
+             END
+             - CAST(s AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6) AS influence_dollars
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["loo_group_influence"] = q_loo_group_influence
+ORACLES["loo_group_influence"] = ORACLE_LOO_INFLUENCE
+
+
+# --- Rolling-origin forecast backtest (naive vs seasonal-naive) ----------
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two classical baselines every
+    forecasting system must beat: naive (ŷ_d = y_{d−1}) and
+    seasonal-naive (ŷ_d = y_{d−7}) over the daily event counts, MAE
+    per event type across every day with both predecessors. The
+    winner column is the standard "which baseline is the bar"
+    readout. All-integer errors; two divisions at output.
+
+    100 TB shape: daily series is calendar-bounded model state; two
+    lag windows over it (bounded partitions) and one ≤|types|-row
+    aggregate — corpus-scale work is the one daily hash aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (
+        daily.withColumn("p1", F.lag("c", 1).over(w))
+        .withColumn("p7", F.lag("c", 7).over(w))
+        .filter(F.col("p1").isNotNull() & F.col("p7").isNotNull())
+    )
+    DEC = "decimal(38,0)"
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("c") - F.col("p1")).cast(DEC)).alias("e1"),
+        F.sum(F.abs(F.col("c") - F.col("p7")).cast(DEC)).alias("e7"),
+    )
+    mae1 = F.col("e1").cast("double") / F.col("n_days").cast("double")
+    mae7 = F.col("e7").cast("double") / F.col("n_days").cast("double")
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(mae7, 6).alias("mae_snaive"),
+        F.when(F.col("e7") < F.col("e1"), F.lit("seasonal_naive"))
+        .otherwise(F.lit("naive"))
+        .alias("winner"),
+    )
+
+
+ORACLE_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, c,
+         LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+         LAG(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7
+  FROM daily
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         SUM(CAST(ABS(c - p1) AS DECIMAL(38,0))) AS e1,
+         SUM(CAST(ABS(c - p7) AS DECIMAL(38,0))) AS e7
+  FROM lagged WHERE p1 IS NOT NULL AND p7 IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_days,
+       ROUND(CAST(e1 AS DOUBLE) / n_days, 6) AS mae_naive,
+       ROUND(CAST(e7 AS DOUBLE) / n_days, 6) AS mae_snaive,
+       CASE WHEN e7 < e1 THEN 'seasonal_naive' ELSE 'naive' END AS winner
+FROM agg
+"""
+
+QUERIES["forecast_backtest"] = q_forecast_backtest
+ORACLES["forecast_backtest"] = ORACLE_FORECAST_BACKTEST

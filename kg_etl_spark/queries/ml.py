@@ -1529,3 +1529,111 @@ GROUP BY c_nationkey
 
 QUERIES["propensity_matching"] = q_propensity_matching
 ORACLES["propensity_matching"] = ORACLE_PROPENSITY
+
+# --- GraphSAGE-style deterministic neighbor-sampling plan ---------------
+
+
+_SAGE_F1 = 5  # hop-1 fanout
+_SAGE_F2 = 3  # hop-2 fanout
+_SAGE_A = 1_315_423_911
+_SAGE_B = 2_654_435_761
+_SAGE_P = 2_147_483_647
+
+
+def _sage_rank(src, dst, hop: int):
+    # 31-bit masked multiplicative hash (the walks.py overflow lesson):
+    # ranks neighbors deterministically per (seed-hop, neighbor)
+    return (
+        F.lit(_SAGE_A) * src.bitwiseAND(F.lit(0x7FFFFFFF))
+        + F.lit(_SAGE_B) * dst.bitwiseAND(F.lit(0x7FFFFFFF))
+        + F.lit(97_531 * hop)
+    ) % F.lit(_SAGE_P)
+
+
+def q_sage_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GraphSAGE neighbor-sampling plan (Hamilton et
+    al., NeurIPS'17 §3.1): for every seed node of the user graph,
+    sample 5 hop-1 neighbors and 3 hop-2 neighbors per hop-1 node —
+    fanouts and choices fixed by a hash ranking, so the minibatch
+    plan is reproducible across epochs and engines (the hash-split
+    discipline applied to GNN data prep). Emits
+    (seed, hop, parent, node, rk).
+
+    Determinism: neighbor choice = the rk-smallest hash rank with
+    (rank, neighbor) total tie order; all-integer, 31-bit masked
+    inputs so products never wrap.
+
+    100 TB shape: two node-keyed window ranks over the adjacency
+    (per-node frames are degree-bounded; a celebrity hub costs one
+    deg·log deg local sort — the documented cost of any fixed-fanout
+    sampler) and one edge-keyed join to expand hop 2. Fan-out is
+    capped at 5 + 5·3 rows per seed by construction."""
+    e0 = _user_graph(spark, sf_dir)
+    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    ).localCheckpoint(eager=True)
+    w1 = Window.partitionBy("s").orderBy(
+        _sage_rank(F.col("s"), F.col("t"), 1).asc(), F.col("t").asc()
+    )
+    hop1 = (
+        slots.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _SAGE_F1)
+        .select(F.col("s").alias("seed"), F.col("t").alias("node"), "rk")
+    )
+    # hop 2 expands from each sampled hop-1 node, ranked per (seed, parent)
+    nb = slots.select(F.col("s").alias("node"), F.col("t").alias("nxt"))
+    w2 = Window.partitionBy("seed", "node").orderBy(
+        _sage_rank(F.col("seed"), F.col("nxt"), 2).asc(), F.col("nxt").asc()
+    )
+    hop2 = (
+        hop1.join(nb, "node")
+        .filter(F.col("nxt") != F.col("seed"))
+        .withColumn("rk2", F.row_number().over(w2))
+        .filter(F.col("rk2") <= _SAGE_F2)
+    )
+    out1 = hop1.select(
+        "seed", F.lit(1).alias("hop"), F.col("seed").alias("parent"), "node",
+        F.col("rk").cast("long").alias("rk"),
+    )
+    out2 = hop2.select(
+        "seed", F.lit(2).alias("hop"), F.col("node").alias("parent"),
+        F.col("nxt").alias("node"), F.col("rk2").cast("long").alias("rk"),
+    )
+    return out1.unionByName(out2)
+
+
+ORACLE_SAGE = f"""
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events
+), e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), slots AS (
+  SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b AS s, a AS t FROM e0
+), hop1 AS (
+  SELECT s AS seed, t AS node, rk FROM (
+    SELECT s, t,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY
+             ({_SAGE_A} * (s & 2147483647) + {_SAGE_B} * (t & 2147483647)
+              + {97_531 * 1}) % {_SAGE_P} ASC, t ASC) AS rk
+    FROM slots
+  ) WHERE rk <= {_SAGE_F1}
+), hop2 AS (
+  SELECT seed, node AS parent, nxt AS node, rk2 AS rk FROM (
+    SELECT h.seed, h.node, nb.t AS nxt,
+           ROW_NUMBER() OVER (PARTITION BY h.seed, h.node ORDER BY
+             ({_SAGE_A} * (h.seed & 2147483647) + {_SAGE_B} * (nb.t & 2147483647)
+              + {97_531 * 2}) % {_SAGE_P} ASC, nb.t ASC) AS rk2
+    FROM hop1 h JOIN slots nb ON nb.s = h.node
+    WHERE nb.t <> h.seed
+  ) WHERE rk2 <= {_SAGE_F2}
+)
+SELECT seed, 1 AS hop, seed AS parent, node, CAST(rk AS BIGINT) AS rk FROM hop1
+UNION ALL
+SELECT seed, 2 AS hop, parent, node, CAST(rk AS BIGINT) AS rk FROM hop2
+"""
+
+QUERIES["sage_sampling_plan"] = q_sage_sampling_plan
+ORACLES["sage_sampling_plan"] = ORACLE_SAGE

@@ -514,3 +514,88 @@ def test_cluster_quality_db_matches_numpy(spark):
         worst = max(rs, key=lambda o: (rs[o], -o))
         assert got[l]["worst_other"] == worst
         assert abs(got[l]["db_term"] - rs[worst]) < 1e-4
+
+
+def test_sage_sampling_fanout_and_membership(spark):
+    from kg_etl_spark.queries.ml import _SAGE_F1, _SAGE_F2, _user_graph, q_sage_sampling_plan
+
+    SF = "/root/testdata/sf0.001"
+    rows = q_sage_sampling_plan(spark, SF).collect()
+    e0 = _user_graph(spark, SF).collect()
+    adj = {}
+    for r in e0:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    h1, h2 = {}, {}
+    for r in rows:
+        if r["hop"] == 1:
+            assert r["parent"] == r["seed"]
+            assert r["node"] in adj[r["seed"]]  # real neighbor
+            h1.setdefault(r["seed"], []).append(r["node"])
+        else:
+            assert r["node"] in adj[r["parent"]]
+            assert r["node"] != r["seed"]
+            h2.setdefault((r["seed"], r["parent"]), []).append(r["node"])
+    for seed, nbrs in h1.items():
+        assert len(nbrs) == min(_SAGE_F1, len(adj[seed]))
+        assert len(set(nbrs)) == len(nbrs)
+    for (seed, parent), nbrs in h2.items():
+        avail = len(adj[parent] - {seed})
+        assert len(nbrs) == min(_SAGE_F2, avail)
+        # hop-2 expands only from sampled hop-1 nodes
+        assert parent in h1[seed]
+
+
+def test_loo_group_influence_reconciles(spark):
+    # influence must reconcile with directly recomputed means, and
+    # weighted influences must nearly cancel (Σ (N-n_g)·inf_g == 0
+    # exactly in rationals)
+    from kg_etl_spark.queries.analytic import q_loo_group_influence
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    rows = q_loo_group_influence(spark, SF).collect()
+    orders = read_table(spark, SF, "orders").toPandas()
+    cust = read_table(spark, SF, "customer").toPandas()
+    df = orders.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey", right_on="c_custkey",
+    )
+    df["cents"] = (df["o_totalprice"] * 100.0).round().astype("int64")
+    mean_all = df["cents"].sum() / (100.0 * len(df))
+    for r in rows:
+        sub = df[df["c_nationkey"] != r["c_nationkey"]]
+        expect = sub["cents"].sum() / (100.0 * len(sub)) - mean_all
+        assert abs(r["influence_dollars"] - round(expect, 6)) < 1e-4, r
+
+
+def test_forecast_backtest_mae_brute(spark):
+    from kg_etl_spark.queries.analytic import q_forecast_backtest
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in q_forecast_backtest(spark, SF).collect()}
+    ev = read_table(spark, SF, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    for et, g in daily.groupby("event_type"):
+        c = g["c"].tolist()
+        e1 = [abs(c[i] - c[i - 1]) for i in range(7, len(c))]
+        e7 = [abs(c[i] - c[i - 7]) for i in range(7, len(c))]
+        if not e1:
+            assert et not in got
+            continue
+        r = got[et]
+        assert r["n_days"] == len(e1)
+        assert abs(r["mae_naive"] - round(sum(e1) / len(e1), 6)) < 1e-9
+        assert abs(r["mae_snaive"] - round(sum(e7) / len(e7), 6)) < 1e-9
+        assert r["winner"] == ("seasonal_naive" if sum(e7) < sum(e1) else "naive")

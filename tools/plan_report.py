@@ -85,7 +85,8 @@ REPORT_QUERIES = [
     "propensity_matching", "cluster_quality_db", "brier_reliability",
     "winnowing_dedup", "winnowing_identical_recall", "matryoshka_recall",
     "spearman_balance_spend", "kruskal_wallis_spend", "exact_global_quantiles",
-    "walk_skipgram_pmi", "span_corruption_plan",
+    "walk_skipgram_pmi", "span_corruption_plan", "sage_sampling_plan",
+    "loo_group_influence", "forecast_backtest",
 ]
 
 
