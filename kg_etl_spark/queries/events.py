@@ -1593,3 +1593,92 @@ FROM hits GROUP BY 1, 2, 3
 
 QUERIES["sequential_patterns"] = q_sequential_patterns
 ORACLES["sequential_patterns"] = ORACLE_SEQUENTIAL_PATTERNS
+
+
+# --- Inter-arrival statistics (burstiness / dispersion readout) ---------
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival process statistics per event type: mean gap,
+    squared coefficient of variation CV² = Var/μ² (≈1 for a Poisson
+    process, >1 bursty, <1 regular), and the Goh–Barabási burstiness
+    B = (σ−μ)/(σ+μ) — the standard diagnosis before fitting any
+    arrival model. Gaps are exact micros (long); Var from exact
+    decimal power sums Σg, Σg² (population form), so only the final
+    ÷/√ touch doubles, 6 dp out.
+
+    100 TB shape: one type-partitioned lag window over the event
+    stream (the sessionize shuffle), one ≤|types|-row decimal
+    aggregate. Σg² in decimal(38,0) holds gaps to ~1e13 s at any
+    corpus size."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    DEC = "decimal(38,0)"
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("g").cast(DEC)).alias("s1"),
+        F.sum((F.col("g").cast(DEC) * F.col("g").cast(DEC)).cast(DEC)).alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mu * mu
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu / 1e6, 6).alias("mean_gap_s"),
+        F.when(mu > 0, F.round(F.greatest(var, F.lit(0.0)) / (mu * mu), 6)).alias("cv2"),
+        F.when(sd + mu > 0, F.round((sd - mu) / (sd + mu), 6)).alias("burstiness"),
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                ORDER BY ts, event_id) AS g
+  FROM events
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_gaps,
+         SUM(CAST(g AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))
+                  AS DECIMAL(38,0))) AS s2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       ROUND(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_s,
+       CASE WHEN CAST(s1 AS DOUBLE) / n_gaps > 0
+            THEN ROUND(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
+                                - (CAST(s1 AS DOUBLE) / n_gaps)
+                                  * (CAST(s1 AS DOUBLE) / n_gaps), 0.0)
+                       / ((CAST(s1 AS DOUBLE) / n_gaps)
+                          * (CAST(s1 AS DOUBLE) / n_gaps)), 6)
+       END AS cv2,
+       CASE WHEN SQRT(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
+                               - (CAST(s1 AS DOUBLE) / n_gaps)
+                                 * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+                 + CAST(s1 AS DOUBLE) / n_gaps > 0
+            THEN ROUND((SQRT(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
+                                      - (CAST(s1 AS DOUBLE) / n_gaps)
+                                        * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+                        - CAST(s1 AS DOUBLE) / n_gaps)
+                       / (SQRT(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
+                                        - (CAST(s1 AS DOUBLE) / n_gaps)
+                                          * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+                          + CAST(s1 AS DOUBLE) / n_gaps), 6)
+       END AS burstiness
+FROM agg
+"""
+
+QUERIES["interarrival_stats"] = q_interarrival_stats
+ORACLES["interarrival_stats"] = ORACLE_INTERARRIVAL

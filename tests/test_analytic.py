@@ -1001,3 +1001,32 @@ def test_walk_skipgram_matches_brute_force_pairs(spark):
     # the returned rows are exactly the top-|got| by (c, center, context)
     expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
     assert [(r["center"], r["context"]) for r in got] == [k for k, _ in expect]
+
+
+def test_interarrival_stats_match_numpy(spark):
+    import numpy as np
+
+    from kg_etl_spark.queries.events import q_interarrival_stats
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in q_interarrival_stats(spark, SF).collect()}
+    ev = (
+        read_table(spark, SF, "events")
+        .select("event_type", F.unix_micros("ts").alias("us"), "event_id")
+        .toPandas()
+        .sort_values(["event_type", "us", "event_id"])
+    )
+    for et, g in ev.groupby("event_type"):
+        gaps = np.diff(g["us"].to_numpy())
+        r = got[et]
+        assert r["n_gaps"] == len(gaps)
+        mu = gaps.mean()
+        var = gaps.var()  # population
+        assert abs(r["mean_gap_s"] - round(mu / 1e6, 6)) < 1e-6
+        assert abs(r["cv2"] - var / mu**2) < 1e-4
+        sd = var**0.5
+        assert abs(r["burstiness"] - (sd - mu) / (sd + mu)) < 1e-4
+        # synthetic arrivals are Poisson-ish: CV^2 near 1, B near 0
+        assert 0.5 < r["cv2"] < 2.0 and -0.5 < r["burstiness"] < 0.5

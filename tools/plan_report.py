@@ -86,7 +86,7 @@ REPORT_QUERIES = [
     "winnowing_dedup", "winnowing_identical_recall", "matryoshka_recall",
     "spearman_balance_spend", "kruskal_wallis_spend", "exact_global_quantiles",
     "walk_skipgram_pmi", "span_corruption_plan", "sage_sampling_plan",
-    "loo_group_influence", "forecast_backtest",
+    "loo_group_influence", "forecast_backtest", "interarrival_stats",
 ]
 
 
@@ -159,7 +159,9 @@ def main() -> None:
         "table, `louvain_move_scan` crosses the 1-row 2m scalar "
         "into the per-node move frame, `matryoshka_recall` broadcasts "
         "its tiny query set twice like `embedding_topk`, and "
-        "`kruskal_wallis_spend` crosses the 1-row tie-term scalar. "
+        "`kruskal_wallis_spend` crosses the 1-row tie-term scalar, as do "
+        "the newer 1-row scalar crosses (`loo_group_influence`, "
+        "`exact_global_quantiles`). "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",
