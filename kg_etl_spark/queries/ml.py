@@ -1637,3 +1637,162 @@ SELECT seed, 2 AS hop, parent, node, CAST(rk AS BIGINT) AS rk FROM hop2
 
 QUERIES["sage_sampling_plan"] = q_sage_sampling_plan
 ORACLES["sage_sampling_plan"] = ORACLE_SAGE
+
+# --- E2E GNN data-prep manifest (SAGE + walks + skip-gram in one DAG) ---
+
+
+def q_gnn_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end GNN data-prep readout: ONE DAG that takes every
+    seed node of the user graph through (a) the fixed-fanout SAGE
+    sampling plan, (b) the deterministic walk corpus, and (c) the
+    skip-gram pair stage, and emits the per-seed manifest a training
+    job consumes: hop-1/hop-2 sample counts, the walk endpoint, and
+    the seed's skip-gram pair count. The composition twin of
+    training_pipeline_e2e for the graph-ML family — every stage is
+    the SAME operator the standalone queries run, so the manifest is
+    value-checkable by composing their unrolled oracles.
+
+    100 TB shape: the three stages share one edge scan and join on
+    the SEED key only (counts, no fan-out beyond each stage's own
+    documented bound); the final assembly is three seed-keyed
+    aggregates + two joins."""
+    from kg_etl_spark.operators.walks import deterministic_walks
+
+    e0 = _user_graph(spark, sf_dir).localCheckpoint(eager=True)
+    # stage a: the SAGE plan (same expressions as q_sage_sampling_plan)
+    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    w1 = Window.partitionBy("s").orderBy(
+        _sage_rank(F.col("s"), F.col("t"), 1).asc(), F.col("t").asc()
+    )
+    hop1 = (
+        slots.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _SAGE_F1)
+        .select(F.col("s").alias("seed"), F.col("t").alias("node"))
+    )
+    nb = slots.select(F.col("s").alias("node"), F.col("t").alias("nxt"))
+    w2 = Window.partitionBy("seed", "node").orderBy(
+        _sage_rank(F.col("seed"), F.col("nxt"), 2).asc(), F.col("nxt").asc()
+    )
+    hop2 = (
+        hop1.join(nb, "node")
+        .filter(F.col("nxt") != F.col("seed"))
+        .withColumn("rk2", F.row_number().over(w2))
+        .filter(F.col("rk2") <= _SAGE_F2)
+    )
+    c1 = hop1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop1"))
+    c2 = hop2.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop2"))
+    # stage b: walk endpoint per origin (depth-3 deterministic walk)
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    walks = deterministic_walks(edges, length=3).localCheckpoint(eager=True)
+    endp = walks.filter(F.col("step") == 3).select(
+        F.col("origin").alias("seed"), F.col("node").alias("walk_end")
+    )
+    # stage c: skip-gram pairs whose CENTER is the seed (window ±2)
+    a = walks.select("origin", F.col("step").alias("i"), F.col("node").alias("center"))
+    b = walks.select("origin", F.col("step").alias("j"), F.col("node").alias("context"))
+    sgc = (
+        a.join(b, "origin")
+        .filter((F.col("i") != F.col("j")) & (F.abs(F.col("i") - F.col("j")) <= 2))
+        .filter(F.col("center") == F.col("origin"))
+        .groupBy(F.col("origin").alias("seed"))
+        .agg(F.count(F.lit(1)).alias("n_center_pairs"))
+    )
+    return (
+        c1.join(c2, "seed", "left")
+        .join(endp, "seed", "left")
+        .join(sgc, "seed", "left")
+        .select(
+            "seed",
+            "n_hop1",
+            F.coalesce(F.col("n_hop2"), F.lit(0)).alias("n_hop2"),
+            "walk_end",
+            F.coalesce(F.col("n_center_pairs"), F.lit(0)).alias("n_center_pairs"),
+        )
+    )
+
+
+ORACLE_GNN_PREP = f"""
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events
+), e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), slots AS (
+  SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b AS s, a AS t FROM e0
+), hop1 AS (
+  SELECT s AS seed, t AS node FROM (
+    SELECT s, t,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY
+             ({_SAGE_A} * (s & 2147483647) + {_SAGE_B} * (t & 2147483647)
+              + {97_531 * 1}) % {_SAGE_P} ASC, t ASC) AS rk
+    FROM slots
+  ) WHERE rk <= {_SAGE_F1}
+), hop2 AS (
+  SELECT seed, node, nxt FROM (
+    SELECT h.seed, h.node, nb.t AS nxt,
+           ROW_NUMBER() OVER (PARTITION BY h.seed, h.node ORDER BY
+             ({_SAGE_A} * (h.seed & 2147483647) + {_SAGE_B} * (nb.t & 2147483647)
+              + {97_531 * 2}) % {_SAGE_P} ASC, nb.t ASC) AS rk2
+    FROM hop1 h JOIN slots nb ON nb.s = h.node
+    WHERE nb.t <> h.seed
+  ) WHERE rk2 <= {_SAGE_F2}
+), nbrs AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT s AS src, t AS dst FROM slots)
+), nodes AS (SELECT DISTINCT s AS node FROM slots),
+s0 AS (SELECT node AS origin, node AS cur FROM nodes),
+s1 AS (
+  SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
+  FROM s0 s LEFT JOIN nbrs n
+    ON n.src = s.cur
+   AND n.rnk = (1315423911 * (s.origin & 2147483647)
+                + 2654435761 * (s.cur & 2147483647) + 97531 * 1)
+               % 2147483647 % n.deg + 1
+), s2 AS (
+  SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
+  FROM s1 s LEFT JOIN nbrs n
+    ON n.src = s.cur
+   AND n.rnk = (1315423911 * (s.origin & 2147483647)
+                + 2654435761 * (s.cur & 2147483647) + 97531 * 2)
+               % 2147483647 % n.deg + 1
+), s3 AS (
+  SELECT s.origin, COALESCE(n.dst, s.cur) AS cur
+  FROM s2 s LEFT JOIN nbrs n
+    ON n.src = s.cur
+   AND n.rnk = (1315423911 * (s.origin & 2147483647)
+                + 2654435761 * (s.cur & 2147483647) + 97531 * 3)
+               % 2147483647 % n.deg + 1
+), walk AS (
+  SELECT origin, 0 AS step, cur AS node FROM s0
+  UNION ALL SELECT origin, 1 AS step, cur FROM s1
+  UNION ALL SELECT origin, 2 AS step, cur FROM s2
+  UNION ALL SELECT origin, 3 AS step, cur FROM s3
+), sgc AS (
+  SELECT a.origin AS seed, COUNT(*) AS n_center_pairs
+  FROM walk a JOIN walk b
+    ON a.origin = b.origin AND a.step <> b.step AND ABS(a.step - b.step) <= 2
+  WHERE a.node = a.origin
+  GROUP BY 1
+)
+SELECT c1.seed,
+       c1.n_hop1,
+       COALESCE(c2.n_hop2, 0) AS n_hop2,
+       e.walk_end,
+       COALESCE(sgc.n_center_pairs, 0) AS n_center_pairs
+FROM (SELECT seed, COUNT(*) AS n_hop1 FROM hop1 GROUP BY seed) c1
+LEFT JOIN (SELECT seed, COUNT(*) AS n_hop2 FROM hop2 GROUP BY seed) c2
+  ON c2.seed = c1.seed
+LEFT JOIN (SELECT origin AS seed, cur AS walk_end FROM s3) e ON e.seed = c1.seed
+LEFT JOIN sgc ON sgc.seed = c1.seed
+"""
+
+QUERIES["gnn_prep_manifest"] = q_gnn_prep_manifest
+ORACLES["gnn_prep_manifest"] = ORACLE_GNN_PREP

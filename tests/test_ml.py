@@ -599,3 +599,21 @@ def test_forecast_backtest_mae_brute(spark):
         assert abs(r["mae_naive"] - round(sum(e1) / len(e1), 6)) < 1e-9
         assert abs(r["mae_snaive"] - round(sum(e7) / len(e7), 6)) < 1e-9
         assert r["winner"] == ("seasonal_naive" if sum(e7) < sum(e1) else "naive")
+
+
+def test_gnn_prep_manifest_consistency(spark):
+    # the manifest must agree with the standalone stage queries
+    from kg_etl_spark.queries.ml import q_gnn_prep_manifest, q_sage_sampling_plan
+
+    SF = "/root/testdata/sf0.001"
+    man = {r["seed"]: r for r in q_gnn_prep_manifest(spark, SF).collect()}
+    sage = q_sage_sampling_plan(spark, SF).collect()
+    h1, h2 = {}, {}
+    for r in sage:
+        (h1 if r["hop"] == 1 else h2).setdefault(r["seed"], []).append(r)
+    assert set(man) == set(h1)
+    for seed, r in man.items():
+        assert r["n_hop1"] == len(h1[seed])
+        assert r["n_hop2"] == len(h2.get(seed, []))
+        assert r["walk_end"] is not None
+        assert r["n_center_pairs"] >= 0
