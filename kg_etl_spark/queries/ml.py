@@ -1796,3 +1796,95 @@ LEFT JOIN sgc ON sgc.seed = c1.seed
 
 QUERIES["gnn_prep_manifest"] = q_gnn_prep_manifest
 ORACLES["gnn_prep_manifest"] = ORACLE_GNN_PREP
+
+# --- Deterministic negative-EDGE sampling (GNN contrastive prep) --------
+
+
+_NEG_TRIALS = 8
+_NEG_KEEP = 3
+
+
+def q_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural negative sampling for link-prediction/GNN training:
+    per seed node, up to 3 NON-neighbors drawn by hash from the node
+    universe (8 rejection trials; real edges and self-pairs are
+    rejected by an anti join against the adjacency — the part
+    embedding-space negative_samples cannot do). Node indexing rides
+    the two-phase exact-rank device, so the trial→node mapping is
+    identical under any partitioning and in the oracle.
+
+    100 TB shape: one rank device over the node set, a trial explode
+    (8 rows/seed), one idx-keyed join, one edge anti join, one
+    seed-partitioned window over ≤8 rows — nothing quadratic, no
+    rand()."""
+    from kg_etl_spark.operators.rankdev import global_row_number
+
+    e0 = _user_graph(spark, sf_dir).localCheckpoint(eager=True)
+    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    nodes = slots.select(F.col("s").alias("node")).distinct()
+    idxed, n_v = global_row_number(nodes, "node", out_col="idx")
+    trials = nodes.select(
+        F.col("node").alias("seed"),
+        F.explode(F.sequence(F.lit(1), F.lit(_NEG_TRIALS))).alias("trial"),
+    )
+    h = (
+        F.lit(_SAGE_A) * F.col("seed").bitwiseAND(F.lit(0x7FFFFFFF))
+        + F.lit(_SAGE_B) * F.col("trial")
+    ) % F.lit(_SAGE_P)
+    cand = trials.withColumn("idx", h % F.lit(n_v) + 1).join(idxed, "idx").select(
+        "seed", "trial", F.col("node").alias("neg")
+    )
+    fresh = (
+        cand.filter(F.col("neg") != F.col("seed"))
+        .join(
+            slots.select(F.col("s").alias("seed"), F.col("t").alias("neg")),
+            ["seed", "neg"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(F.col("trial").asc())
+    return (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NEG_KEEP)
+        .select("seed", F.col("rk").cast("long").alias("rk"), F.col("trial").cast("long").alias("trial"), "neg")
+    )
+
+
+ORACLE_NEG_EDGES = f"""
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events
+), e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), slots AS (
+  SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b AS s, a AS t FROM e0
+), nodes AS (SELECT DISTINCT s AS node FROM slots),
+idxed AS (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY node ASC) AS idx FROM nodes
+), nv AS (SELECT COUNT(*) AS n FROM nodes),
+trials AS (
+  SELECT n.node AS seed, unnest(range(1, {_NEG_TRIALS + 1})) AS trial FROM nodes n
+), cand AS (
+  SELECT t.seed, t.trial, i.node AS neg
+  FROM trials t CROSS JOIN nv
+  JOIN idxed i
+    ON i.idx = ({_SAGE_A} * (t.seed & 2147483647) + {_SAGE_B} * t.trial)
+               % {_SAGE_P} % nv.n + 1
+), fresh AS (
+  SELECT c.seed, c.trial, c.neg FROM cand c
+  ANTI JOIN slots sl ON sl.s = c.seed AND sl.t = c.neg
+  WHERE c.neg <> c.seed
+)
+SELECT seed, CAST(rk AS BIGINT) AS rk, trial, neg FROM (
+  SELECT seed, trial, neg,
+         ROW_NUMBER() OVER (PARTITION BY seed ORDER BY trial ASC) AS rk
+  FROM fresh
+) WHERE rk <= {_NEG_KEEP}
+"""
+
+QUERIES["negative_edge_samples"] = q_negative_edge_samples
+ORACLES["negative_edge_samples"] = ORACLE_NEG_EDGES

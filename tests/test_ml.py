@@ -617,3 +617,28 @@ def test_gnn_prep_manifest_consistency(spark):
         assert r["n_hop2"] == len(h2.get(seed, []))
         assert r["walk_end"] is not None
         assert r["n_center_pairs"] >= 0
+
+
+def test_negative_edge_samples_are_nonedges(spark):
+    # sf0.01: sf0.001's user graph is a 15-node clique, where zero
+    # structural negatives EXIST (the oracle agrees on empty)
+    from kg_etl_spark.queries.ml import _NEG_KEEP, _user_graph, q_negative_edge_samples
+
+    SF = "/root/testdata/sf0.01"
+    rows = q_negative_edge_samples(spark, SF).collect()
+    assert rows, "expected negatives at sf0.01"
+    adj = {}
+    for r in _user_graph(spark, SF).collect():
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    per_seed = {}
+    for r in rows:
+        assert r["neg"] != r["seed"]
+        assert r["neg"] not in adj[r["seed"]]  # structurally negative
+        per_seed.setdefault(r["seed"], []).append(r)
+    for seed, lst in per_seed.items():
+        assert len(lst) <= _NEG_KEEP
+        # rk follows trial order
+        lst.sort(key=lambda r: r["rk"])
+        trials = [r["trial"] for r in lst]
+        assert trials == sorted(trials)
