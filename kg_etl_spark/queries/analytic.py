@@ -3282,3 +3282,106 @@ FROM agg
 
 QUERIES["forecast_backtest"] = q_forecast_backtest
 ORACLES["forecast_backtest"] = ORACLE_FORECAST_BACKTEST
+
+
+# --- One-pass deterministic bootstrap CI for the mean --------------------
+
+
+_BOOT_R = 64
+_BOOT_A = 1_315_423_911
+_BOOT_B = 2_654_435_761
+_BOOT_P = 2_147_483_647
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value via
+    64 deterministic HALF-SAMPLE replicates (m-out-of-n bootstrap with
+    m ≈ n/2; Bickel–Götze–van Zwet lineage) computed in ONE corpus
+    pass: replicate j includes an order iff a pair-keyed hash bit
+    fires, so all 64 replicate (sum, count) pairs are columns of a
+    single hash aggregate — no resampled copies of the data, no
+    rand(), no second scan. The CI is the 2nd / 63rd order statistic
+    of the 64 replicate means (ceil(0.025·64) / ceil(0.975·64)).
+
+    Determinism: membership is ((A·(key&2³¹−1) + B·j) % P) & 1;
+    replicate sums are exact cent decimals; the 64 means sort in a
+    64-element array (model state) — engine-identical.
+
+    100 TB shape: ONE aggregate with 129 columns (map-side combine);
+    the 64-value sort is driver-free model state. The textbook
+    at-scale bootstrap."""
+    orders = read_table(spark, sf_dir, "orders")
+    DEC = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    key = F.col("o_orderkey").bitwiseAND(F.lit(0x7FFFFFFF))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents.cast(DEC)).alias("s"),
+    ]
+    for j in range(1, _BOOT_R + 1):
+        inb = ((F.lit(_BOOT_A) * key + F.lit(_BOOT_B * j)) % F.lit(_BOOT_P)) % 2 == 0
+        aggs.append(F.sum(F.when(inb, cents).otherwise(0).cast(DEC)).alias(f"s{j}"))
+        aggs.append(F.sum(inb.cast("long")).cast(DEC).alias(f"n{j}"))
+    a = orders.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"s{j}").cast("double")
+                / (F.lit(100.0) * F.col(f"n{j}").cast("double"))
+                for j in range(1, _BOOT_R + 1)
+            ]
+        )
+    )
+    lo_i = max(1, int(0.025 * _BOOT_R + 0.999999))  # ceil
+    hi_i = int(0.975 * _BOOT_R + 0.999999)
+    return a.select(
+        F.col("n").alias("n_orders"),
+        F.round(
+            F.col("s").cast("double") / (F.lit(100.0) * F.col("n").cast("double")), 6
+        ).alias("mean_dollars"),
+        F.round(F.element_at(means, lo_i), 6).alias("ci_lo"),
+        F.round(F.element_at(means, hi_i), 6).alias("ci_hi"),
+        F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+    )
+
+
+def _boot_sql() -> str:
+    reps_s = ",\n         ".join(
+        f"SUM(CAST(CASE WHEN (({_BOOT_A} * (o_orderkey & 2147483647) "
+        f"+ {_BOOT_B * j}) % {_BOOT_P}) % 2 = 0 THEN cents ELSE 0 END "
+        f"AS DECIMAL(38,0))) AS s{j},\n         "
+        f"CAST(SUM(CASE WHEN (({_BOOT_A} * (o_orderkey & 2147483647) "
+        f"+ {_BOOT_B * j}) % {_BOOT_P}) % 2 = 0 THEN 1 ELSE 0 END) "
+        f"AS DECIMAL(38,0)) AS n{j}"
+        for j in range(1, _BOOT_R + 1)
+    )
+    means = ", ".join(
+        f"CAST(s{j} AS DOUBLE) / (100.0 * CAST(n{j} AS DOUBLE))"
+        for j in range(1, _BOOT_R + 1)
+    )
+    lo_i = max(1, int(0.025 * _BOOT_R + 0.999999))
+    hi_i = int(0.975 * _BOOT_R + 0.999999)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(CAST(cents AS DECIMAL(38,0))) AS s,
+         {reps_s}
+  FROM base
+), arr AS (
+  SELECT n, s, list_sort([{means}]) AS means FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(s AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6) AS mean_dollars,
+       ROUND(means[{lo_i}], 6) AS ci_lo,
+       ROUND(means[{hi_i}], 6) AS ci_hi,
+       CAST({_BOOT_R} AS BIGINT) AS n_replicates
+FROM arr
+"""
+
+
+ORACLE_BOOTSTRAP_CI = _boot_sql()
+
+QUERIES["bootstrap_ci_mean"] = q_bootstrap_ci_mean
+ORACLES["bootstrap_ci_mean"] = ORACLE_BOOTSTRAP_CI

@@ -1030,3 +1030,24 @@ def test_interarrival_stats_match_numpy(spark):
         assert abs(r["burstiness"] - (sd - mu) / (sd + mu)) < 1e-4
         # synthetic arrivals are Poisson-ish: CV^2 near 1, B near 0
         assert 0.5 < r["cv2"] < 2.0 and -0.5 < r["burstiness"] < 0.5
+
+
+def test_bootstrap_ci_brackets_mean_and_replicates_sane(spark):
+    from kg_etl_spark.queries.analytic import _BOOT_A, _BOOT_B, _BOOT_P, q_bootstrap_ci_mean
+    from kg_etl_spark.session import read_table
+
+    SF = "/root/testdata/sf0.001"
+    r = q_bootstrap_ci_mean(spark, SF).collect()[0]
+    assert r["ci_lo"] <= r["mean_dollars"] <= r["ci_hi"]
+    assert r["n_replicates"] == 64
+    # independent replicate-1 recomputation in pandas
+    pdf = read_table(spark, SF, "orders").toPandas()
+    cents = (pdf["o_totalprice"] * 100.0).round().astype("int64")
+    keys = pdf["o_orderkey"].astype("int64") & 0x7FFFFFFF
+    m = ((_BOOT_A * keys + _BOOT_B) % _BOOT_P) % 2 == 0
+    rep1 = cents[m].sum() / (100.0 * m.sum())
+    # rep1 is one of the sorted means; CI must bracket at least the
+    # half-sample spread direction checks
+    assert r["ci_lo"] <= round(rep1, 6) + 1e-6 or r["ci_hi"] >= round(rep1, 6) - 1e-6
+    # half-sampling: membership rate near 50%
+    assert 0.4 < m.mean() < 0.6

@@ -87,7 +87,7 @@ REPORT_QUERIES = [
     "spearman_balance_spend", "kruskal_wallis_spend", "exact_global_quantiles",
     "walk_skipgram_pmi", "span_corruption_plan", "sage_sampling_plan",
     "loo_group_influence", "forecast_backtest", "interarrival_stats",
-    "gnn_prep_manifest", "negative_edge_samples",
+    "gnn_prep_manifest", "negative_edge_samples", "bootstrap_ci_mean",
 ]
 
 
