@@ -2793,9 +2793,16 @@ def q_spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("y")
     )
-    rows = cust.join(spend, "c_custkey", "left").select(
-        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("x"),
-        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    # rows is the multi-consumer cut (both rank builds + the final
+    # attach read it): materialize once so the orders aggregate +
+    # customer join never re-execute per consumer
+    rows = (
+        cust.join(spend, "c_custkey", "left")
+        .select(
+            F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def doubled_ranks(col: str) -> DataFrame:
@@ -2888,11 +2895,19 @@ def q_kruskal_wallis_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("y")
     )
-    rows = cust.join(spend, "c_custkey", "left").select(
-        F.col("c_mktsegment").alias("seg"),
-        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    # rows feeds both the distinct-value build and the rank attach;
+    # per_v feeds the cumsum device and the tie term — cut both once
+    rows = (
+        cust.join(spend, "c_custkey", "left")
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
-    per_v = rows.groupBy("y").agg(F.count(F.lit(1)).alias("_n"))
+    per_v = rows.groupBy("y").agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(
+        eager=True
+    )
     cum = global_cumsum(per_v, "y", ["_n"])
     ranks = cum.select(
         "y", (F.lit(2) * F.col("cum__n") - F.col("_n") + 1).alias("r2")
@@ -3222,22 +3237,26 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal-naive (ŷ_d = y_{d−7}) over the daily event counts, MAE
     per event type across every day with both predecessors. The
     winner column is the standard "which baseline is the bar"
-    readout. All-integer errors; two divisions at output.
+    readout. Predecessors are CALENDAR-keyed (d−1 / d−7 self-joins on
+    the day index), so a gap in the series excludes the day rather
+    than silently comparing against an older row. All-integer
+    errors; two divisions at output.
 
     100 TB shape: daily series is calendar-bounded model state; two
-    lag windows over it (bounded partitions) and one ≤|types|-row
-    aggregate — corpus-scale work is the one daily hash aggregate."""
+    self-joins and one ≤|types|-row aggregate on it — corpus-scale
+    work is the one daily hash aggregate."""
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
         (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("event_type").orderBy("day")
-    lagged = (
-        daily.withColumn("p1", F.lag("c", 1).over(w))
-        .withColumn("p7", F.lag("c", 7).over(w))
-        .filter(F.col("p1").isNotNull() & F.col("p7").isNotNull())
-    )
+    # CALENDAR-keyed predecessors (self-joins on day-1 / day-7), not
+    # row lags: with a gap in the daily series LAG(c, 7) would reach
+    # 8+ calendar days back and silently stop measuring the weekly
+    # baseline. Days with either predecessor missing are excluded.
+    p1 = daily.select("event_type", (F.col("day") + 1).alias("day"), F.col("c").alias("p1"))
+    p7 = daily.select("event_type", (F.col("day") + 7).alias("day"), F.col("c").alias("p7"))
+    lagged = daily.join(p1, ["event_type", "day"]).join(p7, ["event_type", "day"])
     DEC = "decimal(38,0)"
     agg = lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -3262,15 +3281,15 @@ WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
   FROM events GROUP BY 1, 2
 ), lagged AS (
-  SELECT event_type, c,
-         LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
-         LAG(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7
-  FROM daily
+  SELECT d.event_type, d.c, p1.c AS p1, p7.c AS p7
+  FROM daily d
+  JOIN daily p1 ON p1.event_type = d.event_type AND p1.day = d.day - 1
+  JOIN daily p7 ON p7.event_type = d.event_type AND p7.day = d.day - 7
 ), agg AS (
   SELECT event_type, COUNT(*) AS n_days,
          SUM(CAST(ABS(c - p1) AS DECIMAL(38,0))) AS e1,
          SUM(CAST(ABS(c - p7) AS DECIMAL(38,0))) AS e7
-  FROM lagged WHERE p1 IS NOT NULL AND p7 IS NOT NULL
+  FROM lagged
   GROUP BY event_type
 )
 SELECT event_type, n_days,

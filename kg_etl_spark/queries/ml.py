@@ -1019,11 +1019,17 @@ def q_mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
     )
-    base = cust.join(urgent.withColumn("_u", F.lit(1)), "c_custkey", "left").select(
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_nationkey").cast("string").alias("nation"),
-        F.expr(_MI_BAND).cast("long").cast("string").alias("band"),
-        F.coalesce(F.col("_u"), F.lit(0)).alias("y"),
+    # base is read once per feature (3x): materialize the orders
+    # distinct + customer join at this multi-consumer cut
+    base = (
+        cust.join(urgent.withColumn("_u", F.lit(1)), "c_custkey", "left")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("string").alias("nation"),
+            F.expr(_MI_BAND).cast("long").cast("string").alias("band"),
+            F.coalesce(F.col("_u"), F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def mi_for(col: str) -> DataFrame:
@@ -1235,12 +1241,16 @@ def link_scores_from_edges(e0: DataFrame, hub_cap: int = _LP_HUB_CAP) -> DataFra
             "s",
         )
         .select(F.col("s").alias("z"), F.col("t").alias("x"), "dc")
-        # pre-fanout repartition: AQE sizes the wedge stage off the
-        # TINY pre-explosion slot frame and would run the deg-squared
-        # explosion in 1-2 coalesced tasks (the pca_power_top lesson,
-        # commit a0df24b) — spread the centers BEFORE the fan-out
-        .repartition(32, "z")
     )
+    # pre-fanout spread: AQE sizes the wedge stage off the TINY
+    # pre-explosion slot frame and would run the deg-squared explosion
+    # in 1-2 coalesced tasks (the pca_power_top lesson, commit
+    # a0df24b) — spread the centers to session parallelism BEFORE the
+    # fan-out (never a hardcoded width; a 100-core cluster should not
+    # run its heaviest stage in 32 tasks)
+    from kg_etl_spark.operators.util import spread
+
+    ctr = spread(ctr, F.col("z"))
     other = ctr.select(F.col("z"), F.col("x").alias("y"))
     wedges = (
         ctr.join(other, "z")
@@ -1334,6 +1344,14 @@ def q_louvain_move_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: all-integer; the argmin rides ONE struct-min
     aggregate (min (deg(v), v) is exactly the documented tie-break).
     Positive gains always fit a long (g > 0 ⇒ g < 2m < 2⁶³).
+
+    Theorem (why every node moves on a simple graph): the argmin
+    target satisfies 2m = Σ_w deg(w) ≥ deg(u) + Σ_{v∈N(u)} deg(v)
+    ≥ deg(u) + deg(u)·dv_min > deg(u)·dv_min, so the best gain is
+    strictly positive from the singleton partition. The moved=0
+    branch is therefore provably unreachable here; it stays as the
+    formula's guard for callers that feed multigraph-shaped inputs
+    where the degree inequality no longer holds.
 
     100 TB shape: one degree aggregate, one node-keyed join+aggregate
     over the edge slots, one 1-row scalar (2m) broadcast — no
@@ -1550,6 +1568,35 @@ def _sage_rank(src, dst, hop: int):
     ) % F.lit(_SAGE_P)
 
 
+def _sage_plan(e0: DataFrame):
+    """(hop1, hop2) fixed-fanout sample frames for an undirected edge
+    frame — the ONE definition both q_sage_sampling_plan and
+    q_gnn_prep_manifest run, so a fanout or hash tweak can never
+    desynchronize the manifest from the standalone plan."""
+    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    w1 = Window.partitionBy("s").orderBy(
+        _sage_rank(F.col("s"), F.col("t"), 1).asc(), F.col("t").asc()
+    )
+    hop1 = (
+        slots.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _SAGE_F1)
+        .select(F.col("s").alias("seed"), F.col("t").alias("node"), "rk")
+    )
+    nb = slots.select(F.col("s").alias("node"), F.col("t").alias("nxt"))
+    w2 = Window.partitionBy("seed", "node").orderBy(
+        _sage_rank(F.col("seed"), F.col("nxt"), 2).asc(), F.col("nxt").asc()
+    )
+    hop2 = (
+        hop1.join(nb, "node")
+        .filter(F.col("nxt") != F.col("seed"))
+        .withColumn("rk2", F.row_number().over(w2))
+        .filter(F.col("rk2") <= _SAGE_F2)
+    )
+    return hop1, hop2
+
+
 def q_sage_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GraphSAGE neighbor-sampling plan (Hamilton et
     al., NeurIPS'17 §3.1): for every seed node of the user graph,
@@ -1568,29 +1615,8 @@ def q_sage_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg·log deg local sort — the documented cost of any fixed-fanout
     sampler) and one edge-keyed join to expand hop 2. Fan-out is
     capped at 5 + 5·3 rows per seed by construction."""
-    e0 = _user_graph(spark, sf_dir)
-    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
-        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
-    ).localCheckpoint(eager=True)
-    w1 = Window.partitionBy("s").orderBy(
-        _sage_rank(F.col("s"), F.col("t"), 1).asc(), F.col("t").asc()
-    )
-    hop1 = (
-        slots.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") <= _SAGE_F1)
-        .select(F.col("s").alias("seed"), F.col("t").alias("node"), "rk")
-    )
-    # hop 2 expands from each sampled hop-1 node, ranked per (seed, parent)
-    nb = slots.select(F.col("s").alias("node"), F.col("t").alias("nxt"))
-    w2 = Window.partitionBy("seed", "node").orderBy(
-        _sage_rank(F.col("seed"), F.col("nxt"), 2).asc(), F.col("nxt").asc()
-    )
-    hop2 = (
-        hop1.join(nb, "node")
-        .filter(F.col("nxt") != F.col("seed"))
-        .withColumn("rk2", F.row_number().over(w2))
-        .filter(F.col("rk2") <= _SAGE_F2)
-    )
+    e0 = _user_graph(spark, sf_dir).localCheckpoint(eager=True)
+    hop1, hop2 = _sage_plan(e0)
     out1 = hop1.select(
         "seed", F.lit(1).alias("hop"), F.col("seed").alias("parent"), "node",
         F.col("rk").cast("long").alias("rk"),
@@ -1659,28 +1685,8 @@ def q_gnn_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg_etl_spark.operators.walks import deterministic_walks
 
     e0 = _user_graph(spark, sf_dir).localCheckpoint(eager=True)
-    # stage a: the SAGE plan (same expressions as q_sage_sampling_plan)
-    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
-        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
-    )
-    w1 = Window.partitionBy("s").orderBy(
-        _sage_rank(F.col("s"), F.col("t"), 1).asc(), F.col("t").asc()
-    )
-    hop1 = (
-        slots.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") <= _SAGE_F1)
-        .select(F.col("s").alias("seed"), F.col("t").alias("node"))
-    )
-    nb = slots.select(F.col("s").alias("node"), F.col("t").alias("nxt"))
-    w2 = Window.partitionBy("seed", "node").orderBy(
-        _sage_rank(F.col("seed"), F.col("nxt"), 2).asc(), F.col("nxt").asc()
-    )
-    hop2 = (
-        hop1.join(nb, "node")
-        .filter(F.col("nxt") != F.col("seed"))
-        .withColumn("rk2", F.row_number().over(w2))
-        .filter(F.col("rk2") <= _SAGE_F2)
-    )
+    # stage a: the SHARED SAGE plan (_sage_plan — one definition)
+    hop1, hop2 = _sage_plan(e0)
     c1 = hop1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop1"))
     c2 = hop2.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop2"))
     # stage b: walk endpoint per origin (depth-3 deterministic walk)
@@ -1809,7 +1815,9 @@ def q_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     per seed node, up to 3 NON-neighbors drawn by hash from the node
     universe (8 rejection trials; real edges and self-pairs are
     rejected by an anti join against the adjacency — the part
-    embedding-space negative_samples cannot do). Node indexing rides
+    embedding-space negative_samples cannot do; colliding trials
+    collapse to the earliest, so kept negatives are DISTINCT nodes).
+    Node indexing rides
     the two-phase exact-rank device, so the trial→node mapping is
     identical under any partitioning and in the oracle.
 
@@ -1843,6 +1851,10 @@ def q_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["seed", "neg"],
             "left_anti",
         )
+        # two trials can hash to the same node — collapse to the
+        # EARLIEST trial so the kept negatives are distinct nodes
+        .groupBy("seed", "neg")
+        .agg(F.min("trial").alias("trial"))
     )
     w = Window.partitionBy("seed").orderBy(F.col("trial").asc())
     return (
@@ -1875,9 +1887,11 @@ trials AS (
     ON i.idx = ({_SAGE_A} * (t.seed & 2147483647) + {_SAGE_B} * t.trial)
                % {_SAGE_P} % nv.n + 1
 ), fresh AS (
-  SELECT c.seed, c.trial, c.neg FROM cand c
-  ANTI JOIN slots sl ON sl.s = c.seed AND sl.t = c.neg
-  WHERE c.neg <> c.seed
+  SELECT seed, neg, MIN(trial) AS trial FROM (
+    SELECT c.seed, c.trial, c.neg FROM cand c
+    ANTI JOIN slots sl ON sl.s = c.seed AND sl.t = c.neg
+    WHERE c.neg <> c.seed
+  ) GROUP BY seed, neg
 )
 SELECT seed, CAST(rk AS BIGINT) AS rk, trial, neg FROM (
   SELECT seed, trial, neg,

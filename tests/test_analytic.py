@@ -1044,10 +1044,13 @@ def test_bootstrap_ci_brackets_mean_and_replicates_sane(spark):
     pdf = read_table(spark, SF, "orders").toPandas()
     cents = (pdf["o_totalprice"] * 100.0).round().astype("int64")
     keys = pdf["o_orderkey"].astype("int64") & 0x7FFFFFFF
-    m = ((_BOOT_A * keys + _BOOT_B) % _BOOT_P) % 2 == 0
-    rep1 = cents[m].sum() / (100.0 * m.sum())
-    # rep1 is one of the sorted means; CI must bracket at least the
-    # half-sample spread direction checks
-    assert r["ci_lo"] <= round(rep1, 6) + 1e-6 or r["ci_hi"] >= round(rep1, 6) - 1e-6
-    # half-sampling: membership rate near 50%
-    assert 0.4 < m.mean() < 0.6
+    # recompute ALL 64 replicate means independently and pin the CI
+    # to the exact 2nd / 63rd order statistics
+    means = []
+    for j in range(1, 65):
+        m = ((_BOOT_A * keys + _BOOT_B * j) % _BOOT_P) % 2 == 0
+        assert 0.4 < m.mean() < 0.6  # genuine half-sampling
+        means.append(cents[m].sum() / (100.0 * m.sum()))
+    means.sort()
+    assert abs(r["ci_lo"] - round(means[1], 6)) < 1e-6
+    assert abs(r["ci_hi"] - round(means[62], 6)) < 1e-6

@@ -392,30 +392,26 @@ def test_louvain_moves_on_planted_path(spark):
     assert all(r["moved"] == 1 for r in rows.values())
 
 
-def test_louvain_moves_stay_when_gain_nonpositive(spark):
-    # K4: 2m=12, every deg=3, gain = 12 - 9 = 3 > 0 -> all move; but
-    # two disconnected K2s: 2m=4, gain = 4 - 1 = 3 > 0 as well. A
-    # genuinely non-positive gain needs deg(u)*deg(v) >= 2m: the star
-    # K1,5 center (5*1=5 < 12)... use two stars bridged: hub degrees
-    # dominate. Simplest certified case: K1,3 — center deg 3, leaf
-    # deg 1, 2m=6: leaf->center gain 6-3=3>0, center->leaf gain
-    # 6-3=3>0; all move. Construct explicit non-positive: two hubs
-    # h1-h2 each with 3 leaves: deg(h)=4, 2m=14, h1->h2 gain
-    # 14-16=-2 <= 0 but h->leaf gain 14-4=10 — argmin deg picks the
-    # LEAF, so hubs still move to a leaf. The stay case needs ALL
-    # neighbors expensive: K2 plus self-heavy... a single edge pair
-    # u-v with many parallel... distinct edges forbid that. Verify
-    # instead the argmin-deg contract on the bridged-hubs shape.
+def test_louvain_moves_always_positive_gain(spark):
+    # Theorem (documented on louvain_moves_from_edges): on a simple
+    # graph the argmin-degree singleton target ALWAYS has positive
+    # gain — 2m >= deg(u) + deg(u)*dv_min > deg(u)*dv_min — so the
+    # stay branch is unreachable from the singleton partition. The
+    # bridged-hubs shape is the adversarial case (hub->hub gain IS
+    # negative: 14 - 16 = -2), and the argmin must route around it.
     from kg_etl_spark.queries.ml import louvain_moves_from_edges
 
     edges = [(1, 2)] + [(1, i) for i in (3, 4, 5)] + [(2, i) for i in (6, 7, 8)]
     e0 = spark.createDataFrame(edges, "a long, b long")
     rows = {r["u"]: r for r in louvain_moves_from_edges(e0).collect()}
     # hubs 1,2 pick their smallest-id leaf (deg 1), never each other
+    # (the hub->hub move really is gain-negative: 2m - 4*4 = -2)
     assert rows[1]["community"] == 3
     assert rows[2]["community"] == 6
     # leaves join their hub
     assert rows[3]["community"] == 1 and rows[6]["community"] == 2
+    # and per the theorem, EVERY node moved with positive gain
+    assert all(r["moved"] == 1 and r["gain"] > 0 for r in rows.values())
 
 
 def test_sequential_patterns_greedy_existence(spark):
@@ -588,9 +584,10 @@ def test_forecast_backtest_mae_brute(spark):
         .sort_values(["event_type", "day"])
     )
     for et, g in daily.groupby("event_type"):
-        c = g["c"].tolist()
-        e1 = [abs(c[i] - c[i - 1]) for i in range(7, len(c))]
-        e7 = [abs(c[i] - c[i - 7]) for i in range(7, len(c))]
+        by_day = dict(zip(g["day"], g["c"]))
+        days = sorted(d for d in by_day if d - 1 in by_day and d - 7 in by_day)
+        e1 = [abs(by_day[d] - by_day[d - 1]) for d in days]
+        e7 = [abs(by_day[d] - by_day[d - 7]) for d in days]
         if not e1:
             assert et not in got
             continue
