@@ -187,6 +187,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "protocol": "per-query min of 2 runs, state flush between",
+                # box-noise telemetry: totals on this machine swing up
+                # to ~1.7x with co-tenant load (measured 47.3s vs 88.1s
+                # for the identical commit); read cross-round deltas
+                # against the load the run saw
+                "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )
