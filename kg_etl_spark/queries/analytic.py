@@ -3404,3 +3404,101 @@ ORACLE_BOOTSTRAP_CI = _boot_sql()
 
 QUERIES["bootstrap_ci_mean"] = q_bootstrap_ci_mean
 ORACLES["bootstrap_ci_mean"] = ORACLE_BOOTSTRAP_CI
+
+
+# --- Cochran-Mantel-Haenszel pooled odds ratio ---------------------------
+
+
+def q_cmh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel common odds ratio (JNCI 1959) for
+    "BUILDING-segment customers place 1-URGENT orders" POOLED ACROSS
+    NATION STRATA — the stratified-confounding companion to
+    propensity_matching:
+        OR_MH = Σ_i (a_i·d_i / n_i) / Σ_i (b_i·c_i / n_i)
+    over per-nation 2×2 tables (a=building∧urgent, b=building∧other,
+    c=other∧urgent, d=neither). Counts are exact; each stratum term
+    rounds to 9 dp into decimal so the two sums are ORDER-FREE, then
+    one division at output (6 dp).
+
+    100 TB shape: one custkey distinct-reduction of orders, one
+    customer join, ONE nation-keyed 4-count aggregate (|nations|
+    rows), one 1-row fold. Nothing after the scans exceeds model
+    state."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    base = cust.join(urgent.withColumn("_u", F.lit(1)), "c_custkey", "left").select(
+        "c_nationkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("t"),
+        F.coalesce(F.col("_u"), F.lit(0)).alias("y"),
+    )
+    per = base.groupBy("c_nationkey").agg(
+        F.sum(((F.col("t") == 1) & (F.col("y") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("t") == 1) & (F.col("y") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("t") == 0) & (F.col("y") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("t") == 0) & (F.col("y") == 0)).cast("long")).alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    DEC12 = "decimal(28,12)"
+    # cast BEFORE multiplying: a·d in longs wraps once strata pass
+    # ~3e9 rows; the double product is correctly rounded and
+    # engine-identical
+    num_t = F.round(F.col("a").cast("double") * F.col("d").cast("double") / n, 9).cast(DEC12)
+    den_t = F.round(F.col("b").cast("double") * F.col("c").cast("double") / n, 9).cast(DEC12)
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a").alias("n_exposed_cases"),
+        F.sum(num_t).alias("num"),
+        F.sum(den_t).alias("den"),
+    )
+    return agg.select(
+        "n_strata",
+        F.col("n_exposed_cases").cast("long").alias("n_exposed_cases"),
+        F.when(
+            F.col("den") > 0,
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6),
+        ).alias("or_mh"),
+    )
+
+
+ORACLE_CMH = """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), base AS (
+  SELECT c.c_nationkey,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+         CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS y
+  FROM customer c LEFT JOIN urgent u USING (c_custkey)
+), per AS (
+  SELECT c_nationkey,
+         SUM(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END) AS d
+  FROM base GROUP BY c_nationkey
+), agg AS (
+  SELECT COUNT(*) AS n_strata,
+         SUM(a) AS n_exposed_cases,
+         SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE), 9)
+                  AS DECIMAL(28,12))) AS num,
+         SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE), 9)
+                  AS DECIMAL(28,12))) AS den
+  FROM per
+)
+SELECT n_strata,
+       CAST(n_exposed_cases AS BIGINT) AS n_exposed_cases,
+       CASE WHEN den > 0
+            THEN ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+       END AS or_mh
+FROM agg
+"""
+
+QUERIES["cmh_odds_ratio"] = q_cmh_odds_ratio
+ORACLES["cmh_odds_ratio"] = ORACLE_CMH

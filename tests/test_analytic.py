@@ -1054,3 +1054,34 @@ def test_bootstrap_ci_brackets_mean_and_replicates_sane(spark):
     means.sort()
     assert abs(r["ci_lo"] - round(means[1], 6)) < 1e-6
     assert abs(r["ci_hi"] - round(means[62], 6)) < 1e-6
+
+
+def test_cmh_odds_ratio_matches_pandas(spark):
+    from kg_etl_spark.queries.analytic import q_cmh_odds_ratio
+    from kg_etl_spark.session import read_table
+
+    SF = "/root/testdata/sf0.001"
+    r = q_cmh_odds_ratio(spark, SF).collect()[0]
+    cust = read_table(spark, SF, "customer").toPandas()
+    orders = read_table(spark, SF, "orders").toPandas()
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    cust["t"] = (cust["c_mktsegment"] == "BUILDING").astype(int)
+    cust["y"] = cust["c_custkey"].isin(urgent).astype(int)
+    num = den = 0.0
+    n_strata = 0
+    n_exposed_cases = 0
+    for _, g in cust.groupby("c_nationkey"):
+        a = int(((g["t"] == 1) & (g["y"] == 1)).sum())
+        b = int(((g["t"] == 1) & (g["y"] == 0)).sum())
+        c = int(((g["t"] == 0) & (g["y"] == 1)).sum())
+        d = int(((g["t"] == 0) & (g["y"] == 0)).sum())
+        n = a + b + c + d
+        num += round(a * d / n, 9)
+        den += round(b * c / n, 9)
+        n_strata += 1
+        n_exposed_cases += a
+    assert r["n_strata"] == n_strata
+    assert r["n_exposed_cases"] == n_exposed_cases
+    if den > 0:
+        assert abs(r["or_mh"] - round(num / den, 6)) < 1e-6
+        assert r["or_mh"] > 0
