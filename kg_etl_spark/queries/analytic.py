@@ -3502,3 +3502,144 @@ FROM agg
 
 QUERIES["cmh_odds_ratio"] = q_cmh_odds_ratio
 ORACLES["cmh_odds_ratio"] = ORACLE_CMH
+
+
+# --- CUPED variance reduction (pre-period covariate adjustment) ----------
+
+
+_CUPED_SPLIT_DAY = 15  # first 15 days = pre-period
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM'13): reduce the variance of the
+    per-user purchase metric using the user's PRE-PERIOD activity as
+    a control covariate — Y* = Y − θ(X − X̄) with θ = cov(X,Y)/var(X).
+    Emits the experiment-readout row: n_users, θ, var(Y), var(Y*),
+    and the variance-reduction percentage (= ρ² by construction).
+
+    Determinism: per-user X (pre-period value sum) and Y (post-period
+    value sum) round to 6 dp into decimal; all five power sums are
+    exact decimal aggregates (order-free); θ and the variances come
+    out of the pinned population-moment identities with divisions at
+    the very end, 6 dp out.
+
+    100 TB shape: one user-keyed conditional aggregate (map-side
+    combine), ONE 1-row aggregate of five power sums. The adjusted
+    metric itself never materializes — var(Y*) = var(Y) − cov²/var(X)
+    in closed form, so CUPED costs one pass."""
+    ev = read_table(spark, sf_dir, "events")
+    day0 = ev.agg(
+        (F.min(F.unix_micros("ts")) / F.lit(86_400_000_000)).cast("long").alias("d0")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(day0))
+        .select(
+            "user_id",
+            (
+                (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long") - F.col("d0")
+            ).alias("rel_day"),
+            F.col("value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("rel_day") < _CUPED_SPLIT_DAY, F.col("value")).otherwise(
+                        0.0
+                    ).cast("decimal(28,6)")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("x"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rel_day") >= _CUPED_SPLIT_DAY, F.col("value")).otherwise(
+                        0.0
+                    ).cast("decimal(28,6)")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("y"),
+        )
+    )
+    D4 = "decimal(38,12)"
+    a = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(D4)).alias("sx"),
+        F.sum(F.col("y").cast(D4)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(D4)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(D4)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(D4)).alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nD
+    my = F.col("sy").cast("double") / nD
+    varx = F.col("sxx").cast("double") / nD - mx * mx
+    vary = F.col("syy").cast("double") / nD - my * my
+    cov = F.col("sxy").cast("double") / nD - mx * my
+    theta = F.when(varx > 0, cov / varx)
+    var_adj = F.when(varx > 0, vary - cov * cov / varx).otherwise(vary)
+    return a.select(
+        F.col("n").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(vary, 6).alias("var_y"),
+        F.round(var_adj, 6).alias("var_y_adj"),
+        F.when(
+            vary > 0, F.round(F.lit(100.0) * (vary - var_adj) / vary, 6)
+        ).alias("var_reduction_pct"),
+    )
+
+
+ORACLE_CUPED = f"""
+WITH d0 AS (
+  SELECT MIN(epoch_us(ts)) // 86400000000 AS d0 FROM events
+), per AS (
+  SELECT user_id,
+         CAST(ROUND(SUM(CASE WHEN epoch_us(ts) // 86400000000 - d0.d0
+                                  < {_CUPED_SPLIT_DAY}
+                             THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END), 6)
+              AS DECIMAL(28,6)) AS x,
+         CAST(ROUND(SUM(CASE WHEN epoch_us(ts) // 86400000000 - d0.d0
+                                  >= {_CUPED_SPLIT_DAY}
+                             THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END), 6)
+              AS DECIMAL(28,6)) AS y
+  FROM events CROSS JOIN d0
+  GROUP BY user_id
+), a AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CASE WHEN CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+            THEN ROUND((CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                       / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6)
+       END AS theta,
+       ROUND(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) AS var_y,
+       ROUND(CASE WHEN CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+                  THEN (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                       - (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                         * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                         / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                  ELSE CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+             END, 6) AS var_y_adj,
+       CASE WHEN CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) > 0
+            THEN ROUND(100.0 *
+                 (CASE WHEN CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+                       THEN (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                            * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                            / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                       ELSE 0.0 END)
+                 / (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)), 6)
+       END AS var_reduction_pct
+FROM a
+"""
+
+QUERIES["cuped_adjustment"] = q_cuped_adjustment
+ORACLES["cuped_adjustment"] = ORACLE_CUPED

@@ -1085,3 +1085,33 @@ def test_cmh_odds_ratio_matches_pandas(spark):
     if den > 0:
         assert abs(r["or_mh"] - round(num / den, 6)) < 1e-6
         assert r["or_mh"] > 0
+
+
+def test_cuped_identities(spark):
+    import numpy as np
+
+    from kg_etl_spark.queries.analytic import _CUPED_SPLIT_DAY, q_cuped_adjustment
+    from kg_etl_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    r = q_cuped_adjustment(spark, SF).collect()[0]
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    ).toPandas()
+    d0 = ev["us"].min() // 86_400_000_000
+    ev["rel"] = ev["us"] // 86_400_000_000 - d0
+    pre = ev[ev["rel"] < _CUPED_SPLIT_DAY].groupby("user_id")["value"].sum().round(6)
+    post = ev[ev["rel"] >= _CUPED_SPLIT_DAY].groupby("user_id")["value"].sum().round(6)
+    users = sorted(set(ev["user_id"]))
+    x = np.array([pre.get(u, 0.0) for u in users])
+    y = np.array([post.get(u, 0.0) for u in users])
+    assert r["n_users"] == len(users)
+    theta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    assert abs(r["theta"] - theta) < 1e-4
+    assert abs(r["var_y"] - y.var()) < max(1e-3, 1e-6 * y.var())
+    # the closed form equals the adjusted metric's direct variance
+    adj = y - theta * (x - x.mean())
+    assert abs(r["var_y_adj"] - adj.var()) < max(1e-3, 1e-6 * adj.var())
+    assert 0.0 <= r["var_reduction_pct"] <= 100.0
+    assert r["var_y_adj"] <= r["var_y"] + 1e-9
