@@ -3643,3 +3643,124 @@ FROM a
 
 QUERIES["cuped_adjustment"] = q_cuped_adjustment
 ORACLES["cuped_adjustment"] = ORACLE_CUPED
+
+
+# --- Simpson's paradox audit (stratum vs pooled association) -------------
+
+
+def q_simpsons_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen for the same BUILDING×URGENT
+    association cmh_odds_ratio pools: the pooled odds ratio from the
+    summed 2×2 table, against the per-nation association DIRECTIONS
+    (sign of a·d − b·c, the exact cross-product test — no division,
+    no undefined ORs on zero cells). Reports how many strata agree /
+    disagree with the pooled direction and how many are flat — the
+    audit every stratified readout should ship with (a disagree
+    majority is the paradox signature).
+
+    Determinism: all-integer; cross products compare in
+    decimal(38,0) so a·d never wraps a long; the one division (the
+    pooled OR) happens on decimal-exact operands, 6 dp.
+
+    100 TB shape: the identical one-aggregate shape as
+    cmh_odds_ratio — one distinct-reduction + join, one nation-keyed
+    4-count aggregate, one 1-row rollup of |nations| sign flags."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    base = cust.join(urgent.withColumn("_u", F.lit(1)), "c_custkey", "left").select(
+        "c_nationkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("t"),
+        F.coalesce(F.col("_u"), F.lit(0)).alias("y"),
+    )
+    per = base.groupBy("c_nationkey").agg(
+        F.sum(((F.col("t") == 1) & (F.col("y") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("t") == 1) & (F.col("y") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("t") == 0) & (F.col("y") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("t") == 0) & (F.col("y") == 0)).cast("long")).alias("d"),
+    )
+    DEC = "decimal(38,0)"
+    cross = F.col("a").cast(DEC) * F.col("d").cast(DEC) - F.col("b").cast(DEC) * F.col(
+        "c"
+    ).cast(DEC)
+    tot = per.agg(
+        F.sum("a").cast(DEC).alias("ta"),
+        F.sum("b").cast(DEC).alias("tb"),
+        F.sum("c").cast(DEC).alias("tc"),
+        F.sum("d").cast(DEC).alias("td"),
+        F.sum((cross > 0).cast("long")).alias("n_pos"),
+        F.sum((cross < 0).cast("long")).alias("n_neg"),
+        F.sum((cross == 0).cast("long")).alias("n_flat"),
+    )
+    pooled_cross = F.col("ta") * F.col("td") - F.col("tb") * F.col("tc")
+    pooled_dir = F.when(pooled_cross > 0, 1).when(pooled_cross < 0, -1).otherwise(0)
+    pooled_or = F.when(
+        (F.col("tb") > 0) & (F.col("tc") > 0),
+        F.round(
+            (F.col("ta") * F.col("td")).cast("double")
+            / (F.col("tb") * F.col("tc")).cast("double"),
+            6,
+        ),
+    )
+    agree = F.when(pooled_dir > 0, F.col("n_pos")).when(
+        pooled_dir < 0, F.col("n_neg")
+    ).otherwise(F.col("n_flat"))
+    disagree = F.when(pooled_dir > 0, F.col("n_neg")).when(
+        pooled_dir < 0, F.col("n_pos")
+    ).otherwise(F.col("n_pos") + F.col("n_neg"))
+    return tot.select(
+        pooled_or.alias("pooled_or"),
+        pooled_dir.cast("int").alias("pooled_direction"),
+        agree.cast("long").alias("n_strata_agree"),
+        disagree.cast("long").alias("n_strata_disagree"),
+        F.col("n_flat").cast("long").alias("n_strata_flat"),
+    )
+
+
+ORACLE_SIMPSONS = """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), base AS (
+  SELECT c.c_nationkey,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+         CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS y
+  FROM customer c LEFT JOIN urgent u USING (c_custkey)
+), per AS (
+  SELECT c_nationkey,
+         SUM(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END) AS d
+  FROM base GROUP BY c_nationkey
+), tot AS (
+  SELECT CAST(SUM(a) AS DECIMAL(38,0)) AS ta, CAST(SUM(b) AS DECIMAL(38,0)) AS tb,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS tc, CAST(SUM(d) AS DECIMAL(38,0)) AS td,
+         SUM(CASE WHEN CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c > 0
+                  THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c < 0
+                  THEN 1 ELSE 0 END) AS n_neg,
+         SUM(CASE WHEN CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c = 0
+                  THEN 1 ELSE 0 END) AS n_flat
+  FROM per
+)
+SELECT CASE WHEN tb > 0 AND tc > 0
+            THEN ROUND(CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE), 6) END AS pooled_or,
+       CAST(CASE WHEN ta * td - tb * tc > 0 THEN 1
+                 WHEN ta * td - tb * tc < 0 THEN -1 ELSE 0 END AS INT) AS pooled_direction,
+       CAST(CASE WHEN ta * td - tb * tc > 0 THEN n_pos
+                 WHEN ta * td - tb * tc < 0 THEN n_neg
+                 ELSE n_flat END AS BIGINT) AS n_strata_agree,
+       CAST(CASE WHEN ta * td - tb * tc > 0 THEN n_neg
+                 WHEN ta * td - tb * tc < 0 THEN n_pos
+                 ELSE n_pos + n_neg END AS BIGINT) AS n_strata_disagree,
+       CAST(n_flat AS BIGINT) AS n_strata_flat
+FROM tot
+"""
+
+QUERIES["simpsons_audit"] = q_simpsons_audit
+ORACLES["simpsons_audit"] = ORACLE_SIMPSONS

@@ -1115,3 +1115,26 @@ def test_cuped_identities(spark):
     assert abs(r["var_y_adj"] - adj.var()) < max(1e-3, 1e-6 * adj.var())
     assert 0.0 <= r["var_reduction_pct"] <= 100.0
     assert r["var_y_adj"] <= r["var_y"] + 1e-9
+
+
+def test_simpsons_audit_reconciles_with_cmh_strata(spark):
+    from kg_etl_spark.queries.analytic import q_simpsons_audit
+    from kg_etl_spark.session import read_table
+
+    SF = "/root/testdata/sf0.001"
+    r = q_simpsons_audit(spark, SF).collect()[0]
+    n_nations = (
+        read_table(spark, SF, "customer").select("c_nationkey").distinct().count()
+    )
+    assert (
+        r["n_strata_agree"] + r["n_strata_disagree"] + r["n_strata_flat"] >= 0
+    )
+    total = r["n_strata_agree"] + r["n_strata_disagree"] + (
+        r["n_strata_flat"] if r["pooled_direction"] != 0 else 0
+    )
+    assert total <= n_nations
+    # direction consistent with the pooled OR when defined
+    if r["pooled_or"] is not None and r["pooled_direction"] != 0:
+        assert (r["pooled_or"] > 1.0) == (r["pooled_direction"] > 0) or abs(
+            r["pooled_or"] - 1.0
+        ) < 1e-9

@@ -88,7 +88,7 @@ REPORT_QUERIES = [
     "walk_skipgram_pmi", "span_corruption_plan", "sage_sampling_plan",
     "loo_group_influence", "forecast_backtest", "interarrival_stats",
     "gnn_prep_manifest", "negative_edge_samples", "bootstrap_ci_mean",
-    "cmh_odds_ratio", "cuped_adjustment",
+    "cmh_odds_ratio", "cuped_adjustment", "simpsons_audit",
 ]
 
 
