@@ -1,0 +1,164 @@
+"""Scale-safe LEAD() over LOW-cardinality stream partitions.
+
+``Window.partitionBy(group).orderBy(...)`` with a bounded-cardinality
+group key (the catalog's event streams: ``event_type`` has ~5 values)
+sorts n/|groups| rows in ONE task — the same single-task-sort failure
+class the two-phase rank device (operators/rankdev.py) eliminates for
+partition-less windows.  This module is the grouped counterpart, built
+on the same range-bucketing idea:
+
+1. the order key is bucketed into ``num_ranges`` fixed-width value
+   ranges (a map-side expression; equal keys share a range, so range
+   order == key order and ties never split across cells);
+2. each (group, range) CELL sorts locally — |groups| x num_ranges
+   parallel sorts instead of |groups| giant ones — and an ordinary
+   ``lead()`` fills every row except the last of each cell;
+3. the FIRST row of every cell (one ``min_by`` hash aggregate,
+   map-side combinable) forms a |groups| x num_ranges-row carry frame;
+   a lead over THAT tiny frame yields, per cell, the successor of the
+   cell's last row, broadcast-joined back on (group, range).
+
+The concatenation of cells in range order, each sorted by
+(order, tiebreaks), IS the per-group total order — the result is
+bit-identical to the single window's ``lead()`` at any scale, so the
+catalog oracles (which spell the window form in SQL) keep passing
+unchanged.
+
+Contract: the group key has LOW cardinality (the carry frame,
+|groups| x num_ranges rows, must broadcast — that is exactly the
+regime where the plain window is a scale-killer; high-cardinality
+groups should keep the plain window, which already parallelizes).
+``order_col`` must be non-null and (order, tiebreaks) a total order
+per group for a deterministic successor.
+
+Degenerate guard: a constant order key lands every row in range 0 and
+the device degrades to the single window it replaces (the event
+streams' timestamps span the full corpus range, so this never binds).
+
+Reference parity: the reference derives consecutive-event transitions
+with a single-process pandas sort (chaayagirimon/kg-etl
+etl/transform/graph.py builds edge frames in-memory); this device
+exists because Spark's distributed model makes the per-stream total
+order the thing you must never ask one task to produce.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg_etl_spark.operators.rankdev import _range_expr
+
+
+def with_next(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    tiebreaks: Sequence[str],
+    next_cols: Sequence[str],
+    *,
+    num_ranges: int = 64,
+    prefix: str = "next_",
+) -> DataFrame:
+    """LEAD(c) OVER (PARTITION BY group_cols ORDER BY order_col,
+    tiebreaks) for each c in ``next_cols``, emitted as ``next_<c>`` —
+    without any single-task per-group sort.  Value-identical to the
+    window form (the range bucketing is a monotone function of the
+    order key, so cell concatenation preserves the total order)."""
+    group_cols = list(group_cols)
+    tiebreaks = [t for t in tiebreaks if t != order_col]
+    next_cols = list(next_cols)
+    out_types = {c: df.schema[c].dataType for c in next_cols}
+
+    bounds = df.agg(
+        F.min(F.col(order_col).cast("double")).alias("lo"),
+        F.max(F.col(order_col).cast("double")).alias("hi"),
+    ).collect()[0]
+    if bounds["lo"] is None:  # empty frame
+        out = df
+        for c in next_cols:
+            out = out.withColumn(prefix + c, F.lit(None).cast(out_types[c]))
+        return out
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+
+    # cast-to-double is monotone non-decreasing, so even a rounding
+    # collision only MERGES adjacent keys into one cell — never reorders
+    ranged = df.withColumn(
+        "_apr", _range_expr(F.col(order_col).cast("double"), lo, hi, num_ranges)
+    )
+    order = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreaks]
+    w = Window.partitionBy(*group_cols, "_apr").orderBy(*order)
+    local = ranged
+    for c in next_cols:
+        local = local.withColumn("_apl_" + c, F.lead(c).over(w))
+    # last row of its cell <=> the local lead ran off the cell; the row
+    # number marks each cell's first row for the carry frame below
+    local = local.withColumn("_aplast", F.lead(F.lit(1)).over(w).isNull())
+    local = local.withColumn("_aprn", F.row_number().over(w))
+
+    # first row per cell, filtered from the SAME window output — the
+    # (group, range) exchange is planned once and REUSED by both
+    # branches (ReuseExchange), so the corpus scans/shuffles once
+    firsts = local.filter(F.col("_aprn") == 1).select(
+        *group_cols,
+        "_apr",
+        F.struct(*[F.col(c) for c in next_cols]).alias("_apf"),
+    )
+    # per cell, the NEXT populated cell's first row = successor of this
+    # cell's last row (missing/empty cells simply aren't rows here, so
+    # lead skips them correctly) — |groups| x num_ranges rows total
+    cw = Window.partitionBy(*group_cols).orderBy("_apr")
+    carry = firsts.withColumn("_apnext", F.lead("_apf").over(cw)).select(
+        *group_cols, "_apr", "_apnext"
+    )
+
+    out = local.join(F.broadcast(carry), group_cols + ["_apr"], "left")
+    for c in next_cols:
+        out = out.withColumn(
+            prefix + c,
+            F.when(F.col("_aplast"), F.col("_apnext").getField(c)).otherwise(
+                F.col("_apl_" + c)
+            ),
+        )
+    # pin the original column order (the join moved its keys first)
+    return out.select(*df.columns, *[prefix + c for c in next_cols])
+
+
+def stream_lead(
+    ev: DataFrame, next_cols: Sequence[str] = ("user_id",), *, num_ranges: int = 64
+) -> DataFrame:
+    """The catalog's event-stream successor: LEAD(c) OVER (PARTITION BY
+    event_type ORDER BY ts, event_id) for each requested column —
+    scale-safe (event_type has ~5 values; the naive window sorts n/5
+    rows in one task)."""
+    return with_next(
+        ev, ["event_type"], "ts", ["event_id"], next_cols, num_ranges=num_ranges
+    )
+
+
+def transition_edges(ev: DataFrame, *, with_ts: bool = False) -> DataFrame:
+    """Directed user-transition edges: u -> v when v's event directly
+    follows u's within one event_type stream (ordered ts, event_id) —
+    the shared derivation of the graph family, de-duplicated by the
+    CALLER (some sites keep multiplicities or timestamps).  With
+    ``with_ts`` the edge carries t = the successor event's epoch-micros
+    (temporal-reachability grain).  NOT distinct."""
+    cols = ["user_id", "ts"] if with_ts else ["user_id"]
+    led = stream_lead(ev, cols)
+    sel = [F.col("user_id").alias("src"), F.col("next_user_id").alias("dst")]
+    if with_ts:
+        sel.append(F.unix_micros("next_ts").alias("t"))
+    return led.select(*sel).filter(
+        F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+
+
+def undirected_transition_edges(ev: DataFrame) -> DataFrame:
+    """Symmetrized distinct user-transition edges (a < b) — the shared
+    graph grain of the ml family."""
+    e = transition_edges(ev)
+    return e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()

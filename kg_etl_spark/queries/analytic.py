@@ -355,20 +355,11 @@ def q_scc_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral loops. Hash/fixpoint-free oracle impossible on real
     data (reachability isn't SQL-expressible) → rows-only; the
     value-checked twin is `scc_planted_recall`."""
+    from kg_etl_spark.operators.adjacent import transition_edges
     from kg_etl_spark.operators.scc import scc_sizes, strongly_connected_components
 
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    edges = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    edges = transition_edges(ev).distinct()
     scc = strongly_connected_components(edges)
     return scc_sizes(scc).select("node", "scc_id", "scc_size")
 
@@ -697,20 +688,11 @@ def q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-generation stage with hash-derived (reproducible) neighbor
     choices, so the full walk corpus is VALUE-checkable: the oracle
     unrolls the same 3 steps as SQL CTEs."""
+    from kg_etl_spark.operators.adjacent import transition_edges
     from kg_etl_spark.operators.walks import deterministic_walks
 
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    edges = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    edges = transition_edges(ev).distinct()
     return deterministic_walks(edges, length=3)
 
 
@@ -774,20 +756,11 @@ def q_node2vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus a pure function of the graph, so even the second-order
     rule is VALUE-checkable: the oracle unrolls each biased step as a
     candidate-join + distance-1-marker + window-prefix-sum CTE."""
+    from kg_etl_spark.operators.adjacent import transition_edges
     from kg_etl_spark.operators.walks import node2vec_walks
 
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    edges = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    edges = transition_edges(ev).distinct()
     return node2vec_walks(edges, length=3, return_weight=500, out_weight=2000)
 
 
@@ -1207,20 +1180,11 @@ def q_mis_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Convergence round count is graph-dependent → rows-only; the
     value-checked twin is `mis_planted_recall` (matching graph, round
     1 provably resolves everything)."""
+    from kg_etl_spark.operators.adjacent import transition_edges
     from kg_etl_spark.operators.mis import luby_mis
 
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    edges = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    edges = transition_edges(ev).distinct()
     return luby_mis(edges)
 
 
@@ -2046,17 +2010,11 @@ def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs and the result is fully value-checked. Earliest-arrival
     relaxation is monotone, so fixed-round prefixes are well-defined.
     Seed = the global minimum user id, ea = 0."""
+    from kg_etl_spark.operators.adjacent import transition_edges
+
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
     edges = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-            F.lead(F.unix_micros("ts")).over(w).alias("t"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        transition_edges(ev, with_ts=True)
         .groupBy("src", "dst")
         .agg(F.min("t").alias("t"))  # keep earliest copy of each edge
         .localCheckpoint(eager=True)
@@ -2640,18 +2598,11 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     output non-SQL-expressible in general → rows-only; the planted
     star twin below value-checks the identical kernel on a shape where
     σ ≡ 1 keeps every δ integral."""
+    from kg_etl_spark.operators.adjacent import transition_edges
     from kg_etl_spark.operators.centrality import betweenness_sampled
 
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    edges = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    edges = transition_edges(ev).distinct()
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return betweenness_sampled(sym, k_pivots=8, max_depth=6)
 
@@ -2706,18 +2657,11 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked by an unrolled SQL oracle with integer sums — an
     iterative graph op with a bit-exact oracle, no planted twin
     needed."""
+    from kg_etl_spark.operators.adjacent import transition_edges
     from kg_etl_spark.operators.centrality import hits_scores
 
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    edges = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    edges = transition_edges(ev).distinct()
     out = hits_scores(edges, iterations=2)
     # the operator accumulates/returns exact decimal(38,0) (overflow-
     # safe default); the catalog contract casts back to long for the
@@ -3087,15 +3031,11 @@ def q_walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (origin) with fan-out bounded by walk_length × window — never
     corpus-quadratic; margins are one tiny aggregate each; the final
     top-N is a TakeOrdered."""
+    from kg_etl_spark.operators.adjacent import transition_edges
     from kg_etl_spark.operators.walks import deterministic_walks
 
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    edges = (
-        ev.select(F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst"))
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    edges = transition_edges(ev).distinct()
     walks = deterministic_walks(edges, length=3).localCheckpoint(eager=True)
     a = walks.select("origin", F.col("step").alias("i"), F.col("node").alias("center"))
     b = walks.select("origin", F.col("step").alias("j"), F.col("node").alias("context"))

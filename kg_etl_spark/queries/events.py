@@ -1607,18 +1607,22 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal power sums Σg, Σg² (population form), so only the final
     ÷/√ touch doubles, 6 dp out.
 
-    100 TB shape: one type-partitioned lag window over the event
-    stream (the sessionize shuffle), one ≤|types|-row decimal
-    aggregate. Σg² in decimal(38,0) holds gaps to ~1e13 s at any
-    corpus size."""
+    100 TB shape: the per-type successor comes from the scale-safe
+    stream lead (operators/adjacent.py — range-bucketed cells, NOT a
+    cardinality-5 window, which would sort n/|types| rows in one
+    task), then one ≤|types|-row decimal aggregate. The lead form
+    emits the identical gap multiset as the window-lag form the
+    oracle spells (each consecutive pair contributes its gap exactly
+    once, attributed to the earlier row instead of the later). Σg² in
+    decimal(38,0) holds gaps to ~1e13 s at any corpus size."""
+    from kg_etl_spark.operators.adjacent import stream_lead
+
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
     gaps = (
-        ev.select(
+        stream_lead(ev, ["ts"])
+        .select(
             "event_type",
-            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
+            (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("g"),
         )
         .filter(F.col("g").isNotNull())
     )

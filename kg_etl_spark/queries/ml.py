@@ -378,20 +378,12 @@ def q_spectral_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-long exact integer and every remaining op is pinned IEEE
     double arithmetic, so the unrolled 3-step SQL replays the iterates
     bit-for-bit."""
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges
     from kg_etl_spark.operators.spectral import spectral_bisection
 
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    pairs = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(
-            F.least("src", "dst").alias("a_id"), F.greatest("src", "dst").alias("b_id")
-        )
-        .distinct()
+    pairs = undirected_transition_edges(ev).select(
+        F.col("a").alias("a_id"), F.col("b").alias("b_id")
     )
     return spectral_bisection(pairs, iterations=3)
 
@@ -550,17 +542,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one degree aggregate, two broadcast-joined degree
     attaches keyed by the edge endpoints, one global 1-row aggregate —
     no windows, nothing quadratic."""
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges
+
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    e0 = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    e0 = undirected_transition_edges(ev)
     e = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
         e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
@@ -646,17 +631,10 @@ def q_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     follow-up is one (x,z)-keyed hash aggregate plus a 1-row sum.
     Counts accumulate in decimal(38,0) (w² sums exit long range long
     before 38 digits)."""
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges
+
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    e0 = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    e0 = undirected_transition_edges(ev)
     e = e0.select(F.col("a").alias("y"), F.col("b").alias("x")).union(
         e0.select(F.col("b").alias("y"), F.col("a").alias("x"))
     )
@@ -1183,15 +1161,13 @@ _LP_HUB_CAP = 256  # max center degree expanded into wedges
 
 def _user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized distinct user-transition edges (a < b) — the shared
-    graph grain of the ml family (same build as degree_assortativity)."""
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return (
-        ev.select(F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst"))
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    graph grain of the ml family (same build as degree_assortativity).
+    Derivation rides the scale-safe stream lead (operators/adjacent.py):
+    bit-identical to the naive event_type window, but no n/|types|
+    single-task sort."""
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges
+
+    return undirected_transition_edges(read_table(spark, sf_dir, "events"))
 
 
 def q_user_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,9 +1191,10 @@ def q_user_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible at the 6 dp output.
 
     100 TB shape: one degree aggregate, a center-keyed wedge join
-    bounded by the cap, one (x,y) hash aggregate with an array fold
-    over <= cap elements, an anti join against the edge list, two
-    degree attaches, TakeOrdered(100)."""
+    bounded by the cap, one (x,y) hash aggregate whose RA term is the
+    order-free decimal SUM above (plain codegen SUM, no interpreted
+    array fold), an anti join against the edge list, two degree
+    attaches, TakeOrdered(100)."""
     return link_scores_from_edges(_user_graph(spark, sf_dir))
 
 

@@ -371,6 +371,41 @@ def test_fellegi_pairs_stay_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_event_derivation_has_no_low_cardinality_window(spark):
+    # r5 directive #1 regression guard: the event-stream edge
+    # derivations must never plan a window partitioned by the raw
+    # cardinality-5 event_type alone (that sorts n/5 rows in ONE task
+    # at scale) — every window spec that mentions event_type must also
+    # carry the range-bucket column _apr (operators/adjacent.py).
+    # Queries that localCheckpoint their edge cut are asserted on the
+    # pre-checkpoint derivation frames instead (the checkpoint truncates
+    # the returned plan).
+    import re
+
+    def assert_no_low_card_window(plan, label):
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+            spec = m.group(1)
+            if "event_type" in spec:
+                assert "_apr" in spec, f"{label}: low-cardinality window:\n{spec}"
+
+    for name in ("interarrival_stats", "degree_assortativity",
+                 "four_cycle_count", "hits_scores", "louvain_move_scan",
+                 "scc_user_transitions", "mis_user_graph"):
+        assert_no_low_card_window(physical_plan(QUERIES[name](spark, SF)), name)
+    from kg_etl_spark.operators.adjacent import (
+        transition_edges,
+        undirected_transition_edges,
+    )
+
+    ev = spark.read.parquet(SF + "/events.parquet")
+    assert_no_low_card_window(
+        physical_plan(transition_edges(ev, with_ts=True)), "transition_edges"
+    )
+    assert_no_low_card_window(
+        physical_plan(undirected_transition_edges(ev)), "undirected_transition_edges"
+    )
+
+
 def test_attribution_join_keys_on_bucket(spark):
     # r4 directive #1 regression guard: the purchases x clicks join must
     # key on (user_id, bucket), not user_id alone — the bucket column
