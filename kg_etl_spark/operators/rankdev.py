@@ -119,6 +119,77 @@ def global_row_number(
     return out, running
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: str,
+    tiebreaks: Sequence[str] = (),
+    *,
+    out_col: str = "rn",
+    count_col: str = "n_in_group",
+    num_ranges: int = 64,
+) -> DataFrame:
+    """Exact ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY key,
+    tiebreaks) + the per-group row count, for LOW-cardinality groups,
+    without a single-task per-group sort — the grouped sibling of
+    :func:`global_row_number` (the exact-median feed for per-group
+    order statistics like the Theil–Sen slope).
+
+    Same two-phase shape: fixed-width value ranges of ``key`` (global
+    bounds — one scalar aggregate; equal keys share a range so range
+    order == key order), one window per (group, range) CELL, then
+    per-cell offsets from a tiny cells frame derived from the SAME
+    window output (the exchange is planned once and reused).  The
+    cells frame is |groups| x num_ranges rows, broadcast back — the
+    low-cardinality contract; high-cardinality groups should keep the
+    plain window, which already parallelizes.
+
+    Degenerate guard: a constant key lands every row in range 0 and
+    the device degrades to the plain per-group window it replaces.
+    """
+    group_cols = list(group_cols)
+    tiebreaks = [t for t in tiebreaks if t != key]
+    bounds = df.agg(
+        F.min(F.col(key).cast("double")).alias("lo"),
+        F.max(F.col(key).cast("double")).alias("hi"),
+    ).collect()[0]
+    if bounds["lo"] is None:  # empty frame
+        return df.withColumn(out_col, F.lit(None).cast("long")).withColumn(
+            count_col, F.lit(None).cast("long")
+        )
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    ranged = df.withColumn(
+        "_grr", _range_expr(F.col(key).cast("double"), lo, hi, num_ranges)
+    )
+    w = Window.partitionBy(*group_cols, "_grr").orderBy(
+        F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]
+    )
+    local = ranged.withColumn("_grl", F.row_number().over(w).cast("long"))
+    local = local.withColumn("_grlast", F.lead(F.lit(1)).over(w).isNull())
+    # cell sizes = the LAST local row number per cell, filtered from the
+    # same window output (ReuseExchange: one corpus shuffle total)
+    cells = local.filter(F.col("_grlast")).select(
+        *group_cols, "_grr", F.col("_grl").alias("_cn")
+    )
+    cw = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_grr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cells.withColumn(
+        "_off", F.coalesce(F.sum("_cn").over(cw), F.lit(0)).cast("long")
+    ).withColumn(
+        count_col,
+        F.sum("_cn").over(Window.partitionBy(*group_cols)).cast("long"),
+    )
+    out = local.join(
+        F.broadcast(offs.select(*group_cols, "_grr", "_off", count_col)),
+        group_cols + ["_grr"],
+    )
+    out = out.withColumn(out_col, F.col("_grl") + F.col("_off"))
+    return out.select(*df.columns, out_col, count_col)
+
+
 def ntile_expr(rn: Column, n_total: int, k: int) -> Column:
     """SQL NTILE(k) from an exact global row number: the first
     ``n_total % k`` tiles get ``n_total//k + 1`` rows, the rest get

@@ -1098,7 +1098,13 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (#days grows with time span, not corpus size), so the per-type
     pair fan-out is D², bounded by the calendar — the same contract
     as holt_forecast / changepoint_scores. Corpus-scale work is the
-    one daily hash aggregate."""
+    one daily hash aggregate. The median rank rides the grouped rank
+    device (operators/rankdev.py grouped_row_number: slope-bucketed
+    parallel cells, no single-task D²-row sort — a 10-year daily
+    series is ~6.6M pairs per type, too big for one window
+    partition)."""
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
@@ -1110,14 +1116,13 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("c2") - F.col("c1")).cast("double") / (
         F.col("d2") - F.col("d1")
     ).cast("double")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("slope").asc(), F.col("d1").asc(), F.col("d2").asc()
-    )
-    wn = Window.partitionBy("event_type")
-    ranked = (
-        pairs.withColumn("slope", slope)
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("np", F.count(F.lit(1)).over(wn))
+    ranked = grouped_row_number(
+        pairs.withColumn("slope", slope),
+        ["event_type"],
+        "slope",
+        ["d1", "d2"],
+        out_col="rn",
+        count_col="np",
     )
     return (
         ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))

@@ -134,3 +134,66 @@ def test_device_plan_has_no_unpartitioned_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_rdrng" in line, f"unpartitioned window in device plan: {line}"
+
+
+def test_grouped_row_number_matches_window(spark):
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
+    # 3 groups, heavy key ties, unique (d1, d2) tiebreaks
+    rows = [
+        (f"g{i % 3}", float((i * 48271) % 11), i % 13, i)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, k double, d1 long, d2 long")
+    got = grouped_row_number(
+        df, ["g"], "k", ["d1", "d2"], out_col="rn", count_col="np", num_ranges=8
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("k").asc(), F.col("d1").asc(), F.col("d2").asc()
+    )
+    wn = Window.partitionBy("g")
+    want = df.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "np", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    assert (
+        got.select("g", "d1", "d2", "rn", "np")
+        .subtract(want.select("g", "d1", "d2", "rn", "np"))
+        .count()
+        == 0
+    )
+
+
+def test_grouped_row_number_constant_key_and_empty(spark):
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
+    df = spark.createDataFrame(
+        [("a", 1.0, i) for i in range(20)] + [("b", 1.0, i) for i in range(5)],
+        "g string, k double, t long",
+    )
+    got = grouped_row_number(df, ["g"], "k", ["t"], out_col="rn", count_col="np")
+    rows = {(r["g"], r["t"]): (r["rn"], r["np"]) for r in got.collect()}
+    assert rows[("a", 0)] == (1, 20) and rows[("a", 19)] == (20, 20)
+    assert rows[("b", 4)] == (5, 5)
+    empty = spark.createDataFrame([], "g string, k double, t long")
+    out = grouped_row_number(empty, ["g"], "k", ["t"])
+    assert out.count() == 0 and "rn" in out.columns
+
+
+def test_grouped_device_plan_windows_are_cell_partitioned(spark):
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+    from kg_etl_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", float(i % 29), i) for i in range(300)],
+        "g string, k double, t long",
+    )
+    got = grouped_row_number(df, ["g"], "k", ["t"], num_ranges=8)
+    plan = physical_plan(got)
+    import re
+
+    # corpus-side windows must carry the range cell column; the only
+    # group-keyed windows run on the tiny cells frame (offsets/counts)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        spec = m.group(1)
+        if "_grr" not in spec:
+            assert "_cn" in plan, f"group-only window over corpus:\n{spec}"

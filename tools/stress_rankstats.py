@@ -80,7 +80,70 @@ def stress_quantiles(spark):
     return f"quantiles: {n} distinct values in {dt:.1f}s (3 exact order stats)"
 
 
-STRESSES = {"spearman": stress_spearman, "quantiles": stress_quantiles}
+def stress_theilsen_pairs(spark):
+    # 10-year daily series (3650 days x 5 types -> ~6.66M slope pairs
+    # PER TYPE, ~33M total): the grouped rank device must produce the
+    # exact per-type median with no single-task sort of the pair frame,
+    # matching the naive per-type window bit for bit.
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
+    days = 3650
+    daily = spark.range(days * 5).select(
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        (F.col("id") / 5).cast("long").alias("day"),
+        ((F.col("id") * 48271) % 997).alias("c"),
+    ).localCheckpoint(eager=True)
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn(
+            "slope",
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double"),
+        )
+    )
+
+    def median_of(ranked):
+        return {
+            r["event_type"]: (r["np"], round(r["slope"], 6))
+            for r in ranked.filter(F.col("rn") == F.expr("(np + 1) div 2")).collect()
+        }
+
+    t0 = time.time()
+    got = median_of(
+        grouped_row_number(
+            pairs, ["event_type"], "slope", ["d1", "d2"], out_col="rn", count_col="np"
+        )
+    )
+    dt = time.time() - t0
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("d1").asc(), F.col("d2").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    t1 = time.time()
+    want = median_of(
+        pairs.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+            "np", F.count(F.lit(1)).over(wn).cast("long")
+        )
+    )
+    dt_naive = time.time() - t1
+    assert got == want, (got, want)
+    n_pairs = next(iter(got.values()))[0] * 5
+    return (
+        f"theilsen_pairs: {n_pairs} pairs (3650-day x 5 types) device {dt:.1f}s "
+        f"vs naive single-task window {dt_naive:.1f}s (medians exact-equal)"
+    )
+
+
+STRESSES = {
+    "spearman": stress_spearman,
+    "quantiles": stress_quantiles,
+    "theilsen_pairs": stress_theilsen_pairs,
+}
 
 
 def main():
