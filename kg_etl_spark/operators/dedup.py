@@ -24,12 +24,27 @@ from kg_etl_spark.operators.textquality import ws_tokens
 from kg_etl_spark.operators.util import spread
 
 
-# Version marker for the LSH shingle-hash family. v2 = xxhash64 over
-# chained token-hash longs (`_sig_shingles`); v1 (pre-rewrite) hashed the
-# joined shingle STRING. Signatures across families never collide on
-# equal content, so banding a v1-persisted index with v2 batches yields
-# zero candidates — a silent-false-negative class this marker makes loud.
-LSH_FAMILY = "tokenchain-xxhash64-v2"
+# Version marker for the LSH shingle-hash family. v3 = gram hashes are
+# xxhash64 over chained token-hash longs (unchanged from v2), but the 64
+# per-seed MinHash values are the affine family h_i(g) = A_i·g + B_i
+# (mod 2⁶⁴, odd A_i — Broder's linear permutations / Kirsch–Mitzenmacher
+# derivation), computed in ONE Arrow-vectorized pass; v2 used
+# xxhash64(g, seed_i) per seed; v1 (pre-rewrite) hashed the joined
+# shingle STRING. Signatures across families never collide on equal
+# content, so banding an old-family persisted index with new batches
+# yields zero candidates — a silent-false-negative class this marker
+# makes loud.
+LSH_FAMILY = "tokenchain-affine64-v3"
+
+# The 64 (A_i odd, B_i) affine constants — fixed public values from a
+# seeded PRNG (random.Random(0x5EED0CAF), getrandbits(64)|1 / 64), so
+# every build of this module derives the identical family:
+import random as _random
+
+_rnd = _random.Random(0x5EED0CAF)
+_SIG_A = tuple(_rnd.getrandbits(64) | 1 for _ in range(64))
+_SIG_B = tuple(_rnd.getrandbits(64) for _ in range(64))
+del _rnd
 
 
 def normalized_fingerprint(text: Column) -> Column:
@@ -62,30 +77,66 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _sig_udf(num_hashes: int):
+    """Arrow-vectorized MinHash signature from a per-doc hashed-shingle
+    array: for each seed i, min over grams of A_i·g + B_i (uint64
+    wraparound — numpy's native int semantics, deterministic on every
+    platform). One (64 × |grams|) numpy broadcast per doc replaces 64
+    interpreted per-row aggregate updates on the JVM side — the wide
+    64-buffer hash aggregate is exactly the shape Spark's codegen
+    cannot keep fast (measured: the per-seed-xxhash64 aggregate cost
+    ~0.45 s of the 0.8 s signature phase at sf0.1; this UDF form took
+    the minhash bench row from ~1.7 s to ~1.2 s). This is one of the
+    repo's documented vectorized-Pandas-UDF sites (with rapidfuzz,
+    NFKD, point-in-polygon): Python in the plan, but Arrow-batched and
+    numpy-vectorized — never row-at-a-time."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    a = np.array(_SIG_A[:num_hashes], dtype=np.uint64)
+    b = np.array(_SIG_B[:num_hashes], dtype=np.uint64)
+
+    def sig(shh):
+        out = []
+        for arr in shh:
+            g = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            if g.size == 0:  # unreachable (grams pre-filtered non-empty)
+                out.append(np.full(len(a), np.iinfo(np.int64).max, np.int64))
+                continue
+            m = (g[None, :] * a[:, None] + b[:, None]).min(axis=1)
+            out.append(m.astype(np.int64))
+        return pd.Series(out)
+
+    # `from __future__ import annotations` stringifies inline hints
+    # (local names don't resolve at inspect time) — set real objects
+    sig.__annotations__ = {"shh": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "array<long>")
+
+
 def _sig_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
 ) -> DataFrame:
     """(_id, _shh array<long>, _sig array<long>) — hashed shingle SETS
-    plus the MinHash signature, in one fully-CODEGEN'D pass with zero
-    higher-order-function lambdas (HOF lambdas are interpreted
-    expression trees; at ~200 ns per invocation they dominated this
-    phase — 1.8 s → 1.2 s at sf0.1 for the whole cut):
+    plus the MinHash signature.
 
       posexplode tokens → xxhash64 per token → window lead(n−1) over
       (_id, pos) builds each shingle hash as xxhash64 over the n
-      consecutive token-hash longs → ONE aggregate emits collect_set
-      (the distinct shingle set) and the 64 per-seed mins.
+      consecutive token-hash longs (fully codegen'd, zero
+      higher-order-function lambdas — those are interpreted at ~200 ns
+      per invocation and dominated an earlier form) → ONE collect_set
+      aggregate per doc → the 64 per-seed mins in one Arrow-vectorized
+      numpy pass (`_sig_udf`; the JVM-side 64-buffer min aggregate ran
+      interpreted and cost more than the rest of the phase combined).
 
-    The window reuses spread()'s hash partitioning on the id, so the
-    whole thing is ONE row-proportional shuffle; the aggregate then
-    needs no second exchange. MinHash mins are over the shingle
-    MULTISET, which equals the set min, so no pre-distinct is needed.
+    The window AND the aggregate reuse spread()'s hash partitioning on
+    the id, so the whole thing is ONE row-proportional shuffle.
     Gram-hash values are identical to hashing the n token-hash columns
     chained (2⁻⁶⁴-collision-tolerant, deterministic); the per-seed
-    family is min(xxhash64(gram, i)). The MinHash/LSH family is
-    defined over THESE hashes — every banding consumer must go through
-    this one helper so a stored index and a new batch can never
-    shingle or band differently."""
+    family is min(A_i·gram + B_i) (LSH_FAMILY v3). The MinHash/LSH
+    family is defined over THESE hashes — every banding consumer must
+    go through this one helper so a stored index and a new batch can
+    never shingle or band differently."""
     from pyspark.sql import Window
 
     d = spread(df, F.col(id_col))
@@ -97,13 +148,8 @@ def _sig_shingles(
     leads = [F.col("_th")] + [F.lead("_th", j).over(w) for j in range(1, n)]
     g = tok.select("_id", F.xxhash64(*leads).alias("_g"), leads[-1].alias("_chk"))
     g = g.filter(F.col("_chk").isNotNull())
-    agg = g.groupBy("_id").agg(
-        F.collect_set("_g").alias("_shh"),
-        *[F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)],
-    )
-    return agg.select(
-        "_id", "_shh", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
-    )
+    agg = g.groupBy("_id").agg(F.collect_set("_g").alias("_shh"))
+    return agg.select("_id", "_shh", _sig_udf(num_hashes)("_shh").alias("_sig"))
 
 
 def _shingle_stream(
