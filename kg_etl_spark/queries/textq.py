@@ -644,6 +644,29 @@ LIMIT 25
 
 
 
+_PLANT_OFFSET = 100_000
+
+
+def _planted_copies(docs: DataFrame) -> DataFrame:
+    """Docs 0..19 re-planted under ids +_PLANT_OFFSET — the shared
+    plant of the four identical-recall twins. The offset is pinned
+    (the oracles spell `+ 100000` in SQL), so the id space is guarded
+    LOUDLY: if the corpus ever contains doc_ids >= the offset, the
+    union would mint duplicate ids and coincidental (a, a+offset)
+    pairs the fixed oracles do not list — fail here instead of
+    silently going red (r5 ADVICE item)."""
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if mx is not None and mx >= _PLANT_OFFSET:
+        raise ValueError(
+            f"planted-twin id space collides: max doc_id {mx} >= "
+            f"{_PLANT_OFFSET} — raise _PLANT_OFFSET and the twin oracles' "
+            "literal offset together"
+        )
+    return docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+    )
+
+
 def q_minhash_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable oracle for the LSH path on its PROVABLE subset:
     documents with identical distinct-trigram sets have identical
@@ -658,9 +681,7 @@ def q_minhash_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs 0..19 are re-planted under ids +100000 so the corpus contains
     known identical pairs at every SF (sf0.01 has no organic ones)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
-    )
+    copies = _planted_copies(docs)
     return minhash_lsh_pairs(
         docs.unionByName(copies), "doc_id", n=3, num_hashes=64, bands=16,
         threshold=1.0, max_bucket=None,
@@ -702,9 +723,7 @@ def q_simhash_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted pairs because near-dup docs can organically collide to the
     same 64-bit simhash, which SQL cannot enumerate.)"""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
-    )
+    copies = _planted_copies(docs)
     pairs = simhash_pairs(docs.unionByName(copies), "doc_id", max_hamming=0, bands=4)
     return pairs.filter(F.col("b_id") == F.col("a_id") + 100_000)
 
@@ -994,9 +1013,7 @@ def q_minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg_etl_spark.operators.dedup import minhash_index, minhash_lsh_pairs_incremental
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    new = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
-    )
+    new = _planted_copies(docs)
     idx = minhash_index(docs, "doc_id", n=3, num_hashes=64, bands=16)
     return minhash_lsh_pairs_incremental(
         new, idx, "doc_id", n=3, num_hashes=64, bands=16, threshold=1.0, max_bucket=None
@@ -1270,9 +1287,7 @@ def q_winnowing_identical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg_etl_spark.operators.dedup import winnowing_pairs
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
-    )
+    planted = _planted_copies(docs)
     pairs = winnowing_pairs(
         docs.unionByName(planted), "doc_id", k=5, w=4, threshold=1.0, max_df=None
     )

@@ -639,3 +639,40 @@ def test_negative_edge_samples_are_nonedges(spark):
         lst.sort(key=lambda r: r["rk"])
         trials = [r["trial"] for r in lst]
         assert trials == sorted(trials)
+
+
+def test_user_link_prediction_values_sf001(spark):
+    # r5 ADVICE: at sf0.001 the user graph is a 15-node clique and the
+    # query returns 0 rows (vacuous oracle) — value-check the CN/PA/RA
+    # scoring path at sf0.01 against an independent brute-force
+    # recomputation from the same user graph.
+    from kg_etl_spark.queries.ml import _LP_HUB_CAP, _user_graph, q_user_link_prediction
+
+    SF = "/root/testdata/sf0.01"
+    got = [tuple(r) for r in q_user_link_prediction(spark, SF).collect()]
+    assert got, "expected candidates at sf0.01"
+
+    edges = {(r["a"], r["b"]) for r in _user_graph(spark, SF).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    from collections import defaultdict
+
+    cand = defaultdict(list)
+    for z, nbrs in adj.items():
+        if deg[z] > _LP_HUB_CAP:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cand[(ns[i], ns[j])].append(z)
+    want = []
+    for (x, y), zs in cand.items():
+        if (x, y) in edges:
+            continue
+        ra = round(float(sum(round(1.0 / deg[z], 12) for z in zs)), 6)
+        want.append((x, y, len(zs), float(deg[x] * deg[y]), ra))
+    want.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == want[:100]
