@@ -248,6 +248,61 @@ def ngram_jaccard_pairs(
     return out.select("a_id", "b_id", "n_common", F.round("jaccard", 6).alias("jaccard"))
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    C(A, B) = |A∩B| / min(|A|, |B|) ≥ threshold — Broder's containment
+    coefficient (SEQUENCES '97), the snippet-inclusion detector: a
+    short doc fully embedded in a long one scores 1.0 here while its
+    Jaccard stays near |A|/|B| and slips under every symmetric
+    threshold. The complement of `ngram_jaccard_pairs` for training
+    corpora where quote/boilerplate inclusion (not whole-doc copying)
+    is the contamination mode.
+
+    Same inverted-index shape as ngram_jaccard_pairs (one shingle
+    equi-join shuffle), same max_df skew cap with the same capped-
+    universe semantics. Reference parity: the reference has no
+    containment operator; this extends its dedup family per the
+    training-pipeline brief."""
+    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).localCheckpoint(
+        eager=False
+    )
+    if max_df is not None:
+        dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(
+            F.broadcast(dfreq.filter(F.col("_df") > max_df)), "_s", "left_anti"
+        ).localCheckpoint(eager=True)
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = ex.select(F.col("_id").alias("a_id"), "_s")
+    b = ex.select(F.col("_id").alias("b_id"), "_s")
+    common = (
+        a.join(b, "_s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz")), "a_id")
+        .join(sizes.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz")), "b_id")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double")
+            / F.least("a_sz", "b_sz").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select(
+        "a_id", "b_id", "n_common", F.round("containment", 6).alias("containment")
+    )
+
+
 def _minhash_mins(ex: DataFrame, num_hashes: int) -> DataFrame:
     """(_id, _h0.._h{n-1}) min-signature aggregate over an exploded
     (_id, _hs) hashed-shingle stream: per seed i, min(xxhash64(_hs, i)).

@@ -3704,3 +3704,104 @@ FROM tot
 
 QUERIES["simpsons_audit"] = q_simpsons_audit
 ORACLES["simpsons_audit"] = ORACLE_SIMPSONS
+
+
+# --- Benjamini–Hochberg FDR over per-nation mean shifts -----------------
+
+
+def q_bh_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control: per-nation z-scores of mean customer
+    balance against the global mean, converted to conservative
+    Chebyshev-bound p-values p = min(1, 1/z²), then Benjamini–Hochberg
+    step-up at q = 0.10 — reject H_(1..k) where
+    k = max{i : p_(i) ≤ q·i/m} (Benjamini & Hochberg, JRSS-B 1995).
+    The Chebyshev bound (not a normal CDF) keeps every comparison
+    RATIONAL double arithmetic — exact IEEE on both engines, so the
+    discrete reject set is bit-stable cross-engine (a libm erf would
+    ulp-flip boundary decisions).
+
+    100 TB shape: one nation-keyed decimal power-sum aggregate (exact,
+    order-free), a 1-row global roll-up of those ≤|nations| rows, and
+    BH windows over the m = |nations| MODEL-SIZED frame (the documented
+    partition-less-window exception class, like the Pareto q-values)."""
+    cust = read_table(spark, sf_dir, "customer")
+    p6 = lambda k: F.round(F.col("c_acctbal") ** k, 6).cast("decimal(28,6)")
+    per = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p6(1)).alias("s1"),
+        F.sum(p6(2)).alias("s2"),
+    )
+    glob = per.agg(
+        F.sum("n").alias("_N"), F.sum("s1").alias("_S1"), F.sum("s2").alias("_S2")
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    gm = F.col("_S1").cast("double") / F.col("_N").cast("double")
+    gvar = F.col("_S2").cast("double") / F.col("_N").cast("double") - gm * gm
+    z = (F.col("s1").cast("double") / F.col("n").cast("double") - gm) / F.sqrt(
+        gvar / F.col("n").cast("double")
+    )
+    scored = j.select(
+        "c_nationkey",
+        F.col("n").cast("long").alias("n_cust"),
+        z.alias("_z"),
+    ).withColumn(
+        "_p",
+        F.when(F.col("_z") * F.col("_z") > 1.0, 1.0 / (F.col("_z") * F.col("_z"))).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    m = 25  # TPC-H nation domain — fixed test count, pinned in the oracle
+    wr = Window.orderBy(F.col("_p").asc(), F.col("c_nationkey").asc())
+    ranked = scored.withColumn("rk", F.row_number().over(wr).cast("long"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    k = F.max(
+        F.when(F.col("_p") <= F.lit(0.10) * F.col("rk") / F.lit(m), F.col("rk"))
+    ).over(wall)
+    return ranked.select(
+        "c_nationkey",
+        "n_cust",
+        F.round("_z", 6).alias("z"),
+        F.round("_p", 6).alias("p_bound"),
+        "rk",
+        (F.col("rk") <= F.coalesce(k, F.lit(0))).alias("rejected"),
+    )
+
+
+ORACLE_BH_FDR = """
+WITH per AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(ROUND(c_acctbal * c_acctbal, 6) AS DECIMAL(28,6))) AS s2
+  FROM customer GROUP BY c_nationkey
+), gtot AS (
+  SELECT SUM(n) AS N, SUM(s1) AS S1, SUM(s2) AS S2 FROM per
+), scored AS (
+  SELECT p.c_nationkey, p.n,
+         (CAST(p.s1 AS DOUBLE) / CAST(p.n AS DOUBLE)
+          - CAST(g.S1 AS DOUBLE) / CAST(g.N AS DOUBLE))
+         / SQRT((CAST(g.S2 AS DOUBLE) / CAST(g.N AS DOUBLE)
+                 - (CAST(g.S1 AS DOUBLE) / CAST(g.N AS DOUBLE))
+                   * (CAST(g.S1 AS DOUBLE) / CAST(g.N AS DOUBLE)))
+                / CAST(p.n AS DOUBLE)) AS z
+  FROM per p, gtot g
+), pv AS (
+  SELECT c_nationkey, n,
+         z,
+         CASE WHEN z * z > 1.0 THEN 1.0 / (z * z) ELSE 1.0 END AS p
+  FROM scored
+), ranked AS (
+  SELECT c_nationkey, n, z, p,
+         ROW_NUMBER() OVER (ORDER BY p ASC, c_nationkey ASC) AS rk
+  FROM pv
+), kk AS (
+  SELECT MAX(CASE WHEN p <= 0.10 * rk / 25 THEN rk END) AS k FROM ranked
+)
+SELECT r.c_nationkey, CAST(r.n AS BIGINT) AS n_cust,
+       ROUND(r.z, 6) AS z, ROUND(r.p, 6) AS p_bound,
+       CAST(r.rk AS BIGINT) AS rk,
+       r.rk <= COALESCE(k.k, 0) AS rejected
+FROM ranked r, kk k
+"""
+
+QUERIES["bh_fdr_nations"] = q_bh_fdr_nations
+ORACLES["bh_fdr_nations"] = ORACLE_BH_FDR

@@ -1686,3 +1686,70 @@ FROM agg
 
 QUERIES["interarrival_stats"] = q_interarrival_stats
 ORACLES["interarrival_stats"] = ORACLE_INTERARRIVAL
+
+
+# --- First-order Markov transitions over the GLOBAL event timeline -----
+
+
+def q_global_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types over
+    the GLOBAL event timeline (total order ts, event_id): exact counts
+    of consecutive (from_type, to_type) pairs plus the Laplace-smoothed
+    row-stochastic probability (add-1 over the observed type domain) —
+    the training prior a sequence model consumes.
+
+    100 TB shape: the global successor rides the GROUP-FREE scale-safe
+    stream lead (operators/adjacent.py with_next, group_cols=[]) — a
+    partition-less LEAD window is the canonical one-task global sort,
+    the exact failure the adjacent/rankdev devices exist to kill; here
+    the timeline splits into range-bucketed cells with a 64-row carry.
+    Downstream is one |types|²-row hash aggregate + a broadcast domain
+    scalar. Determinism: counts exact; (n+1)/(tot+k) is one IEEE
+    division, bit-identical cross-engine before the 6 dp round."""
+    from kg_etl_spark.operators.adjacent import with_next
+
+    ev = read_table(spark, sf_dir, "events")
+    led = with_next(ev, [], "ts", ["event_id"], ["event_type"])
+    pairs = (
+        led.filter(F.col("next_event_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n_trans").alias("_tot"))
+    dom = ev.agg(F.countDistinct("event_type").alias("_k"))
+    return (
+        pairs.join(tot, "from_type")
+        .crossJoin(F.broadcast(dom))
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.round(
+                (F.col("n_trans") + 1).cast("double")
+                / (F.col("_tot") + F.col("_k")).cast("double"),
+                6,
+            ).alias("prob"),
+        )
+    )
+
+
+ORACLE_GLOBAL_TYPE_TRANSITIONS = """
+WITH led AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_trans
+  FROM led WHERE to_type IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT from_type, SUM(n_trans) AS tot FROM pairs GROUP BY 1),
+dom AS (SELECT COUNT(DISTINCT event_type) AS k FROM events)
+SELECT p.from_type, p.to_type, CAST(p.n_trans AS BIGINT) AS n_trans,
+       ROUND(CAST(p.n_trans + 1 AS DOUBLE) / CAST(t.tot + d.k AS DOUBLE), 6) AS prob
+FROM pairs p JOIN tot t USING (from_type), dom d
+"""
+
+QUERIES["global_type_transitions"] = q_global_type_transitions
+ORACLES["global_type_transitions"] = ORACLE_GLOBAL_TYPE_TRANSITIONS

@@ -1884,3 +1884,78 @@ SELECT seed, CAST(rk AS BIGINT) AS rk, trial, neg FROM (
 
 QUERIES["negative_edge_samples"] = q_negative_edge_samples
 ORACLES["negative_edge_samples"] = ORACLE_NEG_EDGES
+
+
+# --- k-fold cross-validation manifest + out-of-fold evaluation ----------
+
+
+def q_cv_fold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation in ONE pass: customers land in stable
+    hash folds (knuth_h32 — the catalog's reproducible substitute for
+    rand(), identical in the oracle), and each fold is scored with the
+    OUT-OF-FOLD global-mean predictor via the power-sum identity
+        mse_f = (s2_f − 2·μ₋f·s1_f + n_f·μ₋f²) / n_f,
+    where μ₋f = (S1 − s1_f)/(N − n_f) — the complement-mean trick of
+    loo_group_influence applied to squared error, so CV needs NO second
+    data pass per fold (k passes → 1 at any k).
+
+    100 TB shape: one fold-keyed decimal power-sum aggregate (5 rows),
+    a 1-row rollup of those, a broadcast scalar join. Nothing else
+    touches the corpus."""
+    from kg_etl_spark.operators.datapipe import hash_bucket
+
+    cust = read_table(spark, sf_dir, "customer")
+    p6 = lambda k: F.round(F.col("c_acctbal") ** k, 6).cast("decimal(28,6)")
+    per = cust.groupBy(hash_bucket(F.col("c_custkey"), 5).alias("fold")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p6(1)).alias("s1"),
+        F.sum(p6(2)).alias("s2"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("_N"), F.sum("s1").alias("_S1"), F.sum("s2").alias("_S2")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pred = (F.col("_S1") - F.col("s1")).cast("double") / (
+        F.col("_N") - F.col("n")
+    ).cast("double")
+    s1d, s2d, nd = (
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("n").cast("double"),
+    )
+    mse = (s2d - 2 * pred * s1d + nd * pred * pred) / nd
+    return j.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(s1d / nd, 6).alias("fold_mean"),
+        F.round(pred, 6).alias("oof_pred"),
+        F.round(mse, 6).alias("oof_mse"),
+    )
+
+
+_CV_FOLD_SQL = "(c_custkey * 2654435761) % 4294967296 % 5"
+
+ORACLE_CV_FOLD = f"""
+WITH per AS (
+  SELECT {_CV_FOLD_SQL} AS fold, COUNT(*) AS n,
+         SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(ROUND(c_acctbal * c_acctbal, 6) AS DECIMAL(28,6))) AS s2
+  FROM customer GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS N, SUM(s1) AS S1, SUM(s2) AS S2 FROM per
+)
+SELECT CAST(p.fold AS BIGINT) AS fold, CAST(p.n AS BIGINT) AS n_rows,
+       ROUND(CAST(p.s1 AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS fold_mean,
+       ROUND(CAST(t.S1 - p.s1 AS DOUBLE) / CAST(t.N - p.n AS DOUBLE), 6) AS oof_pred,
+       ROUND((CAST(p.s2 AS DOUBLE)
+              - 2 * (CAST(t.S1 - p.s1 AS DOUBLE) / CAST(t.N - p.n AS DOUBLE))
+                  * CAST(p.s1 AS DOUBLE)
+              + CAST(p.n AS DOUBLE)
+                  * (CAST(t.S1 - p.s1 AS DOUBLE) / CAST(t.N - p.n AS DOUBLE))
+                  * (CAST(t.S1 - p.s1 AS DOUBLE) / CAST(t.N - p.n AS DOUBLE)))
+             / CAST(p.n AS DOUBLE), 6) AS oof_mse
+FROM per p, tot t
+"""
+
+QUERIES["cv_fold_metrics"] = q_cv_fold_metrics
+ORACLES["cv_fold_metrics"] = ORACLE_CV_FOLD

@@ -1309,3 +1309,42 @@ FROM tk WHERE len(t) >= 8
 QUERIES["winnowing_dedup"] = q_winnowing_dedup
 QUERIES["winnowing_identical_recall"] = q_winnowing_identical_recall
 ORACLES["winnowing_identical_recall"] = ORACLE_WINNOWING_RECALL
+
+
+# --- n-gram containment (snippet-inclusion) dedup ------------------------
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle containment
+    |A∩B| / min(|A|, |B|) >= 0.6 (operators/dedup.
+    ngram_containment_pairs) — catches a short doc embedded inside a
+    long one, which symmetric Jaccard misses (scores ~|A|/|B|). Same
+    inverted-index single-shuffle shape as ngram_jaccard_dedup."""
+    from kg_etl_spark.operators.dedup import ngram_containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "doc_id", n=3, threshold=0.6)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.sh, b.sh)) AS n_common,
+         len(a.sh) AS a_sz, len(b.sh) AS b_sz
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / LEAST(a_sz, b_sz), 6) AS containment
+FROM p
+WHERE n_common > 0 AND CAST(n_common AS DOUBLE) / LEAST(a_sz, b_sz) >= 0.6
+"""
+
+QUERIES["containment_dedup"] = q_containment_dedup
+ORACLES["containment_dedup"] = ORACLE_CONTAINMENT

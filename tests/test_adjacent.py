@@ -139,3 +139,17 @@ def test_no_low_cardinality_window_in_plan(spark):
         spec = m.group(1)
         if "event_type" in spec:
             assert "_apr" in spec, f"low-cardinality-only window in plan:\n{plan}"
+
+
+def test_group_free_matches_partitionless_window(spark):
+    # group_cols=[] — the replacement for a PARTITION-LESS lead (the
+    # canonical one-task global sort): cells partition the whole frame
+    df = spark.range(1000).select(
+        (F.col("id") * 48271 % 997).cast("double").alias("k"),
+        F.col("id").alias("tb"),
+        (F.col("id") % 7).alias("v"),
+    )
+    got = with_next(df, [], "k", ["tb"], ["v"], num_ranges=8)
+    w = Window.orderBy(F.col("k").asc(), F.col("tb").asc())
+    want = df.withColumn("next_v", F.lead("v").over(w))
+    assert _rows(got) == _rows(want)
