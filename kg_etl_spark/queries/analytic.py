@@ -3805,3 +3805,190 @@ FROM ranked r, kk k
 
 QUERIES["bh_fdr_nations"] = q_bh_fdr_nations
 ORACLES["bh_fdr_nations"] = ORACLE_BH_FDR
+
+
+# --- Mann–Kendall trend test (significance companion of Theil–Sen) -----
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall S with tie-corrected variance and the standard
+    continuity-corrected z per event type over the daily count series
+    (Mann 1945, Kendall 1975) — the nonparametric significance test
+    that pairs with `theil_sen_trend`'s slope estimate.
+
+    S = Σ_{i<j} sign(c_j − c_i) over time-ordered days; Var(S) =
+    [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 over the value-tie groups.
+    All counts are exact integers in decimal; z's one √/÷ is IEEE.
+
+    100 TB shape: the daily series is calendar-bounded MODEL STATE, so
+    the D² pair frame keeps theil_sen_trend's documented contract; S is
+    one pair aggregate, the tie term one value group-by. Corpus-scale
+    work is the single daily hash aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("c").alias("c2"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum((F.col("c2") - F.col("c1")).cast("double")).cast("long")).alias(
+                "s"
+            )
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).cast("long")
+            ).alias("tie_term")
+        )
+    )
+    j = s.join(n, "event_type").join(ties, "event_type")
+    var_s = (
+        (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term"))
+        .cast("double")
+        / 18.0
+    )
+    sd = F.sqrt(var_s)
+    z = (
+        F.when((F.col("s") > 0) & (sd > 0), (F.col("s") - 1).cast("double") / sd)
+        .when((F.col("s") < 0) & (sd > 0), (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         SUM(CAST(SIGN(CAST(b.c - a.c AS DOUBLE)) AS BIGINT)) AS s
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+), n AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT event_type, c, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.event_type, CAST(n.n AS BIGINT) AS n_days, CAST(s.s AS BIGINT) AS s_stat,
+       ROUND(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE) / 18.0, 6)
+         AS var_s,
+       ROUND(CASE
+         WHEN s.s > 0 AND CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE) > 0
+           THEN CAST(s.s - 1 AS DOUBLE)
+                / SQRT(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE) / 18.0)
+         WHEN s.s < 0 AND CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE) > 0
+           THEN CAST(s.s + 1 AS DOUBLE)
+                / SQRT(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE) / 18.0)
+         ELSE 0.0 END, 6) AS z
+FROM s JOIN n USING (event_type) JOIN ties t USING (event_type)
+"""
+
+QUERIES["mann_kendall_trend"] = q_mann_kendall_trend
+ORACLES["mann_kendall_trend"] = ORACLE_MANN_KENDALL
+
+
+# --- Inverse-propensity-weighted ATE (Horvitz–Thompson) -----------------
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (the
+    Horvitz–Thompson estimator): treatment = customer placed ≥1 URGENT
+    order, outcome = account balance, propensity e(x) = the observed
+    treatment rate within the customer's market segment.
+    ATE = (1/N) Σ [T·Y/ê − (1−T)·Y/(1−ê)]. Completes the causal
+    family (CMH / CUPED / propensity-ATT / Simpson audit) with the
+    weighting estimator. Segments with ê ∈ {0, 1} have no overlap and
+    are EXCLUDED (positivity violation — the pinned contract; their
+    rows cannot be weighted), with N counting included rows only.
+
+    Determinism: segment counts are exact; ê is one IEEE division;
+    per-row weighted outcomes round to 6 dp into decimal BEFORE the
+    global sum, so the aggregate is order-free and bit-identical
+    cross-engine (the RA-term discipline of user_link_prediction).
+
+    100 TB shape: one orders distinct-reduction + broadcast segment-
+    rate attach + ONE decimal aggregate; nothing quadratic."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    t = cust.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit(1).alias("treated")
+    )
+    base = cust.join(t, "c_custkey", "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("y"),
+        F.coalesce("treated", F.lit(0)).alias("treated"),
+    )
+    rates = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_seg"), F.sum("treated").alias("n_treat")
+    )
+    j = base.join(F.broadcast(rates), "c_mktsegment").filter(
+        (F.col("n_treat") > 0) & (F.col("n_treat") < F.col("n_seg"))
+    )
+    e = F.col("n_treat").cast("double") / F.col("n_seg").cast("double")
+    term = F.when(
+        F.col("treated") == 1, F.col("y") / e
+    ).otherwise(-F.col("y") / (F.lit(1.0) - e))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.round(term, 6).cast("decimal(28,6)")).alias("s"),
+        F.sum("treated").alias("n_treated"),
+    )
+    return agg.select(
+        F.col("n_used").cast("long").alias("n_used"),
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.round(F.col("s").cast("double") / F.col("n_used").cast("double"), 6).alias(
+            "ate_ipw"
+        ),
+    )
+
+
+ORACLE_IPW_ATE = """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), base AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal AS y,
+         CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS treated
+  FROM customer c LEFT JOIN urgent u USING (c_custkey)
+), rates AS (
+  SELECT c_mktsegment, COUNT(*) AS n_seg, SUM(treated) AS n_treat
+  FROM base GROUP BY 1
+), j AS (
+  SELECT b.y, b.treated,
+         CAST(r.n_treat AS DOUBLE) / CAST(r.n_seg AS DOUBLE) AS e
+  FROM base b JOIN rates r USING (c_mktsegment)
+  WHERE r.n_treat > 0 AND r.n_treat < r.n_seg
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST(SUM(treated) AS BIGINT) AS n_treated,
+       ROUND(CAST(SUM(CAST(ROUND(
+           CASE WHEN treated = 1 THEN y / e ELSE -y / (1.0 - e) END, 6)
+         AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ate_ipw
+FROM j
+"""
+
+QUERIES["ipw_ate"] = q_ipw_ate
+ORACLES["ipw_ate"] = ORACLE_IPW_ATE

@@ -1117,3 +1117,59 @@ FROM ex
 
 QUERIES["span_corruption_plan"] = q_span_corruption_plan
 ORACLES["span_corruption_plan"] = ORACLE_SPAN_CORRUPTION
+
+
+# --- Deterministic weighted priority sample (per-lang top-k) ------------
+
+
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus subsampling, reproducibly: per language, keep
+    the k=3 documents with the smallest priority
+    hash₃₂(doc_id) / n_chars — the catalog's deterministic stand-in
+    for weighted random sampling (longer docs win proportionally; the
+    hash replaces rand() so re-runs and the oracle agree bit-for-bit;
+    the transform is rational double arithmetic, no libm in the
+    ordering).
+
+    100 TB shape: lang has cardinality ~5, so a plain top-k window
+    would sort n/|langs| rows in ONE task — the priority rank rides
+    grouped_row_number (operators/rankdev.py: priority-bucketed
+    parallel cells + broadcast offsets) instead."""
+    from kg_etl_spark.operators.datapipe import knuth_h32
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (
+            knuth_h32(F.col("doc_id")).cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("_prio"),
+    )
+    ranked = grouped_row_number(
+        scored, ["lang"], "_prio", ["doc_id"], out_col="rk", count_col="_n"
+    )
+    return (
+        ranked.filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+ORACLE_WEIGHTED_PRIORITY = f"""
+WITH scored AS (
+  SELECT lang, doc_id, n_chars,
+         CAST((doc_id * {_KNUTH_A}) % {_M32} AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           AS prio
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY prio ASC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+QUERIES["weighted_priority_sample"] = q_weighted_priority_sample
+ORACLES["weighted_priority_sample"] = ORACLE_WEIGHTED_PRIORITY

@@ -103,3 +103,90 @@ def test_cv_fold_metrics_pandas_cross_check(spark):
         assert math.isclose(r["oof_pred"], pred, abs_tol=1e-4)
         mse = sum((x - pred) ** 2 for x in v) / len(v)
         assert math.isclose(r["oof_mse"], mse, rel_tol=1e-4)
+
+
+def test_mann_kendall_brute_force(spark):
+    rows = {r["event_type"]: r for r in QUERIES["mann_kendall_trend"](spark, SF).collect()}
+    ev = spark.read.parquet(SF + "/events.parquet").select("event_type", "ts").collect()
+    from collections import Counter
+
+    daily = Counter()
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        daily[(r["event_type"], us // 86_400_000_000)] += 1
+    series = {}
+    for (et, day), c in daily.items():
+        series.setdefault(et, []).append((day, c))
+    for et, pts in series.items():
+        pts.sort()
+        cs = [c for _d, c in pts]
+        n = len(cs)
+        s = sum(
+            (cs[j] > cs[i]) - (cs[j] < cs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(cs).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        r = rows[et]
+        assert r["n_days"] == n and r["s_stat"] == s
+        assert math.isclose(r["var_s"], var, abs_tol=1e-6)
+        if s > 0 and var > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif s < 0 and var > 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        assert math.isclose(r["z"], z, abs_tol=1e-6)
+
+
+def test_ipw_ate_brute_force(spark):
+    got = QUERIES["ipw_ate"](spark, SF).collect()[0]
+    cust = spark.read.parquet(SF + "/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    orders = spark.read.parquet(SF + "/orders.parquet").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    urgent = {r["o_custkey"] for r in orders if r["o_orderpriority"] == "1-URGENT"}
+    from collections import Counter
+
+    n_seg, n_treat = Counter(), Counter()
+    for r in cust:
+        n_seg[r["c_mktsegment"]] += 1
+        n_treat[r["c_mktsegment"]] += r["c_custkey"] in urgent
+    terms, n_used, n_treated = [], 0, 0
+    for r in cust:
+        seg = r["c_mktsegment"]
+        if n_treat[seg] == 0 or n_treat[seg] == n_seg[seg]:
+            continue
+        e = n_treat[seg] / n_seg[seg]
+        t = r["c_custkey"] in urgent
+        terms.append(round(r["c_acctbal"] / e, 6) if t else round(-r["c_acctbal"] / (1 - e), 6))
+        n_used += 1
+        n_treated += t
+    assert got["n_used"] == n_used and got["n_treated"] == n_treated
+    assert math.isclose(got["ate_ipw"], sum(terms) / n_used, abs_tol=1e-4)
+
+
+def test_weighted_priority_sample_brute_force(spark):
+    got = sorted(
+        tuple(r) for r in QUERIES["weighted_priority_sample"](spark, SF).collect()
+    )
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "lang", "doc_id", "n_chars"
+    ).collect()
+    A, M = 2654435761, 1 << 32
+    per = {}
+    for r in docs:
+        if r["n_chars"] and r["n_chars"] > 0:
+            prio = ((r["doc_id"] * A) % M) / r["n_chars"]
+            per.setdefault(r["lang"], []).append((prio, r["doc_id"], r["n_chars"]))
+    want = []
+    for lang, lst in per.items():
+        lst.sort()
+        for i, (_p, did, nc) in enumerate(lst[:3], start=1):
+            want.append((lang, did, nc, i))
+    assert got == sorted(want)
