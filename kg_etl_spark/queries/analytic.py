@@ -3992,3 +3992,211 @@ FROM j
 
 QUERIES["ipw_ate"] = q_ipw_ate
 ORACLES["ipw_ate"] = ORACLE_IPW_ATE
+
+
+# --- Nelson–Aalen cumulative hazard (companion of Kaplan–Meier) ---------
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator H(t) = Σ_{s≤t} d_s/n_s
+    over the same user-lifetime grain as `kaplan_meier_retention`
+    (Nelson 1972, Aalen 1978) — the additive counterpart of KM's
+    product-limit curve, the quantity hazard-model diagnostics plot.
+
+    Per-step hazards d/n round to 8 dp into decimal BEFORE the running
+    sum (the catalog's order-independent float idiom), so the cumsum
+    is exact decimal addition; only the final readout casts to double.
+
+    100 TB shape: identical to KM — two hash-aggs over the corpus, and
+    the running sum is one window over the (cohort, t) MODEL-SIZED
+    frame (lifetimes are calendar-bounded)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long")
+    w1 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    per_user = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            F.row_number().over(w1).alias("_rn"),
+            F.col("event_type"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.max(F.when(F.col("_rn") == 1, F.col("event_type"))).alias("cohort"),
+        )
+    )
+    max_day = per_user.agg(F.max("last_day").alias("mx"))
+    lab = per_user.crossJoin(F.broadcast(max_day)).select(
+        "cohort",
+        (F.col("last_day") - F.col("first_day")).alias("t"),
+        F.when(F.col("last_day") <= F.col("mx") - 7, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("churn"),
+    )
+    per_t = lab.groupBy("cohort", "t").agg(
+        F.sum("churn").alias("d"), F.count(F.lit(1)).alias("exits")
+    )
+    tot = lab.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    wt = Window.partitionBy("cohort").orderBy("t")
+    na = (
+        per_t.join(F.broadcast(tot), "cohort")
+        .withColumn(
+            "n_at_risk",
+            F.col("n_cohort")
+            - F.coalesce(
+                F.sum("exits").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_term",
+            F.round(
+                F.col("d").cast("double") / F.col("n_at_risk").cast("double"), 8
+            ).cast("decimal(28,8)"),
+        )
+        .withColumn(
+            "_cum", F.sum("_term").over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return na.select(
+        "cohort",
+        "t",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.round(F.col("_cum").cast("double"), 6).alias("cum_hazard"),
+    )
+
+
+ORACLE_NELSON_AALEN = """
+WITH ranked AS (
+  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), pu AS (
+  SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS cohort
+  FROM ranked GROUP BY user_id
+), mx AS (SELECT MAX(last_day) AS mx FROM pu),
+lab AS (
+  SELECT cohort, last_day - first_day AS t,
+         CASE WHEN last_day <= mx - 7 THEN 1 ELSE 0 END AS churn
+  FROM pu, mx
+), per_t AS (
+  SELECT cohort, t, CAST(SUM(churn) AS BIGINT) AS d, COUNT(*) AS exits
+  FROM lab GROUP BY cohort, t
+), tot AS (SELECT cohort, COUNT(*) AS n_cohort FROM lab GROUP BY cohort),
+na AS (
+  SELECT p.cohort, p.t, p.d,
+         tot.n_cohort
+         - COALESCE(SUM(p.exits) OVER (PARTITION BY p.cohort ORDER BY p.t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk,
+         p.exits
+  FROM per_t p JOIN tot USING (cohort)
+), terms AS (
+  SELECT cohort, t, d, n_at_risk,
+         CAST(ROUND(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 8)
+              AS DECIMAL(28,8)) AS term
+  FROM na
+)
+SELECT cohort, t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       ROUND(CAST(SUM(term) OVER (PARTITION BY cohort ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS cum_hazard
+FROM terms
+"""
+
+QUERIES["nelson_aalen_hazard"] = q_nelson_aalen_hazard
+ORACLES["nelson_aalen_hazard"] = ORACLE_NELSON_AALEN
+
+
+# --- Difference-in-differences -------------------------------------------
+
+
+_DID_PIVOT = "1998-01-01"
+
+
+def q_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on order totals: treatment group =
+    BUILDING-segment customers, pre/post pivot pinned at 1998-01-01
+    (mid-range of the order-date domain).
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the 2×2
+    parallel-trends estimator completing the causal family. Exact
+    cent-level decimal sums per cell; four IEEE divisions + three
+    subtractions at the end.
+
+    100 TB shape: one broadcast segment attach + ONE 4-cell decimal
+    aggregate; nothing else touches the fact table."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == "BUILDING").alias("treated")
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    cells = j.groupBy(
+        "treated", (F.col("o_orderdate") >= F.lit(_DID_PIVOT).cast("timestamp")).alias("post")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")).alias("s"),
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    # assemble the 2x2 via conditional aggregation: one row out
+    agg = cells.agg(
+        F.sum(F.when(F.col("treated") & F.col("post"), m)).alias("t_post"),
+        F.sum(F.when(F.col("treated") & ~F.col("post"), m)).alias("t_pre"),
+        F.sum(F.when(~F.col("treated") & F.col("post"), m)).alias("c_post"),
+        F.sum(F.when(~F.col("treated") & ~F.col("post"), m)).alias("c_pre"),
+        F.sum("n").alias("n_orders"),
+    )
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("t_pre", 6).alias("treated_pre"),
+        F.round("t_post", 6).alias("treated_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
+        ).alias("did"),
+    )
+
+
+ORACLE_DID = f"""
+WITH j AS (
+  SELECT o.o_totalprice, o.o_orderdate,
+         c.c_mktsegment = 'BUILDING' AS treated,
+         o.o_orderdate >= TIMESTAMP '{_DID_PIVOT}' AS post
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), cells AS (
+  SELECT treated, post, COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS s
+  FROM j GROUP BY 1, 2
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+       ROUND(SUM(CASE WHEN treated AND NOT post
+                      THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END), 6)
+         AS treated_pre,
+       ROUND(SUM(CASE WHEN treated AND post
+                      THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END), 6)
+         AS treated_post,
+       ROUND(SUM(CASE WHEN NOT treated AND NOT post
+                      THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END), 6)
+         AS control_pre,
+       ROUND(SUM(CASE WHEN NOT treated AND post
+                      THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END), 6)
+         AS control_post,
+       ROUND(SUM(CASE WHEN treated AND post
+                      THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+             - SUM(CASE WHEN treated AND NOT post
+                        THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+             - (SUM(CASE WHEN NOT treated AND post
+                         THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+                - SUM(CASE WHEN NOT treated AND NOT post
+                           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)), 6)
+         AS did
+FROM cells
+"""
+
+QUERIES["diff_in_differences"] = q_diff_in_differences
+ORACLES["diff_in_differences"] = ORACLE_DID

@@ -1348,3 +1348,87 @@ WHERE n_common > 0 AND CAST(n_common AS DOUBLE) / LEAST(a_sz, b_sz) >= 0.6
 
 QUERIES["containment_dedup"] = q_containment_dedup
 ORACLES["containment_dedup"] = ORACLE_CONTAINMENT
+
+
+# --- Jensen–Shannon divergence of each source vs the corpus -------------
+
+
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: Jensen–Shannon divergence (nats)
+    between each source's unigram distribution P and the corpus-wide
+    distribution G — the standard mixture-audit readout before
+    reweighting training sources (Lin, IEEE-IT 1991).
+
+    Only tokens PRESENT in the source need explicit terms: for t with
+    P(t)=0, the G-side contribution collapses to G(t)·ln 2, so
+      JSD = ½ Σ_{t∈s} [P ln(P/M) + G ln(G/M)] + ½ ln2 · (1 − Σ_{t∈s} G)
+    with M = (P+G)/2 — the vocab×sources cross frame never
+    materializes. Each ln term rounds to 8 dp into decimal before the
+    sum (the KM order-independent float idiom).
+
+    100 TB shape: one (source, token) hash aggregate (the only
+    corpus-scale shuffle), a token-keyed global rollup of THAT frame,
+    one broadcast totals attach, one per-source aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(ws_tokens(F.col("text"))).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    gt = st.groupBy("t").agg(F.sum("c").alias("g"))
+    tot_s = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    tot = gt.agg(F.sum("g").alias("ng"))
+    j = (
+        st.join(gt, "t")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    g = F.col("g").cast("double") / F.col("ng").cast("double")
+    m = (p + g) / F.lit(2.0)
+    term = F.round(p * F.log(p / m) + g * F.log(g / m), 8).cast("decimal(28,8)")
+    gmass = F.round(g, 8).cast("decimal(28,8)")
+    agg = j.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.sum(term).alias("_t"),
+        F.sum(gmass).alias("_gm"),
+    )
+    ln2 = 0.6931471805599453
+    jsd = 0.5 * F.col("_t").cast("double") + 0.5 * ln2 * (
+        F.lit(1.0) - F.col("_gm").cast("double")
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(jsd, 6).alias("jsd_nats"),
+    )
+
+
+ORACLE_SOURCE_JSD = f"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKS}) AS t FROM documents
+), st AS (
+  SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), gt AS (SELECT t, SUM(c) AS g FROM st GROUP BY 1),
+tot_s AS (SELECT source, SUM(c) AS ns FROM st GROUP BY 1),
+tot AS (SELECT SUM(g) AS ng FROM gt),
+j AS (
+  SELECT st.source, st.c, gt.g, ts.ns, tt.ng
+  FROM st JOIN gt USING (t) JOIN tot_s ts USING (source), tot tt
+), terms AS (
+  SELECT source, ns,
+         CAST(ROUND(
+           (CAST(c AS DOUBLE) / ns) * LN((CAST(c AS DOUBLE) / ns)
+             / ((CAST(c AS DOUBLE) / ns + CAST(g AS DOUBLE) / ng) / 2.0))
+           + (CAST(g AS DOUBLE) / ng) * LN((CAST(g AS DOUBLE) / ng)
+             / ((CAST(c AS DOUBLE) / ns + CAST(g AS DOUBLE) / ng) / 2.0)), 8)
+           AS DECIMAL(28,8)) AS term,
+         CAST(ROUND(CAST(g AS DOUBLE) / ng, 8) AS DECIMAL(28,8)) AS gmass
+  FROM j
+)
+SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+       ROUND(0.5 * CAST(SUM(term) AS DOUBLE)
+             + 0.5 * 0.6931471805599453 * (1.0 - CAST(SUM(gmass) AS DOUBLE)), 6)
+         AS jsd_nats
+FROM terms GROUP BY source
+"""
+
+QUERIES["source_js_divergence"] = q_source_js_divergence
+ORACLES["source_js_divergence"] = ORACLE_SOURCE_JSD

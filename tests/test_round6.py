@@ -190,3 +190,92 @@ def test_weighted_priority_sample_brute_force(spark):
         for i, (_p, did, nc) in enumerate(lst[:3], start=1):
             want.append((lang, did, nc, i))
     assert got == sorted(want)
+
+
+def test_nelson_aalen_brute_force(spark):
+    rows = QUERIES["nelson_aalen_hazard"](spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(SF + "/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        day = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+        u = per.setdefault(r["user_id"], {"first": day, "last": day, "cohort": r["event_type"]})
+        u["first"] = min(u["first"], day)
+        u["last"] = max(u["last"], day)
+    mx = max(u["last"] for u in per.values())
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])  # (cohort, t) -> [d, exits]
+    totals = defaultdict(int)
+    for u in per.values():
+        t = u["last"] - u["first"]
+        cells[(u["cohort"], t)][0] += u["last"] <= mx - 7
+        cells[(u["cohort"], t)][1] += 1
+        totals[u["cohort"]] += 1
+    import decimal
+
+    want = {}
+    for cohort in totals:
+        at_risk = totals[cohort]
+        cum = decimal.Decimal(0)
+        for t in sorted(t for (c, t) in cells if c == cohort):
+            d, exits = cells[(cohort, t)]
+            cum += decimal.Decimal(str(round(d / at_risk, 8)))
+            want[(cohort, t)] = (at_risk, d, round(float(cum), 6))
+            at_risk -= exits
+    got = {(r["cohort"], r["t"]): (r["n_at_risk"], r["n_churned"], r["cum_hazard"]) for r in rows}
+    assert got == want
+
+
+def test_diff_in_differences_brute_force(spark):
+    got = QUERIES["diff_in_differences"](spark, SF).collect()[0]
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"] == "BUILDING"
+        for r in spark.read.parquet(SF + "/customer.parquet").collect()
+    }
+    import datetime
+
+    pivot = datetime.datetime(1998, 1, 1)
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0.0])
+    for r in spark.read.parquet(SF + "/orders.parquet").collect():
+        key = (cust[r["o_custkey"]], r["o_orderdate"] >= pivot)
+        cells[key][0] += 1
+        cells[key][1] += round(r["o_totalprice"], 2)
+    m = {k: v[1] / v[0] for k, v in cells.items()}
+    did = (m[(True, True)] - m[(True, False)]) - (m[(False, True)] - m[(False, False)])
+    assert got["n_orders"] == sum(v[0] for v in cells.values())
+    assert math.isclose(got["did"], did, abs_tol=1e-4)
+    assert math.isclose(got["treated_pre"], m[(True, False)], abs_tol=1e-4)
+
+
+def test_source_jsd_brute_force_and_bounds(spark):
+    rows = QUERIES["source_js_divergence"](spark, SF).collect()
+    assert len(rows) == 20
+    docs = spark.read.parquet(SF + "/documents.parquet").select("source", "text").collect()
+    from collections import Counter
+
+    per, glob = {}, Counter()
+    for r in docs:
+        toks = [t for t in r["text"].lower().strip().split() if t]
+        per.setdefault(r["source"], Counter()).update(toks)
+        glob.update(toks)
+    ng = sum(glob.values())
+    ln2 = math.log(2.0)
+    for r in rows:
+        cnt = per[r["source"]]
+        ns = sum(cnt.values())
+        assert r["n_tokens"] == ns
+        jsd = 0.0
+        gmass = 0.0
+        for t, c in cnt.items():
+            p, g = c / ns, glob[t] / ng
+            mmix = (p + g) / 2
+            jsd += 0.5 * (p * math.log(p / mmix) + g * math.log(g / mmix))
+            gmass += g
+        jsd += 0.5 * ln2 * (1 - gmass)
+        assert math.isclose(r["jsd_nats"], jsd, abs_tol=1e-5)
+        assert -1e-9 <= r["jsd_nats"] <= ln2 + 1e-9
