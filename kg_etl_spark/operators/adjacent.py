@@ -88,23 +88,26 @@ def with_next(
     ranged = df.withColumn(
         "_apr", _range_expr(F.col(order_col).cast("double"), lo, hi, num_ranges)
     )
+    # explicit hash exchange on the cell key: the window below finds its
+    # distribution requirement satisfied (no extra exchange + in-place
+    # sort) and the carry aggregate consumes the SAME exchange as a
+    # sort-free hash agg — one corpus shuffle, one sort, total
+    ranged = ranged.repartition(*(group_cols + ["_apr"]))
     order = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreaks]
     w = Window.partitionBy(*group_cols, "_apr").orderBy(*order)
     local = ranged
     for c in next_cols:
         local = local.withColumn("_apl_" + c, F.lead(c).over(w))
-    # last row of its cell <=> the local lead ran off the cell; the row
-    # number marks each cell's first row for the carry frame below
+    # last row of its cell <=> the local lead ran off the cell
     local = local.withColumn("_aplast", F.lead(F.lit(1)).over(w).isNull())
-    local = local.withColumn("_aprn", F.row_number().over(w))
 
-    # first row per cell, filtered from the SAME window output — the
-    # (group, range) exchange is planned once and REUSED by both
-    # branches (ReuseExchange), so the corpus scans/shuffles once
-    firsts = local.filter(F.col("_aprn") == 1).select(
-        *group_cols,
-        "_apr",
-        F.struct(*[F.col(c) for c in next_cols]).alias("_apf"),
+    # first row per cell (map-side-free hash agg over the shared
+    # exchange; struct min_by keys on the identical total order)
+    firsts = ranged.groupBy(*group_cols, "_apr").agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in next_cols]),
+            F.struct(F.col(order_col), *[F.col(t) for t in tiebreaks]),
+        ).alias("_apf")
     )
     # per cell, the NEXT populated cell's first row = successor of this
     # cell's last row (missing/empty cells simply aren't rows here, so
@@ -162,3 +165,20 @@ def undirected_transition_edges(ev: DataFrame) -> DataFrame:
     return e.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
+
+
+def transition_edges_cut(ev: DataFrame) -> DataFrame:
+    """DISTINCT directed transition edges, localCheckpointed (lazy) —
+    the multi-consumer cut for iterative kernels (scc/walks/hits/...),
+    which consume the edge frame once per round: without the cut the
+    whole derivation (scan + device) re-executes per action. The
+    checkpoint holds |E| distinct edges — state those kernels
+    materialize anyway. Use the un-checkpointed builders for
+    single-pass queries (plans stay inspectable)."""
+    return transition_edges(ev).distinct().localCheckpoint(eager=False)
+
+
+def undirected_transition_edges_cut(ev: DataFrame) -> DataFrame:
+    """`undirected_transition_edges` at a lazy localCheckpoint cut —
+    same rationale as :func:`transition_edges_cut`."""
+    return undirected_transition_edges(ev).localCheckpoint(eager=False)

@@ -137,12 +137,13 @@ def grouped_row_number(
 
     Same two-phase shape: fixed-width value ranges of ``key`` (global
     bounds — one scalar aggregate; equal keys share a range so range
-    order == key order), one window per (group, range) CELL, then
-    per-cell offsets from a tiny cells frame derived from the SAME
-    window output (the exchange is planned once and reused).  The
-    cells frame is |groups| x num_ranges rows, broadcast back — the
-    low-cardinality contract; high-cardinality groups should keep the
-    plain window, which already parallelizes.
+    order == key order), one explicit hash exchange on the (group,
+    range) cell key that BOTH the per-cell window (in-place sort) and
+    the sort-free cell-count hash agg consume, then per-cell offsets
+    from the tiny cells frame.  The cells frame is
+    |groups| x num_ranges rows, broadcast back — the low-cardinality
+    contract; high-cardinality groups should keep the plain window,
+    which already parallelizes.
 
     Degenerate guard: a constant key lands every row in range 0 and
     the device degrades to the plain per-group window it replaces.
@@ -161,15 +162,16 @@ def grouped_row_number(
     ranged = df.withColumn(
         "_grr", _range_expr(F.col(key).cast("double"), lo, hi, num_ranges)
     )
+    # explicit hash exchange on the cell key: the window finds its
+    # distribution requirement satisfied (in-place sort) and the cell
+    # counts come from a sort-free hash agg over the SAME exchange
+    ranged = ranged.repartition(*(group_cols + ["_grr"]))
     w = Window.partitionBy(*group_cols, "_grr").orderBy(
         F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]
     )
     local = ranged.withColumn("_grl", F.row_number().over(w).cast("long"))
-    local = local.withColumn("_grlast", F.lead(F.lit(1)).over(w).isNull())
-    # cell sizes = the LAST local row number per cell, filtered from the
-    # same window output (ReuseExchange: one corpus shuffle total)
-    cells = local.filter(F.col("_grlast")).select(
-        *group_cols, "_grr", F.col("_grl").alias("_cn")
+    cells = ranged.groupBy(*group_cols, "_grr").agg(
+        F.count(F.lit(1)).cast("long").alias("_cn")
     )
     cw = (
         Window.partitionBy(*group_cols)

@@ -355,11 +355,11 @@ def q_scc_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral loops. Hash/fixpoint-free oracle impossible on real
     data (reachability isn't SQL-expressible) → rows-only; the
     value-checked twin is `scc_planted_recall`."""
-    from kg_etl_spark.operators.adjacent import transition_edges
+    from kg_etl_spark.operators.adjacent import transition_edges_cut
     from kg_etl_spark.operators.scc import scc_sizes, strongly_connected_components
 
     ev = read_table(spark, sf_dir, "events")
-    edges = transition_edges(ev).distinct()
+    edges = transition_edges_cut(ev)
     scc = strongly_connected_components(edges)
     return scc_sizes(scc).select("node", "scc_id", "scc_size")
 
@@ -688,11 +688,11 @@ def q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-generation stage with hash-derived (reproducible) neighbor
     choices, so the full walk corpus is VALUE-checkable: the oracle
     unrolls the same 3 steps as SQL CTEs."""
-    from kg_etl_spark.operators.adjacent import transition_edges
+    from kg_etl_spark.operators.adjacent import transition_edges_cut
     from kg_etl_spark.operators.walks import deterministic_walks
 
     ev = read_table(spark, sf_dir, "events")
-    edges = transition_edges(ev).distinct()
+    edges = transition_edges_cut(ev)
     return deterministic_walks(edges, length=3)
 
 
@@ -756,11 +756,11 @@ def q_node2vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus a pure function of the graph, so even the second-order
     rule is VALUE-checkable: the oracle unrolls each biased step as a
     candidate-join + distance-1-marker + window-prefix-sum CTE."""
-    from kg_etl_spark.operators.adjacent import transition_edges
+    from kg_etl_spark.operators.adjacent import transition_edges_cut
     from kg_etl_spark.operators.walks import node2vec_walks
 
     ev = read_table(spark, sf_dir, "events")
-    edges = transition_edges(ev).distinct()
+    edges = transition_edges_cut(ev)
     return node2vec_walks(edges, length=3, return_weight=500, out_weight=2000)
 
 
@@ -1180,11 +1180,11 @@ def q_mis_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Convergence round count is graph-dependent → rows-only; the
     value-checked twin is `mis_planted_recall` (matching graph, round
     1 provably resolves everything)."""
-    from kg_etl_spark.operators.adjacent import transition_edges
+    from kg_etl_spark.operators.adjacent import transition_edges_cut
     from kg_etl_spark.operators.mis import luby_mis
 
     ev = read_table(spark, sf_dir, "events")
-    edges = transition_edges(ev).distinct()
+    edges = transition_edges_cut(ev)
     return luby_mis(edges)
 
 
@@ -2598,11 +2598,11 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     output non-SQL-expressible in general → rows-only; the planted
     star twin below value-checks the identical kernel on a shape where
     σ ≡ 1 keeps every δ integral."""
-    from kg_etl_spark.operators.adjacent import transition_edges
+    from kg_etl_spark.operators.adjacent import transition_edges_cut
     from kg_etl_spark.operators.centrality import betweenness_sampled
 
     ev = read_table(spark, sf_dir, "events")
-    edges = transition_edges(ev).distinct()
+    edges = transition_edges_cut(ev)
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return betweenness_sampled(sym, k_pivots=8, max_depth=6)
 
@@ -2657,11 +2657,11 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked by an unrolled SQL oracle with integer sums — an
     iterative graph op with a bit-exact oracle, no planted twin
     needed."""
-    from kg_etl_spark.operators.adjacent import transition_edges
+    from kg_etl_spark.operators.adjacent import transition_edges_cut
     from kg_etl_spark.operators.centrality import hits_scores
 
     ev = read_table(spark, sf_dir, "events")
-    edges = transition_edges(ev).distinct()
+    edges = transition_edges_cut(ev)
     out = hits_scores(edges, iterations=2)
     # the operator accumulates/returns exact decimal(38,0) (overflow-
     # safe default); the catalog contract casts back to long for the
@@ -3031,11 +3031,11 @@ def q_walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (origin) with fan-out bounded by walk_length × window — never
     corpus-quadratic; margins are one tiny aggregate each; the final
     top-N is a TakeOrdered."""
-    from kg_etl_spark.operators.adjacent import transition_edges
+    from kg_etl_spark.operators.adjacent import transition_edges_cut
     from kg_etl_spark.operators.walks import deterministic_walks
 
     ev = read_table(spark, sf_dir, "events")
-    edges = transition_edges(ev).distinct()
+    edges = transition_edges_cut(ev)
     walks = deterministic_walks(edges, length=3).localCheckpoint(eager=True)
     a = walks.select("origin", F.col("step").alias("i"), F.col("node").alias("center"))
     b = walks.select("origin", F.col("step").alias("j"), F.col("node").alias("context"))

@@ -378,11 +378,11 @@ def q_spectral_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-long exact integer and every remaining op is pinned IEEE
     double arithmetic, so the unrolled 3-step SQL replays the iterates
     bit-for-bit."""
-    from kg_etl_spark.operators.adjacent import undirected_transition_edges
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
     from kg_etl_spark.operators.spectral import spectral_bisection
 
     ev = read_table(spark, sf_dir, "events")
-    pairs = undirected_transition_edges(ev).select(
+    pairs = undirected_transition_edges_cut(ev).select(
         F.col("a").alias("a_id"), F.col("b").alias("b_id")
     )
     return spectral_bisection(pairs, iterations=3)
@@ -542,10 +542,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one degree aggregate, two broadcast-joined degree
     attaches keyed by the edge endpoints, one global 1-row aggregate —
     no windows, nothing quadratic."""
-    from kg_etl_spark.operators.adjacent import undirected_transition_edges
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
 
     ev = read_table(spark, sf_dir, "events")
-    e0 = undirected_transition_edges(ev)
+    e0 = undirected_transition_edges_cut(ev)
     e = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
         e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
@@ -631,10 +631,10 @@ def q_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     follow-up is one (x,z)-keyed hash aggregate plus a 1-row sum.
     Counts accumulate in decimal(38,0) (w² sums exit long range long
     before 38 digits)."""
-    from kg_etl_spark.operators.adjacent import undirected_transition_edges
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
 
     ev = read_table(spark, sf_dir, "events")
-    e0 = undirected_transition_edges(ev)
+    e0 = undirected_transition_edges_cut(ev)
     e = e0.select(F.col("a").alias("y"), F.col("b").alias("x")).union(
         e0.select(F.col("b").alias("y"), F.col("a").alias("x"))
     )
@@ -1170,9 +1170,9 @@ def _user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Derivation rides the scale-safe stream lead (operators/adjacent.py):
     bit-identical to the naive event_type window, but no n/|types|
     single-task sort."""
-    from kg_etl_spark.operators.adjacent import undirected_transition_edges
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
 
-    return undirected_transition_edges(read_table(spark, sf_dir, "events"))
+    return undirected_transition_edges_cut(read_table(spark, sf_dir, "events"))
 
 
 def q_user_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,6 +89,11 @@ REPORT_QUERIES = [
     "loo_group_influence", "forecast_backtest", "interarrival_stats",
     "gnn_prep_manifest", "negative_edge_samples", "bootstrap_ci_mean",
     "cmh_odds_ratio", "cuped_adjustment", "simpsons_audit",
+    # round 6: adjacent-device consumers + new analytics
+    "global_type_transitions", "containment_dedup", "bh_fdr_nations",
+    "cv_fold_metrics", "mann_kendall_trend", "ipw_ate",
+    "weighted_priority_sample", "nelson_aalen_hazard",
+    "diff_in_differences", "source_js_divergence",
 ]
 
 
