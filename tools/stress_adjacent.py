@@ -59,8 +59,14 @@ def signature(edges):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    one_type = "--one-type" in sys.argv
     spark = get_spark("stress-adjacent")
     ev = synth_events(spark, n).localCheckpoint(eager=True)
+    if one_type:
+        # worst case: the ENTIRE stream is one group (cardinality 1 —
+        # the naive window would sort all n rows in a single task);
+        # the device still splits into num_ranges ts cells
+        ev = ev.withColumn("event_type", F.lit("t0")).localCheckpoint(eager=True)
 
     t0 = time.time()
     sig_dev = signature(transition_edges(ev))
@@ -82,8 +88,9 @@ def main():
     assert tuple(sig_dev) == tuple(sig_naive), (
         f"signature mismatch: device={tuple(sig_dev)} naive={tuple(sig_naive)}"
     )
+    label = "one-type " if one_type else ""
     print(
-        f"OK n={n}: edges={sig_dev['n']} device={t_dev:.1f}s "
+        f"OK {label}n={n}: edges={sig_dev['n']} device={t_dev:.1f}s "
         f"naive_single_task_window={t_naive:.1f}s"
     )
 
