@@ -1753,3 +1753,103 @@ FROM pairs p JOIN tot t USING (from_type), dom d
 
 QUERIES["global_type_transitions"] = q_global_type_transitions
 ORACLES["global_type_transitions"] = ORACLE_GLOBAL_TYPE_TRANSITIONS
+
+
+# --- CUSUM drift detection over the daily series ------------------------
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor per event type (Page 1954): the
+    recursive s_t = max(0, s_{t-1} + (x_t − μ − κ)) unrolled into the
+    CLOSED prefix form s_t = P_t − min_{j≤t} P_j with
+    P_t = Σ_{i≤t} (x_i − μ − κ) — recursion becomes two plain windows
+    (running sum + running min), the formulation that distributes.
+    μ = the type's own series mean, κ = 0.5σ (population), alarm when
+    s_t > 4σ — the textbook parameterization.
+
+    Determinism: x is the exact 2 dp daily total; μ, σ, P and the
+    running min are doubles but every engine computes the identical
+    expression tree (IEEE ops on identical inputs in identical frame
+    order — ROWS frames over a unique (type, day) grain).
+
+    100 TB shape: corpus work is the one daily hash aggregate; the
+    windows run over the calendar-bounded MODEL-SIZED daily frame."""
+    daily = _daily_totals(spark, sf_dir)
+    # day_value is exact at 2 dp, so the power sums are exact decimals
+    # (order-free); mu/sd come out of single IEEE divisions — a plain
+    # double avg() would be aggregation-order-dependent cross-engine
+    d2 = F.col("day_value").cast("decimal(28,2)")
+    stats = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(d2).alias("_s1"),
+            F.sum((d2 * d2).cast("decimal(38,4)")).alias("_s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("_s1").cast("double") / F.col("_n")).alias("_mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("_s2").cast("double") / F.col("_n")
+                    - (F.col("_s1").cast("double") / F.col("_n"))
+                    * (F.col("_s1").cast("double") / F.col("_n")),
+                    F.lit(0.0),
+                )
+            ).alias("_sd"),
+        )
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("day_value") - F.col("_mu") - 0.5 * F.col("_sd")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum(dev).over(wc)
+    cusum = p - F.min(p).over(wc)
+    out = j.select(
+        "event_type",
+        "day",
+        F.round("day_value", 2).alias("day_value"),
+        F.round(cusum, 6).alias("cusum"),
+        (cusum > 4 * F.col("_sd")).alias("alarm"),
+    )
+    return out
+
+
+ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(day_value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS mu,
+         SQRT(GREATEST(
+           CAST(SUM(CAST(CAST(day_value AS DECIMAL(28,2))
+                         * CAST(day_value AS DECIMAL(28,2)) AS DECIMAL(38,4)))
+                AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(day_value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(day_value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)),
+           0.0)) AS sd
+  FROM daily GROUP BY 1
+), p AS (
+  SELECT d.event_type, d.day, d.day_value, s.sd,
+         SUM(d.day_value - s.mu - 0.5 * s.sd) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+  FROM daily d JOIN stats s USING (event_type)
+), c AS (
+  SELECT event_type, day, day_value, sd,
+         pf - MIN(pf) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM p
+)
+SELECT event_type, day, ROUND(day_value, 2) AS day_value,
+       ROUND(cusum, 6) AS cusum, cusum > 4 * sd AS alarm
+FROM c
+"""
+
+QUERIES["cusum_drift"] = q_cusum_drift
+ORACLES["cusum_drift"] = ORACLE_CUSUM
