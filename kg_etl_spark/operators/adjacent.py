@@ -184,6 +184,67 @@ def undirected_transition_edges_cut(ev: DataFrame) -> DataFrame:
     return undirected_transition_edges(ev).localCheckpoint(eager=False)
 
 
+def with_prefix_max(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    tiebreaks: Sequence[str],
+    value_col: str,
+    *,
+    num_ranges: int = 64,
+    out_col: str = "prefix_max_excl",
+) -> DataFrame:
+    """EXCLUSIVE running MAX(value) OVER (PARTITION BY group ORDER BY
+    order, tiebreaks ROWS UNBOUNDED PRECEDING TO 1 PRECEDING) for
+    LOW-cardinality groups — the running-aggregate sibling of
+    :func:`with_next`, same cells + carry shape: each (group, range)
+    cell computes its local exclusive prefix max in parallel; the
+    per-cell maxes (a |groups| x num_ranges frame off the same
+    exchange) take an exclusive running max over cells and broadcast
+    back; the row value is greatest(local, carry).  Bit-identical to
+    the single window at any scale (max is associative and the cells
+    concatenate in order).  NULL where no prior row exists."""
+    group_cols = list(group_cols)
+    tiebreaks = [t for t in tiebreaks if t != order_col]
+    bounds = df.agg(
+        F.min(F.col(order_col).cast("double")).alias("lo"),
+        F.max(F.col(order_col).cast("double")).alias("hi"),
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return df.withColumn(out_col, F.lit(None).cast(df.schema[value_col].dataType))
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    ranged = df.withColumn(
+        "_apr", _range_expr(F.col(order_col).cast("double"), lo, hi, num_ranges)
+    ).repartition(*(group_cols + ["_apr"]))
+    order = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreaks]
+    w = (
+        Window.partitionBy(*group_cols, "_apr")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_apl", F.max(value_col).over(w))
+    cellmax = ranged.groupBy(*group_cols, "_apr").agg(
+        F.max(value_col).alias("_apm")
+    )
+    cw = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_apr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = cellmax.withColumn("_apc", F.max("_apm").over(cw)).select(
+        *group_cols, "_apr", "_apc"
+    )
+    out = local.join(F.broadcast(carry), group_cols + ["_apr"], "left")
+    out = out.withColumn(
+        out_col,
+        F.when(
+            F.col("_apl").isNotNull() & F.col("_apc").isNotNull(),
+            F.greatest("_apl", "_apc"),
+        ).otherwise(F.coalesce("_apl", "_apc")),
+    )
+    return out.select(*df.columns, out_col)
+
+
 def stream_state(ev: DataFrame) -> DataFrame:
     """Per-type LAST event (by ts, event_id) — the carry state of the
     incremental derivation: one map-side-combinable max_by aggregate,

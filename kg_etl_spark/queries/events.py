@@ -1853,3 +1853,61 @@ FROM c
 
 QUERIES["cusum_drift"] = q_cusum_drift
 ORACLES["cusum_drift"] = ORACLE_CUSUM
+
+
+# --- Out-of-order (lateness) audit ---------------------------------------
+
+
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit per type: an event is LATE when its
+    event time precedes the max event time of any event that ARRIVED
+    before it (arrival order = event_id). Reports late share and the
+    maximum lateness — the numbers that size a streaming watermark
+    before deploying one.
+
+    100 TB shape: the running arrival-max rides `with_prefix_max`
+    (operators/adjacent.py) — the grouped running-aggregate device,
+    NOT a cardinality-5 window over the raw stream — then one
+    ≤|types|-row aggregate. Lateness is exact integer micros."""
+    from kg_etl_spark.operators.adjacent import with_prefix_max
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    run = with_prefix_max(ev, ["event_type"], "event_id", [], "ts_us")
+    late = (F.col("prefix_max_excl").isNotNull()) & (
+        F.col("ts_us") < F.col("prefix_max_excl")
+    )
+    lateness = F.when(late, F.col("prefix_max_excl") - F.col("ts_us")).otherwise(
+        F.lit(0)
+    )
+    return run.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late.cast("long")).alias("n_late"),
+        F.max(lateness).alias("max_lateness_us"),
+        F.round(
+            F.sum(late.cast("long")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("late_share"),
+    )
+
+
+ORACLE_LATENESS = """
+WITH run AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN pmax IS NOT NULL AND ts_us < pmax THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(MAX(CASE WHEN pmax IS NOT NULL AND ts_us < pmax
+                     THEN pmax - ts_us ELSE 0 END) AS BIGINT) AS max_lateness_us,
+       ROUND(CAST(SUM(CASE WHEN pmax IS NOT NULL AND ts_us < pmax
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS late_share
+FROM run GROUP BY event_type
+"""
+
+QUERIES["lateness_audit"] = q_lateness_audit
+ORACLES["lateness_audit"] = ORACLE_LATENESS

@@ -178,3 +178,27 @@ def test_incremental_transitions_equal_full_stream(spark):
     assert sorted(map(tuple, s2.collect())) == sorted(
         map(tuple, stream_state(ev).collect())
     )
+
+
+def test_prefix_max_matches_window(spark):
+    from kg_etl_spark.operators.adjacent import with_prefix_max
+
+    df = spark.range(3000).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("o"),
+        ((F.col("id") * 2654435761) % 997).alias("v"),
+    )
+    got = with_prefix_max(df, ["g"], "o", [], "v", num_ranges=8)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn("prefix_max_excl", F.max("v").over(w))
+    assert _rows(got) == _rows(want)
+    # empty frame
+    empty = spark.range(0).select(
+        F.lit("a").alias("g"), F.col("id").alias("o"), F.col("id").alias("v")
+    )
+    out = with_prefix_max(empty, ["g"], "o", [], "v")
+    assert out.count() == 0 and "prefix_max_excl" in out.columns
