@@ -1959,3 +1959,93 @@ FROM per p, tot t
 
 QUERIES["cv_fold_metrics"] = q_cv_fold_metrics
 ORACLES["cv_fold_metrics"] = ORACLE_CV_FOLD
+
+
+# --- Per-edge neighborhood-Jaccard features (GNN edge features) ---------
+
+
+def q_edge_jaccard_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| for every EDGE of
+    the user-transition graph — the classic edge feature a link-level
+    GNN/EdgeConv consumes (the companion of `user_link_prediction`,
+    which scores NON-edges). Common neighbors come from the same
+    hub-capped wedge expansion (centers with deg ≤ 256, cap applied
+    identically in the oracle); edges whose every common neighbor is a
+    super-hub report cn = 0 — the documented cap semantics.
+    |N(a)∪N(b)| = deg(a)+deg(b)−cn (neighbor sets include the partner
+    endpoint; no self loops exist).
+
+    100 TB shape: one degree aggregate, the capped center-keyed wedge
+    join, one (x, y) hash aggregate SEMI-joined to the edge list, two
+    broadcast-degree attaches; all-integer until the final division."""
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
+
+    e0 = undirected_transition_edges_cut(read_table(spark, sf_dir, "events"))
+    slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = slots.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ctr = slots.join(
+        deg.filter(F.col("d") <= _LP_HUB_CAP).select(F.col("node").alias("s")), "s"
+    ).select(F.col("s").alias("z"), F.col("t").alias("x"))
+    other = ctr.select(F.col("z"), F.col("x").alias("y"))
+    cn = (
+        ctr.join(other, "z")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    feat = (
+        e0.join(
+            cn, (e0["a"] == cn["x"]) & (e0["b"] == cn["y"]), "left"
+        )
+        .select("a", "b", F.coalesce("cn", F.lit(0)).alias("cn"))
+        .join(deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b")), "b")
+    )
+    return feat.select(
+        "a",
+        "b",
+        "cn",
+        F.col("deg_a").cast("long").alias("deg_a"),
+        F.col("deg_b").cast("long").alias("deg_b"),
+        F.round(
+            F.col("cn").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+ORACLE_EDGE_JACCARD = f"""
+WITH raw AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events
+), e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), slots AS (
+  SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b AS s, a AS t FROM e0
+), deg AS (SELECT s AS node, COUNT(*) AS d FROM slots GROUP BY s),
+ctr AS (
+  SELECT sl.s AS z, sl.t AS x
+  FROM slots sl JOIN deg dg ON dg.node = sl.s
+  WHERE dg.d <= {_LP_HUB_CAP}
+), cn AS (
+  SELECT c1.x AS x, c2.x AS y, COUNT(*) AS cn
+  FROM ctr c1 JOIN ctr c2 ON c1.z = c2.z AND c1.x < c2.x
+  GROUP BY 1, 2
+)
+SELECT e.a, e.b, CAST(COALESCE(cn.cn, 0) AS BIGINT) AS cn,
+       CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+       ROUND(CAST(COALESCE(cn.cn, 0) AS DOUBLE)
+             / CAST(da.d + db.d - COALESCE(cn.cn, 0) AS DOUBLE), 6) AS jaccard
+FROM e0 e
+LEFT JOIN cn ON cn.x = e.a AND cn.y = e.b
+JOIN deg da ON da.node = e.a
+JOIN deg db ON db.node = e.b
+"""
+
+QUERIES["edge_jaccard_features"] = q_edge_jaccard_features
+ORACLES["edge_jaccard_features"] = ORACLE_EDGE_JACCARD

@@ -279,3 +279,24 @@ def test_source_jsd_brute_force_and_bounds(spark):
         jsd += 0.5 * ln2 * (1 - gmass)
         assert math.isclose(r["jsd_nats"], jsd, abs_tol=1e-5)
         assert -1e-9 <= r["jsd_nats"] <= ln2 + 1e-9
+
+
+def test_edge_jaccard_brute_force(spark):
+    rows = QUERIES["edge_jaccard_features"](spark, SF01).collect()
+    assert rows
+    from kg_etl_spark.queries.ml import _LP_HUB_CAP, _user_graph
+
+    edges = {(r["a"], r["b"]) for r in _user_graph(spark, SF01).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {(r["a"], r["b"]): (r["cn"], r["deg_a"], r["deg_b"], r["jaccard"]) for r in rows}
+    assert set(got) == edges
+    for (a, b), (cn, da, db, jac) in got.items():
+        want_cn = sum(
+            1 for z in adj[a] & adj[b] if len(adj[z]) <= _LP_HUB_CAP
+        )
+        assert cn == want_cn
+        assert (da, db) == (len(adj[a]), len(adj[b]))
+        assert abs(jac - want_cn / (da + db - want_cn)) < 1e-6
