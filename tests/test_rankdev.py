@@ -197,3 +197,21 @@ def test_grouped_device_plan_windows_are_cell_partitioned(spark):
         spec = m.group(1)
         if "_grr" not in spec:
             assert "_cn" in plan, f"group-only window over corpus:\n{spec}"
+
+
+def test_global_row_number_by_string_key(spark):
+    from kg_etl_spark.operators.rankdev import global_row_number_by
+
+    rows = [(i, f"name_{(i * 48271) % 211:03d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = global_row_number_by(df, ["name", "id"], out_col="rn")
+    w = Window.orderBy(F.col("name").asc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert got.select("id", "rn").subtract(want.select("id", "rn")).count() == 0
+    # partition-count determinism: same values at a different width
+    got7 = global_row_number_by(df, ["name", "id"], out_col="rn", num_parts=7)
+    assert got7.select("id", "rn").subtract(want.select("id", "rn")).count() == 0
+    # empty frame
+    empty = spark.createDataFrame([], "id long, name string")
+    out = global_row_number_by(empty, ["name", "id"])
+    assert out.count() == 0 and "rn" in out.columns
