@@ -13,10 +13,11 @@ on the same range-bucketing idea:
 2. each (group, range) CELL sorts locally — |groups| x num_ranges
    parallel sorts instead of |groups| giant ones — and an ordinary
    ``lead()`` fills every row except the last of each cell;
-3. the FIRST row of every cell (one ``min_by`` hash aggregate,
-   map-side combinable) forms a |groups| x num_ranges-row carry frame;
-   a lead over THAT tiny frame yields, per cell, the successor of the
-   cell's last row, broadcast-joined back on (group, range).
+3. the FIRST row of every cell (a ``min_by`` hash aggregate consuming
+   the SAME explicit cell-key exchange the window sorts on — one
+   corpus shuffle total) forms a |groups| x num_ranges-row carry
+   frame; a lead over THAT tiny frame yields, per cell, the successor
+   of the cell's last row, broadcast-joined back on (group, range).
 
 The concatenation of cells in range order, each sorted by
 (order, tiebreaks), IS the per-group total order — the result is

@@ -93,7 +93,8 @@ REPORT_QUERIES = [
     "global_type_transitions", "containment_dedup", "bh_fdr_nations",
     "cv_fold_metrics", "mann_kendall_trend", "ipw_ate",
     "weighted_priority_sample", "nelson_aalen_hazard",
-    "diff_in_differences", "source_js_divergence",
+    "diff_in_differences", "source_js_divergence", "cusum_drift",
+    "lateness_audit", "edge_jaccard_features", "snm_links",
 ]
 
 
