@@ -161,6 +161,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     load_gate = _wait_for_quiet_box()
+    _load_start = os.getloadavg()[0]
     spark = get_spark("bench")
     global _SPARK
     _SPARK = spark
@@ -220,7 +221,13 @@ def main() -> None:
                 # to ~1.7x with co-tenant load (measured 47.3s vs 88.1s
                 # for the identical commit); read cross-round deltas
                 # against the load the run saw
-                "load_avg_1m": round(os.getloadavg()[0], 2),
+                "load_avg_1m": round(_load_start, 2),
+                # end-of-run load: the bench's own 32 threads push this
+                # to ~4-5 by themselves; a LARGE gap between start and
+                # end on an otherwise-idle box is normal, but a high
+                # START load or untouched map-side queries inflating
+                # 3-4x mid-run are the co-tenant-noise tells
+                "load_avg_1m_end": round(os.getloadavg()[0], 2),
                 # load gate result at start: passed / timeout (box never
                 # quieted within 5 min — numbers are noise-suspect) /
                 # disabled (SPARK_GRAFT_LOAD_GATE<=0)
