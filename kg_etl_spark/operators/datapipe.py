@@ -90,17 +90,21 @@ def quota_sample(
 ) -> DataFrame:
     """Domain-mixing primitive: at most `quota` rows per group, chosen
     deterministically (hash order, id tie-break) — 'cap every domain at
-    N documents'. One shuffle on the group key; at 100 TB use a
-    two-level quota (per-partition pre-cap, then global) if single
-    groups exceed executor memory."""
-    w = Window.partitionBy(group_col).orderBy(
-        hash_bucket(F.col(id_col), _M32).asc(), F.col(id_col).asc()
-    )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= quota)
-        .drop("_rn")
-    )
+    N documents'. Runs as the two-level tournament (grouped_topk):
+    per-task local caps, then one model-sized per-group window over the
+    ≤ quota·num_partitions survivors — value-identical to the plain
+    per-group window, but no n/|groups| single-task sort when the
+    group key has low cardinality (and no giant-group memory hazard
+    when one domain dominates)."""
+    from kg_etl_spark.operators.topk import grouped_topk
+
+    return grouped_topk(
+        df,
+        [group_col],
+        [hash_bucket(F.col(id_col), _M32).asc(), F.col(id_col).asc()],
+        quota,
+        out_rank="_rn",
+    ).drop("_rn")
 
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -241,18 +241,19 @@ def source_cap_sample(
     standard defense against a handful of crawl domains dominating the
     mixture.
 
-    Shape: one shuffle on the group key; the rank window is per-group
-    (no global ordering). Skewed giant groups rank within their own
-    partition; at 100 TB pair with AQE skew handling or pre-salt the
-    count if a single domain exceeds a partition's memory.
+    Shape: the two-level grouped_topk tournament — per-task local caps
+    then one model-sized per-group window over ≤ cap·num_partitions
+    survivors. No n/|groups| single-task sort at low group cardinality
+    and no giant-group memory hazard when one domain dominates.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        knuth_h32(F.col(id_col)).asc(), F.col(id_col).asc()
-    )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= cap)
-        .withColumnRenamed("_rk", "keep_rank")
+    from kg_etl_spark.operators.topk import grouped_topk
+
+    return grouped_topk(
+        df,
+        [group_col],
+        [knuth_h32(F.col(id_col)).asc(), F.col(id_col).asc()],
+        cap,
+        out_rank="keep_rank",
     )
 
 

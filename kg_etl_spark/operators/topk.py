@@ -16,9 +16,48 @@ def topk_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int, out_rank: str = "rank"
 ) -> DataFrame:
     """row_number ≤ k over (group, total order). Callers must include a
-    unique-id tie-break in order_cols for determinism."""
+    unique-id tie-break in order_cols for determinism.
+
+    Scale note: fine for HIGH-cardinality groups (the window
+    parallelizes); for low-cardinality groups over corpus-scale frames
+    use :func:`grouped_topk` — this form sorts n/|groups| rows in one
+    task there."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(out_rank, F.row_number().over(w)).filter(F.col(out_rank) <= k)
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    out_rank: str = "rank",
+) -> DataFrame:
+    """Scale-safe top-k per LOW-cardinality group — two-phase
+    tournament: every task keeps its own local top-k per group (the
+    local window partitions on (group, physical partition id), so no
+    task ever sorts more than its own split), and the ≤ k·num_partitions
+    survivors per group take one final, MODEL-SIZED per-group window.
+    The local top-k is a SUPERSET of the global top-k under any
+    partitioning, so results are value-identical to the plain window
+    and partition-count-deterministic (the 7-vs-32 gate) as long as
+    ``order_cols`` is a total order (include a unique-id tie-break).
+
+    Same single row-proportional shuffle count as the naive form —
+    the hazard it removes is the n/|groups| single-task SORT, the
+    low-cardinality window class of the r5 verdict."""
+    d = df.withColumn("_gtp", F.spark_partition_id())
+    w1 = Window.partitionBy(*group_cols, "_gtp").orderBy(*order_cols)
+    local = (
+        d.withColumn("_gtl", F.row_number().over(w1))
+        .filter(F.col("_gtl") <= k)
+        .drop("_gtp", "_gtl")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        local.withColumn(out_rank, F.row_number().over(w2))
+        .filter(F.col(out_rank) <= k)
+    )
 
 
 def topk_distinct_texts(

@@ -185,14 +185,24 @@ GROUP BY r_name, n_name
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders per market segment. c_mktsegment has cardinality 5,
+    so the rank rides the two-phase grouped_topk tournament
+    (operators/topk.py) — a plain per-segment window would sort n/5 of
+    the FACT table in one task at scale (r6 self-audit finding)."""
+    from kg_etl_spark.operators.topk import grouped_topk
+
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     j = orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), orders.o_custkey == F.col("c_custkey"))
-    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        j.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rank")
+    top = grouped_topk(
+        j,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        5,
+        out_rank="rank",
+    )
+    return top.select(
+        "c_mktsegment", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -791,18 +801,36 @@ SELECT p_partkey, 'retailprice', p_retailprice FROM part
 
 def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + cume_dist per market segment (unique total order via the
-    custkey tie-break, so both engines bucket identically). Partitioned
-    windows scale — the global-decile variant would need a range
-    repartition by acctbal first; per-segment is the per-key form."""
-    cust = read_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    custkey tie-break, so both engines bucket identically).
+    c_mktsegment has cardinality 5, so the per-segment rank rides
+    grouped_row_number (operators/rankdev.py) — a plain per-segment
+    window would sort n/5 of the customer table in one task at scale
+    (r6 self-audit finding). ntile comes from the exact integer
+    formula over (rank, group size); cume_dist = rank/n exactly
+    because the order tuple is unique (no value ties)."""
+    from kg_etl_spark.operators.rankdev import grouped_row_number, ntile_expr
+
+    cust = read_table(spark, sf_dir, "customer").withColumn(
+        "_negbal", -F.col("c_acctbal")
     )
-    return cust.select(
+    ranked = grouped_row_number(
+        cust, ["c_mktsegment"], "_negbal", ["c_custkey"], out_col="_rn",
+        count_col="_n",
+    )
+    # NTILE(10) from the exact rank: first n%10 tiles get n/10+1 rows
+    q = (F.col("_n") / 10).cast("long")
+    r = F.col("_n") % 10
+    big = r * (q + 1)
+    decile = (
+        F.when(q == 0, F.col("_rn"))
+        .when(F.col("_rn") <= big, ((F.col("_rn") - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((F.col("_rn") - 1 - big) / q).cast("long") + 1)
+    )
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        decile.cast("long").alias("decile"),
+        F.round(F.col("_rn").cast("double") / F.col("_n").cast("double"), 6).alias("cd"),
     )
 
 

@@ -300,3 +300,17 @@ def test_edge_jaccard_brute_force(spark):
         assert cn == want_cn
         assert (da, db) == (len(adj[a]), len(adj[b]))
         assert abs(jac - want_cn / (da + db - want_cn)) < 1e-6
+
+
+def test_grouped_topk_matches_plain_window(spark):
+    from kg_etl_spark.operators.topk import grouped_topk, topk_per_group
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 48271) % 1009).alias("v"),
+        F.col("id").alias("tid"),
+    ).repartition(13)  # arbitrary physical layout
+    order = [F.col("v").desc(), F.col("tid").asc()]
+    got = grouped_topk(df, ["g"], order, 7, out_rank="rk")
+    want = topk_per_group(df, ["g"], order, 7, out_rank="rk")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
