@@ -255,7 +255,10 @@ def test_shuffle_budgets_hold(spark):
         "gopher_quality": 0,
         "c4_line_filter": 0,
         "dup_span_flags": 2,
-        "source_cap": 1,
+        # r6: grouped_topk tournament = one corpus-scale exchange on
+        # (source, partition-id) + one SURVIVORS-sized exchange
+        # (<= cap x num_partitions rows) for the final window
+        "source_cap": 2,
         "surprisal_buckets": 2,
         # sketches + governance: fixed-size aggregates and projections
         "jl_projection": 0,
