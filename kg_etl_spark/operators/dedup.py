@@ -80,8 +80,9 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 def _sig_udf(num_hashes: int):
     """Arrow-vectorized MinHash signature from a per-doc hashed-shingle
     array: for each seed i, min over grams of A_i·g + B_i (uint64
-    wraparound — numpy's native int semantics, deterministic on every
-    platform). One (64 × |grams|) numpy broadcast per doc replaces 64
+    wraparound; the int64<->uint64 crossings are .view bit
+    reinterpretations, exact by definition on every platform).
+    One (64 × |grams|) numpy broadcast per doc replaces 64
     interpreted per-row aggregate updates on the JVM side — the wide
     64-buffer hash aggregate is exactly the shape Spark's codegen
     cannot keep fast (measured: the per-seed-xxhash64 aggregate cost
@@ -100,12 +101,16 @@ def _sig_udf(num_hashes: int):
     def sig(shh):
         out = []
         for arr in shh:
-            g = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # .view reinterprets the int64 bits as uint64 (and back)
+            # BY DEFINITION — bit-exact on any platform/numpy, unlike
+            # an out-of-range astype (a C-style cast that wraps on all
+            # mainstream builds but is not formally guaranteed).
+            g = np.ascontiguousarray(arr, dtype=np.int64).view(np.uint64)
             if g.size == 0:  # unreachable (grams pre-filtered non-empty)
                 out.append(np.full(len(a), np.iinfo(np.int64).max, np.int64))
                 continue
             m = (g[None, :] * a[:, None] + b[:, None]).min(axis=1)
-            out.append(m.astype(np.int64))
+            out.append(np.ascontiguousarray(m).view(np.int64))
         return pd.Series(out)
 
     # `from __future__ import annotations` stringifies inline hints

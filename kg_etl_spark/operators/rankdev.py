@@ -255,6 +255,33 @@ def ntile_expr(rn: Column, n_total: int, k: int) -> Column:
     )
 
 
+def ntile_col_expr(rn: Column, n: Column, k: int) -> Column:
+    """:func:`ntile_expr` with the group size as a COLUMN — the
+    per-group sibling (feeds :func:`grouped_row_number`'s count_col).
+    Tile arithmetic is exact integer division via decimal-backed
+    ``floor`` (no double truncation at any group size a long can
+    hold), centralizing the NTILE formula the query layer used to
+    hand-roll."""
+
+    def idiv(a: Column, b: Column) -> Column:
+        # decimal(38,0)/decimal(20,0) divides exactly for any realistic
+        # long inputs; floor then truncates exactly (double division
+        # would round at >2^53)
+        return F.floor(a.cast("decimal(38,0)") / b.cast("decimal(20,0)")).cast(
+            "long"
+        )
+
+    q = idiv(n, F.lit(k))
+    r = n % F.lit(k)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    return (
+        F.when(q == F.lit(0), rn)  # n < k: tile == row number
+        .when(rn <= big, idiv(rn - 1, q + 1) + 1)
+        .otherwise(r + idiv(rn - 1 - big, q) + 1)
+        .cast("long")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     key: str,

@@ -808,7 +808,7 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r6 self-audit finding). ntile comes from the exact integer
     formula over (rank, group size); cume_dist = rank/n exactly
     because the order tuple is unique (no value ties)."""
-    from kg_etl_spark.operators.rankdev import grouped_row_number, ntile_expr
+    from kg_etl_spark.operators.rankdev import grouped_row_number, ntile_col_expr
 
     cust = read_table(spark, sf_dir, "customer").withColumn(
         "_negbal", -F.col("c_acctbal")
@@ -817,19 +817,13 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, ["c_mktsegment"], "_negbal", ["c_custkey"], out_col="_rn",
         count_col="_n",
     )
-    # NTILE(10) from the exact rank: first n%10 tiles get n/10+1 rows
-    q = (F.col("_n") / 10).cast("long")
-    r = F.col("_n") % 10
-    big = r * (q + 1)
-    decile = (
-        F.when(q == 0, F.col("_rn"))
-        .when(F.col("_rn") <= big, ((F.col("_rn") - 1) / (q + 1)).cast("long") + 1)
-        .otherwise(r + ((F.col("_rn") - 1 - big) / q).cast("long") + 1)
-    )
+    # NTILE(10) from the exact rank + per-group count (the shared
+    # integer formula — exact div, no double truncation)
+    decile = ntile_col_expr(F.col("_rn"), F.col("_n"), 10)
     return ranked.select(
         "c_custkey",
         "c_mktsegment",
-        decile.cast("long").alias("decile"),
+        decile.alias("decile"),
         F.round(F.col("_rn").cast("double") / F.col("_n").cast("double"), 6).alias("cd"),
     )
 
