@@ -18,4 +18,5 @@ Design rules (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+from kg_etl_spark import cutpoint  # noqa: F401  (registers df.lineage_cut)
 from kg_etl_spark.session import get_spark  # noqa: F401

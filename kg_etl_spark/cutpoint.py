@@ -1,0 +1,37 @@
+"""Lineage cuts that honor the session's checkpoint configuration.
+
+Iterative kernels and multi-consumer derivations cut lineage at ~112
+sites in this repo. In local mode a ``localCheckpoint`` (executor
+memory/disk blocks) is the right cut: no durable storage needed, and
+executor loss cannot happen inside a single JVM. On a real cluster a
+localCheckpoint is NOT fault-tolerant — truncated lineage cannot be
+recomputed when an executor dies, so a long iterative job dies with it
+(SCALE.md §"What changes on a real cluster"). The swap is the
+SESSION-level checkpoint dir: ``get_spark(checkpoint_dir=...)`` (or
+``SPARK_GRAFT_CHECKPOINT_DIR``, or any externally-built session that
+called ``sc.setCheckpointDir``) flips every cut in the repo to a
+reliable ``checkpoint()`` — a config-only change, exactly as SCALE.md
+promises, with zero query-code changes.
+
+Registered as a DataFrame extension method (``df.lineage_cut(...)``)
+so the call sites keep checkpoint-call syntax; the mode is resolved
+PER CALL, so a dir set mid-session takes effect immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.checkpoint(eager)`` when the SparkContext has a checkpoint
+    dir (reliable: blocks live in durable storage and survive executor
+    loss), else ``df.localCheckpoint(eager)`` (single-JVM local mode,
+    where reliability buys nothing and the write would only cost)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+DataFrame.lineage_cut = lineage_cut

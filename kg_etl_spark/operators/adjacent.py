@@ -29,8 +29,17 @@ Contract: the group key has LOW cardinality (the carry frame,
 |groups| x num_ranges rows, must broadcast — that is exactly the
 regime where the plain window is a scale-killer; high-cardinality
 groups should keep the plain window, which already parallelizes).
-``order_col`` must be non-null and (order, tiebreaks) a total order
-per group for a deterministic successor.
+Group keys may be NULL (null-safe carry joins keep a NULL group
+window-equivalent); ``order_col`` must be non-null and (order,
+tiebreaks) a total order per group for a deterministic successor.
+
+Sizing (round 7): ``num_ranges`` defaults to
+clamp(ceil(n / 1M), 64, 4×shuffle-width) from the row count the
+memoized bounds aggregate returns for free, and a bursty order-key
+distribution (a straggler's worth of rows collapsing into one
+equal-width cell) switches to equi-depth boundaries from one memoized
+percentile-sketch pass — boundary placement is correctness-neutral
+because any monotone bucketing preserves the per-group total order.
 
 Degenerate guard: a constant order key lands every row in range 0 and
 the device degrades to the single window it replaces (the event
@@ -51,37 +60,83 @@ from typing import Optional, Sequence, Tuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kg_etl_spark.operators.rankdev import _range_expr
+from kg_etl_spark.operators.rankdev import (
+    SKEW_CELL_ROWS,
+    _auto_num_ranges,
+    _boundary_expr,
+    _equidepth_boundaries,
+    _is_straggler,
+    _key_stats,
+    _range_expr,
+)
 
-# Per-DataFrame memo of order-key bounds — the programmatic stand-in
-# for the zone-map/column statistics a table format (Delta/Iceberg)
-# serves for free at scan time. The catalog's inputs are memoized
-# static scans (session.read_table), so min/max of an immutable column
-# is a dataset constant: computing it once per session instead of once
-# per query removes one full-scan job from every device invocation.
-# Weak-keyed: frames die, entries follow. Callers that mutate an
-# sf_dir mid-session already must clear the read memo (session.
-# clear_read_memo), which drops the memoized frame and with it this
-# entry. Wrong bounds could only skew CELL SIZES, never results (the
-# range expression clamps and stays monotone), but stale entries
-# cannot occur for the static bench/test dirs this serves.
+# Per-DataFrame memo of order-key statistics — the programmatic
+# stand-in for the zone-map/column statistics a table format
+# (Delta/Iceberg) serves for free at scan time. The catalog's inputs
+# are memoized static scans (session.read_table), so count/min/max of
+# an immutable column (and, at straggler scale, its equi-depth
+# boundaries) are dataset constants: computing them once per session
+# instead of once per query removes one full-scan job from every
+# device invocation. Weak-keyed: frames die, entries follow. Callers
+# that mutate an sf_dir mid-session already must clear the read memo
+# (session.clear_read_memo), which drops the memoized frame and with
+# it this entry. Wrong stats could only skew CELL SIZES, never results
+# (any monotone bucketing preserves the total order), but stale
+# entries cannot occur for the static bench/test dirs this serves.
 _BOUNDS_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
 
 
-def _order_bounds(df: DataFrame, order_col: str):
+def _memo(df: DataFrame) -> dict:
     try:
-        memo = _BOUNDS_MEMO.setdefault(df, {})
+        return _BOUNDS_MEMO.setdefault(df, {})
     except TypeError:  # non-weakrefable frame stub
-        memo = {}
+        return {}
+
+
+def _order_stats(df: DataFrame, order_col: str):
+    """(n, lo, hi) of the order key — ONE memoized aggregate (the row
+    count rides the bounds scan for free and drives auto sizing)."""
+    memo = _memo(df)
     if order_col in memo:
         return memo[order_col]
-    b = df.agg(
-        F.min(F.col(order_col).cast("double")).alias("lo"),
-        F.max(F.col(order_col).cast("double")).alias("hi"),
-    ).collect()[0]
-    val = None if b["lo"] is None else (float(b["lo"]), float(b["hi"]))
+    n, lo, hi = _key_stats(df, order_col)
+    val = None if lo is None else (n, lo, hi)
     memo[order_col] = val
     return val
+
+
+def _cell_expr(df: DataFrame, order_col: str, n: int, lo: float, hi: float,
+               num_ranges: int):
+    """Range-cell id for the order key: the zero-cost equal-width
+    arithmetic when no width cell could be a straggler sort; memoized
+    equi-depth boundaries (one percentile-sketch pass per session per
+    column) when the value distribution is bursty enough to collapse
+    a straggler's worth of rows into one width cell. Either bucketing
+    is monotone, so cell concatenation order == key order and the
+    device result is bit-identical regardless of boundary placement
+    (the r6-verdict skew-resilience directive)."""
+    kd = F.col(order_col).cast("double")
+    if n <= SKEW_CELL_ROWS or hi == lo:
+        return _range_expr(kd, lo, hi, num_ranges)
+    memo = _memo(df)
+    bkey = (order_col, num_ranges)
+    if bkey in memo:
+        bnds = memo[bkey]
+    else:
+        bnds = _equidepth_boundaries(df, order_col, num_ranges)
+        memo[bkey] = bnds
+    # estimated max width-cell mass from the equi-depth points (each
+    # consecutive pair brackets 1/num_ranges of the rows): k points
+    # inside one width cell ≈ (k+1)/num_ranges of the corpus there
+    width = max((hi - lo) / num_ranges, 1e-12)
+    per_cell: dict = {}
+    for b in bnds:
+        c = min(int((b - lo) / width), num_ranges - 1)
+        per_cell[c] = per_cell.get(c, 0) + 1
+    est_max = (max(per_cell.values(), default=0) + 1) * (n // num_ranges)
+    if _is_straggler(est_max, n, num_ranges):
+        return _boundary_expr(kd, bnds)
+    return _range_expr(kd, lo, hi, num_ranges)
 
 
 def with_next(
@@ -91,32 +146,39 @@ def with_next(
     tiebreaks: Sequence[str],
     next_cols: Sequence[str],
     *,
-    num_ranges: int = 64,
+    num_ranges: Optional[int] = None,
     prefix: str = "next_",
 ) -> DataFrame:
     """LEAD(c) OVER (PARTITION BY group_cols ORDER BY order_col,
     tiebreaks) for each c in ``next_cols``, emitted as ``next_<c>`` —
     without any single-task per-group sort.  Value-identical to the
     window form (the range bucketing is a monotone function of the
-    order key, so cell concatenation preserves the total order)."""
+    order key, so cell concatenation preserves the total order).
+
+    ``num_ranges=None`` (default) sizes itself from the memoized row
+    count (clamp(ceil(n/1M), 64, 4×shuffle-width)); bursty order-key
+    distributions switch to equi-depth cells (:func:`_cell_expr`).
+    Group keys may be NULL (the carry join is null-safe, so a NULL
+    group is its own stream exactly as the plain window treats it —
+    r6 advice); ``order_col`` must be non-null."""
     group_cols = list(group_cols)
     tiebreaks = [t for t in tiebreaks if t != order_col]
     next_cols = list(next_cols)
     out_types = {c: df.schema[c].dataType for c in next_cols}
 
-    bounds = _order_bounds(df, order_col)
-    if bounds is None:  # empty frame
+    stats = _order_stats(df, order_col)
+    if stats is None:  # empty frame
         out = df
         for c in next_cols:
             out = out.withColumn(prefix + c, F.lit(None).cast(out_types[c]))
         return out
-    lo, hi = bounds
+    n, lo, hi = stats
+    if num_ranges is None:
+        num_ranges = _auto_num_ranges(n, df.sparkSession)
 
     # cast-to-double is monotone non-decreasing, so even a rounding
     # collision only MERGES adjacent keys into one cell — never reorders
-    ranged = df.withColumn(
-        "_apr", _range_expr(F.col(order_col).cast("double"), lo, hi, num_ranges)
-    )
+    ranged = df.withColumn("_apr", _cell_expr(df, order_col, n, lo, hi, num_ranges))
     # explicit hash exchange on the cell key: the window below finds its
     # distribution requirement satisfied (no extra exchange + in-place
     # sort) and the carry aggregate consumes the SAME exchange as a
@@ -146,20 +208,30 @@ def with_next(
         *group_cols, "_apr", "_apnext"
     )
 
-    out = local.join(F.broadcast(carry), group_cols + ["_apr"], "left")
-    for c in next_cols:
-        out = out.withColumn(
-            prefix + c,
-            F.when(F.col("_aplast"), F.col("_apnext").getField(c)).otherwise(
-                F.col("_apl_" + c)
-            ),
-        )
+    # null-safe on the group keys (r6 advice): a NULL group must carry
+    # across its own cells exactly like any other group; _apr is
+    # non-null by the order_col contract
+    L, C = local.alias("_al"), carry.alias("_ac")
+    cond = [
+        F.col(f"_al.`{c}`").eqNullSafe(F.col(f"_ac.`{c}`")) for c in group_cols
+    ] + [F.col("_al._apr") == F.col("_ac._apr")]
+    out = L.join(F.broadcast(C), cond, "left")
     # pin the original column order (the join moved its keys first)
-    return out.select(*df.columns, *[prefix + c for c in next_cols])
+    sel = [F.col(f"_al.`{c}`") for c in df.columns]
+    for c in next_cols:
+        sel.append(
+            F.when(F.col("_al._aplast"), F.col("_ac._apnext").getField(c))
+            .otherwise(F.col("_al._apl_" + c))
+            .alias(prefix + c)
+        )
+    return out.select(*sel)
 
 
 def stream_lead(
-    ev: DataFrame, next_cols: Sequence[str] = ("user_id",), *, num_ranges: int = 64
+    ev: DataFrame,
+    next_cols: Sequence[str] = ("user_id",),
+    *,
+    num_ranges: Optional[int] = None,
 ) -> DataFrame:
     """The catalog's event-stream successor: LEAD(c) OVER (PARTITION BY
     event_type ORDER BY ts, event_id) for each requested column —
@@ -197,20 +269,22 @@ def undirected_transition_edges(ev: DataFrame) -> DataFrame:
 
 
 def transition_edges_cut(ev: DataFrame) -> DataFrame:
-    """DISTINCT directed transition edges, localCheckpointed (lazy) —
+    """DISTINCT directed transition edges at a lazy lineage cut
+    (localCheckpoint locally; reliable checkpoint when the session has
+    a checkpoint dir — kg_etl_spark/cutpoint.py) —
     the multi-consumer cut for iterative kernels (scc/walks/hits/...),
     which consume the edge frame once per round: without the cut the
     whole derivation (scan + device) re-executes per action. The
     checkpoint holds |E| distinct edges — state those kernels
     materialize anyway. Use the un-checkpointed builders for
     single-pass queries (plans stay inspectable)."""
-    return transition_edges(ev).distinct().localCheckpoint(eager=False)
+    return transition_edges(ev).distinct().lineage_cut(eager=False)
 
 
 def undirected_transition_edges_cut(ev: DataFrame) -> DataFrame:
-    """`undirected_transition_edges` at a lazy localCheckpoint cut —
+    """`undirected_transition_edges` at a lazy lineage cut —
     same rationale as :func:`transition_edges_cut`."""
-    return undirected_transition_edges(ev).localCheckpoint(eager=False)
+    return undirected_transition_edges(ev).lineage_cut(eager=False)
 
 
 def with_prefix_max(
@@ -220,7 +294,7 @@ def with_prefix_max(
     tiebreaks: Sequence[str],
     value_col: str,
     *,
-    num_ranges: int = 64,
+    num_ranges: Optional[int] = None,
     out_col: str = "prefix_max_excl",
 ) -> DataFrame:
     """EXCLUSIVE running MAX(value) OVER (PARTITION BY group ORDER BY
@@ -232,15 +306,18 @@ def with_prefix_max(
     exchange) take an exclusive running max over cells and broadcast
     back; the row value is greatest(local, carry).  Bit-identical to
     the single window at any scale (max is associative and the cells
-    concatenate in order).  NULL where no prior row exists."""
+    concatenate in order).  NULL where no prior row exists.  Sizing,
+    skew handling, and NULL-group handling as :func:`with_next`."""
     group_cols = list(group_cols)
     tiebreaks = [t for t in tiebreaks if t != order_col]
-    bounds = _order_bounds(df, order_col)
-    if bounds is None:
+    stats = _order_stats(df, order_col)
+    if stats is None:
         return df.withColumn(out_col, F.lit(None).cast(df.schema[value_col].dataType))
-    lo, hi = bounds
+    n, lo, hi = stats
+    if num_ranges is None:
+        num_ranges = _auto_num_ranges(n, df.sparkSession)
     ranged = df.withColumn(
-        "_apr", _range_expr(F.col(order_col).cast("double"), lo, hi, num_ranges)
+        "_apr", _cell_expr(df, order_col, n, lo, hi, num_ranges)
     ).repartition(*(group_cols + ["_apr"]))
     order = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreaks]
     w = (
@@ -260,15 +337,18 @@ def with_prefix_max(
     carry = cellmax.withColumn("_apc", F.max("_apm").over(cw)).select(
         *group_cols, "_apr", "_apc"
     )
-    out = local.join(F.broadcast(carry), group_cols + ["_apr"], "left")
-    out = out.withColumn(
-        out_col,
-        F.when(
-            F.col("_apl").isNotNull() & F.col("_apc").isNotNull(),
-            F.greatest("_apl", "_apc"),
-        ).otherwise(F.coalesce("_apl", "_apc")),
+    L, C = local.alias("_al"), carry.alias("_ac")
+    cond = [
+        F.col(f"_al.`{c}`").eqNullSafe(F.col(f"_ac.`{c}`")) for c in group_cols
+    ] + [F.col("_al._apr") == F.col("_ac._apr")]
+    out = L.join(F.broadcast(C), cond, "left")
+    val = F.when(
+        F.col("_al._apl").isNotNull() & F.col("_ac._apc").isNotNull(),
+        F.greatest("_al._apl", "_ac._apc"),
+    ).otherwise(F.coalesce("_al._apl", "_ac._apc"))
+    return out.select(
+        *[F.col(f"_al.`{c}`") for c in df.columns], val.alias(out_col)
     )
-    return out.select(*df.columns, out_col)
 
 
 def stream_state(ev: DataFrame) -> DataFrame:

@@ -137,7 +137,7 @@ def check_expectations(
     ]
     # cut the lineage at the 1-row aggregate: the per-rule selects below
     # would otherwise each re-scan the table (N rules = N scans)
-    one = df.agg(*aggs).localCheckpoint()
+    one = df.agg(*aggs).lineage_cut()
     out = None
     for name in sorted(rules):
         row = one.select(
@@ -301,7 +301,7 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     cells = (
         df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .agg(F.count(F.lit(1)).alias("obs"))
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     row_t = cells.groupBy("a").agg(F.sum("obs").alias("rt"))
     col_t = cells.groupBy("b").agg(F.sum("obs").alias("ct"))

@@ -65,7 +65,7 @@ def sssp_rounds(
         )
         # every round joins sym — without this cut the edge-generation
         # subtree (often a blocked spatial self-join) replays per round
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     dist = sources.select("node", F.lit(0.0).alias("dist"))
     for k in range(rounds):
@@ -78,7 +78,7 @@ def sssp_rounds(
         if k < rounds - 1:
             # cut the cumulative lineage: without this, round k replays
             # rounds 1..k-1's joins (the components.py iterate pattern)
-            dist = dist.localCheckpoint(eager=True)
+            dist = dist.lineage_cut(eager=True)
     return dist
 
 
@@ -96,7 +96,7 @@ def sssp_per_source(
         .union(
             edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"), F.col("w"))
         )
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     dist = sources.select(
         F.col("node").alias("source"), F.col("node"), F.lit(0.0).alias("dist")
@@ -111,7 +111,7 @@ def sssp_per_source(
             .agg(F.min("dist").alias("dist"))
         )
         if k < rounds - 1:
-            dist = dist.localCheckpoint(eager=True)
+            dist = dist.lineage_cut(eager=True)
     return dist
 
 

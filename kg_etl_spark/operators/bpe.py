@@ -127,7 +127,7 @@ def bpe_train(
     from typing import Iterator
 
     toks = corpus.select(F.explode(ws_tokens(F.col(text_col))).alias("_w"))
-    wc = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(
+    wc = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_n")).lineage_cut(
         eager=True
     )  # vocabulary + frequencies: reused every round
 

@@ -46,7 +46,7 @@ def betweenness_sampled(
     contract)."""
     e = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().lineage_cut(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -59,7 +59,7 @@ def betweenness_sampled(
         F.col("node").alias("pivot"),
         F.col("node"),
         F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     levels = [frontier]  # levels[d] = (pivot, node, sigma) at depth d
     seen = frontier.select("pivot", "node")
     for d in range(1, max_depth + 1):
@@ -74,14 +74,14 @@ def betweenness_sampled(
             .groupBy("pivot", "node")
             .agg(F.sum("sigma").alias("sigma"))
             .join(seen, ["pivot", "node"], "left_anti")
-            .localCheckpoint(eager=False)
+            .lineage_cut(eager=False)
         )
         if nxt.count() == 0:
             break
         levels.append(nxt)
         seen = seen.union(nxt.select("pivot", "node"))
         if d % 2 == 0:
-            seen = seen.localCheckpoint(eager=True)
+            seen = seen.lineage_cut(eager=True)
 
     # backward: accumulate δ from the deepest level inward
     deltas = [None] * len(levels)
@@ -111,7 +111,7 @@ def betweenness_sampled(
             .select("pivot", "node", F.coalesce("delta", F.lit(0.0)).alias("delta"))
             # lazy: materializes inside the next level's job, reused by
             # the final union — no standalone materialization job
-            .localCheckpoint(eager=False)
+            .lineage_cut(eager=False)
         )
 
     acc = None
@@ -145,12 +145,12 @@ def hits_scores(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
     DEC = "decimal(38,0)"
     e = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().lineage_cut(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     # Loud overflow discipline (scc.py settled-clean idiom): a decimal
     # sum that exits 38 digits goes NULL under non-ANSI Spark, and the
@@ -166,7 +166,7 @@ def hits_scores(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
     def _no_overflow(agg: DataFrame, cols, rnd: int) -> DataFrame:
         if not probe_overflow:
             return agg
-        agg = agg.localCheckpoint(eager=True)
+        agg = agg.lineage_cut(eager=True)
         null_any = None
         for c in cols:
             cond = F.col(c).isNull()

@@ -162,7 +162,7 @@ def semantic_dedup(
         F.col(id_col),
         _assign_expr(centers, vec_col).alias("cluster_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
 
     from kg_etl_spark.operators.similarity import cosine
 

@@ -72,7 +72,7 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     # read it): materialize ONCE so an expensive upstream edge plan —
     # a blocked spatial self-join, an LSH band join — is not re-executed
     # per consumer
-    tagged = edges.join(asg_a, "a_id").join(asg_b, "b_id").localCheckpoint(eager=True)
+    tagged = edges.join(asg_a, "a_id").join(asg_b, "b_id").lineage_cut(eager=True)
 
     # m from the TAGGED frame: edges with an unassigned endpoint drop
     # out of the inner joins and must not count toward 2m either

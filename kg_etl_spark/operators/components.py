@@ -65,7 +65,7 @@ def components_iterative(
                 "_changed",
             )
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = stepped.lineage_cut(eager=True)
         changed = stepped.filter(F.col("_changed")).limit(1).count()
         labels = stepped.drop("_changed")
         if changed == 0:
@@ -90,7 +90,7 @@ def connected_components(
     # localCheckpoint, not cache: the caller's actions run after this
     # function returns, and an unpersisted cache would silently re-run
     # the (possibly expensive) edge-producing lineage on every one.
-    e = e.localCheckpoint(eager=True)
+    e = e.lineage_cut(eager=True)
     n = e.count()
     if n > small_threshold:
         return components_iterative(e)

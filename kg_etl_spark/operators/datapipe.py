@@ -279,7 +279,7 @@ def dsir_weights(
             F.count(F.lit(1)).alias("_cr"),
             F.sum("_t").alias("_ct"),
         )
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     tot = counts.agg(
         F.sum("_cr").alias("nr"), F.sum("_ct").alias("nt"), F.count(F.lit(1)).alias("v")
@@ -589,7 +589,7 @@ def quantile_normalize(
     )
     glob = local.select(
         (F.col("_lrn") + off).alias("_grn"), F.col("_v").alias("_gv")
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
 
     w_grp = Window.partitionBy("_g").orderBy(F.col("_v").asc(), F.col("_id").asc())
     n_grp = Window.partitionBy("_g")

@@ -223,14 +223,14 @@ def ngram_jaccard_pairs(
     # without a cut the (CPU-heavy) tokenize+shingle pass runs once
     # per branch. LAZY checkpoint: the first consuming job
     # materializes it inline (one fewer scheduling round than eager).
-    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).localCheckpoint(
+    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).lineage_cut(
         eager=False
     )
     if max_df is not None:
         dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
         ex = ex.join(
             F.broadcast(dfreq.filter(F.col("_df") > max_df)), "_s", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).lineage_cut(eager=True)
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = ex.select(F.col("_id").alias("a_id"), "_s")
     b = ex.select(F.col("_id").alias("b_id"), "_s")
@@ -276,14 +276,14 @@ def ngram_containment_pairs(
     universe semantics. Reference parity: the reference has no
     containment operator; this extends its dedup family per the
     training-pipeline brief."""
-    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).localCheckpoint(
+    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).lineage_cut(
         eager=False
     )
     if max_df is not None:
         dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
         ex = ex.join(
             F.broadcast(dfreq.filter(F.col("_df") > max_df)), "_s", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).lineage_cut(eager=True)
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = ex.select(F.col("_id").alias("a_id"), "_s")
     b = ex.select(F.col("_id").alias("b_id"), "_s")
@@ -408,7 +408,7 @@ def minhash_lsh_pairs(
     # cheap projection off the checkpoint — its two self-join sides
     # are identical plans, so the band shuffle is built once and
     # ReusedExchange'd.
-    shh = _sig_shingles(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=False)
+    shh = _sig_shingles(df, id_col, text_col, n, num_hashes).lineage_cut(eager=False)
 
     banded = _band_table(shh, num_hashes, bands)
 
@@ -460,7 +460,7 @@ def minhash_index(
     near-dup maintenance O(batch), not O(100 TB re-LSH per refresh).
     """
     assert num_hashes % bands == 0
-    shh = _sig_shingles(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
+    shh = _sig_shingles(df, id_col, text_col, n, num_hashes).lineage_cut(eager=True)
     # stored shingle frame is (_id, _shh) ONLY: the signature is fully
     # encoded in the band table, so persisting _sig would just bloat
     # the index (and the store schema is a public contract — streaming
@@ -519,8 +519,8 @@ def minhash_lsh_pairs_incremental(
             "minhash_index (cross-family signatures never collide on "
             "equal content, so proceeding would silently miss all pairs)"
         )
-    new_shh = _sig_shingles(new_df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
-    new_banded = _band_table(new_shh, num_hashes, bands).localCheckpoint(eager=True)
+    new_shh = _sig_shingles(new_df, id_col, text_col, n, num_hashes).lineage_cut(eager=True)
+    new_banded = _band_table(new_shh, num_hashes, bands).lineage_cut(eager=True)
     stored_banded = index["banded"]
 
     all_banded = stored_banded.unionByName(new_banded)
@@ -719,7 +719,7 @@ def ngram_jaccard_pairs_prefix(
     match `ngram_jaccard_pairs` row-for-row (property-tested) and the
     same DuckDB oracle applies verbatim.
     """
-    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = _shingled(df, id_col, text_col, n).lineage_cut(eager=True)
     ex = sh.select("_id", F.explode("_sh").alias("_s"))
     dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
@@ -740,7 +740,7 @@ def ngram_jaccard_pairs_prefix(
         F.explode(
             F.slice(F.transform("_arr", lambda x: x["_s"]), 1, plen)
         ).alias("_s"),
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
 
     cand = (
         prefix.alias("x")
@@ -856,13 +856,13 @@ def winnowing_pairs(
         winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
         .select("_id", "fp_hash")
         .distinct()
-        .localCheckpoint(eager=False)
+        .lineage_cut(eager=False)
     )
     if max_df is not None:
         hot = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_df")).filter(
             F.col("_df") > max_df
         )
-        fps = fps.join(F.broadcast(hot), "fp_hash", "left_anti").localCheckpoint(
+        fps = fps.join(F.broadcast(hot), "fp_hash", "left_anti").lineage_cut(
             eager=True
         )
     sizes = fps.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))

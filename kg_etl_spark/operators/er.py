@@ -125,13 +125,13 @@ def resolve_entities(
     # Materialize the (small) link set once: everything downstream —
     # components, the canonical window, the members count — re-reads it,
     # and without a cut here each action re-runs the blocking self-join.
-    links = cands.filter(banded_accept(F.col("meters"), F.col(sim_col), bands)).localCheckpoint(
+    links = cands.filter(banded_accept(F.col("meters"), F.col(sim_col), bands)).lineage_cut(
         eager=True
     )
 
     comp = connected_components(
         links.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     asg = base.join(comp.withColumnRenamed("node", "id"), "id", "left").withColumn(
         "canonical_id", F.coalesce(F.col("comp"), F.col("id"))

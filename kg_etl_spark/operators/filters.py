@@ -282,7 +282,7 @@ def surprisal_tertile_buckets(
 
     scored = unigram_surprisal(
         corpus, id_col=id_col, text_col=text_col, vocab_size=vocab_size
-    ).localCheckpoint(eager=True)  # rank device re-reads it 3×
+    ).lineage_cut(eager=True)  # rank device re-reads it 3×
     tiled = global_ntile(
         scored, "avg_surprisal", 3, tiebreaks=[id_col], out_col="_tile"
     )

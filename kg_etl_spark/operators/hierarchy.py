@@ -34,7 +34,7 @@ def ancestor_paths(
         F.coalesce("parent", F.col("node")).alias("anc"),
         F.when(F.col("parent").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
         F.col("parent").isNull().alias("done"),
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     # roots' lookup rows: (anc=self, +0 hops, done) — already in state.
     for _ in range(max_doublings):
         if state.filter(~F.col("done")).limit(1).count() == 0:
@@ -57,6 +57,6 @@ def ancestor_paths(
                 .alias("depth"),
                 (F.col("done") | F.coalesce("_done2", F.lit(False))).alias("done"),
             )
-            .localCheckpoint(eager=True)
+            .lineage_cut(eager=True)
         )
     return state.select("node", F.col("anc").alias("root"), "depth")

@@ -23,7 +23,7 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     WITHIN the core."""
     sym = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).union(
         edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
 
     for _ in range(max_iter):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
@@ -36,7 +36,7 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .lineage_cut(eager=True)
         )
     return sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("u").alias("node"), "degree"

@@ -119,7 +119,7 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         edges.select(
             F.least("a_id", "b_id").alias("u"), F.greatest("a_id", "b_id").alias("v")
         )
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     if k == 3:
         # Closed form, no peel: a support-0 edge lies in NO triangle, so
@@ -130,13 +130,13 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         # too — one support pass, no probes, no second round.
         return _triangle_support(cur)
     for _ in range(max_iter):
-        sup = _edge_support(cur).localCheckpoint(eager=True)
+        sup = _edge_support(cur).lineage_cut(eager=True)
         if sup.filter(F.col("support") < need).limit(1).count() == 0:
             return sup
         cur = (
             sup.filter(F.col("support") >= need)
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .lineage_cut(eager=True)
         )
     # loud escape, never a silently-unfinished truss (scc.py idiom)
     warnings.warn(

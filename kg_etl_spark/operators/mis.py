@@ -65,8 +65,8 @@ def luby_mis(edges: DataFrame, *, max_rounds: int = 30) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().localCheckpoint(eager=True)
-    active = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().lineage_cut(eager=True)
+    active = sym.select(F.col("src").alias("node")).distinct().lineage_cut(eager=True)
     settled_parts = []
     adj = sym
     for r in range(max_rounds):
@@ -88,7 +88,7 @@ def luby_mis(edges: DataFrame, *, max_rounds: int = 30) -> DataFrame:
                     | (_prio_key(F.col("node"), r) < F.col("_mn"))
                 ).alias("_sel"),
             )
-            .localCheckpoint(eager=True)
+            .lineage_cut(eager=True)
         )
         selected = marked.filter(F.col("_sel")).select("node")
         dominated = (
@@ -103,14 +103,14 @@ def luby_mis(edges: DataFrame, *, max_rounds: int = 30) -> DataFrame:
                 dominated.join(selected, "node", "left_anti").select(
                     "node", F.lit(False).alias("selected"), F.lit(r).alias("round")
                 )
-            ).localCheckpoint(eager=True)
+            ).lineage_cut(eager=True)
         )
         gone = settled_parts[-1].select("node")
-        active = active.join(gone, "node", "left_anti").localCheckpoint(eager=True)
+        active = active.join(gone, "node", "left_anti").lineage_cut(eager=True)
         adj = (
             adj.join(active.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(active.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .lineage_cut(eager=True)
         )
     if not settled_parts:  # empty input / self-loops only: no vertices
         return active.select(

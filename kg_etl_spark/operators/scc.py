@@ -75,7 +75,7 @@ def _fb_flags(
         "part",
         F.col("is_pivot").alias("f"),
         F.col("is_pivot").alias("b"),
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     for it in range(max_iters):
         f_src = state.filter(F.col("f")).select(
             F.col("node").alias("src"), F.col("part").alias("_fp")
@@ -115,7 +115,7 @@ def _fb_flags(
         # check_every steps (a step with _new = ∅ is a true fixpoint —
         # flag propagation is monotone)
         if it % check_every == check_every - 1 or it == max_iters - 1:
-            stepped = stepped.localCheckpoint(eager=True)
+            stepped = stepped.lineage_cut(eager=True)
             changed = stepped.filter(F.col("_new")).limit(1).count()
             if changed == 0:
                 state = stepped.select("node", "part", "f", "b")
@@ -134,7 +134,7 @@ def _weak_relabel(
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    state = active.select("node", F.col("node").alias("lbl")).localCheckpoint(
+    state = active.select("node", F.col("node").alias("lbl")).lineage_cut(
         eager=True
     )
     for it in range(max_iters):
@@ -155,7 +155,7 @@ def _weak_relabel(
         # intermediate steps stay lazy (bounded lineage), so the job
         # count per fixpoint drops by the same factor
         if it % check_every == check_every - 1 or it == max_iters - 1:
-            stepped = stepped.localCheckpoint(eager=True)
+            stepped = stepped.lineage_cut(eager=True)
             changed = stepped.filter(F.col("_chg")).limit(1).count()
             if changed == 0:
                 state = stepped.select("node", "lbl")
@@ -278,9 +278,9 @@ def strongly_connected_components(
         .union(e0.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("part"))
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
-    e = e0.withColumn("part", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    e = e0.withColumn("part", F.lit(0).cast("long")).lineage_cut(eager=True)
     settled_parts = []
 
     for _ in range(max_outer):
@@ -291,7 +291,7 @@ def strongly_connected_components(
             interior = active.join(has_out, ["node", "part"], "left_semi").join(
                 has_in, ["node", "part"], "left_semi"
             )
-            trimmed = active.join(interior, ["node", "part"], "left_anti").localCheckpoint(
+            trimmed = active.join(interior, ["node", "part"], "left_anti").lineage_cut(
                 eager=True
             )
             if trimmed.limit(1).count() == 0:
@@ -299,11 +299,11 @@ def strongly_connected_components(
             settled_parts.append(
                 trimmed.select("node", F.col("node").alias("scc_id"))
             )
-            active = interior.localCheckpoint(eager=True)
+            active = interior.lineage_cut(eager=True)
             e = (
                 e.join(active.withColumnRenamed("node", "src"), ["src", "part"], "left_semi")
                 .join(active.withColumnRenamed("node", "dst"), ["dst", "part"], "left_semi")
-                .localCheckpoint(eager=True)
+                .lineage_cut(eager=True)
             )
         if active.limit(1).count() == 0:
             break
@@ -311,7 +311,7 @@ def strongly_connected_components(
         # threshold finishes in one linear-time task instead of
         # O(log·diam) more fixpoint shuffles
         if e.limit(cutover_edges + 1).count() <= cutover_edges:
-            settled_parts.append(_tarjan_single_task(e).localCheckpoint(eager=True))
+            settled_parts.append(_tarjan_single_task(e).lineage_cut(eager=True))
             active = active.limit(0)
             break
         # 2. weak relabel: part = min id of the in-part weak component;
@@ -323,7 +323,7 @@ def strongly_connected_components(
             e.select("src", "dst")
             .join(active.withColumnRenamed("node", "src").withColumnRenamed("part", "_np"), "src")
             .select("src", "dst", F.col("_np").alias("part"))
-            .localCheckpoint(eager=True)
+            .lineage_cut(eager=True)
         )
         # pivot per part = hash-argmin vertex (ties impossible: total
         # order on (hash, node)). A min-ID pivot correlates with any
@@ -349,7 +349,7 @@ def strongly_connected_components(
         hits = both.filter(F.col("_f") & F.col("_b"))
         # scc_id contract = min member id; the hash pivot need not be it
         ids = hits.groupBy("part").agg(F.min("node").alias("scc_id"))
-        scc = hits.join(ids, "part").select("node", "scc_id").localCheckpoint(
+        scc = hits.join(ids, "part").select("node", "scc_id").lineage_cut(
             eager=True
         )
         settled_parts.append(scc)
@@ -361,7 +361,7 @@ def strongly_connected_components(
                 + F.when(F.col("_f"), 1).when(F.col("_b"), 2).otherwise(3)
             ).alias("part"),
         )
-        active = rest.localCheckpoint(eager=True)
+        active = rest.lineage_cut(eager=True)
         if active.limit(1).count() == 0:
             break
         relabeled = active.withColumnRenamed("part", "_np")
@@ -372,7 +372,7 @@ def strongly_connected_components(
             .join(relabeled.withColumnRenamed("node", "dst"), "dst")
             .filter(F.col("_sp") == F.col("_np"))  # cross-group edges die
             .select("src", "dst", F.col("_sp").alias("part"))
-            .localCheckpoint(eager=True)
+            .lineage_cut(eager=True)
         )
 
     if settled_parts:

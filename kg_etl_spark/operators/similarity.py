@@ -253,7 +253,7 @@ def hyperplane_lsh_neardup_pairs(
         for b in range(bands)
     ]
     sig = with_bits.select("_id", "_v", *band_keys)
-    sig = sig.localCheckpoint(eager=True)
+    sig = sig.lineage_cut(eager=True)
 
     banded = sig.select(
         "_id",

@@ -57,7 +57,7 @@ def spectral_bisection(edges: DataFrame, *, iterations: int = 3) -> DataFrame:
         )
         .filter(F.col("s") != F.col("t"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     # total degree = 2|E| — a constant across iterations, one scalar agg
@@ -119,7 +119,7 @@ def spectral_bisection(edges: DataFrame, *, iterations: int = 3) -> DataFrame:
             # lazy: lineage still cut at first materialization (inside
             # the next iteration's scalar-aggregate job) without paying
             # a standalone job per step
-            .localCheckpoint(eager=False)
+            .lineage_cut(eager=False)
         )
     return v.select(
         "node",

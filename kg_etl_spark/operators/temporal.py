@@ -230,6 +230,6 @@ def temporal_earliest_arrival(
         ea = (
             ea.join(relax, "node", "full_outer")
             .select("node", F.least("ea", "_cand").alias("ea"))
-            .localCheckpoint(eager=True)
+            .lineage_cut(eager=True)
         )
     return ea

@@ -70,7 +70,7 @@ def unigram_surprisal(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("_tok")
     )
     counts = (
-        toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(eager=True)
+        toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c")).lineage_cut(eager=True)
     )
     n_total = counts.agg(F.sum("_c").alias("n")).collect()[0]["n"] or 0
     vocab = counts.orderBy(F.col("_c").desc(), F.col("_tok").asc()).limit(vocab_size)

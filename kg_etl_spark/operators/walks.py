@@ -90,7 +90,7 @@ def deterministic_walks(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("deg"),
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -116,7 +116,7 @@ def deterministic_walks(
             )
         )
         frontier = (
-            step.localCheckpoint(eager=True)
+            step.lineage_cut(eager=True)
             if (t % checkpoint_every == 0 and t < length)
             else step
         )
@@ -175,7 +175,7 @@ def node2vec_walks(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("deg"),
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     marker = e.select(F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("_d1"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -244,7 +244,7 @@ def node2vec_walks(
             )
         )
         frontier = (
-            step.localCheckpoint(eager=True)
+            step.lineage_cut(eager=True)
             if (t % checkpoint_every == 0 and t < length)
             else step
         )

@@ -387,7 +387,7 @@ def q_scc_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = (
         cust.select("c_custkey", "c_nationkey", F.row_number().over(wr).alias("rn"))
         .filter(F.col("rn") <= 4)
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     wc = Window.partitionBy("c_nationkey").orderBy("rn")
     cycle = picked.select(
@@ -855,7 +855,7 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", F.lit(0).alias("y")
         )
     ).join(cust.select("c_custkey", "c_acctbal"), "c_custkey")
-    labeled = labeled.localCheckpoint(eager=True)  # device re-reads it 3×
+    labeled = labeled.lineage_cut(eager=True)  # device re-reads it 3×
     binned = global_ntile(
         labeled, "c_acctbal", 10, tiebreaks=["c_custkey"],
         out_col="decile", subkey="c_custkey",
@@ -1206,7 +1206,7 @@ def q_mis_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_custkey")  # global rank: planted input, OK
     ranked = cust.select(
         "c_custkey", F.row_number().over(w).alias("rn")
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     left = ranked.filter(F.col("rn") % 2 == 1).select(
         F.col("c_custkey").alias("src"), ((F.col("rn") + 1) / 2).cast("long").alias("_pair")
     )
@@ -1558,7 +1558,7 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
         F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
-    ).localCheckpoint(eager=True)  # device re-reads it 2×
+    ).lineage_cut(eager=True)  # device re-reads it 2×
     tot = per_v.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
@@ -1922,7 +1922,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
         ).alias("v")
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     stats = daily.groupBy("event_type").agg(
         (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("_mu"),
         F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double").alias("_s2"),
@@ -2017,7 +2017,7 @@ def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         transition_edges(ev, with_ts=True)
         .groupBy("src", "dst")
         .agg(F.min("t").alias("t"))  # keep earliest copy of each edge
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     from kg_etl_spark.operators.temporal import temporal_earliest_arrival
 
@@ -2119,7 +2119,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
-    ).localCheckpoint(eager=True)  # device re-reads it 3×
+    ).lineage_cut(eager=True)  # device re-reads it 3×
     ranked, _n = global_row_number(
         per_cust, "rev", tiebreaks=["o_custkey"], out_col="rnk",
         subkey="o_custkey",
@@ -2189,7 +2189,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = per_cust.agg(F.max("last_day").alias("mxd"))
     base = per_cust.crossJoin(F.broadcast(mx)).withColumn(
         "recency_days", F.col("mxd") - F.col("last_day")
-    ).localCheckpoint(eager=True)  # three rank devices re-read it
+    ).lineage_cut(eager=True)  # three rank devices re-read it
     # recency: LOWER is better → score 5 for the most recent quintile
     base, n = global_row_number(
         base, "recency_days", tiebreaks=["o_custkey"], out_col="_rr",
@@ -2324,7 +2324,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
-    ).localCheckpoint(eager=True)  # device re-reads it 3×
+    ).lineage_cut(eager=True)  # device re-reads it 3×
     deciled = global_ntile(
         per_cust, "rev", 10, tiebreaks=["o_custkey"],
         out_col="decile", subkey="o_custkey",
@@ -2746,7 +2746,7 @@ def q_spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("x"),
             F.coalesce(F.col("y"), F.lit(0)).alias("y"),
         )
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
 
     def doubled_ranks(col: str) -> DataFrame:
@@ -2847,9 +2847,9 @@ def q_kruskal_wallis_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"),
             F.coalesce(F.col("y"), F.lit(0)).alias("y"),
         )
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
-    per_v = rows.groupBy("y").agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(
+    per_v = rows.groupBy("y").agg(F.count(F.lit(1)).alias("_n")).lineage_cut(
         eager=True
     )
     cum = global_cumsum(per_v, "y", ["_n"])
@@ -3036,7 +3036,7 @@ def q_walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     edges = transition_edges_cut(ev)
-    walks = deterministic_walks(edges, length=3).localCheckpoint(eager=True)
+    walks = deterministic_walks(edges, length=3).lineage_cut(eager=True)
     a = walks.select("origin", F.col("step").alias("i"), F.col("node").alias("center"))
     b = walks.select("origin", F.col("step").alias("j"), F.col("node").alias("context"))
     pairs = (

@@ -634,7 +634,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise each re-derive the blocking join (132 static Exchanges)
     pairs = blocked_pairs(cust, id_col="c_custkey", max_dist_m=800.0, bin_deg=0.02).select(
         F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
-    ).localCheckpoint(eager=True)
+    ).lineage_cut(eager=True)
     deg = (
         pairs.select(F.col("a_id").alias("node"))
         .unionAll(pairs.select(F.col("b_id").alias("node")))
@@ -720,7 +720,7 @@ def q_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, id_col="c_custkey", max_dist_m=_DBSCAN_EPS_M, bin_deg=0.01
     ).select(
         F.col("a_c_custkey").alias("a_id"), F.col("b_c_custkey").alias("b_id")
-    ).localCheckpoint(eager=True)  # consumed 4× below
+    ).lineage_cut(eager=True)  # consumed 4× below
 
     und = pairs.select(F.col("a_id").alias("node"), F.col("b_id").alias("nbr")).unionAll(
         pairs.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr"))

@@ -473,7 +473,7 @@ def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing else moves; no windows, no joins after the first."""
     cust = read_table(spark, sf_dir, "customer").select(
         "c_nationkey", F.col("c_acctbal").cast("double").alias("x")
-    ).localCheckpoint(eager=False)
+    ).lineage_cut(eager=False)
     m0 = cust.groupBy("c_nationkey").agg(
         (
             F.sum(F.round(F.col("x") * 100.0, 0).cast("long")).cast("double")
@@ -1007,7 +1007,7 @@ def q_mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_MI_BAND).cast("long").cast("string").alias("band"),
             F.coalesce(F.col("_u"), F.lit(0)).alias("y"),
         )
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
 
     def mi_for(col: str) -> DataFrame:
@@ -1209,7 +1209,7 @@ def link_scores_from_edges(e0: DataFrame, hub_cap: int = _LP_HUB_CAP) -> DataFra
     of q_user_link_prediction (planted-graph tests feed it directly)."""
     # e0 is the multi-consumer cut (slots x2, the anti join): materialize
     # once so the corpus-scale window that built it never re-executes
-    e0 = e0.localCheckpoint(eager=True)
+    e0 = e0.lineage_cut(eager=True)
     slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
         e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
@@ -1348,7 +1348,7 @@ def louvain_moves_from_edges(e0: DataFrame) -> DataFrame:
     q_louvain_move_scan (planted-graph tests feed it directly)."""
     # two slot consumers (deg, 2m) plus the best-move join read e0:
     # materialize the cut once (communities.modularity idiom)
-    e0 = e0.localCheckpoint(eager=True)
+    e0 = e0.lineage_cut(eager=True)
     slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
         e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
@@ -1597,7 +1597,7 @@ def q_sage_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg·log deg local sort — the documented cost of any fixed-fanout
     sampler) and one edge-keyed join to expand hop 2. Fan-out is
     capped at 5 + 5·3 rows per seed by construction."""
-    e0 = _user_graph(spark, sf_dir).localCheckpoint(eager=True)
+    e0 = _user_graph(spark, sf_dir).lineage_cut(eager=True)
     hop1, hop2 = _sage_plan(e0)
     out1 = hop1.select(
         "seed", F.lit(1).alias("hop"), F.col("seed").alias("parent"), "node",
@@ -1666,7 +1666,7 @@ def q_gnn_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates + two joins."""
     from kg_etl_spark.operators.walks import deterministic_walks
 
-    e0 = _user_graph(spark, sf_dir).localCheckpoint(eager=True)
+    e0 = _user_graph(spark, sf_dir).lineage_cut(eager=True)
     # stage a: the SHARED SAGE plan (_sage_plan — one definition)
     hop1, hop2 = _sage_plan(e0)
     c1 = hop1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop1"))
@@ -1675,7 +1675,7 @@ def q_gnn_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    walks = deterministic_walks(edges, length=3).localCheckpoint(eager=True)
+    walks = deterministic_walks(edges, length=3).lineage_cut(eager=True)
     endp = walks.filter(F.col("step") == 3).select(
         F.col("origin").alias("seed"), F.col("node").alias("walk_end")
     )
@@ -1809,7 +1809,7 @@ def q_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     rand()."""
     from kg_etl_spark.operators.rankdev import global_row_number
 
-    e0 = _user_graph(spark, sf_dir).localCheckpoint(eager=True)
+    e0 = _user_graph(spark, sf_dir).lineage_cut(eager=True)
     slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
         e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )

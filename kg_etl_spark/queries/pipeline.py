@@ -810,7 +810,7 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut the lineage once: the three per-split packs (each with its own
     # bounds/totals actions) would otherwise re-run the whole 6-stage
     # upstream DAG per split (measured 33 Exchanges → 7)
-    split = train_val_test_split(keep).localCheckpoint()
+    split = train_val_test_split(keep).lineage_cut()
     out = []
     for name in ("train", "val", "test"):
         part = split.filter(F.col("split") == name)

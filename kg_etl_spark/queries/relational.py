@@ -1271,7 +1271,7 @@ def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_os = (
         li.groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_ret"))
-        .localCheckpoint()
+        .lineage_cut()
     )
     per_order = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),

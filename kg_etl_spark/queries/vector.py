@@ -604,7 +604,7 @@ def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(F.broadcast(means), "i")
         .select("vec_id", "i", (F.col("x") - F.col("m")).alias("d"))
         .repartition(32, "vec_id")
-        .localCheckpoint(eager=True)
+        .lineage_cut(eager=True)
     )
     b = d.select("vec_id", F.col("i").alias("j"), F.col("d").alias("e"))
     # sum(round(round(d*e,9)*1e9)) as LONG: the scaled product is

@@ -23,11 +23,23 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = "16"
 
 
-def get_spark(app_name: str = "kg_etl_spark", shuffle_partitions: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "kg_etl_spark",
+    shuffle_partitions: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> SparkSession:
     """Build (or reuse) the session.
 
     Honors ``SPARK_GRAFT_CPUS`` for local parallelism. All knobs here
     are standard Apache Spark configs; nothing environment-specific.
+
+    ``checkpoint_dir`` (or ``SPARK_GRAFT_CHECKPOINT_DIR``) is the
+    cluster-reliability switch: setting it flips every lineage cut in
+    the repo (``df.lineage_cut`` — kg_etl_spark/cutpoint.py) from
+    ``localCheckpoint`` to a RELIABLE ``checkpoint()`` whose blocks
+    survive executor loss. Point it at durable shared storage
+    (HDFS/object store) on a real cluster; leave unset in local mode,
+    where reliability buys nothing and the write would only cost.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -56,8 +68,18 @@ def get_spark(app_name: str = "kg_etl_spark", shuffle_partitions: str | None = N
         # timestamp semantics exactly.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
+    ckdir = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckdir:
+        # must precede getOrCreate to take effect on a NEW context;
+        # cleanCheckpoints garbage-collects checkpoint files when their
+        # DataFrames are collected (long-lived sessions don't leak disk)
+        builder = builder.config(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if ckdir:
+        spark.sparkContext.setCheckpointDir(ckdir)
     return spark
 
 

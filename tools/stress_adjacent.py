@@ -14,7 +14,15 @@ work over 5 x num_ranges cells.  The probe:
    straggler form even on local[32], where the naive form's single
    task still fits in memory — at cluster scale it simply dies).
 
-Usage: python tools/stress_adjacent.py [n_events]
+Legs (r7): ``--one-type`` runs the cardinality-1 worst case (the whole
+stream is one group); ``--bursty`` puts ≥90% of the events inside ONE
+DAY of a 10-year timestamp span — the value-skew regime where the r6
+equal-width ranges collapsed toward the naive window — and ADDITIONALLY
+asserts that no (group, range) cell exceeds 2× the even share
+n/num_ranges (i.e. the equi-depth re-split engaged), alongside the
+usual exact-signature check.
+
+Usage: python tools/stress_adjacent.py [n_events] [--one-type] [--bursty]
 """
 
 from __future__ import annotations
@@ -32,16 +40,25 @@ from kg_etl_spark.operators.adjacent import transition_edges  # noqa: E402
 from kg_etl_spark.session import get_spark  # noqa: E402
 
 
-def synth_events(spark, n: int):
+def synth_events(spark, n: int, bursty: bool = False):
     # deterministic scramble: ts order differs from id order per type,
     # so the sort actually has to work; user ids collide across types
+    if bursty:
+        # ≥90% of events inside one day (86 400 s) of a 10-year span
+        # (315 360 000 s); sub-second micros keep keys near-unique
+        sec = (
+            F.when(F.col("id") % 10 < 9, (F.col("id") * 1315423911) % 86_400)
+            .otherwise((F.col("id") * 2654435761) % 315_360_000)
+            .cast("long")
+        )
+        ts = F.timestamp_micros(sec * 1_000_000 + (F.col("id") * 48271) % 1_000_000)
+    else:
+        ts = F.timestamp_micros((F.col("id") * 1315423911 % 4000000000).cast("long"))
     ev = spark.range(n).select(
         F.col("id").alias("event_id"),
         F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
         ((F.col("id") * 2654435761) % 1000003).alias("user_id"),
-        F.timestamp_micros(
-            (F.col("id") * 1315423911 % 4000000000).cast("long")
-        ).alias("ts"),
+        ts.alias("ts"),
     )
     return ev
 
@@ -57,11 +74,31 @@ def signature(edges):
     ).collect()[0]
 
 
+def cell_balance(ev, n_rows):
+    """(num_ranges, max (group, range) cell rows) under the device's
+    own sizing/bucketing decision — the r7 skew acceptance metric."""
+    from kg_etl_spark.operators.adjacent import _cell_expr, _order_stats
+    from kg_etl_spark.operators.rankdev import _auto_num_ranges
+
+    n, lo, hi = _order_stats(ev, "ts")
+    num_ranges = _auto_num_ranges(n, ev.sparkSession)
+    mx = (
+        ev.withColumn("_apr", _cell_expr(ev, "ts", n, lo, hi, num_ranges))
+        .groupBy("event_type", "_apr")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    return num_ranges, int(mx)
+
+
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 50_000_000
     one_type = "--one-type" in sys.argv
+    bursty = "--bursty" in sys.argv
     spark = get_spark("stress-adjacent")
-    ev = synth_events(spark, n).localCheckpoint(eager=True)
+    ev = synth_events(spark, n, bursty=bursty).localCheckpoint(eager=True)
     if one_type:
         # worst case: the ENTIRE stream is one group (cardinality 1 —
         # the naive window would sort all n rows in a single task);
@@ -88,10 +125,18 @@ def main():
     assert tuple(sig_dev) == tuple(sig_naive), (
         f"signature mismatch: device={tuple(sig_dev)} naive={tuple(sig_naive)}"
     )
-    label = "one-type " if one_type else ""
+    label = ("one-type " if one_type else "") + ("bursty " if bursty else "")
+    balance = ""
+    if bursty:
+        num_ranges, max_cell = cell_balance(ev, n)
+        target = n / num_ranges
+        assert max_cell <= 2 * target, (
+            f"skew re-split failed: max cell {max_cell} > 2x target {target:.0f}"
+        )
+        balance = f" max_cell={max_cell} (target n/num_ranges={target:.0f})"
     print(
         f"OK {label}n={n}: edges={sig_dev['n']} device={t_dev:.1f}s "
-        f"naive_single_task_window={t_naive:.1f}s"
+        f"naive_single_task_window={t_naive:.1f}s{balance}"
     )
 
 
