@@ -12,7 +12,7 @@ plan review.
 
 from __future__ import annotations
 
-from tools.audit_plans import ALLOW_LOWCARD, audit
+from tools.audit_plans import ALLOW_LOWCARD, audit, check_plan
 from kg_etl_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -31,6 +31,39 @@ def test_catalog_plan_audit(spark):
         "NEW low-cardinality corpus windows (add a device or, if the "
         f"frame is genuinely model-sized, the allowlist): {result['lowcard_new']}"
     )
+    assert result["device_no_exchange"] == [], (
+        "device cell column without its repartition exchange "
+        f"(skinny-exchange regression): {result['device_no_exchange']}"
+    )
     # the allowlist must not rot: every entry still names a live query
     stale = [q for q in ALLOW_LOWCARD if q not in QUERIES]
     assert not stale, f"allowlist entries for removed queries: {stale}"
+
+
+def test_check_plan_flags_device_cell_without_exchange():
+    """Negative case (r6 verdict directive #6): a plan whose window
+    partitions on (event_type, _apr) but that carries NO
+    hashpartitioning exchange on _apr — e.g. a refactor dropped the
+    explicit repartition while keeping the cell column — must be
+    flagged even though '_apr' appears in the window head."""
+    bad = (
+        "(3) Window [lead(v) windowspecdefinition(event_type#1, _apr#2L, "
+        "ts#3 ASC NULLS FIRST, specifiedwindowframe(...))]\n"
+        "(2) Sort [event_type#1 ASC, _apr#2L ASC, ts#3 ASC]\n"
+        "(1) Exchange hashpartitioning(event_type#1, 16)\n"
+    )
+    v = check_plan("synthetic", bad)
+    assert v["device_no_exchange"]
+    good = bad.replace(
+        "hashpartitioning(event_type#1, 16)",
+        "hashpartitioning(event_type#1, _apr#2L, 16)",
+    )
+    v2 = check_plan("synthetic", good)
+    assert not v2["device_no_exchange"]
+    # and the plain low-card window (no cell column at all) still trips
+    naked = (
+        "(2) Window [lead(v) windowspecdefinition(event_type#1, ts#3 ASC "
+        "NULLS FIRST, specifiedwindowframe(...))]\n"
+        "(1) Exchange hashpartitioning(event_type#1, 16)\n"
+    )
+    assert check_plan("synthetic", naked)["lowcard"]

@@ -64,9 +64,42 @@ ALLOW_LOWCARD = {
 }
 
 
+def check_plan(name: str, plan: str):
+    """Violation classes for ONE optimized plan (unit-testable).
+
+    Returns a dict of booleans: row_python / cartesian / lowcard
+    (a low-cardinality corpus window with no device cell column) /
+    device_no_exchange (r7: a window is excused by the device cell
+    column ``_apr``/``_grr``, but the plan has NO hash-partitioning
+    exchange on that column — i.e. a refactor kept the column name
+    while silently dropping the explicit ``repartition`` that spreads
+    the sort over cells, reintroducing a skinny exchange)."""
+    out = {
+        "row_python": bool(re.search(r"\(\d+\) BatchEvalPython", plan)),
+        "cartesian": "CartesianProduct" in plan,
+        "lowcard": False,
+        "device_no_exchange": False,
+    }
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        head = re.split(r" ASC| DESC|specifiedwindowframe", m.group(1))[0]
+        for cell_col in ("_apr", "_grr"):
+            if cell_col in head and not re.search(
+                r"hashpartitioning\([^)]*" + cell_col, plan
+            ):
+                out["device_no_exchange"] = True
+        if (
+            any(c in head for c in LOW_CARD_COLS)
+            and "_apr" not in head
+            and "_grr" not in head
+            and name not in ALLOW_LOWCARD
+        ):
+            out["lowcard"] = True
+    return out
+
+
 def audit(spark, sf_dir: str):
     """Returns dict of violation lists; empty lists == clean."""
-    row_python, cartesian, lowcard_new = [], [], []
+    row_python, cartesian, lowcard_new, device_no_exchange = [], [], [], []
     errors = []
     for name, fn in QUERIES.items():
         try:
@@ -74,24 +107,20 @@ def audit(spark, sf_dir: str):
         except Exception as e:  # noqa: BLE001 - collect, don't abort the audit
             errors.append((name, str(e)[:120]))
             continue
-        if re.search(r"\(\d+\) BatchEvalPython", plan):
+        v = check_plan(name, plan)
+        if v["row_python"]:
             row_python.append(name)
-        if "CartesianProduct" in plan:
+        if v["cartesian"]:
             cartesian.append(name)
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
-            head = re.split(r" ASC| DESC|specifiedwindowframe", m.group(1))[0]
-            if (
-                any(c in head for c in LOW_CARD_COLS)
-                and "_apr" not in head
-                and "_grr" not in head
-                and name not in ALLOW_LOWCARD
-            ):
-                lowcard_new.append(name)
-                break
+        if v["lowcard"]:
+            lowcard_new.append(name)
+        if v["device_no_exchange"]:
+            device_no_exchange.append(name)
     return {
         "row_python": sorted(set(row_python)),
         "cartesian": sorted(set(cartesian)),
         "lowcard_new": sorted(set(lowcard_new)),
+        "device_no_exchange": sorted(set(device_no_exchange)),
         "errors": errors,
     }
 
@@ -103,7 +132,10 @@ def main() -> None:
     result = audit(get_spark("audit_plans"), sf_dir)
     for k, v in result.items():
         print(f"{k}: {v}")
-    if any(result[k] for k in ("row_python", "cartesian", "lowcard_new")):
+    if any(
+        result[k]
+        for k in ("row_python", "cartesian", "lowcard_new", "device_no_exchange")
+    ):
         sys.exit(1)
     print(f"AUDIT CLEAN ({len(QUERIES)} queries)")
 
