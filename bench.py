@@ -96,6 +96,14 @@ HEADLINE = [
     "walk_skipgram_pmi",
     "gnn_prep_manifest",
     "bootstrap_ci_mean",
+    # round 7 (r6 directive #5): the round-6 families enter regression
+    # coverage — sorted-neighborhood linkage, GNN edge features, the
+    # incremental transition grain, containment dedup, causal IPW
+    "snm_links",
+    "edge_jaccard_features",
+    "global_type_transitions",
+    "containment_dedup",
+    "ipw_ate",
 ]
 
 

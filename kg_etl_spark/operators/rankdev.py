@@ -104,11 +104,24 @@ def _key_stats(df: DataFrame, key: str):
     return int(row["n"]), float(row["lo"]), float(row["hi"])
 
 
+# The equi-depth bucket expression is a when-tree of O(num_ranges)
+# nodes (log-depth comparisons per row). Cap its resolution so the
+# generated code never approaches JVM method limits: 2048 buckets ≈ 4k
+# expression nodes, comfortably codegen-able, and even a worst-case
+# fully-skewed input stays 2048-way parallel (vs the r6 1-cell
+# collapse). Above the cap, cells grow proportionally but the device
+# never concentrates — the width path (uniform data) keeps the full
+# 4×shuffle-width resolution since its arithmetic is O(1) nodes.
+EQDEPTH_MAX_RANGES = 2048
+
+
 def _equidepth_boundaries(df: DataFrame, key: str, num_ranges: int):
-    """num_ranges−1 equi-depth split points from one percentile-sketch
-    pass. Rank error ≤ n/accuracy ≤ n/(20·num_ranges), so every
-    equi-depth cell lands within ±10% of the even share n/num_ranges —
-    comfortably inside the 2×-of-target acceptance bar."""
+    """min(num_ranges, EQDEPTH_MAX_RANGES)−1 equi-depth split points
+    from one percentile-sketch pass. Rank error ≤ n/accuracy ≤
+    n/(20·num_ranges), so every equi-depth cell lands within ±10% of
+    the even share n/num_ranges — comfortably inside the 2×-of-target
+    acceptance bar."""
+    num_ranges = min(num_ranges, EQDEPTH_MAX_RANGES)
     kd = F.col(key).cast("double")
     probs = [i / num_ranges for i in range(1, num_ranges)]
     acc = max(10_000, 20 * num_ranges)
