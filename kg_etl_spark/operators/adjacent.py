@@ -109,34 +109,43 @@ def _cell_expr(df: DataFrame, order_col: str, n: int, lo: float, hi: float,
                num_ranges: int):
     """Range-cell id for the order key: the zero-cost equal-width
     arithmetic when no width cell could be a straggler sort; memoized
-    equi-depth boundaries (one percentile-sketch pass per session per
-    column) when the value distribution is bursty enough to collapse
-    a straggler's worth of rows into one width cell. Either bucketing
-    is monotone, so cell concatenation order == key order and the
-    device result is bit-identical regardless of boundary placement
-    (the r6-verdict skew-resilience directive)."""
+    equi-depth boundaries when the value distribution is bursty enough
+    to collapse a straggler's worth of rows into one width cell.
+    Either bucketing is monotone, so cell concatenation order == key
+    order and the device result is bit-identical regardless of
+    boundary placement (the r6-verdict skew-resilience directive).
+
+    Two-step detection above the straggler threshold, cheapest first:
+    a per-width-cell COUNT (map-side combinable hash agg to
+    ≤num_ranges rows — measured ~3s at 50M vs ~10s for the sketch)
+    decides whether the percentile-sketch pass is needed at all, so
+    uniform data never pays for the skew it does not have. All three
+    statistics (counts probe, boundaries, n/lo/hi) are memoized per
+    (frame, column) — once per session for the static scans."""
     kd = F.col(order_col).cast("double")
     if n <= SKEW_CELL_ROWS or hi == lo:
         return _range_expr(kd, lo, hi, num_ranges)
     memo = _memo(df)
-    bkey = (order_col, num_ranges)
+    ckey = ("cellmax", order_col, num_ranges)
+    if ckey in memo:
+        mx = memo[ckey]
+    else:
+        mx = int(
+            df.groupBy(_range_expr(kd, lo, hi, num_ranges).alias("_c"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        memo[ckey] = mx
+    if not _is_straggler(mx, n, num_ranges):
+        return _range_expr(kd, lo, hi, num_ranges)
+    bkey = ("bnd", order_col, num_ranges)
     if bkey in memo:
         bnds = memo[bkey]
     else:
         bnds = _equidepth_boundaries(df, order_col, num_ranges)
         memo[bkey] = bnds
-    # estimated max width-cell mass from the equi-depth points (each
-    # consecutive pair brackets 1/num_ranges of the rows): k points
-    # inside one width cell ≈ (k+1)/num_ranges of the corpus there
-    width = max((hi - lo) / num_ranges, 1e-12)
-    per_cell: dict = {}
-    for b in bnds:
-        c = min(int((b - lo) / width), num_ranges - 1)
-        per_cell[c] = per_cell.get(c, 0) + 1
-    est_max = (max(per_cell.values(), default=0) + 1) * (n // num_ranges)
-    if _is_straggler(est_max, n, num_ranges):
-        return _boundary_expr(kd, bnds)
-    return _range_expr(kd, lo, hi, num_ranges)
+    return _boundary_expr(kd, bnds)
 
 
 def with_next(
