@@ -188,13 +188,29 @@ def with_next(
     # cast-to-double is monotone non-decreasing, so even a rounding
     # collision only MERGES adjacent keys into one cell — never reorders
     ranged = df.withColumn("_apr", _cell_expr(df, order_col, n, lo, hi, num_ranges))
+    # group keys wrapped in 1-field structs (r6 advice): struct equality
+    # treats a null FIELD as equal, so a NULL group is its own stream
+    # through the partitioning, the aggregate AND the carry join —
+    # window-equivalent — while the join stays a name-based
+    # attribute-equality join. (Measured alternatives rejected: an
+    # eqNullSafe condition join de-attributes the join condition, which
+    # drops Catalyst's equi-join size estimate back to the child
+    # PRODUCT — the edge frame went 8.9 KB -> 72 MB at sf0.001,
+    # flipping every downstream broadcast to sort-merge and costing
+    # walk_corpus ~1 s at sf0.1; a single struct-of-everything join key
+    # suffers the same because CollapseProject inlines it into the
+    # condition. The struct columns here sit BELOW the window and
+    # aggregate, so they survive as genuine attributes.)
+    gkeys = [f"_apg{i}" for i in range(len(group_cols))]
+    for g, c in zip(gkeys, group_cols):
+        ranged = ranged.withColumn(g, F.struct(F.col(c)))
     # explicit hash exchange on the cell key: the window below finds its
     # distribution requirement satisfied (no extra exchange + in-place
     # sort) and the carry aggregate consumes the SAME exchange as a
     # sort-free hash agg — one corpus shuffle, one sort, total
-    ranged = ranged.repartition(*(group_cols + ["_apr"]))
+    ranged = ranged.repartition(*(gkeys + ["_apr"]))
     order = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreaks]
-    w = Window.partitionBy(*group_cols, "_apr").orderBy(*order)
+    w = Window.partitionBy(*gkeys, "_apr").orderBy(*order)
     local = ranged
     for c in next_cols:
         local = local.withColumn("_apl_" + c, F.lead(c).over(w))
@@ -203,7 +219,7 @@ def with_next(
 
     # first row per cell (map-side-free hash agg over the shared
     # exchange; struct min_by keys on the identical total order)
-    firsts = ranged.groupBy(*group_cols, "_apr").agg(
+    firsts = ranged.groupBy(*gkeys, "_apr").agg(
         F.min_by(
             F.struct(*[F.col(c) for c in next_cols]),
             F.struct(F.col(order_col), *[F.col(t) for t in tiebreaks]),
@@ -212,28 +228,21 @@ def with_next(
     # per cell, the NEXT populated cell's first row = successor of this
     # cell's last row (missing/empty cells simply aren't rows here, so
     # lead skips them correctly) — |groups| x num_ranges rows total
-    cw = Window.partitionBy(*group_cols).orderBy("_apr")
+    cw = Window.partitionBy(*gkeys).orderBy("_apr")
     carry = firsts.withColumn("_apnext", F.lead("_apf").over(cw)).select(
-        *group_cols, "_apr", "_apnext"
+        *gkeys, "_apr", "_apnext"
     )
 
-    # null-safe on the group keys (r6 advice): a NULL group must carry
-    # across its own cells exactly like any other group; _apr is
-    # non-null by the order_col contract
-    L, C = local.alias("_al"), carry.alias("_ac")
-    cond = [
-        F.col(f"_al.`{c}`").eqNullSafe(F.col(f"_ac.`{c}`")) for c in group_cols
-    ] + [F.col("_al._apr") == F.col("_ac._apr")]
-    out = L.join(F.broadcast(C), cond, "left")
-    # pin the original column order (the join moved its keys first)
-    sel = [F.col(f"_al.`{c}`") for c in df.columns]
+    out = local.join(F.broadcast(carry), gkeys + ["_apr"], "left")
     for c in next_cols:
-        sel.append(
-            F.when(F.col("_al._aplast"), F.col("_ac._apnext").getField(c))
-            .otherwise(F.col("_al._apl_" + c))
-            .alias(prefix + c)
+        out = out.withColumn(
+            prefix + c,
+            F.when(F.col("_aplast"), F.col("_apnext").getField(c)).otherwise(
+                F.col("_apl_" + c)
+            ),
         )
-    return out.select(*sel)
+    # pin the original column order (the join moved its keys first)
+    return out.select(*df.columns, *[prefix + c for c in next_cols])
 
 
 def stream_lead(
@@ -327,37 +336,40 @@ def with_prefix_max(
         num_ranges = _auto_num_ranges(n, df.sparkSession)
     ranged = df.withColumn(
         "_apr", _cell_expr(df, order_col, n, lo, hi, num_ranges)
-    ).repartition(*(group_cols + ["_apr"]))
+    )
+    # 1-field struct group keys: null-safe partitioning/join without
+    # de-attributing the join condition (see the with_next note)
+    gkeys = [f"_apg{i}" for i in range(len(group_cols))]
+    for g, c in zip(gkeys, group_cols):
+        ranged = ranged.withColumn(g, F.struct(F.col(c)))
+    ranged = ranged.repartition(*(gkeys + ["_apr"]))
     order = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreaks]
     w = (
-        Window.partitionBy(*group_cols, "_apr")
+        Window.partitionBy(*gkeys, "_apr")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = ranged.withColumn("_apl", F.max(value_col).over(w))
-    cellmax = ranged.groupBy(*group_cols, "_apr").agg(
+    cellmax = ranged.groupBy(*gkeys, "_apr").agg(
         F.max(value_col).alias("_apm")
     )
     cw = (
-        Window.partitionBy(*group_cols)
+        Window.partitionBy(*gkeys)
         .orderBy("_apr")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = cellmax.withColumn("_apc", F.max("_apm").over(cw)).select(
-        *group_cols, "_apr", "_apc"
+        *gkeys, "_apr", "_apc"
     )
-    L, C = local.alias("_al"), carry.alias("_ac")
-    cond = [
-        F.col(f"_al.`{c}`").eqNullSafe(F.col(f"_ac.`{c}`")) for c in group_cols
-    ] + [F.col("_al._apr") == F.col("_ac._apr")]
-    out = L.join(F.broadcast(C), cond, "left")
-    val = F.when(
-        F.col("_al._apl").isNotNull() & F.col("_ac._apc").isNotNull(),
-        F.greatest("_al._apl", "_ac._apc"),
-    ).otherwise(F.coalesce("_al._apl", "_ac._apc"))
-    return out.select(
-        *[F.col(f"_al.`{c}`") for c in df.columns], val.alias(out_col)
+    out = local.join(F.broadcast(carry), gkeys + ["_apr"], "left")
+    out = out.withColumn(
+        out_col,
+        F.when(
+            F.col("_apl").isNotNull() & F.col("_apc").isNotNull(),
+            F.greatest("_apl", "_apc"),
+        ).otherwise(F.coalesce("_apl", "_apc")),
     )
+    return out.select(*df.columns, out_col)
 
 
 def stream_state(ev: DataFrame) -> DataFrame:

@@ -133,9 +133,11 @@ def _boundary_expr(key: Column, bnds) -> Column:
     """bucket(x) = smallest j with x ≤ bnds[j] (else len(bnds)) as a
     BALANCED when-tree — depth ~log2(num_ranges) comparisons per row,
     fully codegen'd. Monotone in x and a pure function of x (ties share
-    a bucket), NULL → NULL like the width arithmetic. Duplicate
-    boundary values (massive key ties) merely leave some buckets empty,
-    which every consumer already tolerates."""
+    a bucket). Duplicate boundary values (massive key ties) merely
+    leave some buckets empty, which every consumer already tolerates.
+    NULL keys take bucket 0 — the leading cell, matching the width
+    arithmetic (greatest(NULL, 0) = 0) and the window's ASC-nulls-first
+    order, and keeping the cell id non-null for name-based joins."""
     kd = key.cast("double")
 
     def build(lo_i: int, hi_i: int) -> Column:
@@ -146,7 +148,7 @@ def _boundary_expr(key: Column, bnds) -> Column:
             build(mid + 1, hi_i)
         )
 
-    return F.when(kd.isNull(), F.lit(None).cast("long")).otherwise(
+    return F.when(kd.isNull(), F.lit(0).cast("long")).otherwise(
         build(0, len(bnds))
     )
 
@@ -295,52 +297,59 @@ def grouped_row_number(
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     kd = F.col(key).cast("double")
-    # explicit hash exchange on the cell key: the window finds its
-    # distribution requirement satisfied (in-place sort) and the cell
-    # counts come from a sort-free hash agg over the SAME exchange
-    ranged = df.withColumn("_grr", _range_expr(kd, lo, hi, num_ranges)).repartition(
-        *(group_cols + ["_grr"])
-    )
+
+    def bucketed(cell_expr):
+        # 1-field struct group keys: null-safe partitioning/join for
+        # NULL groups without de-attributing the offset-join condition
+        # (see operators/adjacent.py with_next for the measured
+        # rationale); _grr itself is always non-null (NULL keys take
+        # the leading cell in both bucketings).
+        r = df.withColumn("_grr", cell_expr)
+        for g, c in zip(gkeys, group_cols):
+            r = r.withColumn(g, F.struct(F.col(c)))
+        # explicit hash exchange on the cell key: the window finds its
+        # distribution requirement satisfied (in-place sort) and the
+        # cell counts come from a sort-free hash agg over the SAME
+        # exchange
+        return r.repartition(*(gkeys + ["_grr"]))
+
+    gkeys = [f"_grg{i}" for i in range(len(group_cols))]
+    ranged = bucketed(_range_expr(kd, lo, hi, num_ranges))
     if n_total > SKEW_CELL_ROWS and hi > lo:
         mx = (
-            ranged.groupBy(*group_cols, "_grr")
+            ranged.groupBy(*gkeys, "_grr")
             .agg(F.count(F.lit(1)).alias("_n"))
             .agg(F.max("_n"))
             .collect()[0][0]
         )
         if _is_straggler(int(mx), n_total, num_ranges):
-            ranged = df.withColumn(
-                "_grr", _boundary_expr(kd, _equidepth_boundaries(df, key, num_ranges))
-            ).repartition(*(group_cols + ["_grr"]))
-    w = Window.partitionBy(*group_cols, "_grr").orderBy(
+            ranged = bucketed(
+                _boundary_expr(kd, _equidepth_boundaries(df, key, num_ranges))
+            )
+    w = Window.partitionBy(*gkeys, "_grr").orderBy(
         F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]
     )
     local = ranged.withColumn("_grl", F.row_number().over(w).cast("long"))
-    cells = ranged.groupBy(*group_cols, "_grr").agg(
+    cells = ranged.groupBy(*gkeys, "_grr").agg(
         F.count(F.lit(1)).cast("long").alias("_cn")
     )
     cw = (
-        Window.partitionBy(*group_cols)
-        .orderBy(F.col("_grr").asc_nulls_first())
+        Window.partitionBy(*gkeys)
+        .orderBy("_grr")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = cells.withColumn(
         "_off", F.coalesce(F.sum("_cn").over(cw), F.lit(0)).cast("long")
     ).withColumn(
         count_col,
-        F.sum("_cn").over(Window.partitionBy(*group_cols)).cast("long"),
+        F.sum("_cn").over(Window.partitionBy(*gkeys)).cast("long"),
     )
-    L = local.alias("_dl")
-    R = offs.select(*group_cols, "_grr", "_off", count_col).alias("_dr")
-    cond = [
-        F.col(f"_dl.`{c}`").eqNullSafe(F.col(f"_dr.`{c}`")) for c in group_cols
-    ] + [F.col("_dl._grr").eqNullSafe(F.col("_dr._grr"))]
-    out = L.join(F.broadcast(R), cond)
-    return out.select(
-        *[F.col(f"_dl.`{c}`") for c in df.columns],
-        (F.col("_dl._grl") + F.col("_dr._off")).alias(out_col),
-        F.col(f"_dr.`{count_col}`"),
+    out = local.join(
+        F.broadcast(offs.select(*gkeys, "_grr", "_off", count_col)),
+        gkeys + ["_grr"],
     )
+    out = out.withColumn(out_col, F.col("_grl") + F.col("_off"))
+    return out.select(*df.columns, out_col, count_col)
 
 
 def global_row_number_by(

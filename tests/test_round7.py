@@ -71,7 +71,9 @@ def test_boundary_expr_matches_bruteforce(spark):
     }
     for v in vals:
         if v is None:
-            assert got[None] is None
+            # NULL keys take the leading cell (ASC-nulls-first order,
+            # non-null cell id for name-based joins)
+            assert got[None] == 0
         else:
             assert got[v] == sum(1 for b in bnds if b < v), v
 
