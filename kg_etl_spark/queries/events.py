@@ -1911,3 +1911,113 @@ FROM run GROUP BY event_type
 
 QUERIES["lateness_audit"] = q_lateness_audit
 ORACLES["lateness_audit"] = ORACLE_LATENESS
+
+
+def q_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type inter-arrival-gap quantiles (p50/p95, linear
+    interpolation — SQL percentile_cont semantics) WITHOUT buffering a
+    group's values in one aggregate: gaps ride the scale-safe stream
+    lead, per-group order-statistic ranks ride grouped_row_number
+    (operators/rankdev.py), and each quantile interpolates the two
+    bracketing ranks. A per-group exact-percentile AGGREGATE
+    materializes all n/|types| values in one buffer — the same
+    single-task concentration the device family exists to kill; this
+    form is exact at any scale. Tie order among equal gaps is
+    irrelevant (the value at a rank is tie-invariant), so no tiebreak
+    column is needed.
+
+    Reference parity: the reference computes series statistics with
+    single-process pandas describe()/quantile() (chaayagirimon/kg-etl
+    etl/transform/*.py); the two-phase rank is the distributed form.
+    """
+    from kg_etl_spark.operators.adjacent import stream_lead
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
+    ev = read_table(spark, sf_dir, "events")
+    led = stream_lead(ev, ["ts"])
+    gaps = led.filter(F.col("next_ts").isNotNull()).select(
+        "event_type",
+        (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+    ranked = grouped_row_number(
+        gaps, ["event_type"], "gap_us", [], out_col="rn", count_col="n"
+    )
+
+    def bracket(p: float, tag: str):
+        pos = (F.col("n") - 1).cast("double") * F.lit(p)
+        lo = F.floor(pos).cast("long") + 1
+        hi = (-F.floor(-pos)).cast("long") + 1
+        return [
+            F.max(F.when(F.col("rn") == lo, F.col("gap_us"))).alias("_lo" + tag),
+            F.max(F.when(F.col("rn") == hi, F.col("gap_us"))).alias("_hi" + tag),
+        ]
+
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        *bracket(0.5, "50"),
+        *bracket(0.95, "95"),
+    )
+
+    def interp(tag: str, p: float):
+        pos = (F.col("n_gaps") - 1).cast("double") * F.lit(p)
+        frac = pos - F.floor(pos)
+        lo, hi = F.col("_lo" + tag).cast("double"), F.col("_hi" + tag).cast("double")
+        # publish in SECONDS: engines differ in the last ulp of the
+        # interpolation arithmetic at 1e10-µs magnitude, where a 6dp
+        # round cannot absorb it; at seconds scale it vanishes
+        return F.round((lo + frac * (hi - lo)) / F.lit(1e6), 6)
+
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        interp("50", 0.5).alias("p50_s"),
+        interp("95", 0.95).alias("p95_s"),
+    )
+
+
+ORACLE_GAP_QUANTILES = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
+       ROUND(quantile_cont(gap_us, 0.95) / 1e6, 6) AS p95_s
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+"""
+
+QUERIES["event_gap_quantiles"] = q_event_gap_quantiles
+ORACLES["event_gap_quantiles"] = ORACLE_GAP_QUANTILES
+
+
+def q_heavy_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter profile of the event user-key distribution:
+    top-20 users by event count with corpus share — the skew
+    diagnostic a partitioner consults before salting a key
+    (complements cms_heavy_hitters, which answers from a mergeable
+    sketch). ORDER BY n DESC LIMIT k plans as TakeOrderedAndProject —
+    a per-partition top-k tournament, never a global sort; the corpus
+    total attaches as the documented 1-row broadcast scalar cross."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.agg(F.count(F.lit(1)).alias("_t"))
+    top = counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(20)
+    return top.join(F.broadcast(total)).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("_t"), 6).alias("share"),
+    )
+
+
+ORACLE_HEAVY_KEYS = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+), t AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id, n_events, ROUND(CAST(n_events AS DOUBLE) / n, 6) AS share
+FROM c, t ORDER BY n_events DESC, user_id LIMIT 20
+"""
+
+QUERIES["heavy_key_profile"] = q_heavy_key_profile
+ORACLES["heavy_key_profile"] = ORACLE_HEAVY_KEYS

@@ -2444,3 +2444,45 @@ ORDER BY cosine DESC, part_a ASC, part_b ASC LIMIT {_COS_TOPN}
 
 QUERIES["item_cosine"] = q_item_cosine
 ORACLES["item_cosine"] = ORACLE_ITEM_COSINE
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket equi-depth histogram of l_extendedprice (count/min/max
+    per bucket) — the boundary summary an optimizer/partitioner derives
+    before range-partitioning a key (the round-7 device theme as a
+    user-facing query). NTILE over the unique total order (price,
+    orderkey, linenumber) rides the two-phase exact rank
+    (rankdev.global_ntile), so both engines bucket identically and no
+    single-partition window exists. Only order-free aggregates
+    (count/min/max) are published: the prices are doubles and a SUM
+    would be association-order-dependent."""
+    from kg_etl_spark.operators.rankdev import global_ntile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    t = global_ntile(
+        li,
+        "l_extendedprice",
+        16,
+        tiebreaks=["l_orderkey", "l_linenumber"],
+        out_col="tile",
+    )
+    return t.groupBy(F.col("tile").cast("long").alias("tile")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("lo_price"),
+        F.max("l_extendedprice").alias("hi_price"),
+    )
+
+
+ORACLE_EQUIDEPTH_HIST = """
+WITH t AS (
+  SELECT l_extendedprice,
+         NTILE(16) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile
+  FROM lineitem
+)
+SELECT CAST(tile AS BIGINT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_extendedprice) AS lo_price, MAX(l_extendedprice) AS hi_price
+FROM t GROUP BY tile
+"""
+
+QUERIES["equidepth_histogram"] = q_equidepth_histogram
+ORACLES["equidepth_histogram"] = ORACLE_EQUIDEPTH_HIST

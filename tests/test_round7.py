@@ -273,3 +273,68 @@ def test_grouped_row_number_null_groups_and_keys(spark):
         "n", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long")
     )
     assert _rows(got) == _rows(want)
+
+
+# ---- round-7 new catalog queries: brute-force checks ---------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_event_gap_quantiles_bruteforce(spark):
+    import numpy as np
+
+    from kg_etl_spark.queries.events import q_event_gap_quantiles
+
+    got = {r["event_type"]: r for r in q_event_gap_quantiles(spark, SF).collect()}
+    ev = spark.read.parquet(SF + "/events.parquet").select(
+        "event_type", "ts", "event_id"
+    ).collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["ts"], r["event_id"]))
+    for t, rows in by_type.items():
+        rows.sort()
+        gaps = [
+            (b[0] - a[0]).total_seconds() * 1e6 for a, b in zip(rows, rows[1:])
+        ]
+        assert got[t]["n_gaps"] == len(gaps)
+        # numpy 'linear' is the same percentile_cont interpolation
+        assert abs(got[t]["p50_s"] - np.percentile(gaps, 50) / 1e6) < 1e-5
+        assert abs(got[t]["p95_s"] - np.percentile(gaps, 95) / 1e6) < 1e-5
+
+
+def test_heavy_key_profile_bruteforce(spark):
+    from collections import Counter
+
+    from kg_etl_spark.queries.events import q_heavy_key_profile
+
+    got = q_heavy_key_profile(spark, SF).collect()
+    rows = spark.read.parquet(SF + "/events.parquet").select("user_id").collect()
+    cnt = Counter(r["user_id"] for r in rows)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["user_id"], r["n_events"]) for r in got] == want or sorted(
+        (r["user_id"], r["n_events"]) for r in got
+    ) == sorted(want)
+    n = len(rows)
+    for r in got:
+        assert abs(r["share"] - cnt[r["user_id"]] / n) < 1e-6
+
+
+def test_equidepth_histogram_bruteforce(spark):
+    from kg_etl_spark.queries.relational import q_equidepth_histogram
+
+    got = {r["tile"]: r for r in q_equidepth_histogram(spark, SF).collect()}
+    li = spark.read.parquet(SF + "/lineitem.parquet").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).collect()
+    rows = sorted((r[0], r[1], r[2]) for r in li)
+    n, k = len(rows), 16
+    q, rem = divmod(n, k)
+    sizes = [q + 1 if i < rem else q for i in range(k)]
+    pos = 0
+    for i, sz in enumerate(sizes, start=1):
+        chunk = rows[pos:pos + sz]
+        pos += sz
+        assert got[i]["n_rows"] == sz
+        assert got[i]["lo_price"] == chunk[0][0]
+        assert got[i]["hi_price"] == max(c[0] for c in chunk)
