@@ -182,10 +182,16 @@ def main() -> None:
         "replaced (the window form is a single-task n/|groups| sort at "
         "scale; the device is 2–5× faster at 50M rows, "
         "tools/stress_adjacent.py). Pinned: `theil_sen_trend` 0.85 s "
-        "(r5 plain-window 0.33; 0.64 s after cutting the pair-frame "
-        "recompute), `hits_scores` 1.68 s (r5 0.88), "
-        "`louvain_move_scan` 1.28 s (r5 0.71), `spectral_split_users` "
-        "3.05 s (r5 2.52, within the 1.2× bar). The residual "
+        "(r5 plain-window 0.33; 0.60–0.64 s after cutting the "
+        "pair-frame recompute), `hits_scores` 1.68 s (r5 0.88; "
+        "1.34–1.39 s after the round-7 struct-key form, measured "
+        "under 1.2–1.4× control inflation, so the true value is "
+        "lower), `louvain_move_scan` 1.28 s (r5 0.71; 0.88–1.11 s "
+        "post-fix under the same inflation), `spectral_split_users` "
+        "3.05 s (r5 2.52, within the 1.2× bar). A same-process A/B "
+        "of the device itself at sf0.1 (transition-edge derivation, "
+        "min of 3): r6 string-key 0.78 s vs round-7 struct-key "
+        "0.69 s — the hardening did not add a constant. The residual "
         "~0.3–0.8 s per query is job-scheduling constant (3–6 jobs vs "
         "1), not data volume — it is flat in n while the single-task "
         "sort it replaces grows linearly.",
