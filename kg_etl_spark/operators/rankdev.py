@@ -161,8 +161,19 @@ def _is_straggler(max_cell: int, n: int, num_ranges: int) -> bool:
     return max_cell > SKEW_CELL_ROWS and max_cell > 4 * (n // max(num_ranges, 1))
 
 
-def _offset_map(pairs: dict) -> Column:
-    return F.create_map(*[F.lit(x) for kv in pairs.items() for x in kv])
+def _offset_lookup(offsets: dict, size: int, idx: Column) -> Column:
+    """Per-row offset shift as a DENSE array-literal lookup — O(1) per
+    row (element_at on an array literal indexes directly, where a
+    create_map literal SCANS linearly per row: invisible at 64
+    entries, a per-row O(num_ranges) tax at the 4×shuffle-width
+    cluster cap). Ids are contiguous 0..size−1 by construction; absent
+    (empty) ranges hold the running value and never match a row."""
+    vals = []
+    running = 0
+    for i in range(size):
+        running = offsets.get(i, running)  # rank offsets are ints,
+        vals.append(F.lit(running))        # cumsum partials may be floats
+    return F.element_at(F.array(*vals), (idx + 1).cast("int"))
 
 
 def global_row_number(
@@ -239,7 +250,8 @@ def global_row_number(
         offsets[r["_rdrng"]] = running
         running += r["_n"]
     out = local.withColumn(
-        out_col, F.col("_rdlrn") + F.element_at(_offset_map(offsets), F.col("_rdrng"))
+        out_col,
+        F.col("_rdlrn") + _offset_lookup(offsets, num_ranges, F.col("_rdrng")),
     ).drop("_rdrng", "_rdlrn")
     return out, running
 
@@ -392,7 +404,7 @@ def global_row_number_by(
     if not offsets:  # empty frame
         return df.withColumn(out_col, F.lit(None).cast("long"))
     out = local.withColumn(
-        out_col, F.col("_rbl") + F.element_at(_offset_map(offsets), F.col("_rbp"))
+        out_col, F.col("_rbl") + _offset_lookup(offsets, num_parts, F.col("_rbp"))
     )
     return out.select(*df.columns, out_col)
 
@@ -523,6 +535,6 @@ def global_cumsum(
             running += r[c] or 0
         out = out.withColumn(
             prefix + c,
-            F.col(prefix + c) + F.element_at(_offset_map(offsets), F.col("_rdrng")),
+            F.col(prefix + c) + _offset_lookup(offsets, num_ranges, F.col("_rdrng")),
         )
     return out.drop("_rdrng")
