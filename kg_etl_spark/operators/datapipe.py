@@ -584,9 +584,9 @@ def quantile_normalize(
     for r in counts:
         offsets[r["_r"]] = running
         running += r["_n"]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_r")
-    )
+    from kg_etl_spark.operators.rankdev import _offset_lookup
+
+    off = _offset_lookup(offsets, num_ranges, F.col("_r"))
     glob = local.select(
         (F.col("_lrn") + off).alias("_grn"), F.col("_v").alias("_gv")
     ).lineage_cut(eager=True)

@@ -131,9 +131,15 @@ def pack_concat_chunk(
     for r in totals:
         offsets[r["_pid"]] = running
         running += r["_tot"]
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_pid")
-    ) if offsets else F.lit(0)
+    from kg_etl_spark.operators.rankdev import _offset_lookup
+
+    # dense O(1) array lookup (shared device helper) — the map literal
+    # scanned linearly per row
+    off_expr = (
+        _offset_lookup(offsets, num_partitions, F.col("_pid"))
+        if offsets
+        else F.lit(0)
+    )
     cum_before = (F.col("_lcum") - F.col("n_tokens") + off_expr).alias("_cb")
     packed = local.select(id_col, "n_tokens", cum_before)
     cb = F.col("_cb")
