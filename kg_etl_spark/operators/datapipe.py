@@ -536,7 +536,7 @@ def quantile_normalize(
     value_col: str,
     group_col: str,
     id_col: str,
-    num_ranges: int = 32,
+    num_ranges: "int | None" = None,
 ) -> DataFrame:
     """Quantile normalization across groups — map each group's value
     distribution onto the GLOBAL distribution (batch-effect correction:
@@ -551,7 +551,12 @@ def quantile_normalize(
     driver-side prefix over the per-range COUNTS (num_ranges rows)
     shifts the local ranks global — the pack_concat_chunk prefix-sum
     device, keyed by value instead of id. Per-group ranks are ordinary
-    partitioned windows (groups parallelize).
+    partitioned windows (groups parallelize). Sized and skew-guarded
+    like rankdev (r7): num_ranges defaults to
+    clamp(ceil(n/1M), 64, 4×shuffle-width) and a straggler-sized width
+    cell (detected from the counts the device already collects)
+    triggers an equi-depth re-split — both bucketings are monotone, so
+    results are bit-identical.
 
     Output: (id, group, value, pr, norm_value), all float steps
     integer-derived and rounded at the edge — oracle-exact.
@@ -568,18 +573,33 @@ def quantile_normalize(
             F.col("_v").alias(value_col),
             F.lit(0.0).alias("pr"), F.lit(0.0).alias("norm_value"),
         )
+    from kg_etl_spark.operators.rankdev import (
+        _auto_num_ranges,
+        _boundary_expr,
+        _equidepth_boundaries,
+        _is_straggler,
+        _range_expr,
+    )
+
+    if num_ranges is None:
+        num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     bounds = base.agg(F.min("_v").alias("lo"), F.max("_v").alias("hi")).collect()[0]
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
-    width = max((hi - lo) / num_ranges, 1e-12)
-    rng = F.least(((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("long"),
-                  F.lit(num_ranges - 1))
-    ranged = base.withColumn("_r", rng)
-    w_local = Window.partitionBy("_r").orderBy(F.col("_v").asc(), F.col("_id").asc())
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    ranged = base.withColumn("_r", _range_expr(F.col("_v"), lo, hi, num_ranges))
     counts = sorted(
-        local.groupBy("_r").agg(F.count(F.lit(1)).alias("_n")).collect(),
+        ranged.groupBy("_r").agg(F.count(F.lit(1)).alias("_n")).collect(),
         key=lambda r: r["_r"],
     )
+    if counts and _is_straggler(max(r["_n"] for r in counts), n_total, num_ranges):
+        ranged = base.withColumn(
+            "_r", _boundary_expr(F.col("_v"), _equidepth_boundaries(base, "_v", num_ranges))
+        )
+        counts = sorted(
+            ranged.groupBy("_r").agg(F.count(F.lit(1)).alias("_n")).collect(),
+            key=lambda r: r["_r"],
+        )
+    w_local = Window.partitionBy("_r").orderBy(F.col("_v").asc(), F.col("_id").asc())
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
     offsets, running = {}, 0
     for r in counts:
         offsets[r["_r"]] = running
