@@ -319,25 +319,29 @@ def grouped_row_number(
         r = df.withColumn("_grr", cell_expr)
         for g, c in zip(gkeys, group_cols):
             r = r.withColumn(g, F.struct(F.col(c)))
-        # explicit hash exchange on the cell key: the window finds its
-        # distribution requirement satisfied (in-place sort) and the
-        # cell counts come from a sort-free hash agg over the SAME
-        # exchange
-        return r.repartition(*(gkeys + ["_grr"]))
+        return r
 
     gkeys = [f"_grg{i}" for i in range(len(group_cols))]
-    ranged = bucketed(_range_expr(kd, lo, hi, num_ranges))
+    raw = bucketed(_range_expr(kd, lo, hi, num_ranges))
     if n_total > SKEW_CELL_ROWS and hi > lo:
+        # skew probe on the UN-repartitioned frame: the hash agg
+        # map-side-combines to ≤|groups|×num_ranges rows, so the probe
+        # never pays the corpus shuffle (and a re-split never wastes
+        # one)
         mx = (
-            ranged.groupBy(*gkeys, "_grr")
+            raw.groupBy(*gkeys, "_grr")
             .agg(F.count(F.lit(1)).alias("_n"))
             .agg(F.max("_n"))
             .collect()[0][0]
         )
         if _is_straggler(int(mx), n_total, num_ranges):
-            ranged = bucketed(
+            raw = bucketed(
                 _boundary_expr(kd, _equidepth_boundaries(df, key, num_ranges))
             )
+    # explicit hash exchange on the cell key: the window finds its
+    # distribution requirement satisfied (in-place sort) and the cell
+    # counts come from a sort-free hash agg over the SAME exchange
+    ranged = raw.repartition(*(gkeys + ["_grr"]))
     w = Window.partitionBy(*gkeys, "_grr").orderBy(
         F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]
     )

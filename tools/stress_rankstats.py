@@ -139,10 +139,59 @@ def stress_theilsen_pairs(spark):
     )
 
 
+def stress_grouped_bursty(spark):
+    # r7 skew leg for the GROUPED rank device at scale: 20M rows where
+    # 90% land in ONE group AND inside one sliver of a huge value span
+    # (a flood event). The naive per-group window sorts the 18M-row hot
+    # group in ONE task; equal-width cells would ALSO collapse (same
+    # sliver) — the count-probe + equi-depth re-split must spread the
+    # flood across cells and stay bit-identical to the naive window on
+    # the per-group median check.
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
+    n = 20_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("g0"))
+        .otherwise(F.concat(F.lit("g"), (1 + F.col("id") % 4).cast("string")))
+        .alias("g"),
+        F.when(
+            F.col("id") % 10 < 9, ((F.col("id") * 131) % 86_400).cast("double")
+        )
+        .otherwise(((F.col("id") * 7919) % 315_360_000).cast("double"))
+        .alias("k"),
+        F.col("id").alias("tb"),
+    ).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    ranked = grouped_row_number(df, ["g"], "k", ["tb"], out_col="rn", count_col="np")
+    med = ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+    got = {r["g"]: (r["np"], r["k"], r["tb"]) for r in med.collect()}
+    dt = time.time() - t0
+
+    w = Window.partitionBy("g").orderBy(F.col("k").asc(), F.col("tb").asc())
+    wn = Window.partitionBy("g")
+    t1 = time.time()
+    naive = (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("np", F.count(F.lit(1)).over(wn).cast("long"))
+        .filter(F.col("rn") == F.expr("(np + 1) div 2"))
+    )
+    want = {r["g"]: (r["np"], r["k"], r["tb"]) for r in naive.collect()}
+    dt_naive = time.time() - t1
+    assert got == want, (got, want)
+    return (
+        f"grouped_bursty: n={n} 90%-one-group-one-day device {dt:.1f}s "
+        f"vs naive single-task window {dt_naive:.1f}s (medians exact-equal)"
+    )
+
+
 STRESSES = {
     "spearman": stress_spearman,
     "quantiles": stress_quantiles,
     "theilsen_pairs": stress_theilsen_pairs,
+    "grouped_bursty": stress_grouped_bursty,
 }
 
 
