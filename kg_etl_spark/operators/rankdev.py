@@ -20,8 +20,9 @@ operators/packing.py:83), generalized:
    (``num_ranges`` parallel sorts instead of one global sort);
 3. the per-range row counts (or partial sums) — ``num_ranges`` rows, a
    model-sized frame — come to the driver once, a running prefix turns
-   them into per-range OFFSETS, and a broadcast map literal shifts every
-   local rank/cumsum to its exact global value.
+   them into per-range OFFSETS, and a dense array literal (O(1)
+   indexed lookup per row) shifts every local rank/cumsum to its
+   exact global value.
 
 Cost at any scale: one extra min/max aggregate + one ``num_ranges``-row
 collect; the data itself shuffles once (hash by range) and never
