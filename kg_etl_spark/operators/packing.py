@@ -85,7 +85,7 @@ def pack_concat_chunk(
     id_col: str = "doc_id",
     text_col: str = "text",
     cap: int = 2048,
-    num_partitions: int = 32,
+    num_partitions: "int | None" = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing manifest: documents are laid
     end-to-end in id order and cut into fixed `cap`-token bins; a
@@ -99,8 +99,16 @@ def pack_concat_chunk(
     could diverge between the two executions of this plan), compute
     the range-local cumsum with a per-range window, collect only the
     per-range TOTALS (num_partitions rows), prefix them on the driver,
-    and add the offsets back via a literal map. One narrow shuffle of
-    (id, n_tokens) and two tiny collects — no corpus-scale driver data.
+    and add the offsets back via a dense array literal. One narrow
+    shuffle of (id, n_tokens) and two tiny collects — no corpus-scale
+    driver data.
+
+    ``num_partitions=None`` (default) sizes from the id SPAN
+    (clamp(ceil(span/1M), 32, 4×shuffle-width)) — span ≈ n for the
+    dense surrogate ids this packs, it is data-deterministic (no
+    sampled boundaries), and an over-estimate from sparse ids merely
+    leaves empty ranges, which cost nothing (r7: same
+    parallelism-ceiling fix as the rank device family).
     """
     base = (
         df.select(F.col(id_col), F.size(ws_tokens(F.col(text_col))).alias("n_tokens"))
@@ -116,6 +124,16 @@ def pack_concat_chunk(
             F.lit(0).cast("long").alias("first_bin"),
             F.lit(0).cast("long").alias("last_bin"),
             F.lit(0).cast("long").alias("offset_in_bin"),
+        )
+    if num_partitions is None:
+        from kg_etl_spark.operators.rankdev import TARGET_CELL_ROWS, _max_ranges
+
+        span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+        num_partitions = int(
+            min(
+                max(_max_ranges(df.sparkSession), 32),
+                max(32, -(-span // TARGET_CELL_ROWS)),
+            )
         )
     width = max(1, (int(bounds["hi"]) - int(bounds["lo"])) // num_partitions + 1)
     ranged = base.withColumn(
