@@ -2021,3 +2021,36 @@ FROM c, t ORDER BY n_events DESC, user_id LIMIT 20
 
 QUERIES["heavy_key_profile"] = q_heavy_key_profile
 ORACLES["heavy_key_profile"] = ORACLE_HEAVY_KEYS
+
+
+def q_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness of the event stream: the Fano factor
+    (sample variance / mean) of the daily count series — ≈1 is
+    Poisson-like, >1 over-dispersed/bursty. THE summary a pipeline
+    consults before trusting uniform range partitioning of a time key
+    (the round-7 equi-depth re-split exists precisely for high-Fano
+    streams). Corpus-scale work is one (type, day) hash aggregate;
+    the variance runs over the calendar-bounded daily frame."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.var_samp(F.col("c").cast("double")) / F.avg(F.col("c").cast("double")), 6).alias("fano"),
+    )
+
+
+ORACLE_BURSTINESS = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(VAR_SAMP(c) / AVG(c), 6) AS fano
+FROM daily GROUP BY event_type
+"""
+
+QUERIES["type_burstiness"] = q_type_burstiness
+ORACLES["type_burstiness"] = ORACLE_BURSTINESS

@@ -1432,3 +1432,62 @@ FROM terms GROUP BY source
 
 QUERIES["source_js_divergence"] = q_source_js_divergence
 ORACLES["source_js_divergence"] = ORACLE_SOURCE_JSD
+
+
+def q_zipf_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic of the token frequency distribution: OLS
+    slope of ln(freq) on ln(rank) over the top-100 tokens (natural
+    text ≈ −1; template-generated or degenerate corpora drift hard) —
+    a standard corpus-quality gate before training. The corpus-scale
+    work is ONE token hash aggregate; the top-100 come from the
+    TakeOrdered per-partition tournament and the rank + regression run
+    on that 100-row frame (model-sized — never a corpus window). ln()
+    appears only in VALUES feeding 6dp-rounded output (the repo's
+    libm discipline)."""
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(100)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    k = F.col("n_top").cast("double")
+    slope = (k * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return s.select("n_top", F.round(slope, 6).alias("zipf_slope"))
+
+
+ORACLE_ZIPF = f"""
+WITH f AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest({_SQL_TOKS}) AS word FROM documents
+  ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 100
+), r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank FROM f
+), s AS (
+  SELECT COUNT(*) AS k, SUM(LN(rank)) AS sx, SUM(LN(n)) AS sy,
+         SUM(LN(rank) * LN(n)) AS sxy, SUM(LN(rank) * LN(rank)) AS sxx
+  FROM r
+)
+SELECT CAST(k AS BIGINT) AS n_top,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+"""
+
+QUERIES["zipf_tail_fit"] = q_zipf_tail_fit
+ORACLES["zipf_tail_fit"] = ORACLE_ZIPF

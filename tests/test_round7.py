@@ -338,3 +338,48 @@ def test_equidepth_histogram_bruteforce(spark):
         assert got[i]["n_rows"] == sz
         assert got[i]["lo_price"] == chunk[0][0]
         assert got[i]["hi_price"] == max(c[0] for c in chunk)
+
+
+def test_zipf_tail_fit_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from kg_etl_spark.queries.textq import q_zipf_tail_fit
+
+    got = q_zipf_tail_fit(spark, SF).collect()[0]
+    docs = spark.read.parquet(SF + "/documents.parquet").select("text").collect()
+    cnt = Counter(
+        w for r in docs for w in r["text"].strip().lower().split() if w
+    )
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(n) for _, n in top]
+    k = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert got["n_top"] == k
+    assert abs(got["zipf_slope"] - slope) < 1e-5
+    assert got["zipf_slope"] < 0  # frequencies decay with rank
+
+
+def test_type_burstiness_bruteforce(spark):
+    import statistics
+    from collections import Counter
+
+    from kg_etl_spark.queries.events import q_type_burstiness
+
+    got = {r["event_type"]: r for r in q_type_burstiness(spark, SF).collect()}
+    ev = spark.read.parquet(SF + "/events.parquet").select("event_type", "ts").collect()
+    daily = Counter(
+        (r["event_type"], int(r["ts"].timestamp() * 1e6) // 86_400_000_000)
+        for r in ev
+    )
+    by_type: dict = {}
+    for (t, _), c in daily.items():
+        by_type.setdefault(t, []).append(c)
+    for t, cs in by_type.items():
+        assert got[t]["n_days"] == len(cs)
+        fano = statistics.variance(cs) / statistics.mean(cs)
+        assert abs(got[t]["fano"] - fano) < 1e-5
