@@ -104,6 +104,13 @@ HEADLINE = [
     "global_type_transitions",
     "containment_dedup",
     "ipw_ate",
+    # round 7: new diagnostics/order-statistics families enter coverage
+    # in the round they ship
+    "event_gap_quantiles",
+    "heavy_key_profile",
+    "equidepth_histogram",
+    "zipf_tail_fit",
+    "type_burstiness",
 ]
 
 
