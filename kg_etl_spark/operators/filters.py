@@ -309,24 +309,40 @@ def pareto_frontier_2d(
     — the data-selection primitive "best quality at every cost budget".
 
     Never the quadratic NOT-EXISTS self-join: per distinct max_col
-    value take min(min_col), sort the distinct values descending, and
-    a 1-lagged running minimum gives the best cost among all STRICTLY
-    better rows; a row survives iff it achieves its group minimum and
-    beats that running minimum strictly. Two tiny aggregates + one
-    window over |distinct max_col| rows + a broadcast join back — the
-    full frame shuffles once (the group aggregate) regardless of size.
+    value take min(min_col), order the distinct values descending, and
+    the 1-lagged (exclusive) running minimum gives the best cost among
+    all STRICTLY better rows; a row survives iff it achieves its group
+    minimum and beats that running minimum strictly.
+
+    The running minimum rides the group-free prefix device
+    (operators/adjacent.py with_prefix_max): for a CONTINUOUS max_col
+    the per-distinct frame is nearly one row per input row, so a
+    partition-less window here was the single-task-sort hazard the
+    r5–r7 audits hunt (caught by the r7 partition-less plan scan; the
+    devices make it |cells|-parallel). Exclusive running MIN over _q
+    DESC ≡ exclusive running MAX of −min_col over −_q ASC — exact
+    (negation of doubles is sign-flip). The frontier itself is
+    O(log n) points in expectation for random data, so the join back
+    broadcasts the filtered survivors only.
 
     Ties: duplicate (max_col, min_col) points do not dominate each
     other — all survive (matching the SQL NOT-EXISTS definition).
     """
+    from kg_etl_spark.operators.adjacent import with_prefix_max
+
     mx, mn = F.col(max_col), F.col(min_col)
     per_q = df.groupBy(mx.alias("_q")).agg(F.min(mn).alias("_minc"))
-    w = Window.orderBy(F.col("_q").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    run = with_prefix_max(
+        per_q.withColumn("_negq", -F.col("_q")).withColumn("_negm", -F.col("_minc")),
+        [],
+        "_negq",
+        [],
+        "_negm",
+        out_col="_nbh",
     )
-    frontier_q = per_q.withColumn("_best_higher", F.min("_minc").over(w)).filter(
+    frontier_q = run.withColumn("_best_higher", -F.col("_nbh")).filter(
         (F.col("_best_higher").isNull()) | (F.col("_minc") < F.col("_best_higher"))
-    )
+    ).select("_q", "_minc")
     return (
         df.join(
             F.broadcast(frontier_q),

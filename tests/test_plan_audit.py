@@ -12,7 +12,12 @@ plan review.
 
 from __future__ import annotations
 
-from tools.audit_plans import ALLOW_LOWCARD, audit, check_plan
+from tools.audit_plans import (
+    ALLOW_LOWCARD,
+    ALLOW_PARTITIONLESS,
+    audit,
+    check_plan,
+)
 from kg_etl_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -35,9 +40,36 @@ def test_catalog_plan_audit(spark):
         "device cell column without its repartition exchange "
         f"(skinny-exchange regression): {result['device_no_exchange']}"
     )
-    # the allowlist must not rot: every entry still names a live query
-    stale = [q for q in ALLOW_LOWCARD if q not in QUERIES]
+    assert result["partitionless"] == [], (
+        "NEW partition-less corpus windows (route through a device or, "
+        "if the frame is genuinely model-sized, the allowlist): "
+        f"{result['partitionless']}"
+    )
+    # the allowlists must not rot: every entry still names a live query
+    stale = [
+        q
+        for q in list(ALLOW_LOWCARD) + list(ALLOW_PARTITIONLESS)
+        if q not in QUERIES
+    ]
     assert not stale, f"allowlist entries for removed queries: {stale}"
+
+
+def test_check_plan_flags_partitionless_window():
+    """r7 audit extension: an empty partition spec (global one-task
+    window) over a non-device column must be flagged; the device carry
+    frames (cell column in the order spec) and allowlisted model-sized
+    frames must not."""
+    naked = (
+        "(2) Window [row_number() windowspecdefinition(price#7 DESC NULLS "
+        "LAST, specifiedwindowframe(...))]\n"
+    )
+    assert check_plan("synthetic", naked)["partitionless"]
+    carry = (
+        "(2) Window [lead(v) windowspecdefinition(_apr#9L ASC NULLS FIRST, "
+        "specifiedwindowframe(...))]\n"
+    )
+    assert not check_plan("synthetic", carry)["partitionless"]
+    assert not check_plan("zipf_tail_fit", naked)["partitionless"]  # allowlisted
 
 
 def test_check_plan_flags_device_cell_without_exchange():

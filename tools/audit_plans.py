@@ -17,6 +17,16 @@ driver-side scalars some builders collect) and flags:
    (daily aggregates, device cells frames, tournament survivors), so
    legitimately-flagged queries live in ALLOW_LOWCARD with their
    reason; anything NEW outside the list fails the paired pytest.
+4. PARTITION-LESS windows (r7): an empty partition spec moves ALL rows
+   to one task — the global-window class. Device carry frames
+   self-identify via the cell column in the order spec; model-sized
+   frames live in ALLOW_PARTITIONLESS with their reason. (This scan
+   found pareto_orders' per-distinct-price running-min window, ~1 row
+   per order at scale — now on the group-free prefix device.)
+5. Device cell column WITHOUT its repartition exchange (r7): a window
+   excused by `_apr`/`_grr` must be accompanied by a hashpartitioning
+   exchange on that column, so a refactor cannot silently drop the
+   explicit repartition and reintroduce a skinny exchange.
 
 Usage: python tools/audit_plans.py [sf_dir]
 """
@@ -36,6 +46,19 @@ LOW_CARD_COLS = (
     "event_type", "lang", "source", "split", "c_mktsegment",
     "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
 )
+
+# Queries whose PARTITION-LESS windows (empty partition spec — the
+# "all data to one task" class, r7 audit extension) run over
+# MODEL-SIZED frames. Device carry frames self-identify by their cell
+# column (_apr/_grr) in the order spec and need no entry.
+ALLOW_PARTITIONLESS = {
+    # ≤|nations|-row p-value frame (BH step-up needs the full ranking)
+    "bh_fdr_nations": "per-nation p-value frame",
+    # fused top-k search-result frame (post-LIMIT per retriever)
+    "hybrid_rrf_search": "top-k result frame",
+    # top-100 token frame (post-LIMIT TakeOrdered)
+    "zipf_tail_fit": "top-100 token frame",
+}
 
 # Queries whose low-card-partitioned windows run over MODEL-SIZED
 # frames (the static plan can't see the frame size; the reason is the
@@ -69,7 +92,10 @@ def check_plan(name: str, plan: str):
 
     Returns a dict of booleans: row_python / cartesian / lowcard
     (a low-cardinality corpus window with no device cell column) /
-    device_no_exchange (r7: a window is excused by the device cell
+    partitionless (r7: an EMPTY partition spec — the one-task global
+    window class — outside the device carry frames, which
+    self-identify by their cell column in the order spec, and the
+    reasoned model-sized allowlist) / device_no_exchange (r7: a window is excused by the device cell
     column ``_apr``/``_grr``, but the plan has NO hash-partitioning
     exchange on that column — i.e. a refactor kept the column name
     while silently dropping the explicit ``repartition`` that spreads
@@ -79,9 +105,20 @@ def check_plan(name: str, plan: str):
         "cartesian": "CartesianProduct" in plan,
         "lowcard": False,
         "device_no_exchange": False,
+        "partitionless": False,
     }
     for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
         head = re.split(r" ASC| DESC|specifiedwindowframe", m.group(1))[0]
+        first = m.group(1).split(",")[0]
+        if (
+            (" ASC" in first or " DESC" in first)  # no partition keys at all
+            and "_apr" not in first
+            and "_grr" not in first
+            and "_rdrng" not in first
+            and "_rbp" not in first
+            and name not in ALLOW_PARTITIONLESS
+        ):
+            out["partitionless"] = True
         for cell_col in ("_apr", "_grr"):
             if cell_col in head and not re.search(
                 r"hashpartitioning\([^)]*" + cell_col, plan
@@ -100,6 +137,7 @@ def check_plan(name: str, plan: str):
 def audit(spark, sf_dir: str):
     """Returns dict of violation lists; empty lists == clean."""
     row_python, cartesian, lowcard_new, device_no_exchange = [], [], [], []
+    partitionless = []
     errors = []
     for name, fn in QUERIES.items():
         try:
@@ -116,11 +154,14 @@ def audit(spark, sf_dir: str):
             lowcard_new.append(name)
         if v["device_no_exchange"]:
             device_no_exchange.append(name)
+        if v["partitionless"]:
+            partitionless.append(name)
     return {
         "row_python": sorted(set(row_python)),
         "cartesian": sorted(set(cartesian)),
         "lowcard_new": sorted(set(lowcard_new)),
         "device_no_exchange": sorted(set(device_no_exchange)),
+        "partitionless": sorted(set(partitionless)),
         "errors": errors,
     }
 
@@ -134,7 +175,13 @@ def main() -> None:
         print(f"{k}: {v}")
     if any(
         result[k]
-        for k in ("row_python", "cartesian", "lowcard_new", "device_no_exchange")
+        for k in (
+            "row_python",
+            "cartesian",
+            "lowcard_new",
+            "device_no_exchange",
+            "partitionless",
+        )
     ):
         sys.exit(1)
     print(f"AUDIT CLEAN ({len(QUERIES)} queries)")
