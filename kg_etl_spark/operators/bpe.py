@@ -86,7 +86,10 @@ def bpe_encode(
         encode, schema="_w string, _n_pieces long, _enc string"
     )
 
-    joined = toks.join(F.broadcast(encoded), "_w")
+    # plain equi-join: the encoded VOCAB is corpus-vocab-scale (every
+    # distinct word), so it must not carry a broadcast hint — AQE still
+    # broadcasts it at small actual sizes (r7 broadcast-site review)
+    joined = toks.join(encoded, "_w")
     return (
         joined.groupBy(id_col)
         .agg(

@@ -169,7 +169,10 @@ def token_pmi_pairs(
     windowed = df_counts.filter(
         (F.col("_df") >= min_df) & (F.col("_df") <= max_df)
     )
-    toks = dt.join(F.broadcast(windowed), "_t")
+    # plain equi-join: the windowed vocabulary is corpus-vocab-scale
+    # (all mid-frequency tokens), so no broadcast hint — AQE broadcasts
+    # it when actually small (r7 broadcast-site review)
+    toks = dt.join(windowed, "_t")
 
     a = toks.select("_id", F.col("_t").alias("w1"), F.col("_df").alias("_dfa"))
     b = toks.select("_id", F.col("_t").alias("w2"), F.col("_df").alias("_dfb"))

@@ -4134,7 +4134,7 @@ def q_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", (F.col("c_mktsegment") == "BUILDING").alias("treated")
     )
     orders = read_table(spark, sf_dir, "orders")
-    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
     cells = j.groupBy(
         "treated", (F.col("o_orderdate") >= F.lit(_DID_PIVOT).cast("timestamp")).alias("post")
     ).agg(

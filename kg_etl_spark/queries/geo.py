@@ -80,7 +80,7 @@ def q_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_nationkey", F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")
     )
     return (
-        cust.join(F.broadcast(supp), cust.c_nationkey == supp.s_nationkey)
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey)
         .select(
             "c_custkey",
             "s_suppkey",

@@ -539,9 +539,12 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. By symmetry Σx = Σy, but both are computed as written so
     the oracle matches term for term.
 
-    100 TB shape: one degree aggregate, two broadcast-joined degree
-    attaches keyed by the edge endpoints, one global 1-row aggregate —
-    no windows, nothing quadratic."""
+    100 TB shape: one degree aggregate, two degree attaches as PLAIN
+    equi-joins keyed by the edge endpoints (the degree table is |V|
+    rows — corpus-scale, so it must never carry a broadcast hint; AQE
+    still broadcasts it at small actual sizes, and at 1e9 nodes the
+    join shuffles row-proportionally — r7 broadcast-site review), one
+    global 1-row aggregate — no windows, nothing quadratic."""
     from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
 
     ev = read_table(spark, sf_dir, "events")
@@ -551,8 +554,8 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     ed = (
-        e.join(F.broadcast(deg.select(F.col("node").alias("s"), F.col("d").alias("dx"))), "s")
-        .join(F.broadcast(deg.select(F.col("node").alias("t"), F.col("d").alias("dy"))), "t")
+        e.join(deg.select(F.col("node").alias("s"), F.col("d").alias("dx")), "s")
+        .join(deg.select(F.col("node").alias("t"), F.col("d").alias("dy")), "t")
     )
     DEC = "decimal(38,0)"
     agg = ed.agg(

@@ -127,7 +127,7 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice").cast(DECP) * (F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum(rev), 2).cast("double").alias("revenue"),
@@ -193,7 +193,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), orders.o_custkey == F.col("c_custkey"))
+    j = orders.join(cust.select("c_custkey", "c_mktsegment"), orders.o_custkey == F.col("c_custkey"))
     top = grouped_topk(
         j,
         ["c_mktsegment"],
@@ -1051,7 +1051,7 @@ def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_snk"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cnk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1100,8 +1100,8 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)
     ) - F.col("p_retailprice").cast(DECP) * F.col("l_quantity").cast(DECP)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
         .agg(
@@ -1175,7 +1175,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.col("p_name").startswith("new")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -1221,7 +1221,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(clause)
         .agg(
             F.round(F.sum(rev), 2).cast("double").alias("revenue"),
@@ -1394,7 +1394,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     unit = (F.col("l_extendedprice").cast(DECP) / F.col("l_quantity").cast(DECP))
     offer = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(unit), 6).cast("double").alias("unit_cost"))
     )
@@ -1403,7 +1403,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = offer.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     return (
-        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(supp, best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -1455,7 +1455,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cnation), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snation), supp.s_nationkey == F.col("sn_key"))
     )
     num = F.when(F.col("sn_name") == "NATION_0", rev).otherwise(F.lit(0).cast(DECP))
@@ -1500,7 +1500,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     val = F.col("l_extendedprice").cast(DECP)
     per_part = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .filter(F.col("n_name") == "NATION_1")
         .groupBy("l_partkey")
@@ -1571,7 +1571,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1600,7 +1600,7 @@ def q_overstock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     supp = read_table(spark, sf_dir, "supplier")
-    bridged = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    bridged = li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
     qty = F.col("l_quantity").cast(DECP)
     per_ps = bridged.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("_sq"))
     per_p = bridged.groupBy(F.col("l_partkey").alias("_pk")).agg(
@@ -1613,7 +1613,7 @@ def q_overstock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        hot.join(F.broadcast(supp), hot.l_suppkey == supp.s_suppkey)
+        hot.join(supp, hot.l_suppkey == supp.s_suppkey)
         .select(F.col("s_suppkey"), F.col("s_name"))
     )
 
@@ -1840,7 +1840,7 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("lost_revenue"))
