@@ -43,10 +43,40 @@ thing you must never ask a single task to produce.
 
 from __future__ import annotations
 
+import weakref
 from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Per-DataFrame memo of device statistics — the programmatic stand-in
+# for the zone-map/column statistics a table format (Delta/Iceberg)
+# serves for free at scan time.  The catalog's inputs are memoized
+# static scans (session.read_table), so count/min/max of an immutable
+# column, the straggler count-probe, the equi-depth boundaries, and
+# the heavy-tie stats are dataset constants: computing them once per
+# session per (frame, column) instead of once per device call removes
+# the stats jobs from every repeat invocation (r7 verdict directive
+# #3 — previously only the adjacent family memoized; rankdev re-paid
+# its aggregates per call).  Weak-keyed: frames die, entries follow.
+# Wrong stats could only skew CELL SIZES, never results (any monotone
+# bucketing preserves the total order).  Shared with
+# operators/adjacent.py, which imports this memo.
+_STATS_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
+
+
+def _memo(df: DataFrame) -> dict:
+    try:
+        return _STATS_MEMO.setdefault(df, {})
+    except TypeError:  # non-weakrefable frame stub
+        return {}
+
+
+def _memo_get(df: DataFrame, key, fn):
+    m = _memo(df)
+    if key not in m:
+        m[key] = fn()
+    return m[key]
 
 
 def _range_expr(key: Column, lo: float, hi: float, num_ranges: int) -> Column:
@@ -435,18 +465,26 @@ def ntile_expr(rn: Column, n_total: int, k: int) -> Column:
 def ntile_col_expr(rn: Column, n: Column, k: int) -> Column:
     """:func:`ntile_expr` with the group size as a COLUMN — the
     per-group sibling (feeds :func:`grouped_row_number`'s count_col).
-    Tile arithmetic is exact integer division via decimal-backed
-    ``floor`` (no double truncation at any group size a long can
-    hold), centralizing the NTILE formula the query layer used to
-    hand-roll."""
+    Tile arithmetic is exact integer division (remainder subtracted
+    BEFORE the decimal divide, so the quotient's fraction is exactly
+    zero and the decimal result's scale-6 rounding is lossless at any
+    long magnitude), centralizing the NTILE formula the query layer
+    used to hand-roll."""
 
     def idiv(a: Column, b: Column) -> Column:
-        # decimal(38,0)/decimal(20,0) divides exactly for any realistic
-        # long inputs; floor then truncates exactly (double division
-        # would round at >2^53)
-        return F.floor(a.cast("decimal(38,0)") / b.cast("decimal(20,0)")).cast(
-            "long"
-        )
+        # decimal(38,0)/decimal(20,0) resolves to decimal(38,6) and
+        # HALF_UP-rounds the quotient to 6dp BEFORE floor — at tile
+        # sizes >= ~2e6 the boundary row's quotient (e.g.
+        # 2000000/2000001) rounds UP to the next integer and the tile
+        # misassigns (r7 advice, Spark-verified).  Subtracting the
+        # remainder first makes the dividend an exact multiple: the
+        # fraction is exactly 0, so the scale-6 rounding is lossless
+        # for any long inputs (a - a%b never overflows: |a-a%b| <= |a|).
+        a = a.cast("long")
+        b = b.cast("long")
+        return (
+            (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(20,0)")
+        ).cast("long")
 
     q = idiv(n, F.lit(k))
     r = n % F.lit(k)
