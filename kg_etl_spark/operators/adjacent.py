@@ -54,7 +54,6 @@ order the thing you must never ask one task to produce.
 
 from __future__ import annotations
 
-import weakref
 from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window
@@ -64,88 +63,106 @@ from kg_etl_spark.operators.rankdev import (
     SKEW_CELL_ROWS,
     _auto_num_ranges,
     _boundary_expr,
+    _cell_threshold,
+    _dup_boundaries,
     _equidepth_boundaries,
-    _is_straggler,
-    _key_stats,
+    _memo,
+    _numeric_tiebreak,
     _range_expr,
+    _stats,
+    _tie_cell_expr,
+    _tie_stats,
 )
 
-# Per-DataFrame memo of order-key statistics — the programmatic
-# stand-in for the zone-map/column statistics a table format
-# (Delta/Iceberg) serves for free at scan time. The catalog's inputs
-# are memoized static scans (session.read_table), so count/min/max of
-# an immutable column (and, at straggler scale, its equi-depth
-# boundaries) are dataset constants: computing them once per session
-# instead of once per query removes one full-scan job from every
-# device invocation. Weak-keyed: frames die, entries follow. Callers
-# that mutate an sf_dir mid-session already must clear the read memo
-# (session.clear_read_memo), which drops the memoized frame and with
-# it this entry. Wrong stats could only skew CELL SIZES, never results
-# (any monotone bucketing preserves the total order), but stale
-# entries cannot occur for the static bench/test dirs this serves.
-_BOUNDS_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
-
-
-def _memo(df: DataFrame) -> dict:
-    try:
-        return _BOUNDS_MEMO.setdefault(df, {})
-    except TypeError:  # non-weakrefable frame stub
-        return {}
+# The per-(frame, column) statistics memo lives in rankdev (shared by
+# both device families since r8 — the programmatic stand-in for
+# zone-map/column statistics a table format serves at scan time):
+# count/min/max, straggler probes, equi-depth boundaries, and
+# heavy-tie stats of an immutable column are dataset constants,
+# computed once per session. Weak-keyed: frames die, entries follow;
+# callers that mutate an sf_dir mid-session already must clear the
+# read memo (session.clear_read_memo), which drops the memoized frame
+# and with it these entries. Wrong stats could only skew CELL SIZES,
+# never results (any monotone bucketing preserves the total order).
 
 
 def _order_stats(df: DataFrame, order_col: str):
     """(n, lo, hi) of the order key — ONE memoized aggregate (the row
     count rides the bounds scan for free and drives auto sizing)."""
-    memo = _memo(df)
-    if order_col in memo:
-        return memo[order_col]
-    n, lo, hi = _key_stats(df, order_col)
-    val = None if lo is None else (n, lo, hi)
-    memo[order_col] = val
-    return val
+    n, lo, hi = _stats(df, order_col)
+    return None if lo is None else (n, lo, hi)
 
 
 def _cell_expr(df: DataFrame, order_col: str, n: int, lo: float, hi: float,
-               num_ranges: int):
+               num_ranges: int, tiebreaks: Sequence[str] = ()):
     """Range-cell id for the order key: the zero-cost equal-width
     arithmetic when no width cell could be a straggler sort; memoized
     equi-depth boundaries when the value distribution is bursty enough
-    to collapse a straggler's worth of rows into one width cell.
-    Either bucketing is monotone, so cell concatenation order == key
-    order and the device result is bit-identical regardless of
-    boundary placement (the r6-verdict skew-resilience directive).
+    to collapse a straggler's worth of rows into one width cell; and —
+    when a straggler cell has collapsed to a SINGLE order value, which
+    no monotone bucketing can split — a tiebreak sub-bucketing of that
+    heavy tie (rankdev._tie_cell_expr: intra-tie order IS the tiebreak
+    order, so the composite id stays jointly monotone).  Every
+    bucketing preserves cell concatenation order == stream order, so
+    the device result is bit-identical regardless of placement.
 
-    Two-step detection above the straggler threshold, cheapest first:
-    a per-width-cell COUNT (map-side combinable hash agg to
-    ≤num_ranges rows — measured ~3s at 50M vs ~10s for the sketch)
-    decides whether the percentile-sketch pass is needed at all, so
-    uniform data never pays for the skew it does not have. All three
-    statistics (counts probe, boundaries, n/lo/hi) are memoized per
-    (frame, column) — once per session for the static scans."""
+    Detection above the straggler threshold, cheapest first: a
+    per-width-cell COUNT+MIN+MAX (map-side combinable hash agg to
+    ≤num_ranges rows, only stragglers collected — measured ~3s at 50M
+    vs ~10s for the sketch) decides whether the percentile-sketch pass
+    is needed at all AND whether a straggler is a pure tie (min==max),
+    in which case the useless sketch is skipped entirely.  All
+    statistics memoize per (frame, column) — once per session for the
+    static scans."""
     kd = F.col(order_col).cast("double")
     if n <= SKEW_CELL_ROWS or hi == lo:
         return _range_expr(kd, lo, hi, num_ranges)
     memo = _memo(df)
-    ckey = ("cellmax", order_col, num_ranges)
-    if ckey in memo:
-        mx = memo[ckey]
-    else:
-        mx = int(
-            df.groupBy(_range_expr(kd, lo, hi, num_ranges).alias("_c"))
-            .count()
-            .agg(F.max("count"))
-            .collect()[0][0]
-        )
-        memo[ckey] = mx
-    if not _is_straggler(mx, n, num_ranges):
-        return _range_expr(kd, lo, hi, num_ranges)
-    bkey = ("bnd", order_col, num_ranges)
-    if bkey in memo:
+    thr = _cell_threshold(n, num_ranges)
+
+    def stragglers(expr, tag):
+        pkey = (tag, order_col, num_ranges)
+        if pkey not in memo:
+            rows = (
+                df.groupBy(expr.alias("_c"))
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.min(kd).alias("_mn"),
+                    F.max(kd).alias("_mx"),
+                )
+                .filter(F.col("_n") > thr)
+                .collect()
+            )
+            memo[pkey] = [
+                (int(r["_n"]), float(r["_mn"]), float(r["_mx"])) for r in rows
+            ]
+        return memo[pkey]
+
+    base, B = _range_expr(kd, lo, hi, num_ranges), num_ranges
+    strag = stragglers(base, "cellstrag")
+    if not strag:
+        return base
+    vals = {mn for _n, mn, mx in strag if mn == mx}
+    if any(mn < mx for _n, mn, mx in strag):
+        bkey = ("bnd", order_col, num_ranges)
+        if bkey not in memo:
+            memo[bkey] = _equidepth_boundaries(df, order_col, num_ranges)
         bnds = memo[bkey]
-    else:
-        bnds = _equidepth_boundaries(df, order_col, num_ranges)
-        memo[bkey] = bnds
-    return _boundary_expr(kd, bnds)
+        base, B = _boundary_expr(kd, bnds), len(bnds) + 1
+        strag = stragglers(base, "eqstrag")
+        # boundary duplication flags heavy values whose cell also
+        # holds neighbors (min<max hides the tie); _tie_stats drops
+        # the sub-threshold ones
+        vals |= _dup_boundaries(bnds)
+        vals |= {mn for _n, mn, mx in strag if mn == mx}
+    tb = _numeric_tiebreak(df, [t for t in tiebreaks if t != order_col])
+    if vals and tb is not None:
+        hkey = ("heavy", order_col, num_ranges, tb)
+        if hkey not in memo:
+            memo[hkey] = _tie_stats(df, kd, sorted(vals), tb, df.sparkSession, thr)
+        if memo[hkey]:
+            return _tie_cell_expr(kd, base, B, memo[hkey], F.col(tb))
+    return base
 
 
 def with_next(
@@ -187,7 +204,7 @@ def with_next(
 
     # cast-to-double is monotone non-decreasing, so even a rounding
     # collision only MERGES adjacent keys into one cell — never reorders
-    ranged = df.withColumn("_apr", _cell_expr(df, order_col, n, lo, hi, num_ranges))
+    ranged = df.withColumn("_apr", _cell_expr(df, order_col, n, lo, hi, num_ranges, tiebreaks))
     # group keys wrapped in 1-field structs (r6 advice): struct equality
     # treats a null FIELD as equal, so a NULL group is its own stream
     # through the partitioning, the aggregate AND the carry join —
@@ -335,7 +352,7 @@ def with_prefix_max(
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n, df.sparkSession)
     ranged = df.withColumn(
-        "_apr", _cell_expr(df, order_col, n, lo, hi, num_ranges)
+        "_apr", _cell_expr(df, order_col, n, lo, hi, num_ranges, tiebreaks)
     )
     # 1-field struct group keys: null-safe partitioning/join without
     # de-attributing the join condition (see the with_next note)

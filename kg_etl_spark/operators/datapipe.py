@@ -604,12 +604,16 @@ def quantile_normalize(
     for r in counts:
         offsets[r["_r"]] = running
         running += r["_n"]
-    from kg_etl_spark.operators.rankdev import _offset_lookup
+    from kg_etl_spark.operators.rankdev import _shift_columns
 
-    off = _offset_lookup(offsets, num_ranges, F.col("_r"))
-    glob = local.select(
-        (F.col("_lrn") + off).alias("_grn"), F.col("_v").alias("_gv")
-    ).lineage_cut(eager=True)
+    # inline array lookup below the threshold; broadcast offsets join
+    # above it (the array literal is a plan-size hazard at cluster
+    # shuffle widths — shared device policy, rankdev._shift_columns)
+    glob = (
+        _shift_columns(local, "_r", num_ranges, {"_grn": (F.col("_lrn"), offsets)})
+        .select("_grn", F.col("_v").alias("_gv"))
+        .lineage_cut(eager=True)
+    )
 
     w_grp = Window.partitionBy("_g").orderBy(F.col("_v").asc(), F.col("_id").asc())
     n_grp = Window.partitionBy("_g")

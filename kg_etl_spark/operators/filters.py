@@ -229,6 +229,103 @@ def duplicate_span_flags(
     )
 
 
+def remove_duplicate_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """The EXCISION half of Lee et al. 2022's substring deduplication
+    (the operator a real curation run uses :func:`duplicate_span_flags`
+    FOR): delete every word covered by a duplicated span — a word
+    n-gram occurring in >= `min_df` documents corpus-wide — and
+    reassemble the survivors in order.  Same span grain and df
+    semantics as the flags op (distinct spans per doc, so span count ==
+    document frequency).
+
+    Shape (all relational, no UDF): the distinct-span DF aggregate is
+    the flags op's ONE corpus shuffle; flagged span STARTS come from a
+    semi-join of positioned spans against the (usually far smaller)
+    duplicated-span set — AQE broadcasts it when it fits.  Only
+    AFFECTED documents (those containing a flagged span) pay the
+    token-level rebuild: covered indices explode to ≤ n rows per
+    flagged start, tokens anti-join them on (doc, index), and an
+    ordered fold-back (array_sort over collect_list — per-document
+    state, bounded by the document's own length) reassembles the
+    text.  Untouched documents keep their token join map-side.
+
+    Output: (id, n_tokens, n_kept, removed_ratio, clean_text) — one
+    row per input document; a fully-duplicated document comes back
+    with empty clean_text, not a dropped row.
+    """
+    from kg_etl_spark.functions.text import word_shingles
+
+    docs = corpus.select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    dspans = docs.select(
+        "_id", F.explode(word_shingles(F.col("_toks"), n)).alias("_span")
+    )
+    dup_set = (
+        dspans.groupBy("_span")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_span")
+    )
+    pos_spans = docs.filter(F.size("_toks") >= n).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+            )
+        ).alias("_p", "_span"),
+    )
+    flagged = pos_spans.join(dup_set, "_span", "left_semi")
+    covered = flagged.select(
+        "_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + n - 1)).alias("_i")
+    ).distinct()
+    affected = covered.select("_id").distinct()
+
+    untouched = docs.join(affected, "_id", "left_anti").select(
+        "_id", F.col("_toks").alias("_kept")
+    )
+    words = docs.join(affected, "_id", "left_semi").select(
+        "_id", F.posexplode("_toks").alias("_i", "_w")
+    )
+    kept = (
+        words.join(covered, ["_id", "_i"], "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_w"))),
+                lambda s: s["_w"],
+            ).alias("_kept")
+        )
+    )
+    rebuilt = affected.join(kept, "_id", "left").select(
+        "_id",
+        F.coalesce(F.col("_kept"), F.array().cast("array<string>")).alias("_kept"),
+    )
+    out = untouched.unionByName(rebuilt)
+    sizes = docs.select("_id", F.size("_toks").cast("long").alias("n_tokens"))
+    return sizes.join(out, "_id").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                (F.col("n_tokens") - F.size("_kept")).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("removed_ratio"),
+        F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+    )
+
+
 def source_cap_sample(
     df: DataFrame,
     group_col: str = "source",

@@ -149,15 +149,22 @@ def pack_concat_chunk(
     for r in totals:
         offsets[r["_pid"]] = running
         running += r["_tot"]
-    from kg_etl_spark.operators.rankdev import _offset_lookup
+    from kg_etl_spark.operators.rankdev import _shift_columns
 
-    # dense O(1) array lookup (shared device helper) — the map literal
-    # scanned linearly per row
-    off_expr = (
-        _offset_lookup(offsets, num_partitions, F.col("_pid"))
-        if offsets
-        else F.lit(0)
-    )
+    # dense O(1) array lookup below the inline threshold; broadcast
+    # offsets join above it (the array literal is a plan-size hazard
+    # at cluster shuffle widths — shared device policy,
+    # rankdev._shift_columns)
+    if offsets:
+        local = _shift_columns(
+            local,
+            "_pid",
+            num_partitions,
+            {"_off": (F.lit(0).cast("long"), offsets)},
+        )
+        off_expr = F.col("_off")
+    else:
+        off_expr = F.lit(0)
     cum_before = (F.col("_lcum") - F.col("n_tokens") + off_expr).alias("_cb")
     packed = local.select(id_col, "n_tokens", cum_before)
     cb = F.col("_cb")

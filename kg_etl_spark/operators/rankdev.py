@@ -15,20 +15,28 @@ operators/packing.py:83), generalized:
    default, switching to equi-depth boundaries (one percentile-sketch
    pass) when a straggler's worth of rows collapses into one width
    cell — boundary placement is correctness-neutral because any
-   monotone bucketing preserves the total order;
+   monotone bucketing preserves the total order.  A straggler cell
+   that has collapsed to a SINGLE key value (a dominant tie, which no
+   monotone bucketing can split) is sub-bucketed by the first numeric
+   tiebreak's value range instead (:func:`_tie_cell_expr`) — intra-tie
+   order IS the tiebreak order, so the composite id stays jointly
+   monotone and results stay bit-identical;
 2. each range ranks/cumsums LOCALLY with an ordinary partitioned window
    (``num_ranges`` parallel sorts instead of one global sort);
 3. the per-range row counts (or partial sums) — ``num_ranges`` rows, a
    model-sized frame — come to the driver once, a running prefix turns
-   them into per-range OFFSETS, and a dense array literal (O(1)
-   indexed lookup per row) shifts every local rank/cumsum to its
-   exact global value.
+   them into per-range OFFSETS, and either a dense array literal (O(1)
+   indexed lookup per row, below :data:`OFFSET_INLINE_MAX` ids) or ONE
+   broadcast join on the cell id (above it — an array literal at
+   cluster shuffle widths is a plan/codegen hazard) shifts every local
+   rank/cumsum to its exact global value.
 
 Cost at any scale: one extra min/max aggregate + one ``num_ranges``-row
-collect; the data itself shuffles once (hash by range) and never
-concentrates.  Exactness: ranks are integer-derived, so results are
-bit-identical to the single-partition window — oracles keep passing
-unchanged.
+collect — both memoized per (frame, column), so repeat devices over the
+same scan schedule no statistics jobs at all; the data itself shuffles
+once (hash by range) and never concentrates.  Exactness: ranks are
+integer-derived, so results are bit-identical to the single-partition
+window — oracles keep passing unchanged.
 
 Degenerate guard: if the key is constant (hi == lo) every row falls in
 range 0 and the device degrades to the single window it replaces; pass
@@ -135,6 +143,11 @@ def _key_stats(df: DataFrame, key: str):
     return int(row["n"]), float(row["lo"]), float(row["hi"])
 
 
+def _stats(df: DataFrame, key: str):
+    """:func:`_key_stats`, memoized per (frame, column)."""
+    return _memo_get(df, ("stats", key), lambda: _key_stats(df, key))
+
+
 # The equi-depth bucket expression is a when-tree of O(num_ranges)
 # nodes (log-depth comparisons per row). Cap its resolution so the
 # generated code never approaches JVM method limits: 2048 buckets ≈ 4k
@@ -192,6 +205,138 @@ def _is_straggler(max_cell: int, n: int, num_ranges: int) -> bool:
     return max_cell > SKEW_CELL_ROWS and max_cell > 4 * (n // max(num_ranges, 1))
 
 
+def _cell_threshold(n: int, num_ranges: int) -> int:
+    """Per-cell straggler bar — :func:`_is_straggler` applied to one
+    cell: a cell is a straggler iff its row count exceeds this."""
+    return max(SKEW_CELL_ROWS, 4 * (n // max(num_ranges, 1)))
+
+
+# ---- heavy-tie splitting (round 8) ---------------------------------------
+# A dominant tie VALUE defeats any monotone bucketing of the key: every
+# row sharing the value must land in ONE cell (the r7 verdict directive
+# #1 — 50% of a corpus at one epoch-zero/crawl-batch timestamp is one
+# sort task, and the equi-depth re-split cannot help because no
+# monotone function splits a tie).  But the devices already require
+# tiebreak columns for a total order, and WITHIN a tie the total order
+# IS the tiebreak order — so a monotone bucketing of the (numeric)
+# tiebreak, applied only to rows AT the heavy value, splits the tie
+# into K parallel cells while cell concatenation still reproduces the
+# window bit for bit.  The cell-id space interleaves: range segments
+# (the base bucketing, B ids each) alternate with tie blocks (K_i ids)
+# in key order, so ids stay jointly monotone in (key, tiebreak-at-tie).
+
+
+def _numeric_tiebreak(df: DataFrame, tiebreaks: Sequence[str]) -> Optional[str]:
+    """First tiebreak column whose cast-to-double is monotone in its
+    own sort order (numeric / timestamp) — the sub-bucketing key inside
+    a heavy tie.  String tiebreaks cannot range-bucket numerically;
+    a heavy tie then stays one cell (documented limitation)."""
+    from pyspark.sql.types import NumericType, TimestampType
+
+    for t in tiebreaks:
+        if isinstance(df.schema[t].dataType, (NumericType, TimestampType)):
+            return t
+    return None
+
+
+def _dup_boundaries(bnds) -> set:
+    """Values appearing 2+ times in an equi-depth boundary list — the
+    free tie detector: percentile_approx returns observed data values,
+    so a value spanning more than one bucket's share of mass MUST
+    duplicate as consecutive boundaries.  This catches heavy values
+    whose cell also holds a few neighbors (min < max, so the cell
+    probe alone cannot see the tie)."""
+    return {b for i, b in enumerate(bnds) if i and bnds[i - 1] == b}
+
+
+def _tie_stats(df: DataFrame, kd: Column, values, tb: str, spark, thr: int):
+    """Per heavy-value CANDIDATE: (value, K sub-cells, tiebreak lo,
+    tiebreak hi) from ONE filtered map-side aggregate (|candidates|
+    rows).  Candidates below the straggler bar ``thr`` are dropped
+    (boundary duplication flags ~1/num_ranges of mass, which may be
+    harmless), as are values whose tiebreak is constant or all-null
+    inside the tie (true duplicate rows — unsplittable).  K sizes like
+    the base ranges (ceil(rows/target), min 2, capped at
+    4×shuffle-width)."""
+    tbd = F.col(tb).cast("double")
+    rows = (
+        df.filter(kd.isin(list(values)))
+        .groupBy(kd.alias("_k"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(tbd).alias("_lo"),
+            F.max(tbd).alias("_hi"),
+        )
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r["_k"]):
+        if int(r["_n"]) <= thr or r["_lo"] is None or r["_hi"] <= r["_lo"]:
+            continue
+        k = min(
+            _max_ranges(spark), max(2, -(-int(r["_n"]) // TARGET_CELL_ROWS))
+        )
+        out.append((float(r["_k"]), int(k), float(r["_lo"]), float(r["_hi"])))
+    return out
+
+
+def _tie_layout(B: int, heavies):
+    """Ascending id-space blocks: ("range", start, B) segments of the
+    base bucketing alternate with ("tie", start, K_i) blocks, one per
+    heavy value in key order.  Returns (blocks, total id-space size).
+    Range segment c holds base(x) + its start for every non-heavy x
+    with exactly c heavies below it — base(x) < B keeps segments
+    disjoint from the tie blocks between them."""
+    blocks, cum = [], 0
+    for i, (_v, k, _lo, _hi) in enumerate(heavies):
+        blocks.append(("range", i * B + cum, B))
+        blocks.append(("tie", (i + 1) * B + cum, k))
+        cum += k
+    blocks.append(("range", len(heavies) * B + cum, B))
+    return blocks, (len(heavies) + 1) * B + cum
+
+
+def _tie_cell_expr(kd: Column, base_expr: Column, B: int, heavies, tb: Column) -> Column:
+    """Composite cell id over the :func:`_tie_layout` id space: heavy
+    rows take their tie block (sub-bucketed by the tiebreak's value
+    range — order-preserving inside the tie because intra-tie order IS
+    the tiebreak order); every other row takes its base bucket shifted
+    by the tie blocks below it.  NULL keys keep the leading cell
+    (window-equivalent NULLS FIRST under ASC).  Jointly monotone in
+    (key, tiebreak-at-tie), so device results stay bit-identical."""
+    expr = F.when(kd.isNull(), F.lit(0).cast("long"))
+    cum = 0
+    for i, (v, k, tlo, thi) in enumerate(heavies):
+        start = (i + 1) * B + cum
+        cum += k
+        expr = expr.when(
+            kd == F.lit(v), F.lit(start).cast("long") + _range_expr(tb, tlo, thi, k)
+        )
+    cum = 0
+    for i, (v, k, _tlo, _thi) in enumerate(heavies):
+        expr = expr.when(kd < F.lit(v), base_expr + F.lit(i * B + cum).cast("long"))
+        cum += k
+    return expr.otherwise(base_expr + F.lit(len(heavies) * B + cum).cast("long"))
+
+
+def _cell_order(blocks, ascending: bool):
+    """Cell-id sort key in TRAVERSAL order for the offset accumulation:
+    ascending key -> plain id order; DESC key -> blocks reversed, ids
+    descending within range segments but still ASCENDING within tie
+    blocks (tiebreaks sort ascending under either key direction)."""
+    if ascending or blocks is None:
+        return lambda cid: cid
+
+    def key(cid):
+        for bi, (kind, start, ln) in enumerate(blocks):
+            if start <= cid < start + ln:
+                minor = (cid - start) if kind == "tie" else (start + ln - 1 - cid)
+                return (len(blocks) - 1 - bi, minor)
+        raise AssertionError(f"cell id {cid} outside the tie layout")
+
+    return key
+
+
 def _offset_lookup(offsets: dict, size: int, idx: Column) -> Column:
     """Per-row offset shift as a DENSE array-literal lookup — O(1) per
     row (element_at on an array literal indexes directly, where a
@@ -205,6 +350,65 @@ def _offset_lookup(offsets: dict, size: int, idx: Column) -> Column:
         running = offsets.get(i, running)  # rank offsets are ints,
         vals.append(F.lit(running))        # cumsum partials may be floats
     return F.element_at(F.array(*vals), (idx + 1).cast("int"))
+
+
+# Above this id-space size the inline array literal becomes a
+# plan/codegen hazard: num_ranges caps at 4× the shuffle width, so a
+# real cluster (tens of thousands of shuffle partitions) would inline a
+# 10⁵-node expression into every row projection — per consuming column
+# (r7 verdict hazard #2).  4096 keeps the bench/test plans byte-for-
+# byte on the O(1) literal path while any cluster-width sizing joins.
+OFFSET_INLINE_MAX = 4096
+
+
+def _shift_columns(df: DataFrame, idx_col: str, size: int, shifts) -> DataFrame:
+    """``out := base + offset[idx]`` for each ``out: (base_expr,
+    offsets_dict)`` in ``shifts``.  Below :data:`OFFSET_INLINE_MAX`
+    ids: the dense array-literal lookup (O(1) per row, zero jobs).
+    Above it: ONE broadcast join on the cell id against a
+    |non-empty cells|-row offsets frame carrying one column per target
+    — same values, bounded plan size at any cluster width."""
+    if size <= OFFSET_INLINE_MAX:
+        for out, (base, offs) in shifts.items():
+            df = df.withColumn(
+                out, base + _offset_lookup(offs, size, F.col(idx_col))
+            )
+        return df
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    outs = list(shifts)
+    # only ids present in the offsets can match a row (absent = empty
+    # cell), so the frame needs |present ids| rows, not |size|
+    present = sorted(set().union(*(shifts[o][1].keys() for o in outs)))
+    running = {o: 0 for o in outs}
+    is_int = {
+        o: all(isinstance(v, int) for v in shifts[o][1].values()) for o in outs
+    }
+    rows = []
+    for i in present:
+        for o in outs:
+            running[o] = shifts[o][1].get(i, running[o])
+        rows.append(
+            tuple(
+                [int(i)]
+                + [
+                    int(running[o]) if is_int[o] else float(running[o])
+                    for o in outs
+                ]
+            )
+        )
+    fields = [StructField(idx_col, LongType())] + [
+        StructField("_sh_" + o, LongType() if is_int[o] else DoubleType())
+        for o in outs
+    ]
+    off = df.sparkSession.createDataFrame(rows, StructType(fields))
+    off = off.withColumn(idx_col, F.col(idx_col).cast(df.schema[idx_col].dataType))
+    out_df = df.join(F.broadcast(off), idx_col)
+    for o in outs:
+        out_df = out_df.withColumn(o, shifts[o][0] + F.col("_sh_" + o)).drop(
+            "_sh_" + o
+        )
+    return out_df
 
 
 def global_row_number(
@@ -227,48 +431,118 @@ def global_row_number(
     clamp(ceil(n/1M), 64, 4×shuffle-width) — and the per-range counts
     the device already collects double as a skew detector: a
     straggler-sized width cell (>4M rows AND >4× the even share)
-    triggers one equi-depth re-split (:func:`_equidepth_boundaries`).
-    Either bucketing is monotone, so ranks are bit-identical.
+    spanning MORE than one key value triggers one equi-depth re-split
+    (:func:`_equidepth_boundaries`); a straggler cell collapsed to a
+    SINGLE key value (a dominant tie, which no monotone bucketing can
+    split) is sub-bucketed by the first numeric tiebreak's value range
+    instead (:func:`_tie_cell_expr`) — intra-tie order IS the tiebreak
+    order, so either way ranks stay bit-identical.  All statistics
+    (bounds, probes, boundaries, tie stats, final counts) memoize per
+    (frame, column) — once per session for the static scans.
 
-    Contract: ``key`` non-null (a NULL key yields a NULL rank; the
-    plain window would rank NULLs first — catalog callers rank
-    non-null measures).
+    NULL keys rank FIRST under ASC and LAST under DESC, exactly like
+    the plain window (they take the leading cell, which the traversal
+    visits first/last respectively); an empty or all-null-key frame
+    returns NULL ranks.
     """
-    n_total, lo, hi = _key_stats(df, key)
+    n_total, lo, hi = _stats(df, key)
     if lo is None:  # empty frame (or all-null key)
         return df.withColumn(out_col, F.lit(None).cast("long")), 0
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     bucket_key = key
     if hi == lo and subkey is not None:
-        _, lo2, hi2 = _key_stats(df, subkey)
+        _, lo2, hi2 = _stats(df, subkey)
         lo, hi, bucket_key = lo2, hi2, subkey
+    kd = F.col(bucket_key).cast("double")
+    tb = (
+        _numeric_tiebreak(df, [t for t in tiebreaks if t != bucket_key])
+        if bucket_key == key
+        else None  # subkey fallback: near-unique, never tie-dominated
+    )
 
-    # Range ids ascend with the bucket key; for a DESC sort the offsets
-    # accumulate from the highest range down so offset+local stays global.
-    # EXCEPT in the constant-key subkey fallback: a constant key
-    # contributes nothing to the total order, so the effective global
-    # order is subkey ASC (the tie-break contract) REGARDLESS of
-    # `ascending` — offsets must then accumulate in ascending range
-    # order to match the subkey-ASC local windows.
-    ranged = df.withColumn(
-        "_rdrng", _range_expr(F.col(bucket_key), lo, hi, num_ranges)
+    def build_plan():
+        def cells(expr):
+            return (
+                df.groupBy(expr.alias("_rdrng"))
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.min(kd).alias("_mn"),
+                    F.max(kd).alias("_mx"),
+                )
+                .collect()
+            )
+
+        bnds, B = None, num_ranges
+        rows = cells(_range_expr(F.col(bucket_key), lo, hi, num_ranges))
+        thr = _cell_threshold(n_total, num_ranges)
+        strag = [r for r in rows if r["_n"] > thr]
+        heavies = []
+        if strag:
+            vals = {float(r["_mn"]) for r in strag if r["_mn"] == r["_mx"]}
+            if any(r["_mn"] < r["_mx"] for r in strag):
+                # value skew across distinct keys: one equi-depth
+                # re-split (skipped when every straggler is a pure
+                # tie, which the sketch cannot help — r7 advice);
+                # boundary duplication flags heavy values whose cell
+                # also holds neighbors (min<max hides the tie)
+                bnds = _equidepth_boundaries(df, bucket_key, num_ranges)
+                B = len(bnds) + 1
+                rows = cells(_boundary_expr(F.col(bucket_key), bnds))
+                strag = [r for r in rows if r["_n"] > thr]
+                vals |= _dup_boundaries(bnds)
+                vals |= {float(r["_mn"]) for r in strag if r["_mn"] == r["_mx"]}
+            if vals and tb is not None:
+                heavies = _tie_stats(
+                    df, kd, sorted(vals), tb, df.sparkSession, thr
+                )
+        blocks, size = None, B
+        if heavies:
+            blocks, size = _tie_layout(B, heavies)
+            base = (
+                _range_expr(F.col(bucket_key), lo, hi, num_ranges)
+                if bnds is None
+                else _boundary_expr(F.col(bucket_key), bnds)
+            )
+            rows = cells(_tie_cell_expr(kd, base, B, heavies, F.col(tb)))
+        return {
+            "bnds": bnds,
+            "B": B,
+            "heavies": heavies,
+            "blocks": blocks,
+            "size": size,
+            "counts": {int(r["_rdrng"]): int(r["_n"]) for r in rows},
+        }
+
+    plan = _memo_get(df, ("grn_plan", bucket_key, tb, num_ranges), build_plan)
+    base = (
+        _range_expr(F.col(bucket_key), lo, hi, num_ranges)
+        if plan["bnds"] is None
+        else _boundary_expr(F.col(bucket_key), plan["bnds"])
     )
-    counts = sorted(
-        ranged.groupBy("_rdrng").agg(F.count(F.lit(1)).alias("_n")).collect(),
-        key=lambda r: r["_rdrng"],
-        reverse=(not ascending) and bucket_key == key,
+    cell = (
+        _tie_cell_expr(kd, base, plan["B"], plan["heavies"], F.col(tb))
+        if plan["heavies"]
+        else base
     )
-    if counts and _is_straggler(max(r["_n"] for r in counts), n_total, num_ranges):
-        # bursty key values: re-split on equi-depth boundaries (one
-        # sketch pass) so no cell-sort task becomes a straggler
-        bnds = _equidepth_boundaries(df, bucket_key, num_ranges)
-        ranged = df.withColumn("_rdrng", _boundary_expr(F.col(bucket_key), bnds))
-        counts = sorted(
-            ranged.groupBy("_rdrng").agg(F.count(F.lit(1)).alias("_n")).collect(),
-            key=lambda r: r["_rdrng"],
-            reverse=(not ascending) and bucket_key == key,
-        )
+    ranged = df.withColumn("_rdrng", cell)
+
+    # Cell ids ascend with the key; for a DESC sort the offsets
+    # accumulate from the highest cell down (block-aware when tie
+    # blocks exist: tiebreaks stay ASC inside a tie) so offset+local
+    # stays global.  EXCEPT in the constant-key subkey fallback: a
+    # constant key contributes nothing to the total order, so the
+    # effective global order is subkey ASC (the tie-break contract)
+    # REGARDLESS of `ascending`.
+    asc_eff = ascending or bucket_key != key
+    if plan["blocks"] is not None:
+        ids = sorted(plan["counts"], key=_cell_order(plan["blocks"], asc_eff))
+    else:
+        ids = sorted(plan["counts"], reverse=not asc_eff)
+    offsets, running = {}, 0
+    for i in ids:
+        offsets[i] = running
+        running += plan["counts"][i]
 
     order = [F.col(key).asc() if ascending else F.col(key).desc()]
     if bucket_key != key:
@@ -276,13 +550,8 @@ def global_row_number(
     order += [F.col(t).asc() for t in tiebreaks if t != bucket_key]
     w = Window.partitionBy("_rdrng").orderBy(*order)
     local = ranged.withColumn("_rdlrn", F.row_number().over(w).cast("long"))
-    offsets, running = {}, 0
-    for r in counts:
-        offsets[r["_rdrng"]] = running
-        running += r["_n"]
-    out = local.withColumn(
-        out_col,
-        F.col("_rdlrn") + _offset_lookup(offsets, num_ranges, F.col("_rdrng")),
+    out = _shift_columns(
+        local, "_rdrng", plan["size"], {out_col: (F.col("_rdlrn"), offsets)}
     ).drop("_rdrng", "_rdlrn")
     return out, running
 
@@ -314,11 +583,15 @@ def grouped_row_number(
 
     ``num_ranges=None`` (default) sizes itself from the row count
     (clamp(ceil(n/1M), 64, 4×shuffle-width)); above the straggler
-    threshold one cheap max-cell probe runs, and a straggler-sized
-    width cell (>4M rows AND >4× the even share) triggers an
-    equi-depth re-split — both bucketings are monotone, so results
-    are bit-identical. Below the threshold the plan is job-for-job
-    the r6 shape.
+    threshold one cheap straggler-cell probe runs, and a
+    straggler-sized width cell (>4M rows AND >4× the even share)
+    triggers an equi-depth re-split when it spans multiple key values,
+    or a tiebreak sub-split when it is a dominant TIE (which no
+    monotone key bucketing can spread) — every bucketing preserves the
+    per-group total order, so results are bit-identical.  Below the
+    threshold the plan is job-for-job the r6 shape.  The probes and
+    boundaries memoize per (frame, group-cols, key) — once per session
+    for the static scans.
 
     NULL handling (r6 advice): group keys and the rank key may be
     NULL — the offset join is null-safe and a NULL key buckets into
@@ -330,7 +603,7 @@ def grouped_row_number(
     """
     group_cols = list(group_cols)
     tiebreaks = [t for t in tiebreaks if t != key]
-    n_total, lo, hi = _key_stats(df, key)
+    n_total, lo, hi = _stats(df, key)
     if lo is None:  # empty frame (or all-null key: single leading cell)
         if n_total == 0:
             return df.withColumn(out_col, F.lit(None).cast("long")).withColumn(
@@ -340,35 +613,81 @@ def grouped_row_number(
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     kd = F.col(key).cast("double")
+    tb = _numeric_tiebreak(df, tiebreaks)
 
     def bucketed(cell_expr):
         # 1-field struct group keys: null-safe partitioning/join for
         # NULL groups without de-attributing the offset-join condition
         # (see operators/adjacent.py with_next for the measured
         # rationale); _grr itself is always non-null (NULL keys take
-        # the leading cell in both bucketings).
+        # the leading cell in every bucketing).
         r = df.withColumn("_grr", cell_expr)
         for g, c in zip(gkeys, group_cols):
             r = r.withColumn(g, F.struct(F.col(c)))
         return r
 
     gkeys = [f"_grg{i}" for i in range(len(group_cols))]
-    raw = bucketed(_range_expr(kd, lo, hi, num_ranges))
-    if n_total > SKEW_CELL_ROWS and hi > lo:
+
+    def build_plan():
         # skew probe on the UN-repartitioned frame: the hash agg
-        # map-side-combines to ≤|groups|×num_ranges rows, so the probe
-        # never pays the corpus shuffle (and a re-split never wastes
-        # one)
-        mx = (
-            raw.groupBy(*gkeys, "_grr")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.max("_n"))
-            .collect()[0][0]
-        )
-        if _is_straggler(int(mx), n_total, num_ranges):
-            raw = bucketed(
-                _boundary_expr(kd, _equidepth_boundaries(df, key, num_ranges))
+        # map-side-combines to ≤|groups|×num_ranges rows, only
+        # straggler cells come to the driver, and the probe never pays
+        # the corpus shuffle (nor does a re-split waste one)
+        thr = _cell_threshold(n_total, num_ranges)
+
+        def strag_cells(expr):
+            return (
+                df.groupBy(
+                    *[
+                        F.struct(F.col(c)).alias(g)
+                        for g, c in zip(gkeys, group_cols)
+                    ],
+                    expr.alias("_grr"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.min(kd).alias("_mn"),
+                    F.max(kd).alias("_mx"),
+                )
+                .filter(F.col("_n") > thr)
+                .collect()
             )
+
+        bnds, B = None, num_ranges
+        strag = strag_cells(_range_expr(kd, lo, hi, num_ranges))
+        heavies = []
+        if strag:
+            vals = {float(r["_mn"]) for r in strag if r["_mn"] == r["_mx"]}
+            if any(r["_mn"] < r["_mx"] for r in strag):
+                bnds = _equidepth_boundaries(df, key, num_ranges)
+                B = len(bnds) + 1
+                strag = strag_cells(_boundary_expr(kd, bnds))
+                vals |= _dup_boundaries(bnds)
+                vals |= {float(r["_mn"]) for r in strag if r["_mn"] == r["_mx"]}
+            if vals and tb is not None:
+                # a dominant tie value inside ONE group stragglers that
+                # group's cell; the tiebreak sub-bucketing (global tb
+                # bounds — a superset range per group, still monotone)
+                # splits it for every group at once
+                heavies = _tie_stats(df, kd, sorted(vals), tb, df.sparkSession, thr)
+        return {"bnds": bnds, "B": B, "heavies": heavies}
+
+    if n_total > SKEW_CELL_ROWS and hi > lo:
+        plan = _memo_get(
+            df, ("grp_plan", tuple(group_cols), key, tb, num_ranges), build_plan
+        )
+    else:
+        plan = {"bnds": None, "B": num_ranges, "heavies": []}
+    base = (
+        _range_expr(kd, lo, hi, num_ranges)
+        if plan["bnds"] is None
+        else _boundary_expr(kd, plan["bnds"])
+    )
+    raw = bucketed(
+        _tie_cell_expr(kd, base, plan["B"], plan["heavies"], F.col(tb))
+        if plan["heavies"]
+        else base
+    )
     # explicit hash exchange on the cell key: the window finds its
     # distribution requirement satisfied (in-place sort) and the cell
     # counts come from a sort-free hash agg over the SAME exchange
@@ -438,8 +757,8 @@ def global_row_number_by(
         running += r["_n"]
     if not offsets:  # empty frame
         return df.withColumn(out_col, F.lit(None).cast("long"))
-    out = local.withColumn(
-        out_col, F.col("_rbl") + _offset_lookup(offsets, num_parts, F.col("_rbp"))
+    out = _shift_columns(
+        local, "_rbp", num_parts, {out_col: (F.col("_rbl"), offsets)}
     )
     return out.select(*df.columns, out_col)
 
@@ -535,7 +854,7 @@ def global_cumsum(
     per-range partials the device already collects carry the counts
     that detect a straggler cell).
     """
-    n_total, lo, hi = _key_stats(df, order_col)
+    n_total, lo, hi = _stats(df, order_col)
     if lo is None:
         out = df
         for c in sum_cols:
@@ -543,41 +862,53 @@ def global_cumsum(
         return out
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
-    ranged = df.withColumn("_rdrng", _range_expr(F.col(order_col), lo, hi, num_ranges))
-    partials = sorted(
-        ranged.groupBy("_rdrng")
-        .agg(F.count(F.lit(1)).alias("_rdn"), *[F.sum(c).alias(c) for c in sum_cols])
-        .collect(),
-        key=lambda r: r["_rdrng"],
-    )
-    if partials and _is_straggler(
-        max(r["_rdn"] for r in partials), n_total, num_ranges
-    ):
-        bnds = _equidepth_boundaries(df, order_col, num_ranges)
-        ranged = df.withColumn("_rdrng", _boundary_expr(F.col(order_col), bnds))
-        partials = sorted(
-            ranged.groupBy("_rdrng")
-            .agg(
-                F.count(F.lit(1)).alias("_rdn"),
-                *[F.sum(c).alias(c) for c in sum_cols],
+
+    def build_plan():
+        def partials_of(expr):
+            rows = (
+                df.groupBy(expr.alias("_rdrng"))
+                .agg(
+                    F.count(F.lit(1)).alias("_rdn"),
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                )
+                .collect()
             )
-            .collect(),
-            key=lambda r: r["_rdrng"],
-        )
+            return sorted((r.asDict() for r in rows), key=lambda r: r["_rdrng"])
+
+        bnds = None
+        partials = partials_of(_range_expr(F.col(order_col), lo, hi, num_ranges))
+        if partials and _is_straggler(
+            max(r["_rdn"] for r in partials), n_total, num_ranges
+        ):
+            # no tie-split here: the contract assumes unique order
+            # values (callers pre-aggregate to distinct order keys),
+            # so a straggler is always distinct-value skew that the
+            # equi-depth re-split spreads
+            bnds = _equidepth_boundaries(df, order_col, num_ranges)
+            partials = partials_of(_boundary_expr(F.col(order_col), bnds))
+        size = num_ranges if bnds is None else len(bnds) + 1
+        return {"bnds": bnds, "partials": partials, "size": size}
+
+    plan = _memo_get(
+        df, ("cumsum_plan", order_col, tuple(sum_cols), num_ranges), build_plan
+    )
+    ranged = df.withColumn(
+        "_rdrng",
+        _range_expr(F.col(order_col), lo, hi, num_ranges)
+        if plan["bnds"] is None
+        else _boundary_expr(F.col(order_col), plan["bnds"]),
+    )
     w = Window.partitionBy("_rdrng").orderBy(F.col(order_col).asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     local = ranged
     for c in sum_cols:
         local = local.withColumn(prefix + c, F.sum(c).over(w))
-    out = local
+    shifts = {}
     for c in sum_cols:
         offsets, running = {}, 0
-        for r in partials:
-            offsets[r["_rdrng"]] = running
+        for r in plan["partials"]:
+            offsets[int(r["_rdrng"])] = running
             running += r[c] or 0
-        out = out.withColumn(
-            prefix + c,
-            F.col(prefix + c) + _offset_lookup(offsets, num_ranges, F.col("_rdrng")),
-        )
-    return out.drop("_rdrng")
+        shifts[prefix + c] = (F.col(prefix + c), offsets)
+    return _shift_columns(local, "_rdrng", plan["size"], shifts).drop("_rdrng")

@@ -19,6 +19,7 @@ from kg_etl_spark.operators.filters import (
     c4_line_filter,
     duplicate_span_flags,
     gopher_quality_flags,
+    remove_duplicate_spans,
     source_cap_sample,
     surprisal_tertile_buckets,
 )
@@ -196,6 +197,67 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+# --- Cross-document duplicate-span REMOVAL (Lee et al. excision) -------
+
+
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=5, min_df=2).select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        "removed_ratio",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+ORACLE_REMOVE_DUP_SPANS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS span
+  FROM t
+),
+dupset AS (SELECT span FROM (SELECT span, COUNT(*) AS c FROM g GROUP BY span)
+           WHERE c >= 2),
+ps AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
+        FROM t)
+  WHERE array_to_string(list_slice(toks, i, i + 4), ' ')
+        IN (SELECT span FROM dupset)
+),
+cov AS (SELECT DISTINCT doc_id, u AS j
+        FROM (SELECT doc_id, unnest(range(i, i + 5)) AS u FROM ps)),
+words AS (
+  SELECT doc_id, j, toks[j] AS w
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM t)
+),
+keptw AS (
+  SELECT w.doc_id, w.j, w.w
+  FROM words w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.j = cov.j
+  WHERE cov.j IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list(w ORDER BY j), ' ') AS clean_text,
+         COUNT(*) AS n_kept
+  FROM keptw GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND(CASE WHEN len(toks) > 0
+                  THEN CAST(len(toks) - COALESCE(n_kept, 0) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END, 6) AS removed_ratio,
+       md5(COALESCE(clean_text, '')) AS clean_md5
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 # --- Source frequency capping -----------------------------------------
 
 _CAP = 12
@@ -359,6 +421,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "c4_line_filter": q_c4_line_filter,
     "dup_span_flags": q_dup_span_flags,
+    "remove_dup_spans": q_remove_dup_spans,
     "source_cap": q_source_cap,
     "surprisal_buckets": q_surprisal_buckets,
     "hybrid_rrf_search": q_hybrid_rrf_search,
@@ -368,6 +431,7 @@ ORACLES = {
     "gopher_quality": ORACLE_GOPHER,
     "c4_line_filter": ORACLE_C4_LINES,
     "dup_span_flags": ORACLE_DUP_SPANS,
+    "remove_dup_spans": ORACLE_REMOVE_DUP_SPANS,
     "source_cap": ORACLE_SOURCE_CAP,
     "surprisal_buckets": _oracle_surprisal_buckets(),
     "hybrid_rrf_search": _oracle_hybrid_rrf(),

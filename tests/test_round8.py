@@ -65,3 +65,257 @@ def test_ntile_col_expr_matches_driver_formula_on_boundaries(spark):
             "rn", rd.ntile_expr(F.col("rn"), n, k).cast("long").alias("t")
         )
         assert _rows(got) == _rows(want), (n, k)
+
+# ---- heavy-tie splitting keeps bit-identity (thresholds shrunk) ----------
+
+
+@pytest.fixture()
+def tie_thresholds(monkeypatch):
+    # SKEW_CELL_ROWS gates the probes (read at call time in both
+    # modules); TARGET_CELL_ROWS sizes the tie sub-cells in _tie_stats
+    monkeypatch.setattr(rd, "SKEW_CELL_ROWS", 500)
+    monkeypatch.setattr(adj, "SKEW_CELL_ROWS", 500)
+    monkeypatch.setattr(rd, "TARGET_CELL_ROWS", 500)
+
+
+def _heavy_tie_events(spark, n=20_000):
+    # 60% of events at ONE timestamp value (the epoch-zero/crawl-batch
+    # regime); the rest spread over a 10-year span — the width cell
+    # holding the tie also holds neighbors, so min<max hides the tie
+    # from the cell probe and only boundary duplication can see it
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        (F.col("id") * 2654435761 % 9973).alias("user_id"),
+        F.when(F.col("id") % 10 < 6, F.lit(50_000.0))
+        .otherwise((F.col("id") * 7919 % 315_360_000).cast("double"))
+        .alias("ts"),
+    )
+
+
+def test_with_next_heavy_tie_bit_identical_and_balanced(spark, tie_thresholds):
+    ev = _heavy_tie_events(spark)
+    got = adj.with_next(ev, ["event_type"], "ts", ["event_id"], ["user_id"])
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    want = ev.withColumn("next_user_id", F.lead("user_id").over(w))
+    assert _rows(got) == _rows(want)
+    # the tie split actually engaged...
+    heav = [
+        v
+        for k, v in adj._memo(ev).items()
+        if isinstance(k, tuple) and k[0] == "heavy"
+    ]
+    assert heav and heav[0], "tie split did not engage"
+    # ...and spread the tie: no (group, cell) above 2x the even share
+    n, lo, hi = adj._order_stats(ev, "ts")
+    nr = rd._auto_num_ranges(n, spark)
+    cell = adj._cell_expr(ev, "ts", n, lo, hi, nr, ["event_id"])
+    mx = (
+        ev.groupBy("event_type", cell.alias("c"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert mx <= 2 * n / nr, mx
+
+
+def test_global_row_number_heavy_tie_exact(spark, tie_thresholds):
+    df = _heavy_tie_events(spark).withColumnRenamed("ts", "v")
+    got, n = rd.global_row_number(df, "v", tiebreaks=["event_id"])
+    w = Window.orderBy(F.col("v").asc(), F.col("event_id").asc())
+    want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
+    assert n == df.count()
+    assert _rows(got) == _rows(want)
+
+
+def test_global_row_number_heavy_tie_desc_exact(spark, tie_thresholds):
+    # DESC key with ASC tiebreaks: the block-aware offset traversal
+    # (tie blocks keep ascending tiebreak order inside a descending
+    # block walk)
+    df = _heavy_tie_events(spark).withColumnRenamed("ts", "v")
+    got, _ = rd.global_row_number(df, "v", ascending=False, tiebreaks=["event_id"])
+    w = Window.orderBy(F.col("v").desc(), F.col("event_id").asc())
+    want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got) == _rows(want)
+
+
+def test_global_row_number_heavy_tie_null_keys_window_equivalent(
+    spark, tie_thresholds
+):
+    df = _heavy_tie_events(spark, 12_000).withColumnRenamed("ts", "v")
+    df = df.withColumn(
+        "v", F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(F.col("v"))
+    )
+    got, _ = rd.global_row_number(df, "v", tiebreaks=["event_id"])
+    w = Window.orderBy(F.col("v").asc(), F.col("event_id").asc())
+    want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got) == _rows(want)
+
+
+def test_grouped_row_number_heavy_tie_exact(spark, tie_thresholds):
+    df = _heavy_tie_events(spark, 12_000)
+    got = rd.grouped_row_number(
+        df, ["event_type"], "ts", ["event_id"], out_col="rn", count_col="n"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    cw = Window.partitionBy("event_type")
+    want = df.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(cw).cast("long")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_pure_tie_skips_equidepth_sketch(spark, tie_thresholds):
+    # every straggler cell is a PURE tie (discrete values, one per
+    # width cell): the sketch pass cannot help and must be skipped
+    # (r7 advice) — the plan goes straight to the tiebreak sub-split
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("tb"),
+        F.when(F.col("id") % 10 < 7, F.lit(1e8))
+        .otherwise(((F.col("id") % 3).cast("double") + 2.0) * 1e8)
+        .alias("v"),
+    )
+    got, _ = rd.global_row_number(df, "v", tiebreaks=["tb"])
+    nr = rd._auto_num_ranges(n, spark)
+    plan = rd._memo(df)[("grn_plan", "v", "tb", nr)]
+    assert plan["bnds"] is None, "useless equi-depth re-split ran on a pure tie"
+    assert plan["heavies"], "tie split did not engage"
+    w = Window.orderBy(F.col("v").asc(), F.col("tb").asc())
+    want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got) == _rows(want)
+
+
+# ---- broadcast offset join above the inline threshold (r7 hazard #2) -----
+
+
+def test_offset_broadcast_join_above_inline_threshold(spark):
+    df = spark.range(5000).select(
+        ((F.col("id") * 1315423911) % 1_000_003).cast("double").alias("v"),
+        F.col("id").alias("tb"),
+    )
+    got, n = rd.global_row_number(df, "v", tiebreaks=["tb"], num_ranges=16_384)
+    plan_str = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at" not in plan_str, "16384-element array literal inlined"
+    w = Window.orderBy(F.col("v").asc(), F.col("tb").asc())
+    want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
+    assert n == 5000
+    assert _rows(got) == _rows(want)
+
+
+def test_offset_inline_below_threshold(spark):
+    df = spark.range(1000).select(
+        ((F.col("id") * 37) % 997).cast("double").alias("v"),
+        F.col("id").alias("tb"),
+    )
+    got, _ = rd.global_row_number(df, "v", tiebreaks=["tb"], num_ranges=64)
+    plan_str = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at" in plan_str  # the O(1) literal path stayed
+
+
+def test_global_cumsum_broadcast_path_exact(spark):
+    # float offsets through the broadcast join (exact in binary: 0.5
+    # multiples sum exactly in any association order)
+    df = spark.range(3000).select(
+        F.col("id").cast("double").alias("o"),
+        ((F.col("id") % 7).cast("double") * 0.5).alias("c"),
+    )
+    got = rd.global_cumsum(df, "o", ["c"], num_ranges=8192)
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.coalesce(1).withColumn("cum_c", F.sum("c").over(w))
+    assert _rows(got) == _rows(want)
+
+
+# ---- rankdev statistics memoized per (frame, column) (directive #3) ------
+
+
+def test_rankdev_stats_memoized_no_second_jobs(spark):
+    sc = spark.sparkContext
+    df = (
+        spark.range(4000)
+        .select(
+            ((F.col("id") * 37) % 911).cast("double").alias("v"),
+            F.col("id").alias("tb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rd.global_row_number(df, "v", tiebreaks=["tb"])  # fills the memo
+    rd.global_cumsum(df, "v", ["tb"])
+    sc.setJobGroup("r8-memo-probe", "second builds must schedule no stats jobs")
+    try:
+        out, n = rd.global_row_number(df, "v", tiebreaks=["tb"])
+        rd.global_cumsum(df, "v", ["tb"])
+        assert list(sc.statusTracker().getJobIdsForGroup("r8-memo-probe")) == []
+    finally:
+        sc.setJobGroup(None, None)
+    assert n == 4000 and out.count() == 4000
+
+
+# ---- remove_duplicate_spans (Lee et al. excision — directive #5) ---------
+
+
+def test_remove_duplicate_spans_planted(spark):
+    from kg_etl_spark.operators.filters import remove_duplicate_spans
+
+    planted = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, planted + " zeta eta"),
+        (2, "x1 x2 " + planted + " y1 y2"),
+        (3, "unique words only here nothing shared at all"),
+        (4, planted),  # fully-duplicated doc: must come back, empty
+        (5, "short doc"),  # < n words: no spans, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
+    assert len(got) == 5
+    assert got[1]["clean_text"] == "zeta eta" and got[1]["n_kept"] == 2
+    assert got[2]["clean_text"] == "x1 x2 y1 y2" and got[2]["n_tokens"] == 9
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[4]["clean_text"] == "" and got[4]["n_kept"] == 0
+    assert got[4]["n_tokens"] == 5 and got[4]["removed_ratio"] == 1.0
+    assert got[5]["clean_text"] == "short doc" and got[5]["removed_ratio"] == 0.0
+
+
+def test_remove_duplicate_spans_bruteforce(spark):
+    from collections import Counter
+
+    from kg_etl_spark.operators.filters import remove_duplicate_spans
+
+    # deterministic synthetic corpus with overlapping cross-doc phrases
+    n, min_df = 4, 2
+    docs = []
+    for i in range(60):
+        toks = [f"w{(i * 7 + j * 3) % 11}" for j in range(5 + i % 9)]
+        if i % 3 == 0:
+            toks[2:2] = ["shared", "phrase", "number", f"p{i % 2}"]
+        docs.append((i, " ".join(toks)))
+
+    def brute(docs):
+        toks = {i: t.split() for i, t in docs}
+        dfc = Counter()
+        for tk in toks.values():
+            for s in {
+                " ".join(tk[p : p + n]) for p in range(len(tk) - n + 1)
+            }:
+                dfc[s] += 1
+        dup = {s for s, c in dfc.items() if c >= min_df}
+        out = {}
+        for i, tk in toks.items():
+            cov = set()
+            for p in range(len(tk) - n + 1):
+                if " ".join(tk[p : p + n]) in dup:
+                    cov |= set(range(p, p + n))
+            kept = [w for j, w in enumerate(tk) if j not in cov]
+            out[i] = (len(tk), len(kept), " ".join(kept))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_text"])
+        for r in remove_duplicate_spans(df, n=n, min_df=min_df).collect()
+    }
+    assert got == brute(docs)

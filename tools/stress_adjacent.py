@@ -22,7 +22,15 @@ asserts that no (group, range) cell exceeds 2× the even share
 n/num_ranges (i.e. the equi-depth re-split engaged), alongside the
 usual exact-signature check.
 
+Leg (r8): ``--heavy-tie`` puts ≥50% of the events at ONE microsecond
+timestamp — the dominant-tie regime NO monotone bucketing of the key
+can split (equi-depth keeps ties together), so the r7 device put half
+the corpus in one sort task.  The r8 tiebreak sub-bucketing
+(rankdev._tie_cell_expr) must spread the tie: the leg asserts the same
+2×-of-even-share cell bar AND the exact signature match.
+
 Usage: python tools/stress_adjacent.py [n_events] [--one-type] [--bursty]
+       [--heavy-tie]
 """
 
 from __future__ import annotations
@@ -40,10 +48,20 @@ from kg_etl_spark.operators.adjacent import transition_edges  # noqa: E402
 from kg_etl_spark.session import get_spark  # noqa: E402
 
 
-def synth_events(spark, n: int, bursty: bool = False):
+def synth_events(spark, n: int, bursty: bool = False, heavy_tie: bool = False):
     # deterministic scramble: ts order differs from id order per type,
     # so the sort actually has to work; user ids collide across types
-    if bursty:
+    if heavy_tie:
+        # >=50% of events at ONE microsecond (epoch-zero defaults /
+        # crawl batch stamps); the rest spread over a 10-year span
+        ts = F.when(
+            F.col("id") % 2 == 0, F.timestamp_micros(F.lit(86_400_000_000))
+        ).otherwise(
+            F.timestamp_micros(
+                ((F.col("id") * 1315423911) % 315_360_000_000_000).cast("long")
+            )
+        )
+    elif bursty:
         # ≥90% of events inside one day (86 400 s) of a 10-year span
         # (315 360 000 s); sub-second micros keep keys near-unique
         sec = (
@@ -76,14 +94,17 @@ def signature(edges):
 
 def cell_balance(ev, n_rows):
     """(num_ranges, max (group, range) cell rows) under the device's
-    own sizing/bucketing decision — the r7 skew acceptance metric."""
+    own sizing/bucketing decision (tiebreaks included, so the heavy-tie
+    sub-split is visible) — the r7/r8 skew acceptance metric."""
     from kg_etl_spark.operators.adjacent import _cell_expr, _order_stats
     from kg_etl_spark.operators.rankdev import _auto_num_ranges
 
     n, lo, hi = _order_stats(ev, "ts")
     num_ranges = _auto_num_ranges(n, ev.sparkSession)
     mx = (
-        ev.withColumn("_apr", _cell_expr(ev, "ts", n, lo, hi, num_ranges))
+        ev.withColumn(
+            "_apr", _cell_expr(ev, "ts", n, lo, hi, num_ranges, ["event_id"])
+        )
         .groupBy("event_type", "_apr")
         .count()
         .agg(F.max("count"))
@@ -97,8 +118,11 @@ def main():
     n = int(args[0]) if args else 50_000_000
     one_type = "--one-type" in sys.argv
     bursty = "--bursty" in sys.argv
+    heavy_tie = "--heavy-tie" in sys.argv
     spark = get_spark("stress-adjacent")
-    ev = synth_events(spark, n, bursty=bursty).localCheckpoint(eager=True)
+    ev = synth_events(spark, n, bursty=bursty, heavy_tie=heavy_tie).localCheckpoint(
+        eager=True
+    )
     if one_type:
         # worst case: the ENTIRE stream is one group (cardinality 1 —
         # the naive window would sort all n rows in a single task);
@@ -125,13 +149,17 @@ def main():
     assert tuple(sig_dev) == tuple(sig_naive), (
         f"signature mismatch: device={tuple(sig_dev)} naive={tuple(sig_naive)}"
     )
-    label = ("one-type " if one_type else "") + ("bursty " if bursty else "")
+    label = (
+        ("one-type " if one_type else "")
+        + ("bursty " if bursty else "")
+        + ("heavy-tie " if heavy_tie else "")
+    )
     balance = ""
-    if bursty:
+    if bursty or heavy_tie:
         num_ranges, max_cell = cell_balance(ev, n)
         target = n / num_ranges
         assert max_cell <= 2 * target, (
-            f"skew re-split failed: max cell {max_cell} > 2x target {target:.0f}"
+            f"skew split failed: max cell {max_cell} > 2x target {target:.0f}"
         )
         balance = f" max_cell={max_cell} (target n/num_ranges={target:.0f})"
     print(

@@ -187,11 +187,121 @@ def stress_grouped_bursty(spark):
     )
 
 
+def stress_heavy_tie(spark):
+    # r8 leg: 50M rows, 50% at ONE key value — the dominant-tie regime
+    # no monotone key bucketing can split (equi-depth keeps ties
+    # together), previously one 25M-row sort task. The tiebreak
+    # sub-bucketing must spread it (no cell >2x the even share) while
+    # the rank signature matches the naive single-task window exactly.
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.rankdev import (
+        _auto_num_ranges,
+        _memo,
+        global_row_number,
+    )
+
+    n = 50_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(86_400.0))
+        .otherwise(((F.col("id") * 1315423911) % 315_360_000).cast("double"))
+        .alias("k"),
+        F.col("id").alias("tb"),
+    ).localCheckpoint(eager=True)
+
+    def signature(ranked):
+        return tuple(
+            ranked.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("rn") * 31 + F.col("tb")) % 1000000007).alias("h1"),
+                F.sum((F.col("rn") + F.col("tb") * 131) % 998244353).alias("h2"),
+            ).collect()[0]
+        )
+
+    t0 = time.time()
+    ranked, n_tot = global_row_number(df, "k", tiebreaks=["tb"], out_col="rn")
+    sig_dev = signature(ranked)
+    dt = time.time() - t0
+    num_ranges = _auto_num_ranges(n_tot, spark)
+    plan = _memo(df)[("grn_plan", "k", "tb", num_ranges)]
+    assert plan["heavies"], "tie split did not engage"
+    mx = max(plan["counts"].values())
+    target = n / num_ranges
+    assert mx <= 2 * target, f"max cell {mx} > 2x target {target:.0f}"
+
+    w = Window.orderBy(F.col("k").asc(), F.col("tb").asc())
+    t1 = time.time()
+    sig_naive = signature(
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    dt_naive = time.time() - t1
+    assert sig_dev == sig_naive, (sig_dev, sig_naive)
+    return (
+        f"heavy_tie: n={n} 50%-one-value device {dt:.1f}s "
+        f"vs naive single-task window {dt_naive:.1f}s "
+        f"(signatures exact-equal, max cell {mx} <= 2x target {target:.0f})"
+    )
+
+
+def stress_rownum_by(spark, skewed_prefix: bool):
+    # r8 directive #6: the STRING-key global rank
+    # (repartitionByRange sampling + double exchange) at 50M, in a
+    # uniform leg and a skewed-prefix leg (90% of keys share one long
+    # constant prefix — range-boundary sampling sees nearly identical
+    # leading bytes). Keys are unique (a bijective affine scramble
+    # keyed into the suffix), so rank values are sampling-independent.
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.rankdev import global_row_number_by
+
+    n = 50_000_000
+    sfx = F.lpad(((F.col("id") * 2654435761) % n).cast("string"), 10, "0")
+    if skewed_prefix:
+        key = F.when(
+            F.col("id") % 10 < 9,
+            F.concat(F.lit("a" * 32 + "_"), sfx),
+        ).otherwise(F.concat(F.lit("zz_"), sfx))
+    else:
+        key = F.concat(F.lit("k"), sfx)
+    df = spark.range(n).select(
+        key.alias("k"), F.col("id").alias("tb")
+    ).localCheckpoint(eager=True)
+
+    def signature(ranked):
+        h = F.abs(F.xxhash64("k"))
+        return tuple(
+            ranked.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("rn") * 31 + h % 1000003) % 1000000007).alias("h1"),
+                F.sum((F.col("rn") + (h % 9973) * 131) % 998244353).alias("h2"),
+            ).collect()[0]
+        )
+
+    t0 = time.time()
+    sig_dev = signature(global_row_number_by(df, ["k"], out_col="rn"))
+    dt = time.time() - t0
+    w = Window.orderBy(F.col("k").asc())
+    t1 = time.time()
+    sig_naive = signature(
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    dt_naive = time.time() - t1
+    assert sig_dev == sig_naive, (sig_dev, sig_naive)
+    leg = "skewed-prefix" if skewed_prefix else "uniform"
+    return (
+        f"rownum_by[{leg}]: n={n} string keys device {dt:.1f}s "
+        f"vs naive single-task window {dt_naive:.1f}s (signatures exact-equal)"
+    )
+
+
 STRESSES = {
     "spearman": stress_spearman,
     "quantiles": stress_quantiles,
     "theilsen_pairs": stress_theilsen_pairs,
     "grouped_bursty": stress_grouped_bursty,
+    "heavy_tie": stress_heavy_tie,
+    "rownum_by": lambda spark: stress_rownum_by(spark, skewed_prefix=False),
+    "rownum_by_skew": lambda spark: stress_rownum_by(spark, skewed_prefix=True),
 }
 
 
