@@ -111,6 +111,9 @@ HEADLINE = [
     "equidepth_histogram",
     "zipf_tail_fit",
     "type_burstiness",
+    # round 8: substring-dedup excision (r7 directive #5) enters
+    # coverage in the round it ships
+    "remove_dup_spans",
 ]
 
 

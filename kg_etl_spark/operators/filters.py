@@ -235,6 +235,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     n: int = 5,
     min_df: int = 2,
+    hash_spans: bool = False,
 ) -> DataFrame:
     """The EXCISION half of Lee et al. 2022's substring deduplication
     (the operator a real curation run uses :func:`duplicate_span_flags`
@@ -258,15 +259,22 @@ def remove_duplicate_spans(
     Output: (id, n_tokens, n_kept, removed_ratio, clean_text) — one
     row per input document; a fully-duplicated document comes back
     with empty clean_text, not a dropped row.
+
+    ``hash_spans=True`` is the 100 TB path: spans shuffle/join as
+    8-byte xxhash64 keys instead of ~n-word strings (same policy and
+    collision analysis as :func:`duplicate_span_flags` — a ~2^-64
+    collision can only ADD a removed span).  The catalog keeps string
+    keys for oracle parity at test SF.
     """
     from kg_etl_spark.functions.text import word_shingles
 
     docs = corpus.select(
         F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
     )
+    key = (lambda c: F.xxhash64(c)) if hash_spans else (lambda c: c)
     dspans = docs.select(
-        "_id", F.explode(word_shingles(F.col("_toks"), n)).alias("_span")
-    )
+        "_id", F.explode(word_shingles(F.col("_toks"), n)).alias("_raw")
+    ).select("_id", key(F.col("_raw")).alias("_span"))
     dup_set = (
         dspans.groupBy("_span")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -280,8 +288,8 @@ def remove_duplicate_spans(
                 F.sequence(F.lit(0), F.size("_toks") - n),
                 lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
             )
-        ).alias("_p", "_span"),
-    )
+        ).alias("_p", "_raw"),
+    ).select("_id", "_p", key(F.col("_raw")).alias("_span"))
     flagged = pos_spans.join(dup_set, "_span", "left_semi")
     covered = flagged.select(
         "_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + n - 1)).alias("_i")

@@ -737,13 +737,26 @@ def global_row_number_by(
     are partition-count-deterministic (the determinism gate's 7-vs-32
     contract) even though the boundaries themselves are sampled.
 
+    The range exchange materializes at a lineage cut before the ranks
+    and the per-partition counts consume it: RangePartitioner's
+    boundary sampling is seeded by the RDD id, which differs per
+    ACTION, so without the cut the counts job and the output job can
+    range-partition DIFFERENTLY and the offsets no longer match the
+    partition contents — invisible at test SF (the sampler sees every
+    row, so boundaries coincide) and caught by the 50M
+    `tools/stress_rankstats.py rownum_by` probe (r8).  The cut holds
+    exactly the |n| rows both jobs need anyway, and flips to a durable
+    checkpoint when the session has a checkpoint dir.
+
     Note one extra exchange versus the numeric device: the local-rank
     window hashes on the partition id (range partitioning does not
     satisfy a hash-distribution requirement); both shuffles stay
     row-proportional and no task ever sorts more than ~n/num_parts
     rows."""
     num_parts = num_parts or df.sparkSession.sparkContext.defaultParallelism
-    d = df.repartitionByRange(num_parts, *[F.col(c).asc() for c in order_cols])
+    d = df.repartitionByRange(
+        num_parts, *[F.col(c).asc() for c in order_cols]
+    ).lineage_cut(eager=False)
     d = d.withColumn("_rbp", F.spark_partition_id())
     w = Window.partitionBy("_rbp").orderBy(*[F.col(c).asc() for c in order_cols])
     local = d.withColumn("_rbl", F.row_number().over(w).cast("long"))

@@ -319,3 +319,18 @@ def test_remove_duplicate_spans_bruteforce(spark):
         for r in remove_duplicate_spans(df, n=n, min_df=min_df).collect()
     }
     assert got == brute(docs)
+
+
+def test_remove_duplicate_spans_hashed_path_matches(spark):
+    from kg_etl_spark.operators.filters import remove_duplicate_spans
+
+    docs = []
+    for i in range(40):
+        toks = [f"w{(i * 5 + j * 7) % 13}" for j in range(6 + i % 7)]
+        if i % 4 == 0:
+            toks[1:1] = ["dup", "span", "body", "here", "now"]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    plain = _rows(remove_duplicate_spans(df, n=4))
+    hashed = _rows(remove_duplicate_spans(df, n=4, hash_spans=True))
+    assert plain == hashed
