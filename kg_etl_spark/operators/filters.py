@@ -291,9 +291,12 @@ def remove_duplicate_spans(
         ).alias("_p", "_raw"),
     ).select("_id", "_p", key(F.col("_raw")).alias("_span"))
     flagged = pos_spans.join(dup_set, "_span", "left_semi")
+    # NOT distinct: overlapping flagged spans emit duplicate (doc,
+    # index) rows, and the left_anti below is insensitive to right-side
+    # duplicates — deduping here would only add a corpus-scale exchange
     covered = flagged.select(
         "_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + n - 1)).alias("_i")
-    ).distinct()
+    )
     affected = covered.select("_id").distinct()
 
     untouched = docs.join(affected, "_id", "left_anti").select(

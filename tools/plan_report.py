@@ -95,6 +95,11 @@ REPORT_QUERIES = [
     "weighted_priority_sample", "nelson_aalen_hazard",
     "diff_in_differences", "source_js_divergence", "cusum_drift",
     "lateness_audit", "edge_jaccard_features", "snm_links",
+    # round 7: corpus diagnostics
+    "event_gap_quantiles", "heavy_key_profile", "equidepth_histogram",
+    "zipf_tail_fit", "type_burstiness",
+    # round 8: substring-dedup excision
+    "remove_dup_spans",
 ]
 
 
@@ -169,7 +174,8 @@ def main() -> None:
         "its tiny query set twice like `embedding_topk`, and "
         "`kruskal_wallis_spend` crosses the 1-row tie-term scalar, as do "
         "the newer 1-row scalar crosses (`loo_group_influence`, "
-        "`exact_global_quantiles`). "
+        "`exact_global_quantiles`, and `heavy_key_profile`'s 1-row "
+        "total-count share attach). "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",
