@@ -67,11 +67,12 @@ from kg_etl_spark.operators.rankdev import (
     _dup_boundaries,
     _equidepth_boundaries,
     _memo,
-    _numeric_tiebreak,
+    _memo_get,
     _range_expr,
     _stats,
     _tie_cell_expr,
     _tie_stats,
+    _tiebreak_key,
 )
 
 # The per-(frame, column) statistics memo lives in rankdev (shared by
@@ -155,13 +156,14 @@ def _cell_expr(df: DataFrame, order_col: str, n: int, lo: float, hi: float,
         # the sub-threshold ones
         vals |= _dup_boundaries(bnds)
         vals |= {mn for _n, mn, mx in strag if mn == mx}
-    tb = _numeric_tiebreak(df, [t for t in tiebreaks if t != order_col])
-    if vals and tb is not None:
+    tbk = _tiebreak_key(df, [t for t in tiebreaks if t != order_col])
+    if vals and tbk is not None:
+        tb, tbe = tbk
         hkey = ("heavy", order_col, num_ranges, tb)
         if hkey not in memo:
-            memo[hkey] = _tie_stats(df, kd, sorted(vals), tb, df.sparkSession, thr)
+            memo[hkey] = _tie_stats(df, kd, sorted(vals), tbe, df.sparkSession, thr)
         if memo[hkey]:
-            return _tie_cell_expr(kd, base, B, memo[hkey], F.col(tb))
+            return _tie_cell_expr(kd, base, B, memo[hkey], tbe)
     return base
 
 
@@ -312,14 +314,38 @@ def transition_edges_cut(ev: DataFrame) -> DataFrame:
     whole derivation (scan + device) re-executes per action. The
     checkpoint holds |E| distinct edges — state those kernels
     materialize anyway. Use the un-checkpointed builders for
-    single-pass queries (plans stay inspectable)."""
-    return transition_edges(ev).distinct().lineage_cut(eager=False)
+    single-pass queries (plans stay inspectable).
+
+    MEMOIZED per source frame (the shared weak-keyed device memo): the
+    edge set is a deterministic pure function of the event frame, and
+    the catalog's inputs are memoized static scans — so the ~20 graph
+    queries of a session share ONE materialized edge frame instead of
+    re-paying the device + distinct shuffle each (the stats-memo
+    discipline applied to the derivation itself). Frames die, entries
+    follow; sessions that swap an sf_dir mid-run already clear the
+    read memo, which drops the event frame and with it this entry.
+    The cut registers as session-shared (cutpoint.shared_lineage_cut)
+    so inter-query block flushes skip its blocks — evicting a
+    localCheckpoint's blocks would make the frame unrecomputable."""
+    from kg_etl_spark.cutpoint import shared_lineage_cut
+
+    return _memo_get(
+        ev,
+        ("trans_edges_cut",),
+        lambda: shared_lineage_cut(transition_edges(ev).distinct()),
+    )
 
 
 def undirected_transition_edges_cut(ev: DataFrame) -> DataFrame:
-    """`undirected_transition_edges` at a lazy lineage cut —
-    same rationale as :func:`transition_edges_cut`."""
-    return undirected_transition_edges(ev).lineage_cut(eager=False)
+    """`undirected_transition_edges` at a lineage cut — same rationale
+    and per-frame memo as :func:`transition_edges_cut`."""
+    from kg_etl_spark.cutpoint import shared_lineage_cut
+
+    return _memo_get(
+        ev,
+        ("undirected_trans_edges_cut",),
+        lambda: shared_lineage_cut(undirected_transition_edges(ev)),
+    )
 
 
 def with_prefix_max(

@@ -17,8 +17,10 @@ operators/packing.py:83), generalized:
    cell — boundary placement is correctness-neutral because any
    monotone bucketing preserves the total order.  A straggler cell
    that has collapsed to a SINGLE key value (a dominant tie, which no
-   monotone bucketing can split) is sub-bucketed by the first numeric
-   tiebreak's value range instead (:func:`_tie_cell_expr`) — intra-tie
+   monotone bucketing can split) is sub-bucketed by the FIRST
+   tiebreak's value range instead (:func:`_tie_cell_expr`; numeric,
+   timestamp, or string via a 6-byte binary-prefix integer — only the
+   first tiebreak is order-safe, :func:`_tiebreak_key`) — intra-tie
    order IS the tiebreak order, so the composite id stays jointly
    monotone and results stay bit-identical;
 2. each range ranks/cumsums LOCALLY with an ordinary partitioned window
@@ -226,16 +228,38 @@ def _cell_threshold(n: int, num_ranges: int) -> int:
 # in key order, so ids stay jointly monotone in (key, tiebreak-at-tie).
 
 
-def _numeric_tiebreak(df: DataFrame, tiebreaks: Sequence[str]) -> Optional[str]:
-    """First tiebreak column whose cast-to-double is monotone in its
-    own sort order (numeric / timestamp) — the sub-bucketing key inside
-    a heavy tie.  String tiebreaks cannot range-bucket numerically;
-    a heavy tie then stays one cell (documented limitation)."""
-    from pyspark.sql.types import NumericType, TimestampType
+def _tiebreak_key(
+    df: DataFrame, tiebreaks: Sequence[str]
+) -> Optional[Tuple[str, Column]]:
+    """(name, monotone-double-expr) of the FIRST tiebreak column — the
+    sub-bucketing key inside a heavy tie.  Only the first tiebreak is
+    eligible: intra-tie order is (t0, t1, ...), so bucketing by any
+    LATER column would reorder rows that differ in an earlier one
+    (rows (t0=1, t1=9) and (t0=2, t1=0) sort A<B but bucket B<A).
+    Numeric / timestamp: the plain double cast.  String: the first 6
+    BYTES as a 48-bit big-endian integer — monotone under the default
+    UTF8-binary collation (UTF-8 byte order == code-point order), and
+    exact in a double (48 < 53 bits); rows sharing the 6-byte prefix
+    merely MERGE into one sub-cell, which every bucketing consumer
+    already tolerates.  Other types (or no tiebreaks): None — a heavy
+    tie then stays one cell (documented limitation)."""
+    from pyspark.sql.types import NumericType, StringType, TimestampType
 
-    for t in tiebreaks:
-        if isinstance(df.schema[t].dataType, (NumericType, TimestampType)):
-            return t
+    if not tiebreaks:
+        return None
+    t = tiebreaks[0]
+    dt = df.schema[t].dataType
+    if isinstance(dt, (NumericType, TimestampType)):
+        return t, F.col(t).cast("double")
+    if isinstance(dt, StringType):
+        # hex of the 6-byte binary prefix, right-padded so shorter
+        # strings compare as if zero-extended (prefixes sort first),
+        # then parsed base-16 — all JVM-side builtins, no UDF
+        return t, F.conv(
+            F.rpad(F.hex(F.substring(F.col(t).cast("binary"), 1, 6)), 12, "0"),
+            16,
+            10,
+        ).cast("double")
     return None
 
 
@@ -249,16 +273,16 @@ def _dup_boundaries(bnds) -> set:
     return {b for i, b in enumerate(bnds) if i and bnds[i - 1] == b}
 
 
-def _tie_stats(df: DataFrame, kd: Column, values, tb: str, spark, thr: int):
+def _tie_stats(df: DataFrame, kd: Column, values, tbd: Column, spark, thr: int):
     """Per heavy-value CANDIDATE: (value, K sub-cells, tiebreak lo,
     tiebreak hi) from ONE filtered map-side aggregate (|candidates|
-    rows).  Candidates below the straggler bar ``thr`` are dropped
-    (boundary duplication flags ~1/num_ranges of mass, which may be
-    harmless), as are values whose tiebreak is constant or all-null
-    inside the tie (true duplicate rows — unsplittable).  K sizes like
-    the base ranges (ceil(rows/target), min 2, capped at
-    4×shuffle-width)."""
-    tbd = F.col(tb).cast("double")
+    rows).  ``tbd`` is the tiebreak's monotone double expression
+    (:func:`_tiebreak_key`).  Candidates below the straggler bar
+    ``thr`` are dropped (boundary duplication flags ~1/num_ranges of
+    mass, which may be harmless), as are values whose tiebreak is
+    constant or all-null inside the tie (true duplicate rows —
+    unsplittable).  K sizes like the base ranges (ceil(rows/target),
+    min 2, capped at 4×shuffle-width)."""
     rows = (
         df.filter(kd.isin(list(values)))
         .groupBy(kd.alias("_k"))
@@ -434,7 +458,7 @@ def global_row_number(
     spanning MORE than one key value triggers one equi-depth re-split
     (:func:`_equidepth_boundaries`); a straggler cell collapsed to a
     SINGLE key value (a dominant tie, which no monotone bucketing can
-    split) is sub-bucketed by the first numeric tiebreak's value range
+    split) is sub-bucketed by the first tiebreak's value range
     instead (:func:`_tie_cell_expr`) — intra-tie order IS the tiebreak
     order, so either way ranks stay bit-identical.  All statistics
     (bounds, probes, boundaries, tie stats, final counts) memoize per
@@ -455,11 +479,12 @@ def global_row_number(
         _, lo2, hi2 = _stats(df, subkey)
         lo, hi, bucket_key = lo2, hi2, subkey
     kd = F.col(bucket_key).cast("double")
-    tb = (
-        _numeric_tiebreak(df, [t for t in tiebreaks if t != bucket_key])
+    tbk = (
+        _tiebreak_key(df, [t for t in tiebreaks if t != bucket_key])
         if bucket_key == key
         else None  # subkey fallback: near-unique, never tie-dominated
     )
+    tb, tbe = tbk if tbk is not None else (None, None)
 
     def build_plan():
         def cells(expr):
@@ -494,7 +519,7 @@ def global_row_number(
                 vals |= {float(r["_mn"]) for r in strag if r["_mn"] == r["_mx"]}
             if vals and tb is not None:
                 heavies = _tie_stats(
-                    df, kd, sorted(vals), tb, df.sparkSession, thr
+                    df, kd, sorted(vals), tbe, df.sparkSession, thr
                 )
         blocks, size = None, B
         if heavies:
@@ -504,7 +529,7 @@ def global_row_number(
                 if bnds is None
                 else _boundary_expr(F.col(bucket_key), bnds)
             )
-            rows = cells(_tie_cell_expr(kd, base, B, heavies, F.col(tb)))
+            rows = cells(_tie_cell_expr(kd, base, B, heavies, tbe))
         return {
             "bnds": bnds,
             "B": B,
@@ -521,7 +546,7 @@ def global_row_number(
         else _boundary_expr(F.col(bucket_key), plan["bnds"])
     )
     cell = (
-        _tie_cell_expr(kd, base, plan["B"], plan["heavies"], F.col(tb))
+        _tie_cell_expr(kd, base, plan["B"], plan["heavies"], tbe)
         if plan["heavies"]
         else base
     )
@@ -613,7 +638,8 @@ def grouped_row_number(
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     kd = F.col(key).cast("double")
-    tb = _numeric_tiebreak(df, tiebreaks)
+    tbk = _tiebreak_key(df, tiebreaks)
+    tb, tbe = tbk if tbk is not None else (None, None)
 
     def bucketed(cell_expr):
         # 1-field struct group keys: null-safe partitioning/join for
@@ -669,7 +695,7 @@ def grouped_row_number(
                 # group's cell; the tiebreak sub-bucketing (global tb
                 # bounds — a superset range per group, still monotone)
                 # splits it for every group at once
-                heavies = _tie_stats(df, kd, sorted(vals), tb, df.sparkSession, thr)
+                heavies = _tie_stats(df, kd, sorted(vals), tbe, df.sparkSession, thr)
         return {"bnds": bnds, "B": B, "heavies": heavies}
 
     if n_total > SKEW_CELL_ROWS and hi > lo:
@@ -684,7 +710,7 @@ def grouped_row_number(
         else _boundary_expr(kd, plan["bnds"])
     )
     raw = bucketed(
-        _tie_cell_expr(kd, base, plan["B"], plan["heavies"], F.col(tb))
+        _tie_cell_expr(kd, base, plan["B"], plan["heavies"], tbe)
         if plan["heavies"]
         else base
     )

@@ -169,6 +169,64 @@ def test_grouped_row_number_heavy_tie_exact(spark, tie_thresholds):
     assert _rows(got) == _rows(want)
 
 
+def test_tiebreak_key_uses_first_column_only(spark, tie_thresholds):
+    # Intra-tie order is (t0, t1, ...): bucketing by any LATER tiebreak
+    # would reorder rows that differ in an earlier one.  Here the FIRST
+    # tiebreak is a string whose order DISAGREES with the numeric id's
+    # (s descends as id ascends), so a device that skipped to the
+    # numeric column would interleave the tie blocks wrongly.
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.format_string("s%07d", (F.lit(n) - F.col("id")).cast("int")).alias("s"),
+        F.when(F.col("id") % 10 < 6, F.lit(50_000.0))
+        .otherwise((F.col("id") * 7919 % 315_360_000).cast("double"))
+        .alias("v"),
+    )
+    got, _ = rd.global_row_number(df, "v", tiebreaks=["s", "event_id"])
+    w = Window.orderBy(F.col("v").asc(), F.col("s").asc(), F.col("event_id").asc())
+    want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got) == _rows(want)
+    nr = rd._auto_num_ranges(n, spark)
+    plan = rd._memo(df)[("grn_plan", "v", "s", nr)]
+    assert plan["heavies"], "string-first tie split did not engage"
+
+
+def test_string_tiebreak_heavy_tie_exact(spark, tie_thresholds):
+    # a heavy tie whose ONLY tiebreak is a string now splits via the
+    # 6-byte binary-prefix key instead of staying one cell
+    n = 20_000
+    df = spark.range(n).select(
+        F.format_string("u%08x", (F.col("id") * 2654435761).cast("long")).alias("uid"),
+        F.when(F.col("id") % 10 < 6, F.lit(50_000.0))
+        .otherwise((F.col("id") * 7919 % 315_360_000).cast("double"))
+        .alias("v"),
+    )
+    got, _ = rd.global_row_number(df, "v", tiebreaks=["uid"])
+    w = Window.orderBy(F.col("v").asc(), F.col("uid").asc())
+    want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got) == _rows(want)
+    nr = rd._auto_num_ranges(n, spark)
+    plan = rd._memo(df)[("grn_plan", "v", "uid", nr)]
+    assert plan["heavies"], "string tie split did not engage"
+    # ...and actually spread the tie across sub-cells
+    assert max(plan["counts"].values()) < 0.6 * n
+
+
+def test_string_monokey_monotone(spark):
+    # the 6-byte binary-prefix integer must be monotone under the
+    # default UTF8-binary collation, including the classic rpad trap
+    # ("ab" < "aaa" numerically without right-padding), empty strings,
+    # and multi-byte UTF-8 (byte order == code-point order)
+    strs = ["", "a", "aaa", "ab", "aba", "b", "z" * 10, "zz", "é", "日本語", "\x01"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    _, expr = rd._tiebreak_key(df, ["s"])
+    rows = df.select("s", expr.alias("k")).collect()
+    by_str = sorted(rows, key=lambda r: r["s"])
+    ks = [r["k"] for r in by_str]
+    assert ks == sorted(ks), [(r["s"], r["k"]) for r in by_str]
+
+
 def test_pure_tie_skips_equidepth_sketch(spark, tie_thresholds):
     # every straggler cell is a PURE tie (discrete values, one per
     # width cell): the sketch pass cannot help and must be skipped
@@ -253,6 +311,37 @@ def test_rankdev_stats_memoized_no_second_jobs(spark):
     finally:
         sc.setJobGroup(None, None)
     assert n == 4000 and out.count() == 4000
+
+
+# ---- memoized shared edge cut + flush protection -------------------------
+
+
+def test_shared_edge_cut_memoized_and_flush_safe(spark):
+    # the transition-edge frame is a deterministic pure function of the
+    # event frame and ~20 graph queries consume it: it must build ONCE
+    # per (session, frame) and its localCheckpoint blocks must survive
+    # a bench-style inter-query block flush (evicting a truncated-
+    # lineage checkpoint makes the frame unrecomputable)
+    from kg_etl_spark.cutpoint import SHARED_CUT_RDD_IDS
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
+
+    ev = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        (F.col("id") * 37 % 101).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 7 % 99_991).alias("ts"),
+    )
+    e1 = undirected_transition_edges_cut(ev)
+    n1 = e1.count()
+    assert undirected_transition_edges_cut(ev) is e1, "cut not memoized"
+    assert SHARED_CUT_RDD_IDS, "shared cut registered no block ids"
+    # bench.py's _drop_query_state contract: flush everything EXCEPT
+    # the shared ids, then the shared frame must still be readable
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jid, jrdd in jmap.items():
+        if int(jid) not in SHARED_CUT_RDD_IDS:
+            jrdd.unpersist(False)
+    assert e1.count() == n1
 
 
 # ---- remove_duplicate_spans (Lee et al. excision — directive #5) ---------

@@ -243,6 +243,64 @@ def stress_heavy_tie(spark):
     )
 
 
+def stress_heavy_tie_str(spark):
+    # r8 follow-up: the dominant-tie regime where the ONLY tiebreak is
+    # a STRING (user/doc ids — common in real corpora). The 6-byte
+    # binary-prefix sub-bucketing (rankdev._tiebreak_key) must spread
+    # the tie (no cell > 2x the even share) while the rank signature
+    # stays exactly the naive single-task window's.
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.rankdev import (
+        _auto_num_ranges,
+        _memo,
+        global_row_number,
+    )
+
+    n = 50_000_000
+    sfx = F.lpad(((F.col("id") * 2654435761) % n).cast("string"), 10, "0")
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(86_400.0))
+        .otherwise(((F.col("id") * 1315423911) % 315_360_000).cast("double"))
+        .alias("k"),
+        F.concat(F.lit("u"), sfx).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    def signature(ranked):
+        h = F.abs(F.xxhash64("s"))
+        return tuple(
+            ranked.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("rn") * 31 + h % 1000003) % 1000000007).alias("h1"),
+                F.sum((F.col("rn") + (h % 9973) * 131) % 998244353).alias("h2"),
+            ).collect()[0]
+        )
+
+    t0 = time.time()
+    ranked, n_tot = global_row_number(df, "k", tiebreaks=["s"], out_col="rn")
+    sig_dev = signature(ranked)
+    dt = time.time() - t0
+    num_ranges = _auto_num_ranges(n_tot, spark)
+    plan = _memo(df)[("grn_plan", "k", "s", num_ranges)]
+    assert plan["heavies"], "string tie split did not engage"
+    mx = max(plan["counts"].values())
+    target = n / num_ranges
+    assert mx <= 2 * target, f"max cell {mx} > 2x target {target:.0f}"
+
+    w = Window.orderBy(F.col("k").asc(), F.col("s").asc())
+    t1 = time.time()
+    sig_naive = signature(
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    dt_naive = time.time() - t1
+    assert sig_dev == sig_naive, (sig_dev, sig_naive)
+    return (
+        f"heavy_tie_str: n={n} 50%-one-value STRING-tiebreak device {dt:.1f}s "
+        f"vs naive single-task window {dt_naive:.1f}s "
+        f"(signatures exact-equal, max cell {mx} <= 2x target {target:.0f})"
+    )
+
+
 def stress_rownum_by(spark, skewed_prefix: bool):
     # r8 directive #6: the STRING-key global rank
     # (repartitionByRange sampling + double exchange) at 50M, in a
@@ -300,6 +358,7 @@ STRESSES = {
     "theilsen_pairs": stress_theilsen_pairs,
     "grouped_bursty": stress_grouped_bursty,
     "heavy_tie": stress_heavy_tie,
+    "heavy_tie_str": stress_heavy_tie_str,
     "rownum_by": lambda spark: stress_rownum_by(spark, skewed_prefix=False),
     "rownum_by_skew": lambda spark: stress_rownum_by(spark, skewed_prefix=True),
 }
