@@ -141,11 +141,20 @@ def _drop_query_state() -> None:
     than inside the next query's timing."""
     import gc
 
+    from kg_etl_spark.cutpoint import SHARED_CUT_RDD_IDS
+
     gc.collect()
     if _SPARK is not None:
         try:
             jmap = _SPARK.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in jmap.values():
+            for jid, jrdd in jmap.items():
+                # session-shared memoized cuts (e.g. the transition-edge
+                # frame ~20 graph queries reuse) hold localCheckpoint
+                # blocks with TRUNCATED lineage — evicting them would
+                # make the shared frame unrecomputable, and they are
+                # model-sized by contract
+                if int(jid) in SHARED_CUT_RDD_IDS:
+                    continue
                 jrdd.unpersist(False)
             _SPARK.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001 - cleanup must never fail the bench

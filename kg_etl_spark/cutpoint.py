@@ -34,4 +34,38 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+# Block ids of SESSION-SHARED cuts (the memoized derivations several
+# queries consume, e.g. the transition-edge frame).  A localCheckpoint
+# stores its data in persisted blocks with TRUNCATED lineage — evicting
+# them makes the frame unrecomputable — so any housekeeping that
+# unpersists completed-query state between queries (bench.py's
+# _drop_query_state) must skip these ids.  Local-mode process-global:
+# one SparkContext per process; ids are only ever consulted by flushes
+# in the same process.  Reliable-checkpoint mode stores files, not
+# blocks, so nothing registers (and nothing needs protecting).
+SHARED_CUT_RDD_IDS: set = set()
+
+
+def shared_lineage_cut(df: DataFrame) -> DataFrame:
+    """:func:`lineage_cut` (eager) for MEMOIZED multi-query frames,
+    registering the cut's persisted block ids in
+    :data:`SHARED_CUT_RDD_IDS` so inter-query block flushes leave the
+    shared materialization alone.  Eager: the before/after diff of the
+    persisted-RDD map is only well-defined when materialization happens
+    here, and the first consumer pays it either way."""
+    sc = df.sparkSession.sparkContext
+    try:
+        before = set(sc._jsc.getPersistentRDDs().keys())
+    except Exception:  # noqa: BLE001 - registry is best-effort
+        before = None
+    out = lineage_cut(df, eager=True)
+    if before is not None:
+        try:
+            after = set(sc._jsc.getPersistentRDDs().keys())
+            SHARED_CUT_RDD_IDS.update(int(i) for i in after - before)
+        except Exception:  # noqa: BLE001
+            pass
+    return out
+
+
 DataFrame.lineage_cut = lineage_cut
