@@ -274,15 +274,30 @@ def _dup_boundaries(bnds) -> set:
 
 
 def _tie_stats(df: DataFrame, kd: Column, values, tbd: Column, spark, thr: int):
-    """Per heavy-value CANDIDATE: (value, K sub-cells, tiebreak lo,
-    tiebreak hi) from ONE filtered map-side aggregate (|candidates|
-    rows).  ``tbd`` is the tiebreak's monotone double expression
-    (:func:`_tiebreak_key`).  Candidates below the straggler bar
-    ``thr`` are dropped (boundary duplication flags ~1/num_ranges of
-    mass, which may be harmless), as are values whose tiebreak is
-    constant or all-null inside the tie (true duplicate rows —
-    unsplittable).  K sizes like the base ranges (ceil(rows/target),
-    min 2, capped at 4×shuffle-width)."""
+    """Per heavy-value CANDIDATE: (value, K sub-cells, EQUI-DEPTH
+    tiebreak boundaries) from ONE filtered map-side aggregate
+    (|candidates| rows).  ``tbd`` is the tiebreak's monotone double
+    expression (:func:`_tiebreak_key`).  Candidates below the
+    straggler bar ``thr`` are dropped (boundary duplication flags
+    ~1/num_ranges of mass, which may be harmless), as are values whose
+    tiebreak is constant or all-null inside the tie (true duplicate
+    rows — unsplittable).  K sizes like the base ranges
+    (ceil(rows/target), min 2, capped at 4×shuffle-width).
+
+    Equi-depth, not equal-width: the tiebreak's VALUE distribution
+    inside a tie is routinely far from uniform — the 50M heavy_tie_str
+    probe showed ASCII-digit id strings concentrating the 6-byte
+    monokey into ~2k-wide slivers of each 65k byte block, collapsing
+    equal-width sub-cells 5M deep.  One percentile sketch per
+    candidate (same filtered aggregate) fixes the placement; placement
+    is correctness-neutral (any monotone bucketing of the tiebreak
+    preserves intra-tie order)."""
+    # grid + K cap at EQDEPTH_MAX_RANGES: the boundary when-tree stays
+    # codegen-safe and the prob list bounded at any cluster width (the
+    # same cap, for the same reason, as the base equi-depth re-split)
+    grid = min(_max_ranges(spark), EQDEPTH_MAX_RANGES)
+    probs = [i / grid for i in range(1, grid)]
+    acc = max(10_000, 20 * grid)
     rows = (
         df.filter(kd.isin(list(values)))
         .groupBy(kd.alias("_k"))
@@ -290,6 +305,7 @@ def _tie_stats(df: DataFrame, kd: Column, values, tbd: Column, spark, thr: int):
             F.count(F.lit(1)).alias("_n"),
             F.min(tbd).alias("_lo"),
             F.max(tbd).alias("_hi"),
+            F.percentile_approx(tbd, probs, acc).alias("_q"),
         )
         .collect()
     )
@@ -297,10 +313,11 @@ def _tie_stats(df: DataFrame, kd: Column, values, tbd: Column, spark, thr: int):
     for r in sorted(rows, key=lambda r: r["_k"]):
         if int(r["_n"]) <= thr or r["_lo"] is None or r["_hi"] <= r["_lo"]:
             continue
-        k = min(
-            _max_ranges(spark), max(2, -(-int(r["_n"]) // TARGET_CELL_ROWS))
-        )
-        out.append((float(r["_k"]), int(k), float(r["_lo"]), float(r["_hi"])))
+        k = min(grid, max(2, -(-int(r["_n"]) // TARGET_CELL_ROWS)))
+        # K-1 equi-depth split points subsampled from the shared grid
+        q = [float(x) for x in r["_q"]]
+        bnds = [q[(j * grid) // k - 1] for j in range(1, k)]
+        out.append((float(r["_k"]), int(k), bnds))
     return out
 
 
@@ -312,7 +329,7 @@ def _tie_layout(B: int, heavies):
     with exactly c heavies below it — base(x) < B keeps segments
     disjoint from the tie blocks between them."""
     blocks, cum = [], 0
-    for i, (_v, k, _lo, _hi) in enumerate(heavies):
+    for i, (_v, k, _bnds) in enumerate(heavies):
         blocks.append(("range", i * B + cum, B))
         blocks.append(("tie", (i + 1) * B + cum, k))
         cum += k
@@ -322,22 +339,25 @@ def _tie_layout(B: int, heavies):
 
 def _tie_cell_expr(kd: Column, base_expr: Column, B: int, heavies, tb: Column) -> Column:
     """Composite cell id over the :func:`_tie_layout` id space: heavy
-    rows take their tie block (sub-bucketed by the tiebreak's value
-    range — order-preserving inside the tie because intra-tie order IS
-    the tiebreak order); every other row takes its base bucket shifted
-    by the tie blocks below it.  NULL keys keep the leading cell
-    (window-equivalent NULLS FIRST under ASC).  Jointly monotone in
-    (key, tiebreak-at-tie), so device results stay bit-identical."""
+    rows take their tie block (sub-bucketed by the tiebreak's
+    EQUI-DEPTH boundaries — order-preserving inside the tie because
+    intra-tie order IS the tiebreak order, and depth-balanced because
+    the tiebreak's value distribution inside a tie is routinely
+    non-uniform); every other row takes its base bucket shifted by the
+    tie blocks below it.  NULL keys — and NULL tiebreaks at a heavy
+    value — keep the leading cell of their block (window-equivalent
+    NULLS FIRST under ASC).  Jointly monotone in (key,
+    tiebreak-at-tie), so device results stay bit-identical."""
     expr = F.when(kd.isNull(), F.lit(0).cast("long"))
     cum = 0
-    for i, (v, k, tlo, thi) in enumerate(heavies):
+    for i, (v, k, bnds) in enumerate(heavies):
         start = (i + 1) * B + cum
         cum += k
         expr = expr.when(
-            kd == F.lit(v), F.lit(start).cast("long") + _range_expr(tb, tlo, thi, k)
+            kd == F.lit(v), F.lit(start).cast("long") + _boundary_expr(tb, bnds)
         )
     cum = 0
-    for i, (v, k, _tlo, _thi) in enumerate(heavies):
+    for i, (v, k, _bnds) in enumerate(heavies):
         expr = expr.when(kd < F.lit(v), base_expr + F.lit(i * B + cum).cast("long"))
         cum += k
     return expr.otherwise(base_expr + F.lit(len(heavies) * B + cum).cast("long"))

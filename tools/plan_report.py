@@ -202,6 +202,38 @@ def main() -> None:
         "1), not data volume — it is flat in n while the single-task "
         "sort it replaces grows linearly.",
         "",
+        "**Round-8 bench environment + the r7 watch items closed:** "
+        "this round's box runs ~1.1–1.4× slower per-core than r7's "
+        "(map-side controls at load-gate-passed runs: `gopher_quality` "
+        "0.262 vs 0.217, `exact_dedup` 0.233 vs 0.189, `char_entropy` "
+        "0.179 vs 0.146) — deflate cross-round ratios by the control "
+        "ratio before reading them. The five r7 ≥1.25× watch items, "
+        "control-deflated vs r6: `nearest_supplier` ~1.13, "
+        "`spatial_components` ~0.92, `roc_auc_price` ~1.01, "
+        "`walk_corpus` ~0.43, `ngram_jaccard_dedup` ~0.89 — all inside "
+        "the 1.2× bar, confirming the r7 numbers were co-tenant noise "
+        "(tools/ab_queries.py is the interleaved instrument; its "
+        "first run this round caught the box mid-boot — load 1.68→4.65 "
+        "— and was discarded for the full-bench protocol).",
+        "",
+        "**Session-shared derivations (round 8):** the distinct "
+        "transition-edge frame is a pure function of the memoized "
+        "event scan, so `transition_edges_cut` / "
+        "`undirected_transition_edges_cut` now memoize per (session, "
+        "frame) in the shared device memo — the ~20 graph queries of "
+        "a session materialize the edge set ONCE instead of re-paying "
+        "the stream-lead device + distinct shuffle each "
+        "(full-bench total on the same box: 111.8 s → 73.8 s; "
+        "`louvain_move_scan` 1.44 → 0.38, `node2vec_corpus` 4.23 → "
+        "1.22, `hits_scores` 1.74 → 0.81). Because a localCheckpoint "
+        "stores truncated-lineage blocks, the shared cut registers its "
+        "block ids (cutpoint.shared_lineage_cut) and bench.py's "
+        "inter-query flush skips exactly those — an evicted shared "
+        "cut would otherwise be unrecomputable. Per-query timings "
+        "after the first consumer therefore EXCLUDE the edge "
+        "derivation, the same session-amortization contract as the "
+        "device stats memo.",
+        "",
         "| query | shuffles | BHJ | SMJ | py | wscg | pushed | cart |",
         "|---|---|---|---|---|---|---|---|",
     ]
