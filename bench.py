@@ -114,6 +114,9 @@ HEADLINE = [
     # round 8: substring-dedup excision (r7 directive #5) enters
     # coverage in the round it ships
     "remove_dup_spans",
+    # round 8: near-dup cluster canonicalization (components over the
+    # pair stream, keep-one policy)
+    "doc_dup_groups",
 ]
 
 

@@ -1604,7 +1604,9 @@ def q_sage_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg·log deg local sort — the documented cost of any fixed-fanout
     sampler) and one edge-keyed join to expand hop 2. Fan-out is
     capped at 5 + 5·3 rows per seed by construction."""
-    e0 = _user_graph(spark, sf_dir).lineage_cut(eager=True)
+    # _user_graph is already an eagerly-materialized shared cut (r8
+    # memo) — a second lineage_cut would only copy the blocks
+    e0 = _user_graph(spark, sf_dir)
     hop1, hop2 = _sage_plan(e0)
     out1 = hop1.select(
         "seed", F.lit(1).alias("hop"), F.col("seed").alias("parent"), "node",
@@ -1673,7 +1675,9 @@ def q_gnn_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates + two joins."""
     from kg_etl_spark.operators.walks import deterministic_walks
 
-    e0 = _user_graph(spark, sf_dir).lineage_cut(eager=True)
+    # _user_graph is already an eagerly-materialized shared cut (r8
+    # memo) — a second lineage_cut would only copy the blocks
+    e0 = _user_graph(spark, sf_dir)
     # stage a: the SHARED SAGE plan (_sage_plan — one definition)
     hop1, hop2 = _sage_plan(e0)
     c1 = hop1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop1"))
@@ -1816,7 +1820,9 @@ def q_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     rand()."""
     from kg_etl_spark.operators.rankdev import global_row_number
 
-    e0 = _user_graph(spark, sf_dir).lineage_cut(eager=True)
+    # _user_graph is already an eagerly-materialized shared cut (r8
+    # memo) — a second lineage_cut would only copy the blocks
+    e0 = _user_graph(spark, sf_dir)
     slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
         e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )

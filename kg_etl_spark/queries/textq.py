@@ -947,6 +947,94 @@ QUERIES["dedup_eval"] = q_dedup_eval
 ORACLES["dedup_eval"] = ORACLE_DEDUP_EVAL
 
 
+def q_doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the operator a curation run
+    uses the pair detector FOR: n-gram-Jaccard pairs (>= 0.8) close
+    into connected components (transitive duplicate groups), each
+    group keeps its lowest doc_id as the canonical representative, and
+    the payoff is quantified as chars_freed (total chars minus the
+    keeper's).  One row per multi-document group (singletons never
+    enter the pair stream).
+
+    Scale shape: the pair stream is the prefix-filtered inverted-index
+    join (one corpus shuffle, max_df skew cap); components are the
+    size-adaptive union-find (operators/components.py — local solve at
+    these pair counts, the label-propagation iteration above 2M
+    edges); the per-group fold is one hash aggregate on |dup docs|
+    rows.  Nothing concentrates.
+
+    Reference parity: the keep-one policy of near-dup curation
+    (Lee et al. 2022 §4); the reference's pandas ER derives canonical
+    ids per union-find component the same way (chaayagirimon/kg-etl
+    etl/er.py:204-243 — union-find then one canonical per
+    component)."""
+    from kg_etl_spark.operators.components import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.8).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    comp = connected_components(pairs)  # (node, comp), comp = min id
+    sized = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    return (
+        sized.groupBy(F.col("comp").alias("keeper_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            # the keeper IS the component id, so its chars are excluded
+            # by predicate — no order-sensitive min_by on tied sizes
+            F.sum(
+                F.when(F.col("node") == F.col("comp"), F.lit(0)).otherwise(
+                    F.col("n_chars")
+                )
+            ).cast("long").alias("chars_freed"),
+        )
+    )
+
+
+# components via recursive reachability on the SAME pair predicate the
+# dedup_eval oracle spells (DuckDB recursive CTE — the
+# spatial_components oracle pattern applied to the text pair stream)
+ORACLE_DOC_DUP_GROUPS = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+pred AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+),
+edges AS (SELECT a_id AS st, b_id AS d FROM pred UNION ALL SELECT b_id, a_id FROM pred),
+reach(node, r) AS (
+  SELECT DISTINCT st, st FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.st = reach.node
+),
+comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+sized AS (
+  SELECT c.node, c.comp, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT comp AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN node = comp THEN 0 ELSE n_chars END) AS BIGINT) AS chars_freed
+FROM sized
+GROUP BY comp
+"""
+
+QUERIES["doc_dup_groups"] = q_doc_dup_groups
+ORACLES["doc_dup_groups"] = ORACLE_DOC_DUP_GROUPS
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup: docs < 250 are 'history' (their
     fingerprint store), the rest arrive as the new batch; output is the

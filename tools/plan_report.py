@@ -98,8 +98,8 @@ REPORT_QUERIES = [
     # round 7: corpus diagnostics
     "event_gap_quantiles", "heavy_key_profile", "equidepth_histogram",
     "zipf_tail_fit", "type_burstiness",
-    # round 8: substring-dedup excision
-    "remove_dup_spans",
+    # round 8: substring-dedup excision + dup-cluster canonicalization
+    "remove_dup_spans", "doc_dup_groups",
 ]
 
 
