@@ -144,19 +144,20 @@ def _drop_query_state() -> None:
     than inside the next query's timing."""
     import gc
 
-    from kg_etl_spark.cutpoint import SHARED_CUT_RDD_IDS
+    from kg_etl_spark.cutpoint import is_shared_cut
 
     gc.collect()
     if _SPARK is not None:
         try:
-            jmap = _SPARK.sparkContext._jsc.getPersistentRDDs()
+            sc = _SPARK.sparkContext
+            jmap = sc._jsc.getPersistentRDDs()
             for jid, jrdd in jmap.items():
                 # session-shared memoized cuts (e.g. the transition-edge
                 # frame ~20 graph queries reuse) hold localCheckpoint
                 # blocks with TRUNCATED lineage — evicting them would
                 # make the shared frame unrecomputable, and they are
                 # model-sized by contract
-                if int(jid) in SHARED_CUT_RDD_IDS:
+                if is_shared_cut(sc, int(jid)):
                     continue
                 jrdd.unpersist(False)
             _SPARK.sparkContext._jvm.System.gc()

@@ -35,15 +35,25 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
 
 
 # Block ids of SESSION-SHARED cuts (the memoized derivations several
-# queries consume, e.g. the transition-edge frame).  A localCheckpoint
-# stores its data in persisted blocks with TRUNCATED lineage — evicting
-# them makes the frame unrecomputable — so any housekeeping that
-# unpersists completed-query state between queries (bench.py's
-# _drop_query_state) must skip these ids.  Local-mode process-global:
-# one SparkContext per process; ids are only ever consulted by flushes
-# in the same process.  Reliable-checkpoint mode stores files, not
-# blocks, so nothing registers (and nothing needs protecting).
+# queries consume, e.g. the transition-edge frame), keyed
+# (applicationId, rdd id): RDD ids restart at 0 per SparkContext, and
+# one process can run several contexts (pytest sessions, the 7-vs-32
+# determinism gate), so a bare id could shield an unrelated RDD in a
+# later context.  A localCheckpoint stores its data in persisted
+# blocks with TRUNCATED lineage — evicting them makes the frame
+# unrecomputable — so any housekeeping that unpersists completed-query
+# state between queries (bench.py's _drop_query_state) must skip these
+# ids.  Reliable-checkpoint mode stores files, not blocks, so nothing
+# registers (and nothing needs protecting).
 SHARED_CUT_RDD_IDS: set = set()
+
+
+def is_shared_cut(sc, rdd_id: int) -> bool:
+    """True when ``rdd_id`` belongs to a shared cut of THIS context."""
+    try:
+        return (sc.applicationId, int(rdd_id)) in SHARED_CUT_RDD_IDS
+    except Exception:  # noqa: BLE001 - conservative: don't shield
+        return False
 
 
 def shared_lineage_cut(df: DataFrame) -> DataFrame:
@@ -62,7 +72,8 @@ def shared_lineage_cut(df: DataFrame) -> DataFrame:
     if before is not None:
         try:
             after = set(sc._jsc.getPersistentRDDs().keys())
-            SHARED_CUT_RDD_IDS.update(int(i) for i in after - before)
+            app = sc.applicationId
+            SHARED_CUT_RDD_IDS.update((app, int(i)) for i in after - before)
         except Exception:  # noqa: BLE001
             pass
     return out

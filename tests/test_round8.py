@@ -219,6 +219,19 @@ def test_string_monokey_monotone(spark):
     # ("ab" < "aaa" numerically without right-padding), empty strings,
     # and multi-byte UTF-8 (byte order == code-point order)
     strs = ["", "a", "aaa", "ab", "aba", "b", "z" * 10, "zz", "é", "日本語", "\x01"]
+    # ...plus a deterministic pseudo-random unicode corpus: mixed
+    # ASCII / Latin-1 / CJK / astral-plane code points at varied
+    # lengths (UTF-8 byte order == code-point order, so Python's
+    # code-point sort is the ground truth Spark's default collation
+    # uses)
+    alphabet = "az09 _-éßı中日\U0001f600\U00010348"
+    rng_state = 1234567
+    for i in range(200):
+        chars = []
+        for j in range((i % 9) + 1):
+            rng_state = (rng_state * 48271) % 2147483647
+            chars.append(alphabet[rng_state % len(alphabet)])
+        strs.append("".join(chars))
     df = spark.createDataFrame([(s,) for s in strs], "s string")
     _, expr = rd._tiebreak_key(df, ["s"])
     rows = df.select("s", expr.alias("k")).collect()
@@ -322,7 +335,7 @@ def test_shared_edge_cut_memoized_and_flush_safe(spark):
     # per (session, frame) and its localCheckpoint blocks must survive
     # a bench-style inter-query block flush (evicting a truncated-
     # lineage checkpoint makes the frame unrecomputable)
-    from kg_etl_spark.cutpoint import SHARED_CUT_RDD_IDS
+    from kg_etl_spark.cutpoint import SHARED_CUT_RDD_IDS, is_shared_cut
     from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
 
     ev = spark.range(2000).select(
@@ -334,12 +347,15 @@ def test_shared_edge_cut_memoized_and_flush_safe(spark):
     e1 = undirected_transition_edges_cut(ev)
     n1 = e1.count()
     assert undirected_transition_edges_cut(ev) is e1, "cut not memoized"
-    assert SHARED_CUT_RDD_IDS, "shared cut registered no block ids"
+    sc = spark.sparkContext
+    assert any(
+        app == sc.applicationId for app, _ in SHARED_CUT_RDD_IDS
+    ), "shared cut registered no block ids for this context"
     # bench.py's _drop_query_state contract: flush everything EXCEPT
     # the shared ids, then the shared frame must still be readable
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    jmap = sc._jsc.getPersistentRDDs()
     for jid, jrdd in jmap.items():
-        if int(jid) not in SHARED_CUT_RDD_IDS:
+        if not is_shared_cut(sc, int(jid)):
             jrdd.unpersist(False)
     assert e1.count() == n1
 
