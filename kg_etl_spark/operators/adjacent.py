@@ -72,7 +72,7 @@ from kg_etl_spark.operators.rankdev import (
     _stats,
     _tie_cell_expr,
     _tie_stats,
-    _tiebreak_key,
+    _tiebreak_chain,
 )
 
 # The per-(frame, column) statistics memo lives in rankdev (shared by
@@ -156,14 +156,13 @@ def _cell_expr(df: DataFrame, order_col: str, n: int, lo: float, hi: float,
         # the sub-threshold ones
         vals |= _dup_boundaries(bnds)
         vals |= {mn for _n, mn, mx in strag if mn == mx}
-    tbk = _tiebreak_key(df, [t for t in tiebreaks if t != order_col])
-    if vals and tbk is not None:
-        tb, tbe = tbk
-        hkey = ("heavy", order_col, num_ranges, tb)
+    chain = _tiebreak_chain(df, [t for t in tiebreaks if t != order_col])
+    if vals and chain:
+        hkey = ("heavy", order_col, num_ranges, chain[0][0])
         if hkey not in memo:
-            memo[hkey] = _tie_stats(df, kd, sorted(vals), tbe, df.sparkSession, thr)
+            memo[hkey] = _tie_stats(df, kd, sorted(vals), chain, df.sparkSession, thr)
         if memo[hkey]:
-            return _tie_cell_expr(kd, base, B, memo[hkey], tbe)
+            return _tie_cell_expr(kd, base, B, memo[hkey])
     return base
 
 

@@ -228,39 +228,61 @@ def _cell_threshold(n: int, num_ranges: int) -> int:
 # in key order, so ids stay jointly monotone in (key, tiebreak-at-tie).
 
 
-def _tiebreak_key(
-    df: DataFrame, tiebreaks: Sequence[str]
-) -> Optional[Tuple[str, Column]]:
-    """(name, monotone-double-expr) of the FIRST tiebreak column — the
-    sub-bucketing key inside a heavy tie.  Only the first tiebreak is
-    eligible: intra-tie order is (t0, t1, ...), so bucketing by any
-    LATER column would reorder rows that differ in an earlier one
-    (rows (t0=1, t1=9) and (t0=2, t1=0) sort A<B but bucket B<A).
-    Numeric / timestamp: the plain double cast.  String: the first 6
-    BYTES as a 48-bit big-endian integer — monotone under the default
-    UTF8-binary collation (UTF-8 byte order == code-point order), and
-    exact in a double (48 < 53 bits); rows sharing the 6-byte prefix
-    merely MERGE into one sub-cell, which every bucketing consumer
-    already tolerates.  Other types (or no tiebreaks): None — a heavy
-    tie then stays one cell (documented limitation)."""
+def _mono_key(df: DataFrame, t: str) -> Optional[Column]:
+    """Monotone double projection of one column, or None if the type
+    has no such projection here.  Numeric / timestamp: the plain
+    double cast.  String: the first 6 BYTES as a 48-bit big-endian
+    integer — monotone under the default UTF8-binary collation (UTF-8
+    byte order == code-point order), and exact in a double (48 < 53
+    bits); rows sharing the 6-byte prefix merely MERGE into one
+    sub-cell, which every bucketing consumer already tolerates."""
     from pyspark.sql.types import NumericType, StringType, TimestampType
 
-    if not tiebreaks:
-        return None
-    t = tiebreaks[0]
     dt = df.schema[t].dataType
     if isinstance(dt, (NumericType, TimestampType)):
-        return t, F.col(t).cast("double")
+        return F.col(t).cast("double")
     if isinstance(dt, StringType):
         # hex of the 6-byte binary prefix, right-padded so shorter
         # strings compare as if zero-extended (prefixes sort first),
         # then parsed base-16 — all JVM-side builtins, no UDF
-        return t, F.conv(
+        return F.conv(
             F.rpad(F.hex(F.substring(F.col(t).cast("binary"), 1, 6)), 12, "0"),
             16,
             10,
         ).cast("double")
     return None
+
+
+def _tiebreak_chain(
+    df: DataFrame, tiebreaks: Sequence[str]
+) -> list:
+    """[(name, monotone-double-expr)] for the longest ELIGIBLE PREFIX
+    of the tiebreak list — the sub-bucketing keys inside a heavy tie.
+    Bucketing must start at the FIRST tiebreak: intra-tie order is
+    (t0, t1, ...), so bucketing by a later column reorders rows that
+    differ in an earlier one (rows (t0=1, t1=9) and (t0=2, t1=0) sort
+    A<B but bucket B<A).  Deeper levels apply only to heavy values
+    whose earlier tiebreaks are CONSTANT inside the tie — there the
+    residual order IS the next tiebreak, so the next level is
+    order-safe (:func:`_tie_stats` cascades).  The chain stops at the
+    first ineligible type for the same reason.  Empty chain: a heavy
+    tie stays one cell (documented limitation)."""
+    chain = []
+    for t in tiebreaks:
+        e = _mono_key(df, t)
+        if e is None:
+            break
+        chain.append((t, e))
+    return chain
+
+
+def _tiebreak_key(
+    df: DataFrame, tiebreaks: Sequence[str]
+) -> Optional[Tuple[str, Column]]:
+    """First link of :func:`_tiebreak_chain` (compatibility helper for
+    tests and single-level callers)."""
+    chain = _tiebreak_chain(df, tiebreaks)
+    return chain[0] if chain else None
 
 
 def _dup_boundaries(bnds) -> set:
@@ -273,16 +295,19 @@ def _dup_boundaries(bnds) -> set:
     return {b for i, b in enumerate(bnds) if i and bnds[i - 1] == b}
 
 
-def _tie_stats(df: DataFrame, kd: Column, values, tbd: Column, spark, thr: int):
+def _tie_stats(df: DataFrame, kd: Column, values, chain, spark, thr: int):
     """Per heavy-value CANDIDATE: (value, K sub-cells, EQUI-DEPTH
-    tiebreak boundaries) from ONE filtered map-side aggregate
-    (|candidates| rows).  ``tbd`` is the tiebreak's monotone double
-    expression (:func:`_tiebreak_key`).  Candidates below the
-    straggler bar ``thr`` are dropped (boundary duplication flags
-    ~1/num_ranges of mass, which may be harmless), as are values whose
-    tiebreak is constant or all-null inside the tie (true duplicate
-    rows — unsplittable).  K sizes like the base ranges
-    (ceil(rows/target), min 2, capped at 4×shuffle-width).
+    tiebreak boundaries, tiebreak-expr) from one filtered map-side
+    aggregate per CHAIN LEVEL (|candidates| rows each, candidates only
+    shrink).  ``chain`` is :func:`_tiebreak_chain`.  Candidates below
+    the straggler bar ``thr`` are dropped (boundary duplication flags
+    ~1/num_ranges of mass, which may be harmless).  A value whose
+    level-j tiebreak is CONSTANT or all-null inside the tie cascades
+    to level j+1: with every earlier tiebreak constant, the residual
+    intra-tie order IS the next tiebreak, so the deeper bucketing
+    stays order-safe — only values constant across the WHOLE eligible
+    chain remain unsplittable (true duplicate rows).  K sizes like the
+    base ranges (ceil(rows/target), min 2, capped).
 
     Equi-depth, not equal-width: the tiebreak's VALUE distribution
     inside a tie is routinely far from uniform — the 50M heavy_tie_str
@@ -298,27 +323,36 @@ def _tie_stats(df: DataFrame, kd: Column, values, tbd: Column, spark, thr: int):
     grid = min(_max_ranges(spark), EQDEPTH_MAX_RANGES)
     probs = [i / grid for i in range(1, grid)]
     acc = max(10_000, 20 * grid)
-    rows = (
-        df.filter(kd.isin(list(values)))
-        .groupBy(kd.alias("_k"))
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min(tbd).alias("_lo"),
-            F.max(tbd).alias("_hi"),
-            F.percentile_approx(tbd, probs, acc).alias("_q"),
-        )
-        .collect()
-    )
+    remaining = sorted(values)
     out = []
-    for r in sorted(rows, key=lambda r: r["_k"]):
-        if int(r["_n"]) <= thr or r["_lo"] is None or r["_hi"] <= r["_lo"]:
-            continue
-        k = min(grid, max(2, -(-int(r["_n"]) // TARGET_CELL_ROWS)))
-        # K-1 equi-depth split points subsampled from the shared grid
-        q = [float(x) for x in r["_q"]]
-        bnds = [q[(j * grid) // k - 1] for j in range(1, k)]
-        out.append((float(r["_k"]), int(k), bnds))
-    return out
+    for _name, tbd in chain:
+        if not remaining:
+            break
+        rows = (
+            df.filter(kd.isin(list(remaining)))
+            .groupBy(kd.alias("_k"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(tbd).alias("_lo"),
+                F.max(tbd).alias("_hi"),
+                F.percentile_approx(tbd, probs, acc).alias("_q"),
+            )
+            .collect()
+        )
+        next_remaining = []
+        for r in rows:
+            if int(r["_n"]) <= thr:
+                continue  # not actually heavy — drop for good
+            if r["_lo"] is None or r["_hi"] <= r["_lo"]:
+                next_remaining.append(float(r["_k"]))  # constant: cascade
+                continue
+            k = min(grid, max(2, -(-int(r["_n"]) // TARGET_CELL_ROWS)))
+            # K-1 equi-depth split points subsampled from the shared grid
+            q = [float(x) for x in r["_q"]]
+            bnds = [q[(j * grid) // k - 1] for j in range(1, k)]
+            out.append((float(r["_k"]), int(k), bnds, tbd))
+        remaining = next_remaining
+    return sorted(out, key=lambda h: h[0])
 
 
 def _tie_layout(B: int, heavies):
@@ -329,7 +363,7 @@ def _tie_layout(B: int, heavies):
     with exactly c heavies below it — base(x) < B keeps segments
     disjoint from the tie blocks between them."""
     blocks, cum = [], 0
-    for i, (_v, k, _bnds) in enumerate(heavies):
+    for i, (_v, k, _bnds, _tbe) in enumerate(heavies):
         blocks.append(("range", i * B + cum, B))
         blocks.append(("tie", (i + 1) * B + cum, k))
         cum += k
@@ -337,12 +371,13 @@ def _tie_layout(B: int, heavies):
     return blocks, (len(heavies) + 1) * B + cum
 
 
-def _tie_cell_expr(kd: Column, base_expr: Column, B: int, heavies, tb: Column) -> Column:
+def _tie_cell_expr(kd: Column, base_expr: Column, B: int, heavies) -> Column:
     """Composite cell id over the :func:`_tie_layout` id space: heavy
-    rows take their tie block (sub-bucketed by the tiebreak's
-    EQUI-DEPTH boundaries — order-preserving inside the tie because
-    intra-tie order IS the tiebreak order, and depth-balanced because
-    the tiebreak's value distribution inside a tie is routinely
+    rows take their tie block (sub-bucketed by their own tiebreak
+    level's EQUI-DEPTH boundaries — order-preserving inside the tie
+    because with every earlier tiebreak constant the residual
+    intra-tie order IS that tiebreak, and depth-balanced because the
+    tiebreak's value distribution inside a tie is routinely
     non-uniform); every other row takes its base bucket shifted by the
     tie blocks below it.  NULL keys — and NULL tiebreaks at a heavy
     value — keep the leading cell of their block (window-equivalent
@@ -350,14 +385,14 @@ def _tie_cell_expr(kd: Column, base_expr: Column, B: int, heavies, tb: Column) -
     tiebreak-at-tie), so device results stay bit-identical."""
     expr = F.when(kd.isNull(), F.lit(0).cast("long"))
     cum = 0
-    for i, (v, k, bnds) in enumerate(heavies):
+    for i, (v, k, bnds, tbe) in enumerate(heavies):
         start = (i + 1) * B + cum
         cum += k
         expr = expr.when(
-            kd == F.lit(v), F.lit(start).cast("long") + _boundary_expr(tb, bnds)
+            kd == F.lit(v), F.lit(start).cast("long") + _boundary_expr(tbe, bnds)
         )
     cum = 0
-    for i, (v, k, _bnds) in enumerate(heavies):
+    for i, (v, k, _bnds, _tbe) in enumerate(heavies):
         expr = expr.when(kd < F.lit(v), base_expr + F.lit(i * B + cum).cast("long"))
         cum += k
     return expr.otherwise(base_expr + F.lit(len(heavies) * B + cum).cast("long"))
@@ -499,12 +534,12 @@ def global_row_number(
         _, lo2, hi2 = _stats(df, subkey)
         lo, hi, bucket_key = lo2, hi2, subkey
     kd = F.col(bucket_key).cast("double")
-    tbk = (
-        _tiebreak_key(df, [t for t in tiebreaks if t != bucket_key])
+    chain = (
+        _tiebreak_chain(df, [t for t in tiebreaks if t != bucket_key])
         if bucket_key == key
-        else None  # subkey fallback: near-unique, never tie-dominated
+        else []  # subkey fallback: near-unique, never tie-dominated
     )
-    tb, tbe = tbk if tbk is not None else (None, None)
+    tb = chain[0][0] if chain else None
 
     def build_plan():
         def cells(expr):
@@ -537,9 +572,9 @@ def global_row_number(
                 strag = [r for r in rows if r["_n"] > thr]
                 vals |= _dup_boundaries(bnds)
                 vals |= {float(r["_mn"]) for r in strag if r["_mn"] == r["_mx"]}
-            if vals and tb is not None:
+            if vals and chain:
                 heavies = _tie_stats(
-                    df, kd, sorted(vals), tbe, df.sparkSession, thr
+                    df, kd, sorted(vals), chain, df.sparkSession, thr
                 )
         blocks, size = None, B
         if heavies:
@@ -549,7 +584,7 @@ def global_row_number(
                 if bnds is None
                 else _boundary_expr(F.col(bucket_key), bnds)
             )
-            rows = cells(_tie_cell_expr(kd, base, B, heavies, tbe))
+            rows = cells(_tie_cell_expr(kd, base, B, heavies))
         return {
             "bnds": bnds,
             "B": B,
@@ -566,7 +601,7 @@ def global_row_number(
         else _boundary_expr(F.col(bucket_key), plan["bnds"])
     )
     cell = (
-        _tie_cell_expr(kd, base, plan["B"], plan["heavies"], tbe)
+        _tie_cell_expr(kd, base, plan["B"], plan["heavies"])
         if plan["heavies"]
         else base
     )
@@ -658,8 +693,8 @@ def grouped_row_number(
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     kd = F.col(key).cast("double")
-    tbk = _tiebreak_key(df, tiebreaks)
-    tb, tbe = tbk if tbk is not None else (None, None)
+    chain = _tiebreak_chain(df, tiebreaks)
+    tb = chain[0][0] if chain else None
 
     def bucketed(cell_expr):
         # 1-field struct group keys: null-safe partitioning/join for
@@ -710,12 +745,12 @@ def grouped_row_number(
                 strag = strag_cells(_boundary_expr(kd, bnds))
                 vals |= _dup_boundaries(bnds)
                 vals |= {float(r["_mn"]) for r in strag if r["_mn"] == r["_mx"]}
-            if vals and tb is not None:
+            if vals and chain:
                 # a dominant tie value inside ONE group stragglers that
-                # group's cell; the tiebreak sub-bucketing (global tb
-                # bounds — a superset range per group, still monotone)
-                # splits it for every group at once
-                heavies = _tie_stats(df, kd, sorted(vals), tbe, df.sparkSession, thr)
+                # group's cell; the tiebreak sub-bucketing (global
+                # boundaries — a superset range per group, still
+                # monotone) splits it for every group at once
+                heavies = _tie_stats(df, kd, sorted(vals), chain, df.sparkSession, thr)
         return {"bnds": bnds, "B": B, "heavies": heavies}
 
     if n_total > SKEW_CELL_ROWS and hi > lo:
@@ -730,7 +765,7 @@ def grouped_row_number(
         else _boundary_expr(kd, plan["bnds"])
     )
     raw = bucketed(
-        _tie_cell_expr(kd, base, plan["B"], plan["heavies"], tbe)
+        _tie_cell_expr(kd, base, plan["B"], plan["heavies"])
         if plan["heavies"]
         else base
     )

@@ -213,6 +213,32 @@ def test_string_tiebreak_heavy_tie_exact(spark, tie_thresholds):
     assert max(plan["counts"].values()) < 0.6 * n
 
 
+def test_tiebreak_cascade_constant_first_level(spark, tie_thresholds):
+    # tiebreaks[0] is CONSTANT inside the heavy tie (all epoch-zero
+    # rows from one source — realistic crawl shape): level 0 cannot
+    # split (min==max), so _tie_stats must cascade to tiebreaks[1],
+    # which is order-safe exactly because every earlier tiebreak is
+    # constant there; ranks must stay bit-identical to the window
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 6, F.lit("common-crawl"))
+        .otherwise(F.concat(F.lit("src"), (F.col("id") % 7).cast("string")))
+        .alias("s"),
+        F.when(F.col("id") % 10 < 6, F.lit(50_000.0))
+        .otherwise((F.col("id") * 7919 % 315_360_000).cast("double"))
+        .alias("v"),
+    )
+    got, _ = rd.global_row_number(df, "v", tiebreaks=["s", "event_id"])
+    w = Window.orderBy(F.col("v").asc(), F.col("s").asc(), F.col("event_id").asc())
+    want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got) == _rows(want)
+    nr = rd._auto_num_ranges(n, spark)
+    plan = rd._memo(df)[("grn_plan", "v", "s", nr)]
+    assert plan["heavies"], "cascade did not split the constant-t0 tie"
+    assert max(plan["counts"].values()) < 0.6 * n
+
+
 def test_string_monokey_monotone(spark):
     # the 6-byte binary-prefix integer must be monotone under the
     # default UTF8-binary collation, including the classic rpad trap
