@@ -147,7 +147,7 @@ def _cell_expr(df: DataFrame, order_col: str, n: int, lo: float, hi: float,
     if any(mn < mx for _n, mn, mx in strag):
         bkey = ("bnd", order_col, num_ranges)
         if bkey not in memo:
-            memo[bkey] = _equidepth_boundaries(df, order_col, num_ranges)
+            memo[bkey] = _equidepth_boundaries(df, order_col, num_ranges, n)
         bnds = memo[bkey]
         base, B = _boundary_expr(kd, bnds), len(bnds) + 1
         strag = stragglers(base, "eqstrag")

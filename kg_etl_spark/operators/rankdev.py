@@ -17,12 +17,15 @@ operators/packing.py:83), generalized:
    cell — boundary placement is correctness-neutral because any
    monotone bucketing preserves the total order.  A straggler cell
    that has collapsed to a SINGLE key value (a dominant tie, which no
-   monotone bucketing can split) is sub-bucketed by the FIRST
-   tiebreak's value range instead (:func:`_tie_cell_expr`; numeric,
-   timestamp, or string via a 6-byte binary-prefix integer — only the
-   first tiebreak is order-safe, :func:`_tiebreak_key`) — intra-tie
-   order IS the tiebreak order, so the composite id stays jointly
-   monotone and results stay bit-identical;
+   monotone bucketing can split) is sub-bucketed by EQUI-DEPTH
+   boundaries of the FIRST tiebreak instead (:func:`_tie_cell_expr`;
+   numeric, timestamp, or string via a 6-byte binary-prefix integer;
+   bucketing must START at the first tiebreak to be order-safe, and
+   cascades to the next one only for values whose earlier tiebreaks
+   are constant inside the tie — :func:`_tiebreak_chain`,
+   :func:`_tie_stats`) — intra-tie order IS the tiebreak order, so
+   the composite id stays jointly monotone and results stay
+   bit-identical;
 2. each range ranks/cumsums LOCALLY with an ordinary partitioned window
    (``num_ranges`` parallel sorts instead of one global sort);
 3. the per-range row counts (or partial sums) — ``num_ranges`` rows, a
@@ -161,17 +164,38 @@ def _stats(df: DataFrame, key: str):
 EQDEPTH_MAX_RANGES = 2048
 
 
-def _equidepth_boundaries(df: DataFrame, key: str, num_ranges: int):
+# Rows the boundary sketch reads at most: above this the sketch runs
+# on a seeded uniform SAMPLE of ~this many rows.  Placement is
+# correctness-neutral (any monotone bucketing preserves the total
+# order), so sampling can only move cell boundaries, never values —
+# and a 2M-row sample estimates any quantile's rank within
+# ~2.5·sqrt(p(1-p)/2M) ≈ 0.09% of n, far inside the 2×-of-target
+# acceptance bar.  Without this the sketch is a full-corpus pass: the
+# single most expensive statistics job in the device family (measured
+# dominating the 50M bursty plan build), and at 100 TB a full-scan
+# aggregate nothing else needs.
+SKETCH_SAMPLE_ROWS = 2_000_000
+
+
+def _equidepth_boundaries(
+    df: DataFrame, key: str, num_ranges: int, n_total: Optional[int] = None
+):
     """min(num_ranges, EQDEPTH_MAX_RANGES)−1 equi-depth split points
-    from one percentile-sketch pass. Rank error ≤ n/accuracy ≤
-    n/(20·num_ranges), so every equi-depth cell lands within ±10% of
-    the even share n/num_ranges — comfortably inside the 2×-of-target
-    acceptance bar."""
+    from one percentile-sketch pass over ``df`` — or over a seeded
+    ~:data:`SKETCH_SAMPLE_ROWS`-row sample when ``n_total`` says the
+    frame is much larger (sampling error ≈ 0.1% of mass; sketch rank
+    error ≤ rows_read/accuracy; both orders of magnitude inside the
+    2×-of-target bar, and both only move PLACEMENT, never values)."""
     num_ranges = min(num_ranges, EQDEPTH_MAX_RANGES)
+    src = df
+    if n_total is not None and n_total > 2 * SKETCH_SAMPLE_ROWS:
+        src = df.sample(fraction=SKETCH_SAMPLE_ROWS / n_total, seed=0x5EED)
     kd = F.col(key).cast("double")
     probs = [i / num_ranges for i in range(1, num_ranges)]
     acc = max(10_000, 20 * num_ranges)
-    row = df.agg(F.percentile_approx(kd, probs, acc).alias("b")).collect()[0]
+    row = src.agg(F.percentile_approx(kd, probs, acc).alias("b")).collect()[0]
+    if row["b"] is None:  # pathological: sample drew zero rows
+        row = df.agg(F.percentile_approx(kd, probs, acc).alias("b")).collect()[0]
     return [float(x) for x in row["b"]]
 
 
@@ -566,7 +590,7 @@ def global_row_number(
                 # tie, which the sketch cannot help — r7 advice);
                 # boundary duplication flags heavy values whose cell
                 # also holds neighbors (min<max hides the tie)
-                bnds = _equidepth_boundaries(df, bucket_key, num_ranges)
+                bnds = _equidepth_boundaries(df, bucket_key, num_ranges, n_total)
                 B = len(bnds) + 1
                 rows = cells(_boundary_expr(F.col(bucket_key), bnds))
                 strag = [r for r in rows if r["_n"] > thr]
@@ -740,7 +764,7 @@ def grouped_row_number(
         if strag:
             vals = {float(r["_mn"]) for r in strag if r["_mn"] == r["_mx"]}
             if any(r["_mn"] < r["_mx"] for r in strag):
-                bnds = _equidepth_boundaries(df, key, num_ranges)
+                bnds = _equidepth_boundaries(df, key, num_ranges, n_total)
                 B = len(bnds) + 1
                 strag = strag_cells(_boundary_expr(kd, bnds))
                 vals |= _dup_boundaries(bnds)
@@ -978,7 +1002,7 @@ def global_cumsum(
             # values (callers pre-aggregate to distinct order keys),
             # so a straggler is always distinct-value skew that the
             # equi-depth re-split spreads
-            bnds = _equidepth_boundaries(df, order_col, num_ranges)
+            bnds = _equidepth_boundaries(df, order_col, num_ranges, n_total)
             partials = partials_of(_boundary_expr(F.col(order_col), bnds))
         size = num_ranges if bnds is None else len(bnds) + 1
         return {"bnds": bnds, "partials": partials, "size": size}
