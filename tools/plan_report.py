@@ -203,18 +203,26 @@ def main() -> None:
         "sort it replaces grows linearly.",
         "",
         "**Round-8 bench environment + the r7 watch items closed:** "
-        "this round's box runs ~1.1–1.4× slower per-core than r7's "
+        "this round's box runs ~1.2–1.7× slower per-core than r7's "
         "(map-side controls at load-gate-passed runs: `gopher_quality` "
-        "0.262 vs 0.217, `exact_dedup` 0.233 vs 0.189, `char_entropy` "
-        "0.179 vs 0.146) — deflate cross-round ratios by the control "
-        "ratio before reading them. The five r7 ≥1.25× watch items, "
-        "control-deflated vs r6: `nearest_supplier` ~1.13, "
-        "`spatial_components` ~0.92, `roc_auc_price` ~1.01, "
-        "`walk_corpus` ~0.43, `ngram_jaccard_dedup` ~0.89 — all inside "
-        "the 1.2× bar, confirming the r7 numbers were co-tenant noise "
-        "(tools/ab_queries.py is the interleaved instrument; its "
-        "first run this round caught the box mid-boot — load 1.68→4.65 "
-        "— and was discarded for the full-bench protocol).",
+        "0.26–0.32 vs 0.217, `exact_dedup` 0.23–0.26 vs 0.189, "
+        "`char_entropy` 0.18–0.25 vs 0.146, and run-to-run swings up "
+        "to 2× on 50M probes) — deflate cross-round ratios by the "
+        "control ratio before reading them. The five r7 ≥1.25× watch "
+        "items on the round's best full bench, RAW vs r7 (no deflation "
+        "needed): `nearest_supplier` 0.93, `spatial_components` 1.13, "
+        "`roc_auc_price` 0.98, `walk_corpus` 0.59, "
+        "`ngram_jaccard_dedup` 1.03 — all inside the 1.2× bar even "
+        "undeflated, confirming the r7 numbers were co-tenant noise. "
+        "Round-8 final bench: 66 queries 67.5 s; the 64 in common with "
+        "r7 sum 63.6 vs 62.9 s RAW on the ~1.4× slower box — i.e. "
+        "clearly faster control-deflated, driven by the graph family "
+        "(best raw ratios: `edge_jaccard_features` 0.42, "
+        "`spectral_split_users` 0.49, `louvain_move_scan` 0.52, "
+        "`hits_scores` 0.54, `node2vec_corpus` 0.56); the worst raw "
+        "ratios are all sub-0.4 s map-side queries that price the box "
+        "itself (`hll_distinct_users` 1.97, `sessionize` 1.91, "
+        "`char_entropy` 1.74 ≈ the control inflation).",
         "",
         "**Session-shared derivations (round 8):** the distinct "
         "transition-edge frame is a pure function of the memoized "
