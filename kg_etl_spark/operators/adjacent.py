@@ -109,12 +109,14 @@ def _cell_expr(df: DataFrame, order_col: str, n: int, lo: float, hi: float,
 
     Detection above the straggler threshold, cheapest first: a
     per-width-cell COUNT+MIN+MAX (map-side combinable hash agg to
-    ≤num_ranges rows, only stragglers collected — measured ~3s at 50M
-    vs ~10s for the sketch) decides whether the percentile-sketch pass
-    is needed at all AND whether a straggler is a pure tie (min==max),
-    in which case the useless sketch is skipped entirely.  All
-    statistics memoize per (frame, column) — once per session for the
-    static scans."""
+    ≤num_ranges rows, only stragglers collected — measured ~1-3s at
+    50M vs ~8s for a full-corpus sketch) decides whether the
+    percentile-sketch pass is needed at all AND whether a straggler is
+    a pure tie (min==max), in which case the useless sketch is skipped
+    entirely; the sketch itself reads a bounded ~2M-row sample above
+    that size (rankdev.SKETCH_SAMPLE_ROWS — placement-neutral, ~2.1s
+    at 50M and flat in n).  All statistics memoize per
+    (frame, column) — once per session for the static scans."""
     kd = F.col(order_col).cast("double")
     if n <= SKEW_CELL_ROWS or hi == lo:
         return _range_expr(kd, lo, hi, num_ranges)
