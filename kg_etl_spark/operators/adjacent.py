@@ -160,7 +160,9 @@ def _cell_expr(df: DataFrame, order_col: str, n: int, lo: float, hi: float,
         vals |= {mn for _n, mn, mx in strag if mn == mx}
     chain = _tiebreak_chain(df, [t for t in tiebreaks if t != order_col])
     if vals and chain:
-        hkey = ("heavy", order_col, num_ranges, chain[0][0])
+        # full-chain memo key: same first tiebreak but different chain
+        # depth must not collide on one cascade plan (r8 ADVICE, low)
+        hkey = ("heavy", order_col, num_ranges, tuple(n for n, _ in chain))
         if hkey not in memo:
             memo[hkey] = _tie_stats(df, kd, sorted(vals), chain, df.sparkSession, thr)
         if memo[hkey]:
@@ -333,7 +335,7 @@ def transition_edges_cut(ev: DataFrame) -> DataFrame:
     return _memo_get(
         ev,
         ("trans_edges_cut",),
-        lambda: shared_lineage_cut(transition_edges(ev).distinct()),
+        lambda: shared_lineage_cut(transition_edges(ev).distinct(), source=ev),
     )
 
 
@@ -345,7 +347,7 @@ def undirected_transition_edges_cut(ev: DataFrame) -> DataFrame:
     return _memo_get(
         ev,
         ("undirected_trans_edges_cut",),
-        lambda: shared_lineage_cut(undirected_transition_edges(ev)),
+        lambda: shared_lineage_cut(undirected_transition_edges(ev), source=ev),
     )
 
 

@@ -319,19 +319,57 @@ def _dup_boundaries(bnds) -> set:
     return {b for i, b in enumerate(bnds) if i and bnds[i - 1] == b}
 
 
+def _tie_subcell_expr(guards, tbe, bnds) -> Column:
+    """Sub-cell index inside one heavy-tie block: ``m = len(guards)``
+    leading NULL-guard cells (guard j captures rows whose level-j
+    tiebreak is NULL — the window orders those strictly FIRST, before
+    the level's constant value, so they must precede every deeper
+    bucketing), then ``m + boundary-bucket`` over the splitting
+    level's equi-depth boundaries (``tbe=None`` when the chain
+    exhausted: the guards alone are the split).  Guard order is chain
+    order — a row matching guard j has every earlier guard non-null
+    (constant), so the when-chain is the intra-tie NULLS FIRST walk
+    and the composite index stays monotone in the tiebreak order."""
+    m = len(guards)
+    tail = F.lit(m).cast("long")
+    if tbe is not None:
+        tail = tail + _boundary_expr(tbe, bnds)
+    expr = tail
+    for j in reversed(range(m)):
+        expr = F.when(guards[j].isNull(), F.lit(j).cast("long")).otherwise(expr)
+    return expr
+
+
 def _tie_stats(df: DataFrame, kd: Column, values, chain, spark, thr: int):
-    """Per heavy-value CANDIDATE: (value, K sub-cells, EQUI-DEPTH
-    tiebreak boundaries, tiebreak-expr) from one filtered map-side
-    aggregate per CHAIN LEVEL (|candidates| rows each, candidates only
-    shrink).  ``chain`` is :func:`_tiebreak_chain`.  Candidates below
-    the straggler bar ``thr`` are dropped (boundary duplication flags
-    ~1/num_ranges of mass, which may be harmless).  A value whose
-    level-j tiebreak is CONSTANT or all-null inside the tie cascades
-    to level j+1: with every earlier tiebreak constant, the residual
-    intra-tie order IS the next tiebreak, so the deeper bucketing
-    stays order-safe — only values constant across the WHOLE eligible
-    chain remain unsplittable (true duplicate rows).  K sizes like the
-    base ranges (ceil(rows/target), min 2, capped).
+    """Per heavy-value CANDIDATE: (value, K sub-cells, sub-cell index
+    EXPRESSION) from one filtered map-side aggregate per CHAIN LEVEL
+    (|candidates| rows each, candidates only shrink).  ``chain`` is
+    :func:`_tiebreak_chain`.  Candidates below the straggler bar
+    ``thr`` are dropped (boundary duplication flags ~1/num_ranges of
+    mass, which may be harmless).  Level-j cascade cases, decided from
+    the non-null count the aggregate now carries (min/max ignore
+    NULLs, so ``hi <= lo`` alone cannot distinguish them — r8 ADVICE,
+    high):
+
+    - ALL NULL (count==0): the level contributes nothing to intra-tie
+      order; cascade guard-free — the residual order IS level j+1.
+    - constant, NO nulls (hi<=lo, count==n): classic cascade — with
+      every earlier level constant the residual order is level j+1.
+    - constant PLUS nulls (hi<=lo, 0<count<n): the window orders the
+      NULL rows strictly BEFORE the constant rows, so bucketing the
+      whole tie by level j+1 would interleave them.  A dedicated
+      leading sub-cell captures the NULL rows (guard expr), and the
+      constant remainder cascades — :func:`_tie_subcell_expr` walks
+      the accumulated guards before the splitting level's buckets.
+    - splittable (hi>lo): emit; NULL rows at THIS level take the
+      leading boundary bucket (``_boundary_expr`` NULLS->0), matching
+      NULLS FIRST among the residual.
+
+    A candidate whose chain exhausts with guards pending still splits
+    into its guard cells + one residual cell (better than the one-cell
+    fallback); only values constant-and-null-free across the WHOLE
+    eligible chain remain unsplittable (true duplicate rows).  K sizes
+    like the base ranges (ceil(rows/target), min 2, capped).
 
     Equi-depth, not equal-width: the tiebreak's VALUE distribution
     inside a tie is routinely far from uniform — the 50M heavy_tie_str
@@ -347,7 +385,7 @@ def _tie_stats(df: DataFrame, kd: Column, values, chain, spark, thr: int):
     grid = min(_max_ranges(spark), EQDEPTH_MAX_RANGES)
     probs = [i / grid for i in range(1, grid)]
     acc = max(10_000, 20 * grid)
-    remaining = sorted(values)
+    remaining = {float(v): [] for v in values}  # value -> [guard exprs]
     out = []
     for _name, tbd in chain:
         if not remaining:
@@ -357,25 +395,40 @@ def _tie_stats(df: DataFrame, kd: Column, values, chain, spark, thr: int):
             .groupBy(kd.alias("_k"))
             .agg(
                 F.count(F.lit(1)).alias("_n"),
+                F.count(tbd).alias("_c"),
                 F.min(tbd).alias("_lo"),
                 F.max(tbd).alias("_hi"),
                 F.percentile_approx(tbd, probs, acc).alias("_q"),
             )
             .collect()
         )
-        next_remaining = []
+        next_remaining = {}
         for r in rows:
+            v = float(r["_k"])
+            guards = remaining[v]
             if int(r["_n"]) <= thr:
                 continue  # not actually heavy — drop for good
-            if r["_lo"] is None or r["_hi"] <= r["_lo"]:
-                next_remaining.append(float(r["_k"]))  # constant: cascade
+            if int(r["_c"]) == 0:
+                next_remaining[v] = guards  # all-null level: cascade
+                continue
+            if r["_hi"] <= r["_lo"]:
+                if int(r["_c"]) == int(r["_n"]):
+                    next_remaining[v] = guards  # constant, no nulls
+                else:
+                    # constant + nulls: leading guard cell, cascade rest
+                    next_remaining[v] = guards + [tbd]
                 continue
             k = min(grid, max(2, -(-int(r["_n"]) // TARGET_CELL_ROWS)))
             # K-1 equi-depth split points subsampled from the shared grid
             q = [float(x) for x in r["_q"]]
             bnds = [q[(j * grid) // k - 1] for j in range(1, k)]
-            out.append((float(r["_k"]), int(k), bnds, tbd))
+            out.append(
+                (v, len(guards) + int(k), _tie_subcell_expr(guards, tbd, bnds))
+            )
         remaining = next_remaining
+    for v, guards in remaining.items():
+        if guards:  # chain exhausted, guards pending: still a split
+            out.append((v, len(guards) + 1, _tie_subcell_expr(guards, None, None)))
     return sorted(out, key=lambda h: h[0])
 
 
@@ -387,7 +440,7 @@ def _tie_layout(B: int, heavies):
     with exactly c heavies below it — base(x) < B keeps segments
     disjoint from the tie blocks between them."""
     blocks, cum = [], 0
-    for i, (_v, k, _bnds, _tbe) in enumerate(heavies):
+    for i, (_v, k, _sub) in enumerate(heavies):
         blocks.append(("range", i * B + cum, B))
         blocks.append(("tie", (i + 1) * B + cum, k))
         cum += k
@@ -397,26 +450,25 @@ def _tie_layout(B: int, heavies):
 
 def _tie_cell_expr(kd: Column, base_expr: Column, B: int, heavies) -> Column:
     """Composite cell id over the :func:`_tie_layout` id space: heavy
-    rows take their tie block (sub-bucketed by their own tiebreak
-    level's EQUI-DEPTH boundaries — order-preserving inside the tie
-    because with every earlier tiebreak constant the residual
-    intra-tie order IS that tiebreak, and depth-balanced because the
-    tiebreak's value distribution inside a tie is routinely
-    non-uniform); every other row takes its base bucket shifted by the
-    tie blocks below it.  NULL keys — and NULL tiebreaks at a heavy
-    value — keep the leading cell of their block (window-equivalent
-    NULLS FIRST under ASC).  Jointly monotone in (key,
-    tiebreak-at-tie), so device results stay bit-identical."""
+    rows take their tie block (the :func:`_tie_stats` sub-cell
+    expression — NULL-guard cells for constant-plus-NULL cascade
+    levels, then EQUI-DEPTH buckets of the splitting tiebreak level —
+    order-preserving inside the tie because with every earlier
+    tiebreak constant the residual intra-tie order IS that tiebreak,
+    and depth-balanced because the tiebreak's value distribution
+    inside a tie is routinely non-uniform); every other row takes its
+    base bucket shifted by the tie blocks below it.  NULL keys — and
+    NULL tiebreaks at a heavy value — keep the leading cell of their
+    block (window-equivalent NULLS FIRST under ASC).  Jointly monotone
+    in (key, tiebreak-at-tie), so device results stay bit-identical."""
     expr = F.when(kd.isNull(), F.lit(0).cast("long"))
     cum = 0
-    for i, (v, k, bnds, tbe) in enumerate(heavies):
+    for i, (v, k, sub) in enumerate(heavies):
         start = (i + 1) * B + cum
         cum += k
-        expr = expr.when(
-            kd == F.lit(v), F.lit(start).cast("long") + _boundary_expr(tbe, bnds)
-        )
+        expr = expr.when(kd == F.lit(v), F.lit(start).cast("long") + sub)
     cum = 0
-    for i, (v, k, _bnds, _tbe) in enumerate(heavies):
+    for i, (v, k, _sub) in enumerate(heavies):
         expr = expr.when(kd < F.lit(v), base_expr + F.lit(i * B + cum).cast("long"))
         cum += k
     return expr.otherwise(base_expr + F.lit(len(heavies) * B + cum).cast("long"))
@@ -563,7 +615,10 @@ def global_row_number(
         if bucket_key == key
         else []  # subkey fallback: near-unique, never tie-dominated
     )
-    tb = chain[0][0] if chain else None
+    # memo key carries the WHOLE eligible chain: two calls sharing the
+    # first tiebreak but differing in depth must not reuse each
+    # other's cascade plan (r8 ADVICE, low)
+    tb = tuple(name for name, _ in chain)
 
     def build_plan():
         def cells(expr):
@@ -718,7 +773,7 @@ def grouped_row_number(
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     kd = F.col(key).cast("double")
     chain = _tiebreak_chain(df, tiebreaks)
-    tb = chain[0][0] if chain else None
+    tb = tuple(name for name, _ in chain)  # full-chain memo key (r8 ADVICE)
 
     def bucketed(cell_expr):
         # 1-field struct group keys: null-safe partitioning/join for

@@ -188,7 +188,7 @@ def test_tiebreak_key_uses_first_column_only(spark, tie_thresholds):
     want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
     assert _rows(got) == _rows(want)
     nr = rd._auto_num_ranges(n, spark)
-    plan = rd._memo(df)[("grn_plan", "v", "s", nr)]
+    plan = rd._memo(df)[("grn_plan", "v", ("s", "event_id"), nr)]
     assert plan["heavies"], "string-first tie split did not engage"
 
 
@@ -207,7 +207,7 @@ def test_string_tiebreak_heavy_tie_exact(spark, tie_thresholds):
     want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
     assert _rows(got) == _rows(want)
     nr = rd._auto_num_ranges(n, spark)
-    plan = rd._memo(df)[("grn_plan", "v", "uid", nr)]
+    plan = rd._memo(df)[("grn_plan", "v", ("uid",), nr)]
     assert plan["heavies"], "string tie split did not engage"
     # ...and actually spread the tie across sub-cells
     assert max(plan["counts"].values()) < 0.6 * n
@@ -234,7 +234,7 @@ def test_tiebreak_cascade_constant_first_level(spark, tie_thresholds):
     want = df.coalesce(1).withColumn("rn", F.row_number().over(w).cast("long"))
     assert _rows(got) == _rows(want)
     nr = rd._auto_num_ranges(n, spark)
-    plan = rd._memo(df)[("grn_plan", "v", "s", nr)]
+    plan = rd._memo(df)[("grn_plan", "v", ("s", "event_id"), nr)]
     assert plan["heavies"], "cascade did not split the constant-t0 tie"
     assert max(plan["counts"].values()) < 0.6 * n
 
@@ -279,7 +279,7 @@ def test_pure_tie_skips_equidepth_sketch(spark, tie_thresholds):
     )
     got, _ = rd.global_row_number(df, "v", tiebreaks=["tb"])
     nr = rd._auto_num_ranges(n, spark)
-    plan = rd._memo(df)[("grn_plan", "v", "tb", nr)]
+    plan = rd._memo(df)[("grn_plan", "v", ("tb",), nr)]
     assert plan["bnds"] is None, "useless equi-depth re-split ran on a pure tie"
     assert plan["heavies"], "tie split did not engage"
     w = Window.orderBy(F.col("v").asc(), F.col("tb").asc())

@@ -223,7 +223,7 @@ def stress_heavy_tie(spark):
     sig_dev = signature(ranked)
     dt = time.time() - t0
     num_ranges = _auto_num_ranges(n_tot, spark)
-    plan = _memo(df)[("grn_plan", "k", "tb", num_ranges)]
+    plan = _memo(df)[("grn_plan", "k", ("tb",), num_ranges)]
     assert plan["heavies"], "tie split did not engage"
     mx = max(plan["counts"].values())
     target = n / num_ranges
@@ -281,7 +281,7 @@ def stress_heavy_tie_str(spark):
     sig_dev = signature(ranked)
     dt = time.time() - t0
     num_ranges = _auto_num_ranges(n_tot, spark)
-    plan = _memo(df)[("grn_plan", "k", "s", num_ranges)]
+    plan = _memo(df)[("grn_plan", "k", ("s",), num_ranges)]
     assert plan["heavies"], "string tie split did not engage"
     mx = max(plan["counts"].values())
     target = n / num_ranges
