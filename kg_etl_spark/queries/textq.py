@@ -957,7 +957,10 @@ def q_doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     enter the pair stream).
 
     Scale shape: the pair stream is the prefix-filtered inverted-index
-    join (one corpus shuffle, max_df skew cap); components are the
+    join (ngram_jaccard_pairs_prefix — only each document's
+    (l − ⌈t·l⌉ + 1) globally-rarest shingles enter the candidate
+    self-join, shrinking Σdf² to the prefix terms; same output
+    contract as the plain join, property-tested); components are the
     size-adaptive union-find (operators/components.py — local solve at
     these pair counts, the label-propagation iteration above 2M
     edges); the per-group fold is one hash aggregate on |dup docs|
@@ -971,7 +974,7 @@ def q_doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg_etl_spark.operators.components import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.8).select(
+    pairs = ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.8).select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     )
     comp = connected_components(pairs)  # (node, comp), comp = min id
