@@ -337,6 +337,117 @@ def remove_duplicate_spans(
     )
 
 
+def duplicate_span_profile(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Per-document duplication PROFILE — the companion curation signal
+    of :func:`remove_duplicate_spans` (r8 verdict directive #5): how
+    much of each document is covered by cross-document duplicated
+    spans, and the length of the LONGEST contiguous duplicated run —
+    Lee et al. 2022's suffix-array formulation reports exactly this
+    "longest duplicated substring" per document as the how-bad-is-it
+    score a curation pass ranks on.
+
+    Shape: the same span grain and ``covered`` frame as the excision
+    op (distinct-span DF aggregate = ONE corpus shuffle; flagged
+    starts from a semi-join against the duplicated-span set; covered
+    indices explode to ≤ n rows per flagged start), then one per-doc
+    aggregate collects each affected document's covered-index SET —
+    per-document state bounded by the document's own token count, the
+    same cap as the excision fold-back — and a map-side
+    ``F.aggregate`` over the sorted array computes the longest
+    consecutive run.  No window, no self-join, nothing corpus-scale
+    concentrates; clean documents never enter the aggregate and come
+    back zero-filled via the left join.
+
+    Output: (id, n_tokens, n_covered, max_dup_run, covered_ratio) —
+    one row per input document.
+
+    ``hash_spans=True`` is the 100 TB path (8-byte xxhash64 span keys;
+    same collision policy as :func:`duplicate_span_flags`).
+    """
+    from kg_etl_spark.functions.text import word_shingles
+
+    docs = corpus.select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    key = (lambda c: F.xxhash64(c)) if hash_spans else (lambda c: c)
+    dspans = docs.select(
+        "_id", F.explode(word_shingles(F.col("_toks"), n)).alias("_raw")
+    ).select("_id", key(F.col("_raw")).alias("_span"))
+    dup_set = (
+        dspans.groupBy("_span")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_span")
+    )
+    pos_spans = docs.filter(F.size("_toks") >= n).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+            )
+        ).alias("_p", "_raw"),
+    ).select("_id", "_p", key(F.col("_raw")).alias("_span"))
+    flagged = pos_spans.join(dup_set, "_span", "left_semi")
+    covered = flagged.select(
+        "_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + n - 1)).alias("_i")
+    )
+    # collect_set dedups overlapping spans' indices; array size ≤ the
+    # document's token count (per-document state, like the excision
+    # fold).  The longest-run scan is one fold over the sorted array:
+    # (prev, cur_run, best) — all JVM-side, no UDF.
+    prof = covered.groupBy("_id").agg(F.collect_set("_i").alias("_is"))
+    acc0 = F.struct(
+        F.lit(-2).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    run = F.aggregate(
+        F.array_sort("_is"),
+        acc0,
+        lambda a, x: F.struct(
+            x.cast("long").alias("prev"),
+            F.when(x.cast("long") == a["prev"] + 1, a["cur"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cur"),
+            F.greatest(
+                a["best"],
+                F.when(x.cast("long") == a["prev"] + 1, a["cur"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    prof = prof.select(
+        "_id",
+        F.size("_is").cast("long").alias("_ncov"),
+        run.cast("long").alias("_maxrun"),
+    )
+    sizes = docs.select("_id", F.size("_toks").cast("long").alias("n_tokens"))
+    return sizes.join(prof, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("_ncov"), F.lit(0)).cast("long").alias("n_covered"),
+        F.coalesce(F.col("_maxrun"), F.lit(0)).cast("long").alias("max_dup_run"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("_ncov"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("covered_ratio"),
+    )
+
+
 def source_cap_sample(
     df: DataFrame,
     group_col: str = "source",

@@ -18,6 +18,7 @@ from kg_etl_spark.operators.datapipe import _KNUTH_A, _M32
 from kg_etl_spark.operators.filters import (
     c4_line_filter,
     duplicate_span_flags,
+    duplicate_span_profile,
     gopher_quality_flags,
     remove_duplicate_spans,
     source_cap_sample,
@@ -258,6 +259,62 @@ FROM t LEFT JOIN agg USING (doc_id)
 """
 
 
+# --- Duplicate-span PROFILE (longest duplicated run per doc) ----------
+
+
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile: covered-token count and the
+    LONGEST contiguous duplicated run (Lee et al.'s longest-duplicated-
+    substring curation signal) over the same 5-gram/min_df=2 span
+    predicate as `remove_dup_spans` — operators/filters.py
+    `duplicate_span_profile` (r8 verdict directive #5)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_span_profile(docs, n=5, min_df=2)
+
+
+ORACLE_DUP_SPAN_PROFILE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS span
+  FROM t
+),
+dupset AS (SELECT span FROM (SELECT span, COUNT(*) AS c FROM g GROUP BY span)
+           WHERE c >= 2),
+ps AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
+        FROM t)
+  WHERE array_to_string(list_slice(toks, i, i + 4), ' ')
+        IN (SELECT span FROM dupset)
+),
+cov AS (SELECT DISTINCT doc_id, u AS j
+        FROM (SELECT doc_id, unnest(range(i, i + 5)) AS u FROM ps)),
+runs AS (
+  SELECT doc_id, j,
+         j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+  FROM cov
+),
+mr AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_covered,
+         CAST(MAX(c) AS BIGINT) AS max_dup_run
+  FROM (SELECT doc_id, grp, COUNT(*) AS c FROM runs GROUP BY doc_id, grp)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(COALESCE(max_dup_run, 0) AS BIGINT) AS max_dup_run,
+       ROUND(CASE WHEN len(toks) > 0
+                  THEN CAST(COALESCE(n_covered, 0) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END, 6) AS covered_ratio
+FROM t LEFT JOIN mr USING (doc_id)
+"""
+
+
 # --- Source frequency capping -----------------------------------------
 
 _CAP = 12
@@ -422,6 +479,7 @@ QUERIES = {
     "c4_line_filter": q_c4_line_filter,
     "dup_span_flags": q_dup_span_flags,
     "remove_dup_spans": q_remove_dup_spans,
+    "dup_span_profile": q_dup_span_profile,
     "source_cap": q_source_cap,
     "surprisal_buckets": q_surprisal_buckets,
     "hybrid_rrf_search": q_hybrid_rrf_search,
@@ -432,6 +490,7 @@ ORACLES = {
     "c4_line_filter": ORACLE_C4_LINES,
     "dup_span_flags": ORACLE_DUP_SPANS,
     "remove_dup_spans": ORACLE_REMOVE_DUP_SPANS,
+    "dup_span_profile": ORACLE_DUP_SPAN_PROFILE,
     "source_cap": ORACLE_SOURCE_CAP,
     "surprisal_buckets": _oracle_surprisal_buckets(),
     "hybrid_rrf_search": _oracle_hybrid_rrf(),
