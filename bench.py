@@ -117,10 +117,61 @@ HEADLINE = [
     # round 8: near-dup cluster canonicalization (components over the
     # pair stream, keep-one policy)
     "doc_dup_groups",
+    # round 9: longest-duplicated-run curation profile (r8 directive #5)
+    "dup_span_profile",
 ]
 
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+# Map-side CONTROL queries (already in the headline set): stable
+# single-scan plans that no round's device work touches, so their
+# round-over-round ratio measures the BOX, not the code.  Emitting
+# their ratio against the previous round's bench file makes every
+# BENCH_r{N}.json self-deflating — readers divide raw deltas by
+# control_ratio_vs_prev instead of re-deriving "the box was 1.4x
+# slower" from scratch each round (r8 verdict directive #2).
+CONTROLS = ["gopher_quality", "exact_dedup", "char_entropy"]
+
+
+def _control_ratio_vs_prev(timings: dict[str, float]) -> dict:
+    """Median ratio of this run's control timings over the newest
+    BENCH_r{N}.json found next to this script (controls block if
+    present, else its queries map). Never raises — telemetry only."""
+    import glob
+    import re
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_file, prev_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > prev_n:
+            prev_n, prev_file = int(m.group(1)), p
+    if prev_file is None:
+        return {"control_ratio_vs_prev": None, "control_prev_file": None}
+    try:
+        with open(prev_file) as f:
+            prev = json.load(f)
+        # the driver wraps the bench's JSON line under "parsed"
+        prev = prev.get("parsed", prev) or {}
+        prev_q = prev.get("controls") or prev.get("queries") or {}
+        ratios = [
+            timings[c] / prev_q[c]
+            for c in CONTROLS
+            if timings.get(c, -1) > 0 and prev_q.get(c, -1) > 0
+        ]
+        if not ratios:
+            return {
+                "control_ratio_vs_prev": None,
+                "control_prev_file": os.path.basename(prev_file),
+            }
+        return {
+            "control_ratio_vs_prev": round(statistics.median(ratios), 3),
+            "control_prev_file": os.path.basename(prev_file),
+        }
+    except Exception:  # noqa: BLE001 - telemetry must never fail the bench
+        return {"control_ratio_vs_prev": None, "control_prev_file": None}
 
 
 _SPARK = None
@@ -263,6 +314,15 @@ def main() -> None:
                 # quieted within 5 min — numbers are noise-suspect) /
                 # disabled (SPARK_GRAFT_LOAD_GATE<=0)
                 "load_gate": load_gate,
+                # self-deflation block (r8 verdict directive #2): the
+                # map-side control queries' own times, plus the median
+                # ratio of those times against the previous round's
+                # bench file — divide raw cross-round deltas by this
+                # to remove box speed from the comparison
+                "controls": {
+                    c: timings.get(c, -1.0) for c in CONTROLS
+                },
+                **_control_ratio_vs_prev(timings),
             }
         )
     )
