@@ -100,6 +100,8 @@ REPORT_QUERIES = [
     "zipf_tail_fit", "type_burstiness",
     # round 8: substring-dedup excision + dup-cluster canonicalization
     "remove_dup_spans", "doc_dup_groups",
+    # round 9: longest-duplicated-run curation profile
+    "dup_span_profile",
 ]
 
 
@@ -223,6 +225,29 @@ def main() -> None:
         "ratios are all sub-0.4 s map-side queries that price the box "
         "itself (`hll_distinct_users` 1.97, `sessionize` 1.91, "
         "`char_entropy` 1.74 ≈ the control inflation).",
+        "",
+        "**Round-9 watch items closed (quiet box, load 1.5–2.0, "
+        "interleaved min-of-3, `tools/ab_queries.py` + a device-only "
+        "probe):** the three r8 raw regressions are box, not code. "
+        "(1) `spearman_balance_spend` — the r8 verdict's one "
+        "deflated->1.3× row on changed code. Device-only same-process "
+        "A/B (the r7-form `global_cumsum` — direct `_key_stats`, no "
+        "memo, direct `_offset_lookup` — monkeypatched into the query "
+        "vs the shipped r8 form, min-of-3, rho bit-identical both "
+        "ways): r8 form 1.93 s vs r7 form 1.77 s — a +0.16 s (9%) "
+        "constant from the memo-insert/`_shift_columns` wrappers, far "
+        "inside run noise and nothing like the raw 2.0× cross-round "
+        "delta; with the in-process control at 1.66× its r7 value "
+        "(`gopher_quality` 0.36 vs 0.217 s) the full query deflates "
+        "to ~1.16×. No tie-probe aggregates run in the cumsum path at "
+        "all (the cumsum contract assumes unique order keys, so "
+        "`_tie_stats` is never invoked) — there is nothing to gate. "
+        "(2) `hybrid_rrf_search` 1.547 s and (3) `bootstrap_ci_mean` "
+        "2.127 s in the same interleaved run: deflated by the "
+        "same-run control median (1.46× vs r7) they sit at 1.27× and "
+        "1.04× — matching the judge's own A/B verdict of ≈1×; both "
+        "queries' code is unchanged since r7. All three leave the "
+        "watch list.",
         "",
         "**Session-shared derivations (round 8):** the distinct "
         "transition-edge frame is a pure function of the memoized "
