@@ -305,8 +305,17 @@ def remove_duplicate_spans(
     words = docs.join(affected, "_id", "left_semi").select(
         "_id", F.posexplode("_toks").alias("_i", "_w")
     )
+    # merge hint: `covered` approaches n x corpus rows when most spans
+    # are duplicated, but it reaches this join through a NARROW chain
+    # (the dup_set semi-join broadcasts, so no shuffle boundary feeds
+    # AQE runtime stats) and the static size estimate can elect a
+    # broadcast that then materializes at corpus scale — caught by the
+    # 50M flagged-fraction sweep (tools/stress_spans.py: a 19.2 GiB
+    # actual build against the 8 GiB broadcast cap).  Sort-merge
+    # shuffles both sides by (_id, _i) and spills gracefully at any
+    # flagged fraction.
     kept = (
-        words.join(covered, ["_id", "_i"], "left_anti")
+        words.join(covered.hint("merge"), ["_id", "_i"], "left_anti")
         .groupBy("_id")
         .agg(
             F.transform(

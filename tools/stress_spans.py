@@ -103,12 +103,14 @@ def stress_span_sweep(spark):
         cov = (N_DOCS * DOC_LEN - want_kept) / (N_DOCS * DOC_LEN)
         # covered explode rows = 5 x (b-4) per templated doc
         expl = n_t * NGRAM * (b - NGRAM + 1)
-        out.append(
+        line = (
             f"span_sweep[{tag}]: {N_DOCS} docs x {DOC_LEN} tokens, "
             f"covered {cov:.1%} of corpus, covered-explode {expl / 1e6:.0f}M "
             f"rows ({expl / (N_DOCS * DOC_LEN):.1f}x corpus tokens), "
             f"{dt:.1f}s — exact signature OK"
         )
+        print(line, flush=True)
+        out.append(line)
         # drop the leg's checkpoint blocks before the next corpus
         for _jid, jrdd in spark.sparkContext._jsc.getPersistentRDDs().items():
             jrdd.unpersist(True)
