@@ -117,8 +117,11 @@ HEADLINE = [
     # round 8: near-dup cluster canonicalization (components over the
     # pair stream, keep-one policy)
     "doc_dup_groups",
-    # round 9: longest-duplicated-run curation profile (r8 directive #5)
+    # round 9: longest-duplicated-run curation profile (r8 directive #5),
+    # adjacent-bigram PMI collocations, span-DF histogram
     "dup_span_profile",
+    "pmi_collocations",
+    "span_df_histogram",
 ]
 
 

@@ -1582,3 +1582,173 @@ FROM s
 
 QUERIES["zipf_tail_fit"] = q_zipf_tail_fit
 ORACLES["zipf_tail_fit"] = ORACLE_ZIPF
+
+
+# --- PMI collocations (round 9) ----------------------------------------
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 ADJACENT-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990), min bigram count 5 — the
+    sequence-level phrase-detection statistic behind tokenizer-merge
+    candidates (word2vec's phrase pass, BPE-adjacent).  Distinct from
+    `token_pmi`, which scores DOCUMENT-level co-occurrence (topical
+    association) via a per-doc token self-join: here only positionally
+    adjacent pairs count, normalized by the bigram total B, and the
+    bigram stream is a map-side zip of each token array with its own
+    tail — NO self-join exists to cap.
+    pmi = ln((c_ab/B) / ((c_a/T)(c_b/T))) over exact integer counts;
+    ties by bigram text asc.
+
+    Shape: two hash aggregates (unigrams, adjacent bigrams — both
+    map-side combinable), two broadcast joins of the |vocab|-row
+    unigram table onto the bigram table, one 1-row total cross, and a
+    TakeOrdered(20).  Nothing concentrates; both count tables are
+    domain-bounded."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    ).lineage_cut(eager=False)
+    big = (
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    # _tot_* names: Spark's default case-insensitive resolution would
+    # collide a total named "B" with the bigram column "b"
+    totals = uni.agg(
+        F.sum("cw").cast("double").alias("_tot_t")
+    ).crossJoin(
+        docs.select(
+            F.sum(F.greatest(F.size(toks) - 1, F.lit(0)))
+            .cast("double")
+            .alias("_tot_b")
+        )
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    scored = (
+        big.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("cab").cast("long").alias("n_pair"),
+            F.log(
+                (F.col("cab") / F.col("_tot_b"))
+                / (
+                    (F.col("ca") / F.col("_tot_t"))
+                    * (F.col("cb") / F.col("_tot_t"))
+                )
+            ).alias("_pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_pmi").desc(), F.col("bigram").asc())
+        .limit(20)
+        .select("bigram", "n_pair", F.round("_pmi", 6).alias("pmi"))
+    )
+
+
+ORACLE_PMI = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT word AS w, COUNT(*) AS cw
+  FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1
+),
+big AS (
+  SELECT a, b, COUNT(*) AS cab FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i])) AS a,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i + 1])) AS b
+    FROM t WHERE len(toks) >= 2
+  ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+tot AS (
+  SELECT (SELECT SUM(cw) FROM uni) AS tot_t,
+         (SELECT SUM(greatest(len(toks) - 1, 0)) FROM t) AS tot_b
+),
+s AS (
+  SELECT a || ' ' || b AS bigram, cab,
+         LN((cab / CAST(tot_b AS DOUBLE))
+            / ((ca / CAST(tot_t AS DOUBLE)) * (cb / CAST(tot_t AS DOUBLE)))) AS pmi
+  FROM big
+  JOIN (SELECT w AS a, cw AS ca FROM uni) USING (a)
+  JOIN (SELECT w AS b, cw AS cb FROM uni) USING (b)
+  CROSS JOIN tot
+)
+SELECT bigram, CAST(cab AS BIGINT) AS n_pair, ROUND(pmi, 6) AS pmi
+FROM s ORDER BY pmi DESC, bigram ASC LIMIT 20
+"""
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+ORACLES["pmi_collocations"] = ORACLE_PMI
+
+
+# --- Span document-frequency histogram (round 9) -----------------------
+
+
+def q_span_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 histogram of 5-gram span document frequencies — the
+    dedup-pressure diagnostic of the span family (how much of the
+    span vocabulary is df=1 noise vs heavy boilerplate): one row per
+    floor(log2(df)) bucket with distinct-span and total-occurrence
+    counts.  Same span grain as duplicate_span_flags (distinct spans
+    per doc, so span count == document frequency).
+
+    Shape: the span DF aggregate is the one corpus shuffle; the
+    histogram is a second model-sized aggregate over the |span
+    vocabulary| frame.  Nothing concentrates."""
+    from kg_etl_spark.functions.text import word_shingles
+    from kg_etl_spark.operators.textquality import ws_tokens as _wt
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(word_shingles(_wt(F.col("text")), 5)).alias("_span"),
+    )
+    dfreq = spans.groupBy("_span").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfreq.groupBy(
+            F.floor(F.log2("df")).cast("long").alias("log2_df_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("df").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("log2_df_bucket")
+    )
+
+
+ORACLE_SPAN_DF_HIST = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS span
+  FROM t
+),
+dfp AS (SELECT span, COUNT(*) AS df FROM g GROUP BY span)
+SELECT CAST(FLOOR(LOG2(df)) AS BIGINT) AS log2_df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(df) AS BIGINT) AS n_occurrences
+FROM dfp GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["span_df_histogram"] = q_span_df_histogram
+ORACLES["span_df_histogram"] = ORACLE_SPAN_DF_HIST

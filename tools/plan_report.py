@@ -100,8 +100,9 @@ REPORT_QUERIES = [
     "zipf_tail_fit", "type_burstiness",
     # round 8: substring-dedup excision + dup-cluster canonicalization
     "remove_dup_spans", "doc_dup_groups",
-    # round 9: longest-duplicated-run curation profile
-    "dup_span_profile",
+    # round 9: longest-duplicated-run curation profile, adjacent-bigram
+    # PMI collocations, span-DF histogram
+    "dup_span_profile", "pmi_collocations", "span_df_histogram",
 ]
 
 
@@ -176,8 +177,9 @@ def main() -> None:
         "its tiny query set twice like `embedding_topk`, and "
         "`kruskal_wallis_spend` crosses the 1-row tie-term scalar, as do "
         "the newer 1-row scalar crosses (`loo_group_influence`, "
-        "`exact_global_quantiles`, and `heavy_key_profile`'s 1-row "
-        "total-count share attach). "
+        "`exact_global_quantiles`, `heavy_key_profile`'s 1-row "
+        "total-count share attach, and `pmi_collocations`'s 1-row "
+        "unigram/bigram totals cross). "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",
