@@ -287,6 +287,12 @@ def test_shared_cut_released_when_source_dies(spark):
     sc = spark.sparkContext
 
     def build():
+        # diff the registry around THIS build: a full suite run has
+        # other tests' shared cuts registered whose sources are still
+        # alive (the session read memo holds them) — those must stay
+        before = {
+            i for app, i in SHARED_CUT_RDD_IDS if app == sc.applicationId
+        }
         ev = spark.range(1500).select(
             F.col("id").alias("event_id"),
             F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
@@ -299,7 +305,7 @@ def test_shared_cut_released_when_source_dies(spark):
         cut.count()
         mine = {
             i for app, i in SHARED_CUT_RDD_IDS if app == sc.applicationId
-        }
+        } - before
         return {
             int(jid)
             for jid in sc._jsc.getPersistentRDDs().keys()

@@ -26,7 +26,7 @@ were shaped around:
   min doc id, chars_freed == 9 x cluster doc length, summed.
 
 Usage: python tools/stress_spans.py [leg ...]
-       legs: span_sweep dup_groups   (default: all)
+       legs: span_sweep span_profile dup_groups   (default: all)
 """
 
 from __future__ import annotations
@@ -117,6 +117,36 @@ def stress_span_sweep(spark):
     return "\n".join(out)
 
 
+def stress_span_profile(spark):
+    """`duplicate_span_profile` at 50M tokens on the pathological
+    95%-covered corpus: every templated doc's covered set is exactly
+    the contiguous b-token template block, so n_covered == b and
+    max_dup_run == b for ALL of them — the longest-run fold is checked
+    exactly at full scale, including the collect_set explode (188M
+    covered rows into 2.5M per-doc sets)."""
+    from kg_etl_spark.operators.filters import duplicate_span_profile
+
+    b = 19
+    corpus = _sweep_corpus(spark, 1.0, b).localCheckpoint(eager=True)
+    t0 = time.time()
+    res = duplicate_span_profile(
+        corpus, n=NGRAM, min_df=2, hash_spans=True
+    ).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_covered").alias("cov"),
+        F.min("max_dup_run").alias("mn"),
+        F.max("max_dup_run").alias("mx"),
+    ).collect()[0]
+    dt = time.time() - t0
+    assert res["rows"] == N_DOCS, res
+    assert res["cov"] == N_DOCS * b, res
+    assert res["mn"] == res["mx"] == b, res
+    return (
+        f"span_profile[95%]: {N_DOCS} docs, every max_dup_run == {b} exactly, "
+        f"{dt:.1f}s"
+    )
+
+
 GROUP_DOCS = 500_000  # patchable for smoke runs
 
 
@@ -183,6 +213,7 @@ def stress_dup_groups(spark):
 
 LEGS = {
     "span_sweep": stress_span_sweep,
+    "span_profile": stress_span_profile,
     "dup_groups": stress_dup_groups,
 }
 
