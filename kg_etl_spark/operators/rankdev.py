@@ -320,23 +320,39 @@ def _dup_boundaries(bnds) -> set:
 
 
 def _tie_subcell_expr(guards, tbe, bnds) -> Column:
-    """Sub-cell index inside one heavy-tie block: ``m = len(guards)``
-    leading NULL-guard cells (guard j captures rows whose level-j
-    tiebreak is NULL — the window orders those strictly FIRST, before
-    the level's constant value, so they must precede every deeper
-    bucketing), then ``m + boundary-bucket`` over the splitting
-    level's equi-depth boundaries (``tbe=None`` when the chain
-    exhausted: the guards alone are the split).  Guard order is chain
-    order — a row matching guard j has every earlier guard non-null
-    (constant), so the when-chain is the intra-tie NULLS FIRST walk
-    and the composite index stays monotone in the tiebreak order."""
-    m = len(guards)
-    tail = F.lit(m).cast("long")
-    if tbe is not None:
-        tail = tail + _boundary_expr(tbe, bnds)
-    expr = tail
-    for j in reversed(range(m)):
-        expr = F.when(guards[j].isNull(), F.lit(j).cast("long")).otherwise(expr)
+    """Sub-cell index inside one heavy-tie block, for a tie whose
+    cascade crossed ``m = len(guards)`` constant-plus-NULL levels
+    before splitting on ``tbe``'s equi-depth boundaries (``tbe=None``
+    when the chain exhausted and the guards alone are the split).
+
+    Intra-tie order is lexicographic ((g_0 null?), (g_1 null?), ...,
+    t_split): at a guarded level, NULL rows sort strictly BEFORE the
+    level's constant rows and rows agreeing at every guarded level
+    order by the splitting tiebreak — every in-between level is
+    constant by the cascade's own test.  The index mirrors that
+    exactly: bit b_j = 0 (NULL) / 1 (constant) per guard, id =
+    (b_0 b_1 ... b_{m-1})₂ · K + bucket(t_split) — jointly monotone,
+    2^m · K sub-cells.  Multiplying the guards INTO the bucket (r9;
+    the first cut gave each NULL run a single leading cell) means a
+    corpus-scale NULL run — 1/3 of a 25M-row tie in the 50M
+    heavy_tie_nulls leg — spreads across the same K boundary buckets
+    as the constant run instead of concentrating into one sort task.
+    Balance depends on the t_split distribution WITHIN each guard
+    group (boundaries are global to the tie), which is the usual
+    placement caveat, never a correctness one.  ``m`` is bounded by
+    the eligible tiebreak chain length (in practice ≤3), so 2^m stays
+    trivial."""
+    if tbe is None:
+        bucket, k = F.lit(0).cast("long"), 1
+    else:
+        bucket, k = _boundary_expr(tbe, bnds), len(bnds) + 1
+    expr = bucket
+    mult = k
+    for g in reversed(guards):
+        expr = expr + F.when(g.isNull(), F.lit(0)).otherwise(
+            F.lit(mult)
+        ).cast("long")
+        mult *= 2
     return expr
 
 
@@ -357,19 +373,23 @@ def _tie_stats(df: DataFrame, kd: Column, values, chain, spark, thr: int):
       every earlier level constant the residual order is level j+1.
     - constant PLUS nulls (hi<=lo, 0<count<n): the window orders the
       NULL rows strictly BEFORE the constant rows, so bucketing the
-      whole tie by level j+1 would interleave them.  A dedicated
-      leading sub-cell captures the NULL rows (guard expr), and the
-      constant remainder cascades — :func:`_tie_subcell_expr` walks
-      the accumulated guards before the splitting level's buckets.
+      whole tie by level j+1 would interleave them.  The level becomes
+      a GUARD BIT (NULL=0 < constant=1) that multiplies into the
+      eventual bucketing — :func:`_tie_subcell_expr` composes the
+      guard bits lexicographically ABOVE the splitting level's
+      equi-depth buckets, so a corpus-scale NULL run spreads across
+      the same K buckets as the constant run instead of concentrating
+      into one cell — and the candidate cascades.
     - splittable (hi>lo): emit; NULL rows at THIS level take the
       leading boundary bucket (``_boundary_expr`` NULLS->0), matching
       NULLS FIRST among the residual.
 
     A candidate whose chain exhausts with guards pending still splits
-    into its guard cells + one residual cell (better than the one-cell
+    into its 2^m guard-combination cells (better than the one-cell
     fallback); only values constant-and-null-free across the WHOLE
     eligible chain remain unsplittable (true duplicate rows).  K sizes
-    like the base ranges (ceil(rows/target), min 2, capped).
+    like the base ranges (ceil(rows/target), min 2, capped), times
+    2^guards.
 
     Equi-depth, not equal-width: the tiebreak's VALUE distribution
     inside a tie is routinely far from uniform — the 50M heavy_tie_str
@@ -423,12 +443,18 @@ def _tie_stats(df: DataFrame, kd: Column, values, chain, spark, thr: int):
             q = [float(x) for x in r["_q"]]
             bnds = [q[(j * grid) // k - 1] for j in range(1, k)]
             out.append(
-                (v, len(guards) + int(k), _tie_subcell_expr(guards, tbd, bnds))
+                (
+                    v,
+                    (2 ** len(guards)) * int(k),
+                    _tie_subcell_expr(guards, tbd, bnds),
+                )
             )
         remaining = next_remaining
     for v, guards in remaining.items():
         if guards:  # chain exhausted, guards pending: still a split
-            out.append((v, len(guards) + 1, _tie_subcell_expr(guards, None, None)))
+            out.append(
+                (v, 2 ** len(guards), _tie_subcell_expr(guards, None, None))
+            )
     return sorted(out, key=lambda h: h[0])
 
 

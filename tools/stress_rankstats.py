@@ -243,6 +243,74 @@ def stress_heavy_tie(spark):
     )
 
 
+def stress_heavy_tie_nulls(spark):
+    # r9 leg: the dominant-tie regime where the FIRST tiebreak is one
+    # constant value PLUS NULLs inside the tie (a crawl batch where
+    # some records lost their source tag) — the r8 ADVICE high case.
+    # The guard-bit cascade must order every NULL-t0 row before the
+    # constant run while BOTH runs spread across the t1 equi-depth
+    # buckets (the guard multiplies into the bucketing — a 1/3-null
+    # tie must not concentrate its null run into one sort cell),
+    # exact against the naive single-task window.
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.rankdev import (
+        _auto_num_ranges,
+        _memo,
+        global_row_number,
+    )
+
+    n = 50_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(86_400.0))
+        .otherwise(((F.col("id") * 1315423911) % 315_360_000).cast("double"))
+        .alias("k"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.when(F.col("id") % 6 == 0, F.lit(None).cast("string")).otherwise(
+                F.lit("common-crawl")
+            ),
+        )
+        .otherwise(F.concat(F.lit("src"), (F.col("id") % 7).cast("string")))
+        .alias("s"),
+        F.col("id").alias("tb"),
+    ).localCheckpoint(eager=True)
+
+    def signature(ranked):
+        return tuple(
+            ranked.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("rn") * 31 + F.col("tb")) % 1000000007).alias("h1"),
+                F.sum((F.col("rn") + F.col("tb") * 131) % 998244353).alias("h2"),
+            ).collect()[0]
+        )
+
+    t0 = time.time()
+    ranked, n_tot = global_row_number(df, "k", tiebreaks=["s", "tb"], out_col="rn")
+    sig_dev = signature(ranked)
+    dt = time.time() - t0
+    num_ranges = _auto_num_ranges(n_tot, spark)
+    plan = _memo(df)[("grn_plan", "k", ("s", "tb"), num_ranges)]
+    assert plan["heavies"], "mixed-null tie split did not engage"
+    mx = max(plan["counts"].values())
+    target = n / num_ranges
+    assert mx <= 2 * target, f"max cell {mx} > 2x target {target:.0f}"
+    w = Window.orderBy(
+        F.col("k").asc(), F.col("s").asc_nulls_first(), F.col("tb").asc()
+    )
+    t1 = time.time()
+    sig_naive = signature(
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    dt_naive = time.time() - t1
+    assert sig_dev == sig_naive, (sig_dev, sig_naive)
+    return (
+        f"heavy_tie_nulls: n={n} 50%-one-value constant+NULL-t0 device "
+        f"{dt:.1f}s vs naive single-task window {dt_naive:.1f}s "
+        f"(signatures exact-equal, max cell {mx} <= 2x target {target:.0f})"
+    )
+
+
 def stress_heavy_tie_str(spark):
     # r8 follow-up: the dominant-tie regime where the ONLY tiebreak is
     # a STRING (user/doc ids — common in real corpora). The 6-byte
@@ -358,6 +426,7 @@ STRESSES = {
     "theilsen_pairs": stress_theilsen_pairs,
     "grouped_bursty": stress_grouped_bursty,
     "heavy_tie": stress_heavy_tie,
+    "heavy_tie_nulls": stress_heavy_tie_nulls,
     "heavy_tie_str": stress_heavy_tie_str,
     "rownum_by": lambda spark: stress_rownum_by(spark, skewed_prefix=False),
     "rownum_by_skew": lambda spark: stress_rownum_by(spark, skewed_prefix=True),
