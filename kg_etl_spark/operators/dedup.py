@@ -767,6 +767,40 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+# Doc-count crossover for the adaptive dispatch below.  The prefix
+# variant carries a ~5 s fixed plan cost at ANY corpus size (df-rank
+# join + per-doc prefix sort + ~8 extra stages — measured flat at
+# sf0.1: plain 2.0 s vs prefix 7.5 s warm, and unchanged with lazy
+# cuts, so it is stage overhead, not data).  The plain inverted index
+# is Sigma(df^2) in candidates, which real crawl corpora blow past
+# within ~10^5 docs of boilerplate-heavy text; below that the constant
+# dominates and plain wins outright.
+PREFIX_JOIN_MIN_DOCS = 100_000
+
+
+def ngram_jaccard_pairs_adaptive(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Size-adaptive pair generator: the plain inverted-index join
+    below :data:`PREFIX_JOIN_MIN_DOCS` documents (its Sigma(df^2)
+    candidate cost is bounded at small corpus sizes and it carries
+    none of the prefix pipeline's fixed stage cost), the
+    prefix-filtered ssjoin above it (the 100 TB path: only each doc's
+    rarest (l - ceil(t*l) + 1) shingles enter the candidate join).
+    Both branches share one output contract and oracle — the prefix
+    variant is property-tested row-identical to the plain join — so
+    dispatch changes the PLAN, never the result.  Same pattern as the
+    embedding near-dup size dispatch (operators/similarity.py)."""
+    n_docs = df.count()  # one count-star job (parquet-pushed on scans)
+    if n_docs >= PREFIX_JOIN_MIN_DOCS:
+        return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
+    return ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+
+
 # --- Winnowing fingerprints (Schleimer, Wilkerson, Aiken; SIGMOD'03) ---
 
 

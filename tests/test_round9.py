@@ -273,6 +273,24 @@ def test_duplicate_span_profile_hashed_path_matches(spark):
     assert plain == hashed
 
 
+def test_ngram_pairs_adaptive_both_branches_identical(spark, monkeypatch):
+    # the size dispatch changes the PLAN, never the result: both
+    # branches must return row-identical pairs on the same corpus
+    import kg_etl_spark.operators.dedup as dd
+
+    docs = []
+    for i in range(40):
+        toks = [f"w{(i * 5 + j * 7) % 13}" for j in range(6 + i % 7)]
+        if i % 4 == 0:
+            toks[1:1] = ["dup", "span", "body", "here", "now"]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    plain = _rows(dd.ngram_jaccard_pairs_adaptive(df, "doc_id", threshold=0.5))
+    monkeypatch.setattr(dd, "PREFIX_JOIN_MIN_DOCS", 1)
+    pref = _rows(dd.ngram_jaccard_pairs_adaptive(df, "doc_id", threshold=0.5))
+    assert plain and plain == pref
+
+
 def test_shared_cut_released_when_source_dies(spark):
     # r8 verdict directive #4: the shared-cut registry must not grow
     # monotonically — when the SOURCE frame dies (weak memo entry
