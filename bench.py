@@ -127,14 +127,26 @@ HEADLINE = [
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
-# Map-side CONTROL queries (already in the headline set): stable
-# single-scan plans that no round's device work touches, so their
-# round-over-round ratio measures the BOX, not the code.  Emitting
-# their ratio against the previous round's bench file makes every
-# BENCH_r{N}.json self-deflating — readers divide raw deltas by
-# control_ratio_vs_prev instead of re-deriving "the box was 1.4x
-# slower" from scratch each round (r8 verdict directive #2).
-CONTROLS = ["gopher_quality", "exact_dedup", "char_entropy"]
+# CONTROL queries (already in the headline set): stable plans that no
+# round's device work touches, so their round-over-round ratio
+# measures the BOX, not the code.  Emitting their ratio against the
+# previous round's bench file makes every BENCH_r{N}.json
+# self-deflating — readers divide raw deltas by control_ratio_vs_prev
+# instead of re-deriving "the box was 1.4x slower" from scratch each
+# round (r8 verdict directive #2).  Three map-side sub-0.4s controls
+# price steady per-core speed; minhash_lsh_dedup (~1.5-2.5s, code
+# untouched since r6) prices BURST stalls — this box's noise arrives
+# as multi-second pauses that a 0.3s control dodges (min-of-2 catches
+# a clean attempt) while every >=1s query eats one, so short controls
+# alone under-deflate exactly the runs that need deflating most
+# (observed r9: three same-day benches totalling 93/126/107s with the
+# short controls swinging 0.25-0.63s between them).
+CONTROLS = [
+    "gopher_quality",
+    "exact_dedup",
+    "char_entropy",
+    "minhash_lsh_dedup",
+]
 
 
 def _control_ratio_vs_prev(timings: dict[str, float]) -> dict:
