@@ -17,6 +17,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The bench session executes the whole headline set (warmup + 2 timed
+# runs each) in ONE JVM; at 69 queries the 16g default heap runs hot
+# enough that full-GC pauses land mid-query and amplify the box's
+# stall bursts into 8-10x single-row outliers (r9: the same rows
+# re-measured at par in short A/B sessions, and a 32g run removed the
+# catastrophic tail on the same box minutes apart). Scale the default
+# with the catalog; an explicit env still wins.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
 from kg_etl_spark.queries import QUERIES  # noqa: E402
 from kg_etl_spark.session import get_spark  # noqa: E402
 

@@ -228,7 +228,7 @@ def main() -> None:
         "itself (`hll_distinct_users` 1.97, `sessionize` 1.91, "
         "`char_entropy` 1.74 ≈ the control inflation).",
         "",
-        "**Round-9 bench environment (burst noise):** three same-day full benches on load-gate-passed starts totalled 93.2 / 126.5 / 107.1 / 143.6 s (66 r8-common queries: 90.4 / 118.9 / 103.4 / 139.9 vs r8's 74.5) with DIFFERENT worst rows each time (`containment_dedup` 13.5 s then 2.0 s in an interleaved A/B minutes later; `bootstrap_ci_mean` 9.2 / 5.9 s in benches vs 2.1 s in the A/B; `edge_jaccard_features` 8.5x then 3.5x; the fourth run's whole rank-device cluster — `walk_corpus` 11.4 s, `surprisal_buckets` 10.3 s, `rfm_segments` 10.6 s — re-measured 1.5 / 1.8 / 2.0 s in the A/B minutes later) and the sub-0.4 s map-side controls themselves swinging 0.25-0.63 s BETWEEN runs — i.e. the box's co-tenant noise now arrives as randomly-placed multi-second stall bursts that a short control usually dodges under min-of-2 while every >=1 s query eats one. Every suspected code regression was adjudicated with the interleaved A/B protocol instead (all cleared except `doc_dup_groups`, which was real and is fixed via the size-adaptive pair generator — see its ledger entry); `bench.py` now carries a fourth, ~2 s control (`minhash_lsh_dedup`, code untouched since r6) so the deflation block prices burst stalls too. Read r9 bench rows against the controls block, not raw.",
+        "**Round-9 bench environment (burst noise):** three same-day full benches on load-gate-passed starts totalled 93.2 / 126.5 / 107.1 / 143.6 s (66 r8-common queries: 90.4 / 118.9 / 103.4 / 139.9 vs r8's 74.5) with DIFFERENT worst rows each time (`containment_dedup` 13.5 s then 2.0 s in an interleaved A/B minutes later; `bootstrap_ci_mean` 9.2 / 5.9 s in benches vs 2.1 s in the A/B; `edge_jaccard_features` 8.5x then 3.5x; the fourth run's whole rank-device cluster — `walk_corpus` 11.4 s, `surprisal_buckets` 10.3 s, `rfm_segments` 10.6 s — re-measured 1.5 / 1.8 / 2.0 s in the A/B minutes later) and the sub-0.4 s map-side controls themselves swinging 0.25-0.63 s BETWEEN runs — i.e. the box's co-tenant noise now arrives as randomly-placed multi-second stall bursts that a short control usually dodges under min-of-2 while every >=1 s query eats one. Every suspected code regression was adjudicated with the interleaved A/B protocol instead (all cleared except `doc_dup_groups`, which was real and is fixed via the size-adaptive pair generator — see its ledger entry); `bench.py` now carries a fourth, ~2 s control (`minhash_lsh_dedup`, code untouched since r6) so the deflation block prices burst stalls too, and defaults the bench JVM to 32g: at 69 headline queries the 16g heap ran hot enough that full-GC pauses amplified the bursts into the 8-10x outliers — a 32g run on the same box minutes apart removed the catastrophic tail (common-set 90.1 s, deflated ~par with r8). Read r9 bench rows against the controls block, not raw.",
         "",
         "**Round-9 watch items closed (quiet box, load 1.5–2.0, "
         "interleaved min-of-3, `tools/ab_queries.py` + a device-only "
