@@ -294,24 +294,69 @@ def main() -> None:
     # swinging 1.9s↔10s with an unchanged plan). Best-of-N is the
     # standard variance-robust protocol; N=2 keeps total bench wall
     # time near one minute.
+    # r9 verdict directive #5: min-of-2 cannot reject a stall that hits
+    # both attempts, and the cross-round reader had to commission fresh
+    # A/Bs to adjudicate suspect rows.  Two structural hardenings:
+    # (a) every query's JSON row carries its own noise context —
+    #     attempt count, attempt spread (worst/best: >~1.5 means a
+    #     burst landed on at least one attempt), and the 1-minute load
+    #     around the timed window — so a hot row can be adjudicated
+    #     from the artifact alone;
+    # (b) >=1s queries escalate to a THIRD attempt when the first two
+    #     disagree by >=1.5x or the load shows co-tenant pressure above
+    #     the bench's own ~32-thread footprint (sub-second rows dodge
+    #     bursts via min-of-2 already; the multi-second rows are where
+    #     a double-stall min lands in the artifact).
+    ESCALATE_SECS = 1.0
+    ESCALATE_SPREAD = 1.5
+    ESCALATE_LOAD = 36.0  # bench's own 32 threads + headroom
     timings: dict[str, float] = {}
+    noise: dict[str, dict] = {}
     for name in HEADLINE:
-        best = -1.0
+        attempts: list[float] = []
         n = 0
-        for _attempt in range(2):
+        failed = False
+        load_pre = os.getloadavg()[0]
+
+        def _run_once() -> bool:
+            nonlocal n, failed
             t0 = time.time()
             try:
                 n = QUERIES[name](spark, sf_dir).count()
             except Exception as exc:  # noqa: BLE001 - one bad query must not void the bench
                 print(f"# {name}: FAILED after {time.time()-t0:.3f}s: {exc}", file=sys.stderr)
-                best = -1.0
-                break
-            dt = round(time.time() - t0, 3)
-            best = dt if best < 0 else min(best, dt)
+                failed = True
+                return False
+            attempts.append(round(time.time() - t0, 3))
             _drop_query_state()
+            return True
+
+        for _attempt in range(2):
+            if not _run_once():
+                break
+        load_mid = os.getloadavg()[0]
+        if (
+            not failed
+            and min(attempts) >= ESCALATE_SECS
+            and (
+                max(attempts) / min(attempts) >= ESCALATE_SPREAD
+                or load_mid >= ESCALATE_LOAD
+            )
+        ):
+            _run_once()
+        best = -1.0 if failed else min(attempts)
         timings[name] = best
         if best >= 0:
-            print(f"# {name}: {n} rows in {best}s (min of 2)", file=sys.stderr)
+            noise[name] = {
+                "attempts": len(attempts),
+                "spread": round(max(attempts) / max(best, 1e-9), 2),
+                "load1m": [round(load_pre, 2), round(os.getloadavg()[0], 2)],
+            }
+            print(
+                f"# {name}: {n} rows in {best}s (min of {len(attempts)}, "
+                f"spread {noise[name]['spread']})",
+                file=sys.stderr,
+            )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -322,7 +367,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "protocol": "per-query min of 2 runs, state flush between",
+                "protocol": (
+                    "per-query min of 2 runs (escalating to 3 when a "
+                    ">=1s query's attempts spread >=1.5x or the box "
+                    "shows co-tenant load), state flush between"
+                ),
+                # per-query noise context (r9 directive #5): attempts
+                # taken, worst/best attempt spread, and the 1-minute
+                # load immediately before/after the timed window —
+                # spread >~1.5 or a load jump marks the row as
+                # burst-suspect without commissioning a fresh A/B
+                "query_noise": noise,
                 # box-noise telemetry: totals on this machine swing up
                 # to ~1.7x with co-tenant load (measured 47.3s vs 88.1s
                 # for the identical commit); read cross-round deltas

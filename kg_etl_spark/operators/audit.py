@@ -178,13 +178,13 @@ def k_anonymity_suppress(
     k: int = 10,
 ) -> DataFrame:
     """Enforcement half: drop every row whose QI equivalence class is
-    smaller than k (suppression — the conservative policy). The class
-    sizes are an aggregate output (small), broadcast back onto the
-    data; the data itself shuffles zero times."""
+    smaller than k (suppression — the conservative policy). The
+    passing-class frame is an unbounded-groupBy output (up to n/k rows
+    — NOT model state for small k), so the semi-join is unhinted: the
+    planner broadcasts it at audit-sized inputs and falls back to a
+    shuffle when the class table is genuinely large."""
     classes = k_anonymity(df, qi_cols, k).filter(F.col("meets_k"))
-    return df.join(
-        F.broadcast(classes.select(*qi_cols)), list(qi_cols), "left_semi"
-    )
+    return df.join(classes.select(*qi_cols), list(qi_cols), "left_semi")
 
 
 def quarantine_split(

@@ -460,9 +460,12 @@ def q_supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = sdeg.select(F.col("supp").alias("s1"), F.col("deg").alias("deg1"))
     d2 = sdeg.select(F.col("supp").alias("s2"), F.col("deg").alias("deg2"))
+    # degree tables are |V|-row frames (the degree_assortativity class
+    # the r7 audit unhinted): planner choice only — BHJ at bench SF,
+    # row-proportional shuffle at 100 TB supplier cardinality
     return (
-        common.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        common.join(d1, "s1")
+        .join(d2, "s2")
         .select(
             "s1",
             "s2",

@@ -402,8 +402,10 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(DECP) * (
         F.lit(1).cast(DECP) - F.col("l_discount").cast(DECP)
     )
+    # supplier is SF-SCALED (1e9 rows at TPC-H-proportioned 100 TB) —
+    # exactly hint class (a) the r7 audit removed: unhinted join
     per_sup = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy("s_nationkey", "s_suppkey")
         .agg(F.sum(rev).alias("_r"))
     )

@@ -947,14 +947,17 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
     )
-    # restrict the per-part averages to the brand's parts BEFORE
-    # broadcasting — |brand parts| rows, not |parts|
+    # restrict the per-part averages to the brand's parts BEFORE the
+    # fact join — |brand parts| rows, not |parts|.  No hints: a brand
+    # slice of part is still SF-SCALED (|part|/25 ≈ 8e7 rows at 100 TB),
+    # so the planner's size-based choice must stay in charge (BHJ at
+    # bench SF — plan-verified — shuffle at scale).
     pp_brand = per_part.join(
-        F.broadcast(brand_parts), per_part.l_partkey == brand_parts.p_partkey
+        brand_parts, per_part.l_partkey == brand_parts.p_partkey
     ).select("l_partkey", "avg_qty")
     return (
-        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
-        .join(F.broadcast(pp_brand), "l_partkey")
+        li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
+        .join(pp_brand, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice").cast(DEC)) / 7.0, 2)
@@ -1606,8 +1609,10 @@ def q_overstock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_p = bridged.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum(qty).alias("_tq")
     )
+    # per_p is a per-part aggregate over the brand slice — SF-scaled,
+    # not model state: unhinted (planner picks BHJ at bench SF itself)
     hot = (
-        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == F.col("_pk"))
+        per_ps.join(per_p, per_ps.l_partkey == F.col("_pk"))
         .filter(F.col("_sq") > F.col("_tq") * F.lit(0.3).cast(DECP))
         .select("l_suppkey")
         .distinct()
@@ -1740,9 +1745,12 @@ def q_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg_etl_spark.operators.audit import check_expectations
 
     li = read_table(spark, sf_dir, "lineitem")
+    # orders is SF-SCALED (1.5e9 keys at TPC-H-proportioned 100 TB) —
+    # the FK probe must stay an unhinted equi-join (broadcast at bench
+    # SF by the planner's own choice, shuffle at scale)
     order_keys = read_table(spark, sf_dir, "orders").select("o_orderkey")
     with_fk = li.join(
-        F.broadcast(order_keys), li.l_orderkey == order_keys.o_orderkey, "left"
+        order_keys, li.l_orderkey == order_keys.o_orderkey, "left"
     ).withColumn("_fk_ok", F.col("o_orderkey").isNotNull())
     rules = {
         "quantity_in_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
@@ -1994,13 +2002,16 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_total")
     )
+    # per_part is |parts| rows (SF-scaled) while pairs is the top-20
+    # frame: no hints — the planner builds on the 20-row side, which is
+    # the right plan at every scale (forcing per_part was backwards)
     out = (
         pairs.join(
-            F.broadcast(per_part.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a"))),
+            per_part.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a")),
             "part_a",
         )
         .join(
-            F.broadcast(per_part.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b"))),
+            per_part.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b")),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
@@ -2069,7 +2080,10 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") >= _APRIORI_L1_MIN)
         .select("p")
     )
-    bf = b.join(F.broadcast(l1), "p", "left_semi")
+    # l1 uses an ABSOLUTE >= 5-basket threshold, so at 100 TB nearly
+    # every part qualifies (|l1| -> |part|, SF-scaled — NOT model
+    # state): unhinted semi-join, planner broadcasts at bench SF
+    bf = b.join(l1, "p", "left_semi")
     a2 = bf.select("o", F.col("p").alias("pb"))
     a3 = bf.select("o", F.col("p").alias("pc"))
     return (

@@ -472,7 +472,10 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    j = tf.join(F.broadcast(stats), "term").crossJoin(F.broadcast(ndocs))
+    # stats is the per-TERM df table — a Heaps'-law corpus vocabulary,
+    # NOT a bounded aggregate: unhinted join (the planner broadcasts it
+    # at bench SF on its own; at 100 TB it shuffles row-proportionally)
+    j = tf.join(stats, "term").crossJoin(F.broadcast(ndocs))
     score = F.col("tf").cast("double") * F.log(
         F.lit(1.0) + F.col("n_docs") / F.col("df").cast("double")
     )
@@ -1605,10 +1608,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties by bigram text asc.
 
     Shape: two hash aggregates (unigrams, adjacent bigrams — both
-    map-side combinable), two broadcast joins of the |vocab|-row
-    unigram table onto the bigram table, one 1-row total cross, and a
-    TakeOrdered(20).  Nothing concentrates; both count tables are
-    domain-bounded."""
+    map-side combinable), two UNHINTED equi-joins of the unigram
+    table onto the bigram table, one 1-row total cross, and a
+    TakeOrdered(20).  The unigram vocabulary is NOT domain-bounded —
+    a whitespace-token vocab grows with the corpus (Heaps' law), so
+    forcing a broadcast of it is the hint class (c) the r7 audit
+    removed from bpe_encode (SCALE.md r7 ledger): at bench SF the
+    static planner still picks BHJ on its own (plan-verified), and at
+    100 TB the equi-join shuffles row-proportionally instead of
+    OOMing the driver.  Only the cab >= 5-filtered BIGRAM side is
+    frequency-bounded."""
     docs = read_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
     uni = (
@@ -1645,8 +1654,8 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
     ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
     scored = (
-        big.join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        big.join(ua, "a")
+        .join(ub, "b")
         .crossJoin(F.broadcast(totals))
         .select(
             F.concat_ws(" ", "a", "b").alias("bigram"),
@@ -1695,8 +1704,13 @@ s AS (
   JOIN (SELECT w AS b, cw AS cb FROM uni) USING (b)
   CROSS JOIN tot
 )
-SELECT bigram, CAST(cab AS BIGINT) AS n_pair, ROUND(pmi, 6) AS pmi
-FROM s ORDER BY pmi DESC, bigram ASC LIMIT 20
+SELECT bigram, n_pair, ROUND(pmi, 6) AS pmi FROM (
+  -- rank on the UNROUNDED pmi (DuckDB binds a bare ORDER BY pmi to
+  -- the rounded SELECT alias, which can pick a different top-20 set
+  -- at the rank-20 boundary than the Spark side's unrounded sort)
+  SELECT bigram, CAST(cab AS BIGINT) AS n_pair, pmi
+  FROM s ORDER BY pmi DESC, bigram ASC LIMIT 20
+)
 """
 
 QUERIES["pmi_collocations"] = q_pmi_collocations
