@@ -253,6 +253,30 @@ def main() -> None:
         "queries' code is unchanged since r7. All three leave the "
         "watch list.",
         "",
+        "**Round-10 adjudications:** (1) `doc_dup_groups` watch item "
+        "CLOSED on the final shipped code — interleaved min-of-3 "
+        "same-process A/B at sf0.1 (quiet box, load 1.35→1.38, "
+        "controls at baseline: `gopher_quality` 0.278, `exact_dedup` "
+        "0.170, `char_entropy` 0.159): **r10 adaptive form 1.397 s vs "
+        "r8 plain form 1.356 s (1.03×)** — the wrapper constant is "
+        "~40 ms now that the dispatch count-star is memoized per "
+        "source frame (one probe per session instead of one per "
+        "invocation; the r9 official row's 2.171 s carried both a "
+        "burst and the then-unmemoized probe; this round's official "
+        "bench row is 1.856 s, r8-par). (2) The 13 broadcast-hint "
+        "removals (see SCALE.md round 10) are plan-verified at "
+        "sf0.1: `pmi_collocations`, `doc_keywords`, "
+        "`small_quantity_revenue`, `association_rules`, "
+        "`apriori_triples`, `k_anonymity_suppress` keep "
+        "BroadcastHashJoin from the planner's own size estimates "
+        "(hints bought nothing); `overstock_suppliers`, "
+        "`supplier_link_prediction`, `revenue_concentration` print "
+        "static SMJ on their aggregate-derived sides, which AQE "
+        "converts back to broadcast at runtime when the built side is "
+        "actually small — bench rows all at r9 par or better "
+        "(`pmi_collocations` 1.033 vs 1.09, `apriori_triples` 2.931 "
+        "vs 2.92).",
+        "",
         "**Session-shared derivations (round 8):** the distinct "
         "transition-edge frame is a pure function of the memoized "
         "event scan, so `transition_edges_cut` / "
