@@ -131,6 +131,14 @@ HEADLINE = [
     "dup_span_profile",
     "pmi_collocations",
     "span_df_histogram",
+    # round 10: CDC chunk dedup profile, split-leakage audit, held-out
+    # LM eval, Heaps' vocab growth, Mann-Whitney U
+    "cdc_chunk_stats",
+    "split_leakage_audit",
+    "split_lm_eval",
+    "vocab_growth_curve",
+    "mann_whitney_u",
+    "sprt_conversion",
 ]
 
 

@@ -4200,3 +4200,222 @@ FROM cells
 
 QUERIES["diff_in_differences"] = q_diff_in_differences
 ORACLES["diff_in_differences"] = ORACLE_DID
+
+
+# --- statistics: Mann-Whitney U (rank-sum) test (round 10) ---------------
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between 'click' and 'view'
+    values — the nonparametric two-sample location test that pairs
+    with ks_two_sample (distribution shape) and welch_t_test
+    (parametric): U1, plus the tie-corrected normal z.  Completes the
+    classical two-sample trio over the same event frames.
+
+    Exactness: average ranks never materialize — per distinct value v
+    with counts (c1, c2, n = c1+c2) and INCLUSIVE rank-sum prefix an,
+    2*R1 accumulates c1*(2*an - n + 1), an INTEGER (the .5 average
+    ranks cancel), summed as decimal(38,0); the tie term sums
+    n^3 - n the same way; U/z are then one shared IEEE expression
+    tree, so both engines round identical doubles.
+
+    100 TB shape: same as ks_two_sample — one per-value count
+    aggregate, the two-phase exact cumsum device (per-range local
+    sums + broadcast offsets, no single-task window), one 1-row
+    aggregate.  Row count through the device is |distinct values|."""
+    from kg_etl_spark.operators.rankdev import global_cumsum
+
+    DEC38 = "decimal(38,0)"
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_v = (
+        ev.groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
+        )
+        .withColumn("n", F.col("c1") + F.col("c2"))
+    ).lineage_cut(eager=True)  # the cumsum device re-reads it
+    cum = global_cumsum(per_v, "value", ["n"], prefix="_a")
+    agg = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1").cast(DEC38)
+            * (2 * F.col("_an") - F.col("n") + 1).cast(DEC38)
+        ).alias("_two_r1"),
+        F.sum(
+            (F.col("n").cast(DEC38) * F.col("n") * F.col("n") - F.col("n")).cast(
+                DEC38
+            )
+        ).alias("_tie"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    u1 = (F.col("_two_r1").cast("double") - n1d * (n1d + F.lit(1.0))) / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    sig2 = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("_tie").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u_stat"),
+        F.round((u1 - mu) / F.sqrt(sig2), 6).alias("z_score"),
+    )
+
+
+ORACLE_MANN_WHITNEY = """
+WITH per_v AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value
+), cum AS (
+  SELECT c1, c2, c1 + c2 AS n,
+         SUM(c1 + c2) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS an
+  FROM per_v
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         SUM(CAST(c1 AS HUGEINT) * (2 * an - n + 1)) AS two_r1,
+         SUM(CAST(n AS HUGEINT) * n * n - n) AS tie
+  FROM cum
+)
+SELECT n1, n2,
+       ROUND((CAST(two_r1 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0, 6)
+         AS u_stat,
+       ROUND(((CAST(two_r1 AS DOUBLE)
+               - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                       - CAST(tie AS DOUBLE)
+                         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))),
+             6) AS z_score
+FROM agg
+"""
+
+QUERIES["mann_whitney_u"] = q_mann_whitney_u
+ORACLES["mann_whitney_u"] = ORACLE_MANN_WHITNEY
+
+
+# --- sequential testing: SPRT on the purchase stream (round 10) ----------
+
+
+def q_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the time-ordered
+    purchase stream: is variant B (user_id odd — the deterministic
+    assignment) over-represented among purchases?  H0 p=0.5 vs H1
+    p=0.55, alpha = beta = 0.05 — the experimentation-platform op that
+    lets a test STOP at the first decisive observation instead of a
+    fixed horizon (Wald 1945).  Reports the final LLR, the first
+    boundary-crossing observation index, and the decision at that
+    crossing.
+
+    Exactness: the per-observation LLR increments are the PRE-ROUNDED
+    6dp literals ln(1.1) -> 0.09531 and ln(0.9) -> -0.105361 (computing
+    ln at runtime would race JVM StrictMath vs libm ulps), so
+    LLR(n) = cx*c1 + (n-cx)*c0 is the same IEEE tree in both engines;
+    the ln(19) = 2.944439 boundary likewise.  The stream order is the
+    total (ts, event_id) order.
+
+    100 TB shape: the observation index is global_row_number and the
+    running treat-count is global_cumsum — BOTH on the two-phase
+    range device (per-range local work + broadcast offsets), so there
+    is no single-task ORDER BY the whole stream anywhere; one filtered
+    1-row crossing aggregate + one 1-row totals aggregate cross at the
+    end."""
+    from kg_etl_spark.operators.rankdev import global_cumsum, global_row_number
+
+    C1, C0, THRESH = 0.09531, -0.105361, 2.944439
+    obs = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.unix_micros("ts").alias("_tsu"),
+            "event_id",
+            F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("x"),
+        )
+    )
+    ranked, n_total = global_row_number(
+        obs, "_tsu", tiebreaks=["event_id"], out_col="_rn"
+    )
+    cum = global_cumsum(ranked, "_rn", ["x"], prefix="_c")
+    llr = F.col("_cx").cast("double") * F.lit(C1) + (
+        F.col("_rn") - F.col("_cx")
+    ).cast("double") * F.lit(C0)
+    crossing = (
+        cum.select("_rn", llr.alias("_llr"))
+        .filter(F.abs(F.col("_llr")) >= F.lit(THRESH))
+        .agg(
+            F.min("_rn").alias("_first"),
+            F.min_by(
+                F.when(F.col("_llr") > 0, F.lit(1)).otherwise(F.lit(-1)), F.col("_rn")
+            ).alias("_sgn"),
+        )
+    )
+    tot = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("x").cast("long").alias("n_treat"),
+    )
+    out = tot.crossJoin(F.broadcast(crossing))
+    final_llr = F.col("n_treat").cast("double") * F.lit(C1) + (
+        F.col("n_obs") - F.col("n_treat")
+    ).cast("double") * F.lit(C0)
+    return out.select(
+        "n_obs",
+        "n_treat",
+        F.round(final_llr, 6).alias("final_llr"),
+        F.coalesce(F.col("_first"), F.lit(0)).cast("long").alias("first_cross_n"),
+        F.when(F.col("_first").isNull(), "continue")
+        .when(F.col("_sgn") > 0, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+    )
+
+
+ORACLE_SPRT = """
+WITH obs AS (
+  SELECT event_id, ts, CAST(user_id % 2 AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         SUM(x) OVER (ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx
+  FROM obs
+), l AS (
+  SELECT rn,
+         CAST(cx AS DOUBLE) * CAST(0.09531 AS DOUBLE)
+           + CAST(rn - cx AS DOUBLE) * CAST(-0.105361 AS DOUBLE) AS llr
+  FROM r
+), crossing AS (
+  SELECT MIN(rn) AS first_n,
+         arg_min(CASE WHEN llr > 0 THEN 1 ELSE -1 END, rn) AS sgn
+  FROM l WHERE ABS(llr) >= CAST(2.944439 AS DOUBLE)
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_obs, CAST(SUM(x) AS BIGINT) AS n_treat
+  FROM obs
+)
+SELECT n_obs, n_treat,
+       ROUND(CAST(n_treat AS DOUBLE) * CAST(0.09531 AS DOUBLE)
+             + CAST(n_obs - n_treat AS DOUBLE) * CAST(-0.105361 AS DOUBLE), 6)
+         AS final_llr,
+       CAST(COALESCE(first_n, 0) AS BIGINT) AS first_cross_n,
+       CASE WHEN first_n IS NULL THEN 'continue'
+            WHEN sgn > 0 THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM tot LEFT JOIN crossing ON TRUE
+"""
+
+QUERIES["sprt_conversion"] = q_sprt_conversion
+ORACLES["sprt_conversion"] = ORACLE_SPRT

@@ -1770,3 +1770,374 @@ FROM dfp GROUP BY 1 ORDER BY 1
 
 QUERIES["span_df_histogram"] = q_span_df_histogram
 ORACLES["span_df_histogram"] = ORACLE_SPAN_DF_HIST
+
+
+# --- Content-defined chunking dedup profile (round 10) ------------------
+
+
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup profile — the storage-dedup
+    member of the fingerprint family (FastCDC/LBFS lineage: Muthitacharoen
+    et al., SOSP'01), at token grain: a chunk boundary falls AFTER
+    token i whenever the rolling 4-token window ending at i hashes
+    into a 1/8 target band (md5 last hex in {0,1} — expected ~8-token
+    chunks), so an insertion early in a document shifts positions but
+    boundaries re-synchronize and the shared suffix still dedups —
+    the property positional/fixed-width chunking lacks.  Output is the
+    corpus dedup summary: total/distinct/duplicated chunk counts, the
+    share of chunk occurrences that are duplicates, and the mean chunk
+    length.
+
+    Reference parity: the reference fingerprints whole rows with md5
+    over normalized text (diagnostics/spotcheck.py); this is the
+    sub-document member of that family alongside winnowing (positional
+    k-grams), MinHash (set overlap) and the span family (Lee et al.).
+
+    100 TB shape: posexplode -> ONE doc-partitioned shuffle carrying
+    BOTH window passes (the rolling-hash lag-concat and the exclusive
+    boundary prefix-sum share the (doc, pos) sort, same spread()-reused
+    partitioning as winnowing) -> per-(doc, chunk) hash aggregate ->
+    per-chunk-text df aggregate -> one 1-row summary.  Everything is
+    row-proportional; chunk texts are ~8 tokens so the chunk aggregate
+    carries ~n_tokens/8 rows.  Cross-engine exactness: md5 of the
+    space-joined window string is byte-identical in both engines; the
+    two ratios are single IEEE divides of exact longs, rounded to 6dp."""
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.util import spread
+
+    k = 4
+    d = spread(read_table(spark, sf_dir, "documents"), F.col("doc_id"))
+    tok = d.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lags = [F.lag("tok", j).over(w) for j in range(k - 1, 0, -1)] + [F.col("tok")]
+    win_str = F.concat_ws(" ", *lags)
+    boundary = F.when(
+        lags[0].isNotNull()
+        & F.substring(F.md5(win_str), 32, 1).isin("0", "1"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = tok.withColumn("_b", boundary)
+    chunked = marked.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("_clen"),
+    )
+    per_chunk = chunks.groupBy("chunk_text").agg(
+        F.count(F.lit(1)).alias("df"), F.max("_clen").alias("_clen")
+    )
+    return per_chunk.agg(
+        F.sum("df").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum((F.col("df") >= 2).cast("long")).cast("long").alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.when(F.col("df") >= 2, F.col("df")).otherwise(0)).cast("double")
+            / F.sum("df").cast("double"),
+            6,
+        ).alias("dup_occurrence_share"),
+        F.round(
+            F.sum(F.col("df") * F.col("_clen")).cast("double")
+            / F.sum("df").cast("double"),
+            6,
+        ).alias("avg_chunk_tokens"),
+    )
+
+
+ORACLE_CDC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) + 1)) AS pos,
+         unnest(toks) AS tok,
+         unnest(list_transform(range(1, len(toks) + 1),
+           i -> CASE WHEN i >= 4 AND right(md5(
+                  array_to_string(list_slice(toks, i - 3, i), ' ')), 1)
+                  IN ('0', '1') THEN 1 ELSE 0 END)) AS b
+  FROM t
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM p
+),
+chunks AS (
+  SELECT doc_id, chunk,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+         COUNT(*) AS clen
+  FROM c GROUP BY doc_id, chunk
+),
+per_chunk AS (
+  SELECT chunk_text, COUNT(*) AS df, MAX(clen) AS clen
+  FROM chunks GROUP BY chunk_text
+)
+SELECT CAST(SUM(df) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(CAST(SUM(CASE WHEN df >= 2 THEN df ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(df) AS DOUBLE), 6) AS dup_occurrence_share,
+       ROUND(CAST(SUM(df * clen) AS DOUBLE) / CAST(SUM(df) AS DOUBLE), 6)
+         AS avg_chunk_tokens
+FROM per_chunk
+"""
+
+QUERIES["cdc_chunk_stats"] = q_cdc_chunk_stats
+ORACLES["cdc_chunk_stats"] = ORACLE_CDC_CHUNKS
+
+
+# --- Split-level LM eval: cross-entropy + OOV (round 10) ----------------
+
+_LM_BUCKET_SQL = "(doc_id * 2654435761) % 4294967296 % 100"
+
+
+def q_split_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram-LM evaluation of the standard hash split — the
+    sanity gate a data pipeline runs before burning compute: train a
+    +1-smoothed unigram model on the train split and score the val
+    split (cross-entropy in nats and OOV rate).  A leaky or skewed
+    split shows up here before the real training run does.
+
+    p(w) = (c_train(w) + 1) / (T + V + 1), OOV p = 1 / (T + V + 1)
+    (V = train vocab size) — the unigram_surprisal smoothing, applied
+    cross-split.
+
+    100 TB shape: split assignment is map-side (Knuth hash on doc_id);
+    ONE token-count aggregate over the train split; the val token
+    stream left-joins the train vocab UNHINTED (a Heaps'-law table —
+    the r10 broadcast-gate class: the planner broadcasts it at bench
+    SF, shuffles row-proportionally at scale); two 1-row scalars
+    (T+V, n_val) cross as broadcasts.  Cross-engine exactness: the
+    established round-6-then-DECIMAL(28,6)-sum idiom makes the token
+    surprisal sum order-independent."""
+    from kg_etl_spark.operators.datapipe import train_val_test_split
+
+    docs = train_val_test_split(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "split", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    )
+    train_counts = (
+        toks.filter(F.col("split") == "train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).lineage_cut(eager=False)
+    consts = train_counts.agg(
+        (F.sum("c") + F.count(F.lit(1)) + F.lit(1)).cast("double").alias("denom"),
+        F.sum("c").cast("long").alias("n_train_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    val = toks.filter(F.col("split") == "val").join(train_counts, "tok", "left")
+    p = F.coalesce((F.col("c") + 1).cast("double"), F.lit(1.0)) / F.col("denom")
+    scored = val.crossJoin(F.broadcast(consts)).select(
+        "n_train_tokens",
+        "vocab_size",
+        F.round(-F.log(p), 6).cast("decimal(28,6)").alias("_s"),
+        F.col("c").isNull().cast("long").alias("_oov"),
+    )
+    return scored.groupBy("n_train_tokens", "vocab_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_val_tokens"),
+        F.sum("_oov").cast("long").alias("oov_tokens"),
+        F.round(
+            F.sum("_oov").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("oov_rate"),
+        F.round(
+            F.sum("_s").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("cross_entropy"),
+    )
+
+
+ORACLE_SPLIT_LM_EVAL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN {_LM_BUCKET_SQL} < 10 THEN 'test'
+              WHEN {_LM_BUCKET_SQL} < 20 THEN 'val'
+              ELSE 'train' END AS split,
+         {_SQL_TOKS} AS toks
+  FROM documents
+),
+toks AS (SELECT split, unnest(toks) AS tok FROM d),
+train_counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks WHERE split = 'train' GROUP BY tok
+),
+consts AS (
+  SELECT CAST(SUM(c) + COUNT(*) + 1 AS DOUBLE) AS denom,
+         CAST(SUM(c) AS BIGINT) AS n_train_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM train_counts
+),
+scored AS (
+  SELECT consts.n_train_tokens, consts.vocab_size,
+         CAST(ROUND(-ln(CAST(COALESCE(tc.c + 1, 1) AS DOUBLE) / consts.denom),
+                    6) AS DECIMAL(28,6)) AS s,
+         CASE WHEN tc.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN train_counts tc USING (tok), consts
+  WHERE t.split = 'val'
+)
+SELECT n_train_tokens, vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS n_val_tokens,
+       CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+       ROUND(CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate,
+       ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS cross_entropy
+FROM scored GROUP BY 1, 2
+"""
+
+QUERIES["split_lm_eval"] = q_split_lm_eval
+ORACLES["split_lm_eval"] = ORACLE_SPLIT_LM_EVAL
+
+
+# --- Vocabulary growth curve (Heaps' law, round 10) ----------------------
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth diagnostic: sweep the corpus in
+    doc-id order, bucket it into 10 equal id-range deciles, and report
+    per decile how many NEW token types first appear there alongside
+    the decile's token volume — the saturation curve that tells a
+    curation run whether more data still buys vocabulary (and
+    calibrates BPE vocab sizing).  A type's first appearance is
+    min(doc_id) over its occurrences — exact, order-free, and
+    incremental-friendly.
+
+    100 TB shape: ONE min-aggregate over the exploded token stream
+    (map-side combinable) + one token-volume aggregate per decile; the
+    10-row join stays unhinted (planner broadcasts).  No windows, no
+    driver state."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.agg((F.max("doc_id") + 1).alias("n"))
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    dec = lambda c: F.least(F.lit(9), F.floor(c * 10 / F.col("n"))).cast("long")  # noqa: E731
+    new_types = (
+        first_seen.crossJoin(F.broadcast(n_docs))
+        .groupBy(dec(F.col("first_doc")).alias("decile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    volume = (
+        toks.crossJoin(F.broadcast(n_docs))
+        .groupBy(dec(F.col("doc_id")).alias("decile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    return (
+        volume.join(new_types, "decile", "left")
+        .select(
+            "decile",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+first_seen AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+new_types AS (
+  SELECT LEAST(9, CAST(FLOOR(first_doc * 10 / n.n) AS BIGINT)) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_seen, n GROUP BY 1
+),
+volume AS (
+  SELECT LEAST(9, CAST(FLOOR(doc_id * 10 / n.n) AS BIGINT)) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks, n GROUP BY 1
+)
+SELECT v.decile, v.n_tokens,
+       CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types
+FROM volume v LEFT JOIN new_types nt USING (decile)
+"""
+
+QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
+ORACLES["vocab_growth_curve"] = ORACLE_VOCAB_GROWTH
+
+
+# --- Train/eval split near-dup leakage audit (round 10) ------------------
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split contamination audit: near-duplicate pairs (the
+    ngram-Jaccard >= 0.8 detector) classified by which hash-split
+    sides they straddle — a train/val or train/test row is EVAL
+    LEAKAGE (the eval score is partly memorization), the single most
+    common silent failure of random splits over near-dup-heavy crawls
+    (Lee et al. 2022 §6.2 measure exactly this).  Output: one row per
+    unordered split pair with the pair count.
+
+    100 TB shape: the pair stream is the prefix-filtered/inverted-index
+    family (here the oracle-checked base generator at bench SF — the
+    adaptive dispatch serves real corpora); split labels attach
+    map-side (Knuth hash of doc_id — no join against the docs table is
+    needed on the pair side because the split is a pure function of
+    the id the pair already carries); one |splits|x|splits| aggregate."""
+    from kg_etl_spark.operators.datapipe import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.8)
+
+    def split_of(idcol):
+        b = hash_bucket(F.col(idcol))
+        return (
+            F.when(b < 10, "test").when(b < 20, "val").otherwise("train")
+        )
+
+    labeled = pairs.select(
+        split_of("a_id").alias("_sa"), split_of("b_id").alias("_sb")
+    ).select(
+        F.least("_sa", "_sb").alias("split_a"),
+        F.greatest("_sa", "_sb").alias("split_b"),
+    )
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.sh, b.sh)) AS n_common,
+         len(a.sh) AS a_sz, len(b.sh) AS b_sz
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+),
+q AS (
+  SELECT a_id, b_id FROM p
+  WHERE n_common > 0
+    AND CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common) >= 0.8
+),
+lab AS (
+  SELECT CASE WHEN (a_id * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
+              WHEN (a_id * 2654435761) % 4294967296 % 100 < 20 THEN 'val'
+              ELSE 'train' END AS sa,
+         CASE WHEN (b_id * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
+              WHEN (b_id * 2654435761) % 4294967296 % 100 < 20 THEN 'val'
+              ELSE 'train' END AS sb
+  FROM q
+)
+SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY 1, 2
+"""
+
+QUERIES["split_leakage_audit"] = q_split_leakage_audit
+ORACLES["split_leakage_audit"] = ORACLE_SPLIT_LEAKAGE

@@ -219,6 +219,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("scalar", "2-row per-branch counts"),
     "kg_etl_spark/queries/analytic.py::q_woe_binning::tot":
         ("scalar", "1-row pos/neg totals"),
+    "kg_etl_spark/queries/analytic.py::q_sprt_conversion::crossing":
+        ("scalar", "1-row first-boundary-crossing aggregate"),
     "kg_etl_spark/queries/events.py::q_cusum_drift::stats":
         ("scalar", "1-row mean/std of the daily-aggregate frame"),
     "kg_etl_spark/queries/events.py::q_heavy_key_profile::total":
@@ -261,6 +263,11 @@ ALLOWED: dict[str, tuple[str, str]] = {
                    "UNHINTED — r10 fix of the r9 scale-killer)"),
     "kg_etl_spark/queries/textq.py::q_source_js_divergence::tot":
         ("scalar", "1-row global total"),
+    "kg_etl_spark/queries/textq.py::q_split_lm_eval::consts":
+        ("scalar", "1-row (denom, T, V) train-LM constants — the "
+                   "train-vocab JOIN itself is deliberately unhinted"),
+    "kg_etl_spark/queries/textq.py::q_vocab_growth_curve::n_docs":
+        ("scalar", "1-row max-doc-id scalar (decile denominator)"),
     "kg_etl_spark/queries/textq.py::q_source_js_divergence::tot_s":
         ("model", "per-source totals (|sources| rows)"),
     "kg_etl_spark/sinks.py::write_zordered_parquet::stats":

@@ -103,6 +103,9 @@ REPORT_QUERIES = [
     # round 9: longest-duplicated-run curation profile, adjacent-bigram
     # PMI collocations, span-DF histogram
     "dup_span_profile", "pmi_collocations", "span_df_histogram",
+    # round 10: CDC chunking, split leakage, LM eval, Heaps' curve, MW-U
+    "cdc_chunk_stats", "split_leakage_audit", "split_lm_eval",
+    "vocab_growth_curve", "mann_whitney_u", "sprt_conversion",
 ]
 
 
@@ -178,8 +181,11 @@ def main() -> None:
         "`kruskal_wallis_spend` crosses the 1-row tie-term scalar, as do "
         "the newer 1-row scalar crosses (`loo_group_influence`, "
         "`exact_global_quantiles`, `heavy_key_profile`'s 1-row "
-        "total-count share attach, and `pmi_collocations`'s 1-row "
-        "unigram/bigram totals cross). "
+        "total-count share attach, `pmi_collocations`'s 1-row "
+        "unigram/bigram totals cross, `split_lm_eval`'s 1-row "
+        "train-LM constants cross, `vocab_growth_curve`'s 1-row "
+        "max-doc-id cross, and `sprt_conversion`'s 1-row "
+        "crossing-aggregate cross). "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",

@@ -180,7 +180,54 @@ def stress_span_hist(spark):
     return line
 
 
-LEGS = {"pmi": stress_pmi, "span_hist": stress_span_hist}
+def stress_cdc(spark):
+    """`cdc_chunk_stats` at 50M tokens via the R-copies invariant:
+    500k distinct 20-token base docs (tokens globally unique per base,
+    so base docs are pairwise chunk-disjoint) x 5 exact copies each.
+    Chunk boundaries are md5-dependent and not predictable, but the
+    copy structure forces exact integer identities through the WHOLE
+    pipeline (per-doc rolling-hash windows -> boundary prefix sums ->
+    chunk aggregate -> df aggregate): identical docs chunk
+    identically, so EVERY distinct chunk has df == R — n_chunks must
+    equal R * n_distinct_chunks, n_dup_chunks == n_distinct_chunks,
+    dup_occurrence_share == 1.0 exactly, and avg_chunk_tokens must
+    reproduce total_tokens / n_chunks."""
+    from kg_etl_spark.queries import textq
+
+    n_base, copies = N_DOCS // 5, 5
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(DOC_LEN - 1)),
+        lambda j: F.concat(F.lit("b"), F.col("base"), F.lit("t"), j),
+    )
+    corpus = (
+        spark.range(N_DOCS)
+        .select(F.col("id").alias("doc_id"), (F.col("id") % n_base).alias("base"))
+        .select("doc_id", F.concat_ws(" ", toks).alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    real_read = textq.read_table
+    t0 = time.time()
+    try:
+        textq.read_table = lambda _s, _d, _n: corpus
+        r = textq.q_cdc_chunk_stats(spark, "<synthetic>").collect()[0]
+    finally:
+        textq.read_table = real_read
+    dt = time.time() - t0
+    assert r["n_chunks"] == copies * r["n_distinct_chunks"], r
+    assert r["n_dup_chunks"] == r["n_distinct_chunks"], r
+    assert r["dup_occurrence_share"] == 1.0, r
+    total_tokens = N_DOCS * DOC_LEN
+    assert abs(r["avg_chunk_tokens"] - total_tokens / r["n_chunks"]) <= 5e-7, r
+    line = (
+        f"cdc[50M]: {N_DOCS} docs ({n_base} bases x {copies} copies), "
+        f"{r['n_distinct_chunks']} distinct chunks each at df={copies} "
+        f"exactly (dup share 1.0), {dt:.1f}s"
+    )
+    print(line, flush=True)
+    return line
+
+
+LEGS = {"pmi": stress_pmi, "span_hist": stress_span_hist, "cdc": stress_cdc}
 
 
 def main():
