@@ -139,6 +139,9 @@ HEADLINE = [
     "vocab_growth_curve",
     "mann_whitney_u",
     "sprt_conversion",
+    "trimmed_mean_segment",
+    "rdd_effect",
+    "markov_top1_accuracy",
 ]
 
 

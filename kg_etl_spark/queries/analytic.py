@@ -4419,3 +4419,170 @@ FROM tot LEFT JOIN crossing ON TRUE
 
 QUERIES["sprt_conversion"] = q_sprt_conversion
 ORACLES["sprt_conversion"] = ORACLE_SPRT
+
+
+# --- grouped 10% trimmed mean on the rank device (round 10) --------------
+
+
+def q_trimmed_mean_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean account balance per market segment — the
+    robust-location sibling of winsorize (drop the tails instead of
+    clamping them): per group, discard the floor(n/10) lowest- and
+    highest-ranked rows under the unique (balance, custkey) total
+    order and average the rest.
+
+    100 TB shape: the per-segment rank is grouped_row_number (the
+    two-phase cell device — a plain 5-partition window sorts n/5 rows
+    in one task at scale); the trim bounds are pure expressions of the
+    (rank, group count) columns the device already carries, so no
+    second pass, no quantile probe.  Sum exactness: balances are exact
+    2dp — the round-6 decimal(28,6) sum is order-independent."""
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
+    cust = read_table(spark, sf_dir, "customer")
+    ranked = grouped_row_number(
+        cust, ["c_mktsegment"], "c_acctbal", ["c_custkey"],
+        out_col="_rn", count_col="_n",
+    )
+    k = F.floor(F.col("_n") / F.lit(10))
+    kept = ranked.filter((F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k))
+    return (
+        kept.groupBy("c_mktsegment")
+        .agg(
+            F.max("_n").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal"), 6).cast("decimal(28,6)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_TRIMMED_MEAN = """
+WITH r AS (
+  SELECT c_mktsegment, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS trimmed_mean
+FROM r
+WHERE rn > CAST(FLOOR(n / 10) AS BIGINT)
+  AND rn <= n - CAST(FLOOR(n / 10) AS BIGINT)
+GROUP BY c_mktsegment
+"""
+
+QUERIES["trimmed_mean_segment"] = q_trimmed_mean_segment
+ORACLES["trimmed_mean_segment"] = ORACLE_TRIMMED_MEAN
+
+
+# --- regression discontinuity at a balance cutoff (round 10) -------------
+
+
+def q_rdd_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate: customers just below
+    vs just above the 5000 account-balance cutoff (bandwidth 2000),
+    outcome = order count; fit a local line on EACH side by
+    closed-form OLS over centered balance and report the jump of the
+    two intercepts at the cutoff — the quasi-experimental effect
+    estimator when treatment is a threshold rule (Thistlethwaite &
+    Campbell 1960).
+
+    100 TB shape: one orders count-aggregate, one bandwidth-filtered
+    customer scan LEFT-joined to it (zero-order customers count as
+    y=0), ONE 2-row power-sum aggregate (n, Σx, Σy, Σxy, Σx² per
+    side) — the per-side OLS is pure closed-form arithmetic on those
+    five sums.  Exactness: x is exact 2dp (decimal sums), y integer;
+    the slope/intercept/jump expressions are one shared IEEE tree."""
+    DECP = "decimal(28,6)"
+    cust = read_table(spark, sf_dir, "customer").filter(
+        (F.col("c_acctbal") >= 3000.0) & (F.col("c_acctbal") < 7000.0)
+    )
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_ny"))
+    )
+    base = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        (F.col("c_acctbal") - F.lit(5000.0)).alias("x"),
+        F.coalesce("_ny", F.lit(0)).cast("long").alias("y"),
+        (F.col("c_acctbal") >= 5000.0).cast("int").alias("side"),
+    )
+    p6 = lambda c: F.round(c, 6).cast(DECP)  # noqa: E731
+    sums = base.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p6(F.col("x"))).cast("double").alias("sx"),
+        F.sum(F.col("y")).cast("double").alias("sy"),
+        F.sum(p6(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(p6(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    nD = F.col("n").cast("double")
+    slope = (nD * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nD * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icept = (F.col("sy") - slope * F.col("sx")) / nD
+    fitted = sums.select("side", "n", slope.alias("b"), icept.alias("a"))
+    lo = fitted.filter(F.col("side") == 0).select(
+        F.col("n").cast("long").alias("n_left"),
+        F.col("a").alias("_al"),
+        F.col("b").alias("_bl"),
+    )
+    hi = fitted.filter(F.col("side") == 1).select(
+        F.col("n").cast("long").alias("n_right"),
+        F.col("a").alias("_ar"),
+        F.col("b").alias("_br"),
+    )
+    return lo.crossJoin(F.broadcast(hi)).select(
+        "n_left",
+        "n_right",
+        F.round(F.col("_ar") - F.col("_al"), 6).alias("jump"),
+        F.round("_bl", 6).alias("slope_left"),
+        F.round("_br", 6).alias("slope_right"),
+    )
+
+
+ORACLE_RDD = """
+WITH base AS (
+  SELECT c.c_acctbal - 5000.0 AS x,
+         COALESCE(o.ny, 0) AS y,
+         CASE WHEN c.c_acctbal >= 5000.0 THEN 1 ELSE 0 END AS side
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, COUNT(*) AS ny FROM orders GROUP BY 1) o
+    ON c.c_custkey = o.o_custkey
+  WHERE c.c_acctbal >= 3000.0 AND c.c_acctbal < 7000.0
+), sums AS (
+  SELECT side, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM base GROUP BY side
+), fitted AS (
+  SELECT side, n,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b,
+         (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+           / CAST(n AS DOUBLE) AS a
+  FROM sums
+)
+SELECT CAST(l.n AS BIGINT) AS n_left, CAST(r.n AS BIGINT) AS n_right,
+       ROUND(r.a - l.a, 6) AS jump,
+       ROUND(l.b, 6) AS slope_left,
+       ROUND(r.b, 6) AS slope_right
+FROM fitted l JOIN fitted r ON l.side = 0 AND r.side = 1
+"""
+
+QUERIES["rdd_effect"] = q_rdd_effect
+ORACLES["rdd_effect"] = ORACLE_RDD

@@ -2054,3 +2054,71 @@ FROM daily GROUP BY event_type
 
 QUERIES["type_burstiness"] = q_type_burstiness
 ORACLES["type_burstiness"] = ORACLE_BURSTINESS
+
+
+# --- Markov top-1 next-event accuracy (round 10) --------------------------
+
+
+def q_markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the first-order per-user Markov model: for
+    each from-type, the mode next-type (count desc, type asc
+    tie-break) and the share of that type's transitions it explains —
+    top-1 next-event accuracy, the baseline every sequence model must
+    beat and the same per-user (ts, event_id) grain as
+    event_transitions/sessionize.
+
+    100 TB shape: one user-partitioned lead window (user_id is
+    high-cardinality — partitions are journey-sized), one |types|²
+    hash aggregate, then argmax + share on the model-sized count
+    frame.  Determinism: the (n desc, to_type asc) argmax is a total
+    order; accuracy is one IEEE divide of exact counts."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    best = counts.groupBy("from_type").agg(
+        F.min_by(
+            F.col("to_type"), F.struct((-F.col("n")).alias("a"), F.col("to_type").alias("b"))
+        ).alias("top1_next"),
+        F.max(F.struct(F.col("n").alias("a"), F.lit(None).cast("string").alias("b"))).getField("a").alias("_won"),
+        F.sum("n").cast("long").alias("n_transitions"),
+    )
+    return best.select(
+        "from_type",
+        "top1_next",
+        "n_transitions",
+        F.round(
+            F.col("_won").cast("double") / F.col("n_transitions").cast("double"), 6
+        ).alias("top1_accuracy"),
+    ).orderBy("from_type")
+
+
+ORACLE_MARKOV_TOP1 = """
+WITH t AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_transitions FROM c GROUP BY 1
+), best AS (
+  SELECT from_type, to_type AS top1_next, n
+  FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY from_type
+                                    ORDER BY n DESC, to_type ASC) = 1
+)
+SELECT b.from_type, b.top1_next, t.n_transitions,
+       ROUND(CAST(b.n AS DOUBLE) / CAST(t.n_transitions AS DOUBLE), 6)
+         AS top1_accuracy
+FROM best b JOIN tot t USING (from_type)
+"""
+
+QUERIES["markov_top1_accuracy"] = q_markov_top1_accuracy
+ORACLES["markov_top1_accuracy"] = ORACLE_MARKOV_TOP1

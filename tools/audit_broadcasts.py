@@ -221,6 +221,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("scalar", "1-row pos/neg totals"),
     "kg_etl_spark/queries/analytic.py::q_sprt_conversion::crossing":
         ("scalar", "1-row first-boundary-crossing aggregate"),
+    "kg_etl_spark/queries/analytic.py::q_rdd_effect::hi":
+        ("scalar", "1-row right-side OLS fit (a, b, n)"),
     "kg_etl_spark/queries/events.py::q_cusum_drift::stats":
         ("scalar", "1-row mean/std of the daily-aggregate frame"),
     "kg_etl_spark/queries/events.py::q_heavy_key_profile::total":

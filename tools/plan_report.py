@@ -106,6 +106,7 @@ REPORT_QUERIES = [
     # round 10: CDC chunking, split leakage, LM eval, Heaps' curve, MW-U
     "cdc_chunk_stats", "split_leakage_audit", "split_lm_eval",
     "vocab_growth_curve", "mann_whitney_u", "sprt_conversion",
+    "trimmed_mean_segment", "rdd_effect", "markov_top1_accuracy",
 ]
 
 
@@ -184,8 +185,9 @@ def main() -> None:
         "total-count share attach, `pmi_collocations`'s 1-row "
         "unigram/bigram totals cross, `split_lm_eval`'s 1-row "
         "train-LM constants cross, `vocab_growth_curve`'s 1-row "
-        "max-doc-id cross, and `sprt_conversion`'s 1-row "
-        "crossing-aggregate cross). "
+        "max-doc-id cross, `sprt_conversion`'s 1-row "
+        "crossing-aggregate cross, and `rdd_effect`'s 1-row "
+        "right-side-fit cross). "
         "Every pair-generating operator (blocking/LSH/ER) is plan-asserted "
         "cartesian-free in `tests/test_plans.py`.",
         "",
