@@ -2085,7 +2085,7 @@ def q_markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(
             F.col("to_type"), F.struct((-F.col("n")).alias("a"), F.col("to_type").alias("b"))
         ).alias("top1_next"),
-        F.max(F.struct(F.col("n").alias("a"), F.lit(None).cast("string").alias("b"))).getField("a").alias("_won"),
+        F.max("n").alias("_won"),
         F.sum("n").cast("long").alias("n_transitions"),
     )
     return best.select(

@@ -5,7 +5,7 @@ low-cardinality corpus windows outside the reasoned allowlist. A new
 query that hand-rolls a Window.partitionBy(event_type)-style prologue
 fails HERE instead of in the next round's verdict.
 
-This walks all ~315 plans (~2 min) — the most expensive test in the
+This walks every catalog plan (333 as of r10, ~2 min) — the most expensive test in the
 suite, and deliberately so: it is the automated form of the judge's
 plan review.
 """

@@ -272,3 +272,15 @@ def test_sprt_first_crossing_matches_bruteforce(spark, monkeypatch):
     want_dec = "continue" if first == 0 else ("accept_h1" if sgn > 0 else "accept_h0")
     assert got["decision"] == want_dec
     assert abs(got["final_llr"] - round(llr, 6)) < 1e-9
+
+
+def test_bench_escalation_rule():
+    """bench.py's min-of-3 escalation (r9 directive #5): fires only
+    for >=1s rows, on attempt disagreement OR co-tenant load."""
+    import bench
+
+    assert not bench.should_escalate([0.2, 0.9], 50.0)  # sub-second: never
+    assert not bench.should_escalate([2.0, 2.1], 3.0)  # quiet + agreeing
+    assert bench.should_escalate([2.0, 3.5], 3.0)  # spread >= 1.5x
+    assert bench.should_escalate([2.0, 2.1], 40.0)  # co-tenant load
+    assert not bench.should_escalate([], 3.0)
