@@ -308,6 +308,124 @@ def ngram_containment_pairs(
     )
 
 
+def ngram_containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Prefix-filtered CONTAINMENT join — same contract and output as
+    :func:`ngram_containment_pairs`, but the candidate join is
+    prefix × full-posting-list instead of full × full (the r10 closure
+    of the containment family's scale path; the Jaccard family has had
+    its ssjoin since r8).
+
+    Asymmetric candidate rule: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t and
+    S = the smaller set (m = |S|) force |A∩B| ≥ t·m, so if S's PREFIX —
+    its m − ⌈t·m⌉ + 1 globally-rarest shingles — missed the other doc
+    entirely, the intersection would fit inside S's ⌈t·m⌉ − 1-element
+    suffix: contradiction.  Every qualifying pair therefore shares a
+    shingle between SOME member's prefix and the other's full set, so
+    candidates = prefix ⋈ full (normalized, distinct) — Σ(df_prefix ·
+    df_full) work instead of Σdf², with the prefix side holding only
+    the rare shingles.  Same 1e-9 ceil guard as the Jaccard prefix
+    (a one-ulp-high t·l can only LENGTHEN a prefix — always safe).
+
+    Verify is exact over the full distinct-shingle arrays, so results
+    match the plain operator row-for-row (property-tested) and the
+    same DuckDB oracle applies verbatim.  The max_df cap composes
+    identically (capped-universe semantics, applied before sizes,
+    prefixes, and verification alike)."""
+    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).lineage_cut(
+        eager=False
+    )
+    dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        ex = ex.join(
+            F.broadcast(dfreq.filter(F.col("_df") > max_df)), "_s", "left_anti"
+        ).lineage_cut(eager=True)
+        dfreq = dfreq.filter(F.col("_df") <= max_df)
+    ranked = (
+        ex.join(dfreq, "_s")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_s"))).alias("_arr"))
+    ).lineage_cut(eager=True)
+    l = F.size("_arr")
+    plen = (
+        l
+        - F.ceil(F.lit(float(threshold)) * l.cast("double") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    prefix = ranked.select(
+        "_id",
+        F.explode(
+            F.slice(F.transform("_arr", lambda x: x["_s"]), 1, plen)
+        ).alias("_s"),
+    )
+    cand = (
+        prefix.alias("x")
+        .join(ex.alias("y"), "_s")
+        .filter(F.col("x._id") != F.col("y._id"))
+        .select(
+            F.least(F.col("x._id"), F.col("y._id")).alias("a_id"),
+            F.greatest(F.col("x._id"), F.col("y._id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    arrs = ranked.select(
+        "_id", F.transform("_arr", lambda x: x["_s"]).alias("_sh")
+    )
+    sh_a = arrs.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"))
+    sh_b = arrs.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"))
+    verified = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("n_common", F.size(F.array_intersect("a_sh", "b_sh")).cast("long"))
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double")
+            / F.least(F.size("a_sh"), F.size("b_sh")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return verified.select(
+        "a_id", "b_id", "n_common", F.round("containment", 6).alias("containment")
+    )
+
+
+def ngram_containment_pairs_adaptive(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    hash_shingles: bool = False,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Size-adaptive containment dispatch — the containment twin of
+    :func:`ngram_jaccard_pairs_adaptive`: plain inverted index below
+    :data:`PREFIX_JOIN_MIN_DOCS` docs (the prefix pipeline's fixed
+    stage cost dominates small corpora), prefix × full ssjoin above
+    (the 100 TB path).  Shares the same weak-keyed count memo, same
+    property-tested row-identical branch contract."""
+    if n_docs is None:
+        n_docs = _NDOCS_MEMO.get(df)
+    if n_docs is None:
+        n_docs = df.count()
+        _NDOCS_MEMO[df] = n_docs
+    if n_docs >= PREFIX_JOIN_MIN_DOCS:
+        return ngram_containment_pairs_prefix(
+            df, id_col, text_col, n, threshold, max_df, hash_shingles
+        )
+    return ngram_containment_pairs(
+        df, id_col, text_col, n, threshold, max_df, hash_shingles
+    )
+
+
 def _minhash_mins(ex: DataFrame, num_hashes: int) -> DataFrame:
     """(_id, _h0.._h{n-1}) min-signature aggregate over an exploded
     (_id, _hs) hashed-shingle stream: per seed i, min(xxhash64(_hs, i)).

@@ -1417,11 +1417,14 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B| / min(|A|, |B|) >= 0.6 (operators/dedup.
     ngram_containment_pairs) — catches a short doc embedded inside a
     long one, which symmetric Jaccard misses (scores ~|A|/|B|). Same
-    inverted-index single-shuffle shape as ngram_jaccard_dedup."""
-    from kg_etl_spark.operators.dedup import ngram_containment_pairs
+    inverted-index single-shuffle shape as ngram_jaccard_dedup at
+    bench SF; above 100k docs the size-adaptive dispatch (r10) routes
+    to the prefix × full ssjoin — the containment twin of the Jaccard
+    family's scale path, property-tested row-identical."""
+    from kg_etl_spark.operators.dedup import ngram_containment_pairs_adaptive
 
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_containment_pairs(docs, "doc_id", n=3, threshold=0.6)
+    return ngram_containment_pairs_adaptive(docs, "doc_id", n=3, threshold=0.6)
 
 
 ORACLE_CONTAINMENT = f"""
@@ -2076,16 +2079,17 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Lee et al. 2022 §6.2 measure exactly this).  Output: one row per
     unordered split pair with the pair count.
 
-    100 TB shape: the pair stream is the prefix-filtered/inverted-index
-    family (here the oracle-checked base generator at bench SF — the
-    adaptive dispatch serves real corpora); split labels attach
-    map-side (Knuth hash of doc_id — no join against the docs table is
-    needed on the pair side because the split is a pure function of
-    the id the pair already carries); one |splits|x|splits| aggregate."""
+    100 TB shape: the pair stream is the SIZE-ADAPTIVE generator
+    (plain inverted index at bench SF, prefix ssjoin above 100k docs —
+    branches property-tested row-identical, so the oracle applies to
+    both); split labels attach map-side (Knuth hash of doc_id — no
+    join against the docs table is needed on the pair side because the
+    split is a pure function of the id the pair already carries); one
+    |splits|x|splits| aggregate."""
     from kg_etl_spark.operators.datapipe import hash_bucket
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs_adaptive(docs, "doc_id", n=3, threshold=0.8)
 
     def split_of(idcol):
         b = hash_bucket(F.col(idcol))

@@ -370,3 +370,43 @@ def test_streaming_sprt_parity_and_sticky_decision(spark, tmp_path):
     sprt_upsert_batch(spark, last_batch, 1, state)
     replayed = sprt_state_decision(spark, state).collect()[0]
     assert replayed == latest
+
+
+def test_containment_prefix_branch_row_identical(spark, monkeypatch):
+    """The r10 containment ssjoin must reproduce the plain inverted
+    index row-for-row — including the asymmetric case it exists for
+    (a short doc embedded in a long one) and the max_df cap."""
+    from kg_etl_spark.operators import dedup as dd
+
+    snippet = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = []
+    for i in range(30):
+        filler = [f"f{i}w{j}" for j in range(14)]
+        if i % 5 == 0:
+            # snippet fully embedded in a longer unique doc
+            docs.append((i, " ".join(filler[:7] + snippet + filler[7:])))
+        elif i == 1:
+            docs.append((i, " ".join(snippet)))  # the short doc itself
+        else:
+            docs.append((i, " ".join(filler)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def rows(out):
+        return sorted(
+            (r["a_id"], r["b_id"], r["n_common"], r["containment"])
+            for r in out.collect()
+        )
+
+    for kwargs in ({}, {"max_df": 5}, {"hash_shingles": True}):
+        plain = rows(dd.ngram_containment_pairs(df, "doc_id", threshold=0.6, **kwargs))
+        pref = rows(
+            dd.ngram_containment_pairs_prefix(df, "doc_id", threshold=0.6, **kwargs)
+        )
+        assert plain == pref, (kwargs, plain[:3], pref[:3])
+    # the snippet-inclusion pair is actually found (containment 1.0)
+    base = rows(dd.ngram_containment_pairs(df, "doc_id", threshold=0.6))
+    assert any(a == 0 and b == 1 and c == 1.0 for a, b, _n, c in base)
+    # and the adaptive wrapper picks the prefix branch above the bar
+    monkeypatch.setattr(dd, "PREFIX_JOIN_MIN_DOCS", 1)
+    adapt = rows(dd.ngram_containment_pairs_adaptive(df, "doc_id", threshold=0.6))
+    assert adapt == base

@@ -365,9 +365,14 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("bounded", "overloaded bucket ids, <= rows/max_bucket (same "
                     "bound as the batch variant)"),
     "kg_etl_spark/operators/dedup.py::ngram_containment_pairs::dfreq.filter(F.col('_df') > max_df)":
+        ("bounded", "stop-shingles with df > max_df; this is the "
+                    "SMALL-CORPUS branch of "
+                    "ngram_containment_pairs_adaptive (r10) — large "
+                    "corpora route to the prefix x full ssjoin"),
+    "kg_etl_spark/operators/dedup.py::ngram_containment_pairs_prefix::dfreq.filter(F.col('_df') > max_df)":
         ("bounded", "stop-shingles with df > max_df: <= occurrences/"
-                    "max_df distinct hashes; callers cap the corpus or "
-                    "route large corpora to the prefix/LSH paths"),
+                    "max_df distinct hashes excluded via anti-join "
+                    "(Zipf head in practice)"),
     "kg_etl_spark/operators/dedup.py::ngram_jaccard_pairs::dfreq.filter(F.col('_df') > max_df)":
         ("bounded", "stop-shingles with df > max_df; this is the "
                     "SMALL-CORPUS branch of ngram_jaccard_pairs_adaptive "
