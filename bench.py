@@ -142,6 +142,8 @@ HEADLINE = [
     "trimmed_mean_segment",
     "rdd_effect",
     "markov_top1_accuracy",
+    "filter_yield_curve",
+    "dup_span_source_attribution",
 ]
 
 

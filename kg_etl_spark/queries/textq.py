@@ -2145,3 +2145,147 @@ FROM lab GROUP BY 1, 2
 
 QUERIES["split_leakage_audit"] = q_split_leakage_audit
 ORACLES["split_leakage_audit"] = ORACLE_SPLIT_LEAKAGE
+
+
+# --- Filter yield curve (round 10) ---------------------------------------
+
+
+def q_filter_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yield curve of the Gopher-style minimum-length filter: for each
+    candidate threshold, the share of DOCUMENTS and of TOKENS that
+    survive `n_tokens >= t` — the first chart a curation run draws
+    before committing to a cutoff (is the knee at 32 or 128 tokens,
+    and how much token mass does each step burn?).
+
+    100 TB shape: ONE token-count projection, exploded against the
+    5-row threshold array (map-side, 5x row fan-out into a map-side
+    combinable aggregate), one 1-row corpus-totals cross.  No joins
+    against corpus-scale frames."""
+    thresholds = [16, 32, 64, 128, 256]
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(F.size(ws_tokens(F.col("text"))).alias("_nt"))
+    tot = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+        F.sum("_nt").cast("long").alias("_ntok"),
+    )
+    fanned = per_doc.select(
+        "_nt", F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("threshold")
+    )
+    surv = fanned.groupBy("threshold").agg(
+        F.sum((F.col("_nt") >= F.col("threshold")).cast("long"))
+        .cast("long")
+        .alias("docs_surviving"),
+        F.sum(
+            F.when(F.col("_nt") >= F.col("threshold"), F.col("_nt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tokens_surviving"),
+    )
+    return (
+        surv.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("threshold").cast("long").alias("threshold"),
+            "docs_surviving",
+            "tokens_surviving",
+            F.round(
+                F.col("docs_surviving").cast("double") / F.col("_nd").cast("double"),
+                6,
+            ).alias("doc_share"),
+            F.round(
+                F.col("tokens_surviving").cast("double")
+                / F.col("_ntok").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+        .orderBy("threshold")
+    )
+
+
+ORACLE_YIELD_CURVE = f"""
+WITH per_doc AS (SELECT len({_SQL_TOKS}) AS nt FROM documents),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(nt) AS BIGINT) AS ntok
+  FROM per_doc
+),
+f AS (
+  SELECT nt, unnest([16, 32, 64, 128, 256]) AS threshold FROM per_doc
+),
+surv AS (
+  SELECT threshold,
+         CAST(SUM(CASE WHEN nt >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_surviving,
+         CAST(SUM(CASE WHEN nt >= threshold THEN nt ELSE 0 END) AS BIGINT)
+           AS tokens_surviving
+  FROM f GROUP BY threshold
+)
+SELECT CAST(threshold AS BIGINT) AS threshold, docs_surviving, tokens_surviving,
+       ROUND(CAST(docs_surviving AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+         AS doc_share,
+       ROUND(CAST(tokens_surviving AS DOUBLE) / CAST(ntok AS DOUBLE), 6)
+         AS token_share
+FROM surv, tot
+"""
+
+QUERIES["filter_yield_curve"] = q_filter_yield_curve
+ORACLES["filter_yield_curve"] = ORACLE_YIELD_CURVE
+
+
+# --- Duplicate-span attribution per source (round 10) --------------------
+
+
+def q_dup_span_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH source ships the boilerplate: per source, the share of
+    its 5-gram spans (distinct per doc — the span family's grain)
+    whose corpus document-frequency is >= 2.  The actionable
+    counterpart of span_df_histogram: the histogram says HOW MUCH
+    dedup pressure exists; this says WHERE to point the cleaner.
+
+    100 TB shape: one span-DF aggregate (the corpus shuffle), then the
+    span stream re-joins the DF table UNHINTED (a Heaps'-law span
+    vocabulary — the r10 broadcast-gate class; planner broadcasts at
+    bench SF, shuffles at scale), one |sources|-row aggregate."""
+    from kg_etl_spark.functions.text import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "source",
+        F.explode(word_shingles(ws_tokens(F.col("text")), 5)).alias("_span"),
+    ).lineage_cut(eager=False)
+    dfreq = spans.groupBy("_span").agg(F.count(F.lit(1)).alias("_df"))
+    joined = spans.join(dfreq, "_span")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("_df") >= 2).cast("long")).cast("long").alias("dup_spans"),
+            F.round(
+                F.sum((F.col("_df") >= 2).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DUP_SPAN_SOURCE = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS span
+  FROM t
+),
+dfp AS (SELECT span, COUNT(*) AS df FROM g GROUP BY span)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
+FROM g JOIN dfp USING (span)
+GROUP BY source
+"""
+
+QUERIES["dup_span_source_attribution"] = q_dup_span_source_attribution
+ORACLES["dup_span_source_attribution"] = ORACLE_DUP_SPAN_SOURCE

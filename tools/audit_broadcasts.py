@@ -265,6 +265,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
                    "UNHINTED — r10 fix of the r9 scale-killer)"),
     "kg_etl_spark/queries/textq.py::q_source_js_divergence::tot":
         ("scalar", "1-row global total"),
+    "kg_etl_spark/queries/textq.py::q_filter_yield_curve::tot":
+        ("scalar", "1-row corpus doc/token totals"),
     "kg_etl_spark/queries/textq.py::q_split_lm_eval::consts":
         ("scalar", "1-row (denom, T, V) train-LM constants — the "
                    "train-vocab JOIN itself is deliberately unhinted"),

@@ -107,6 +107,7 @@ REPORT_QUERIES = [
     "cdc_chunk_stats", "split_leakage_audit", "split_lm_eval",
     "vocab_growth_curve", "mann_whitney_u", "sprt_conversion",
     "trimmed_mean_segment", "rdd_effect", "markov_top1_accuracy",
+    "filter_yield_curve", "dup_span_source_attribution",
 ]
 
 
