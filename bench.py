@@ -144,6 +144,7 @@ HEADLINE = [
     "markov_top1_accuracy",
     "filter_yield_curve",
     "dup_span_source_attribution",
+    "unigram_lm_char_boundary",
 ]
 
 

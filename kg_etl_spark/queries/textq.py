@@ -2289,3 +2289,68 @@ GROUP BY source
 
 QUERIES["dup_span_source_attribution"] = q_dup_span_source_attribution
 ORACLES["dup_span_source_attribution"] = ORACLE_DUP_SPAN_SOURCE
+
+
+# --- Unigram-LM (SentencePiece-style) tokenizer (round 10) ---------------
+
+
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-trained unigram-LM piece vocabulary (Kudo 2018) over the
+    corpus — the second tokenizer family next to BPE: seed with the
+    weighted substring candidates, concentrate probability by
+    Viterbi-EM over the distinct-word table, prune to the target
+    size.  Output: (piece, logp) for the final vocabulary.
+
+    No SQL oracle (iterative EM; the rows-only check applies) — the
+    encode half's value oracle is `unigram_lm_char_boundary`, and the
+    convergence/segmentation properties are pytest-planted
+    (whole-word concentration, char-degeneracy, determinism gate)."""
+    from kg_etl_spark.operators.unigram_lm import unigram_lm_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = unigram_lm_train(
+        docs, vocab_size=64, seed_size=400, n_iters=2, max_piece_len=6
+    )
+    return spark.createDataFrame(
+        [(p, round(lp, 6)) for p, lp in vocab], "piece string, logp double"
+    )
+
+
+QUERIES["unigram_lm_vocab"] = q_unigram_lm_vocab  # rows-only by design
+
+
+def q_unigram_lm_char_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-provable oracle of the unigram-LM ENCODE plumbing (the
+    bpe_encode pattern): with a single-characters-only vocabulary the
+    Viterbi segmentation provably degenerates to characters (any
+    multi-char path would need pieces the vocab lacks), so n_pieces ==
+    total characters of all words — SQL-expressible, full value-hash
+    oracle over the explode → mapInPandas-over-vocab → unhinted
+    re-join → per-doc aggregate pipeline."""
+    from kg_etl_spark.operators.unigram_lm import (
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # seed_size=0, n_iters=0 -> vocabulary = exactly the corpus's
+    # single characters (uniform logp)
+    vocab = unigram_lm_train(docs, vocab_size=0, seed_size=0, n_iters=0)
+    return (
+        unigram_lm_encode(docs, vocab)
+        .select("doc_id", "n_words", "n_pieces")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNIGRAM_LM_CHARS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(tok)) AS BIGINT) AS n_pieces
+FROM w GROUP BY doc_id
+"""
+
+QUERIES["unigram_lm_char_boundary"] = q_unigram_lm_char_boundary
+ORACLES["unigram_lm_char_boundary"] = ORACLE_UNIGRAM_LM_CHARS

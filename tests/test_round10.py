@@ -410,3 +410,45 @@ def test_containment_prefix_branch_row_identical(spark, monkeypatch):
     monkeypatch.setattr(dd, "PREFIX_JOIN_MIN_DOCS", 1)
     adapt = rows(dd.ngram_containment_pairs_adaptive(df, "doc_id", threshold=0.6))
     assert adapt == base
+
+
+def test_unigram_lm_viterbi_and_convergence(spark):
+    """Unigram-LM tokenizer properties: (1) Viterbi tie-breaks are the
+    documented total order; (2) EM concentrates mass on a planted
+    whole-word piece and the encode then emits one piece per word;
+    (3) a chars-only vocab degenerates to characters."""
+    import math
+
+    from kg_etl_spark.operators.unigram_lm import (
+        unigram_lm_encode,
+        unigram_lm_train,
+        viterbi_word,
+    )
+
+    # (1) hand-built vocab: "abc" as one piece beats chars; equal-score
+    # alternatives resolve to fewer pieces then lexicographic order
+    lp = {"a": math.log(0.2), "b": math.log(0.2), "c": math.log(0.2),
+          "ab": math.log(0.2), "abc": math.log(0.2)}
+    assert viterbi_word("abc", lp, 8) == ["abc"]
+    lp2 = {"a": math.log(0.25), "b": math.log(0.25),
+           "ab": math.log(0.25), "ba": math.log(0.25)}
+    # "aba": ("ab","a") vs ("a","ba") tie on score and count ->
+    # lexicographically smaller sequence ("a","ba") wins
+    assert viterbi_word("aba", lp2, 8) == ["a", "ba"]
+
+    # (2) planted corpus: every word is the same 8-char string
+    docs = spark.createDataFrame(
+        [(i, "xyxyxyxy xyxyxyxy xyxyxyxy") for i in range(20)],
+        "doc_id long, text string",
+    )
+    vocab = unigram_lm_train(docs, vocab_size=4, seed_size=50, n_iters=2)
+    top_piece = vocab[0][0]
+    assert top_piece == "xyxyxyxy", vocab[:3]
+    enc = unigram_lm_encode(docs, vocab).collect()
+    assert all(r["n_pieces"] == r["n_words"] == 3 for r in enc)
+
+    # (3) chars-only vocab degenerates to characters
+    chars_vocab = unigram_lm_train(docs, vocab_size=0, seed_size=0, n_iters=0)
+    assert sorted(p for p, _ in chars_vocab) == ["x", "y"]
+    enc0 = unigram_lm_encode(docs, chars_vocab).collect()
+    assert all(r["n_pieces"] == 24 for r in enc0)  # 3 words x 8 chars

@@ -108,6 +108,7 @@ REPORT_QUERIES = [
     "vocab_growth_curve", "mann_whitney_u", "sprt_conversion",
     "trimmed_mean_segment", "rdd_effect", "markov_top1_accuracy",
     "filter_yield_curve", "dup_span_source_attribution",
+    "unigram_lm_char_boundary",
 ]
 
 
