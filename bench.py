@@ -145,6 +145,7 @@ HEADLINE = [
     "filter_yield_curve",
     "dup_span_source_attribution",
     "unigram_lm_char_boundary",
+    "t_closeness_audit",
 ]
 
 

@@ -223,6 +223,14 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("scalar", "1-row first-boundary-crossing aggregate"),
     "kg_etl_spark/queries/analytic.py::q_rdd_effect::hi":
         ("scalar", "1-row right-side OLS fit (a, b, n)"),
+    "kg_etl_spark/queries/analytic.py::q_t_closeness_audit::mm":
+        ("scalar", "1-row global min/max balance"),
+    "kg_etl_spark/queries/analytic.py::q_t_closeness_audit::glob_tot":
+        ("scalar", "1-row corpus total + max bin"),
+    "kg_etl_spark/queries/analytic.py::q_t_closeness_audit::glob_bin.select('_b')":
+        ("model", "<=10-row bin-id frame (fixed bin geometry)"),
+    "kg_etl_spark/queries/analytic.py::q_t_closeness_audit::bins":
+        ("model", "<=10-row bin-id frame (triangular cum join side)"),
     "kg_etl_spark/queries/events.py::q_cusum_drift::stats":
         ("scalar", "1-row mean/std of the daily-aggregate frame"),
     "kg_etl_spark/queries/events.py::q_heavy_key_profile::total":

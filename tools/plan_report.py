@@ -109,6 +109,7 @@ REPORT_QUERIES = [
     "trimmed_mean_segment", "rdd_effect", "markov_top1_accuracy",
     "filter_yield_curve", "dup_span_source_attribution",
     "unigram_lm_char_boundary",
+    "t_closeness_audit",
 ]
 
 
