@@ -286,7 +286,14 @@ def main() -> None:
         "converts back to broadcast at runtime when the built side is "
         "actually small — bench rows all at r9 par or better "
         "(`pmi_collocations` 1.033 vs 1.09, `apriori_triples` 2.931 "
-        "vs 2.92).",
+        "vs 2.92). (3) Quiet-box pins for the new r10 >=1 s rows "
+        "(interleaved min-of-3 in a STANDALONE session — i.e. without "
+        "the bench session's shared-scan amortization, so these are "
+        "upper bounds on bench rows; controls 0.302/0.306/0.203): "
+        "`dup_span_source_attribution` 2.49 s, `split_leakage_audit` "
+        "2.46 s, `sprt_conversion` 2.09 s, `unigram_lm_char_boundary` "
+        "1.69 s — read future cross-round deltas on these rows "
+        "against this baseline before suspecting code.",
         "",
         "**Session-shared derivations (round 8):** the distinct "
         "transition-edge frame is a pure function of the memoized "
