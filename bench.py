@@ -299,7 +299,90 @@ def _wait_for_quiet_box(threshold: float = 2.0, max_wait_s: float = 300.0) -> st
     return "timeout"
 
 
+def _next_round() -> int:
+    """Round number for the tracked BENCH_LOCAL twin: one past the
+    newest official BENCH_r{N}.json next to this script (the driver
+    writes the official AFTER the build turn, so during round N the
+    newest on disk is N-1)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = 0
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def _time_headline(spark, sf_dir: str) -> "tuple[dict[str, float], dict[str, dict]]":
+    """One full timed pass over HEADLINE: per query, min of 2 attempts
+    escalating to 3 (should_escalate), state flush between attempts.
+
+    A row is FAILED (-1) only when it produced NO successful attempt
+    (r10 ADVICE: a transient error on the escalated third run must not
+    void an otherwise valid min-of-2 measurement — a failed extra
+    attempt is simply 'no third sample')."""
+    timings: dict[str, float] = {}
+    noise: dict[str, dict] = {}
+    for name in HEADLINE:
+        attempts: list[float] = []
+        errors = 0
+        n = 0
+        load_pre = os.getloadavg()[0]
+
+        def _run_once() -> bool:
+            nonlocal n, errors
+            t0 = time.time()
+            try:
+                n = QUERIES[name](spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001 - one bad query must not void the bench
+                print(f"# {name}: attempt FAILED after {time.time()-t0:.3f}s: {exc}", file=sys.stderr)
+                errors += 1
+                return False
+            attempts.append(round(time.time() - t0, 3))
+            _drop_query_state()
+            return True
+
+        for _attempt in range(2):
+            if not _run_once():
+                break
+        if attempts and should_escalate(attempts, os.getloadavg()[0]):
+            _run_once()
+        best = min(attempts) if attempts else -1.0
+        timings[name] = best
+        if best >= 0:
+            noise[name] = {
+                "attempts": len(attempts),
+                "spread": round(max(attempts) / max(best, 1e-9), 2),
+                "load1m": [round(load_pre, 2), round(os.getloadavg()[0], 2)],
+            }
+            if errors:
+                noise[name]["attempt_errors"] = errors
+            print(
+                f"# {name}: {n} rows in {best}s (min of {len(attempts)}, "
+                f"spread {noise[name]['spread']})",
+                file=sys.stderr,
+            )
+    return timings, noise
+
+
 def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--runs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")),
+        help="repeat the whole timed headline loop N times and report "
+        "per-row minima across runs (burst-free numbers from ONE "
+        "artifact instead of N same-day artifacts read together)",
+    )
+    cli = parser.parse_args()
+    runs = max(1, cli.runs)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     load_gate = _wait_for_quiet_box()
@@ -343,50 +426,34 @@ def main() -> None:
     #     the bench's own ~32-thread footprint (sub-second rows dodge
     #     bursts via min-of-2 already; the multi-second rows are where
     #     a double-stall min lands in the artifact).
-    timings: dict[str, float] = {}
-    noise: dict[str, dict] = {}
+    # r10 verdict directive #5: --runs N repeats the WHOLE timed loop N
+    # times in the same session and reports per-row minima across runs
+    # — the cross-run-min protocol judges previously reconstructed from
+    # several same-day artifacts, now carried by ONE artifact.  Runs
+    # are whole-loop interleaved (run 1 of every query, then run 2 of
+    # every query) so a co-tenant burst window hits DIFFERENT queries
+    # in different runs instead of all attempts of one query.
+    run_results: list[tuple[dict[str, float], dict[str, dict]]] = []
+    for r in range(runs):
+        if runs > 1:
+            print(f"# ---- timed run {r + 1}/{runs} ----", file=sys.stderr)
+        run_results.append(_time_headline(spark, sf_dir))
+
+    timings = {}
+    noise = {}
     for name in HEADLINE:
-        attempts: list[float] = []
-        n = 0
-        failed = False
-        load_pre = os.getloadavg()[0]
-
-        def _run_once() -> bool:
-            nonlocal n, failed
-            t0 = time.time()
-            try:
-                n = QUERIES[name](spark, sf_dir).count()
-            except Exception as exc:  # noqa: BLE001 - one bad query must not void the bench
-                print(f"# {name}: FAILED after {time.time()-t0:.3f}s: {exc}", file=sys.stderr)
-                failed = True
-                return False
-            attempts.append(round(time.time() - t0, 3))
-            _drop_query_state()
-            return True
-
-        for _attempt in range(2):
-            if not _run_once():
-                break
-        if not failed and should_escalate(attempts, os.getloadavg()[0]):
-            _run_once()
-        best = -1.0 if failed else min(attempts)
-        timings[name] = best
-        if best >= 0:
-            noise[name] = {
-                "attempts": len(attempts),
-                "spread": round(max(attempts) / max(best, 1e-9), 2),
-                "load1m": [round(load_pre, 2), round(os.getloadavg()[0], 2)],
+        goods = [t[name] for t, _ in run_results if t.get(name, -1) >= 0]
+        timings[name] = min(goods) if goods else -1.0
+        per_run_noise = [nz[name] for _, nz in run_results if name in nz]
+        if per_run_noise:
+            noise[name] = per_run_noise[0] if runs == 1 else {
+                "runs": len(per_run_noise),
+                "run_mins": [t.get(name, -1.0) for t, _ in run_results],
+                "per_run": per_run_noise,
             }
-            print(
-                f"# {name}: {n} rows in {best}s (min of {len(attempts)}, "
-                f"spread {noise[name]['spread']})",
-                file=sys.stderr,
-            )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
@@ -396,7 +463,9 @@ def main() -> None:
                     "per-query min of 2 runs (escalating to 3 when a "
                     ">=1s query's attempts spread >=1.5x or the box "
                     "shows co-tenant load), state flush between"
+                    + (f"; min over {runs} whole-loop runs" if runs > 1 else "")
                 ),
+                "runs": runs,
                 # per-query noise context (r9 directive #5): attempts
                 # taken, worst/best attempt spread, and the 1-minute
                 # load immediately before/after the timed window —
@@ -427,9 +496,33 @@ def main() -> None:
                     c: timings.get(c, -1.0) for c in CONTROLS
                 },
                 **_control_ratio_vs_prev(timings),
-            }
+    }
+
+    # r10 verdict directive #1: the official artifact was parsed:null
+    # two rounds running because Spark's shutdown WARN lines landed
+    # AFTER the final JSON and the driver keeps only a 2000-char tail.
+    # Stop the session FIRST (absorbing its shutdown chatter), flush
+    # both streams, then emit the JSON as the genuinely last line —
+    # and write the same object to a tracked BENCH_LOCAL_r{N}.json
+    # twin so the per-query timings survive any tail truncation.
+    _SPARK = None  # _drop_query_state must not touch the stopped session
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - shutdown hiccups must not void the artifact
+        pass
+    line = json.dumps(payload)
+    try:
+        twin = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LOCAL_r{_next_round()}.json",
         )
-    )
+        with open(twin, "w") as f:
+            f.write(line + "\n")
+    except Exception:  # noqa: BLE001 - the stdout line is the primary artifact
+        pass
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -100,10 +100,14 @@ def shared_lineage_cut(df: DataFrame, source: DataFrame | None = None) -> DataFr
     ``session.clear_read_memo`` on an sf_dir swap drops the scan
     frame, the memo entry follows, and once no consumer holds the cut
     either, the finalizer unregisters + unpersists its blocks.  A
-    consumer that DOES hold the cut (or a plan built from it) past the
-    source's lifetime keeps the blocks alive — safe by construction
-    instead of by documentation, since localCheckpoint truncates
-    lineage and a premature release would be unrecoverable.  The
+    consumer that DOES hold the CUT FRAME ITSELF past the source's
+    lifetime keeps the blocks alive.  Holding only a DERIVED DataFrame
+    is NOT enough: weakref.finalize is registered on the Python
+    cut-frame object and a derived plan keeps no Python reference to
+    it, so once source and cut objects are both collected the blocks
+    are unpersisted with no recompute path (localCheckpoint truncates
+    lineage) — callers that outlive the memo must retain the cut
+    (r10 ADVICE; pinned by test_round11's derived-frame case).  The
     ``source`` parameter is retained for call-site documentation of
     which memo key owns the cut; eviction no longer depends on it."""
     sc = df.sparkSession.sparkContext

@@ -15,6 +15,7 @@ Everything native (xxhash64, higher-order array fns); no Python UDFs.
 from __future__ import annotations
 
 import warnings
+import weakref as _weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -900,8 +901,16 @@ PREFIX_JOIN_MIN_DOCS = 100_000
 # repeated calls (bench warmup + timed runs) — an unmemoized probe
 # costs a full pass per invocation.  Weak-keyed like the rankdev stats
 # memo: the entry dies with the frame.
-import weakref as _weakref
-
+# Staleness bound (r10 ADVICE): the memo is keyed on the DataFrame
+# OBJECT, so if the underlying source grows while the same frame object
+# is reused (files appended to a parquet dir behind a long-lived
+# memoized scan), the probe keeps serving the count observed at first
+# dispatch.  Results are unaffected — both branches are row-identical
+# by property test — but a corpus that grows past
+# PREFIX_JOIN_MIN_DOCS can stay on the plain Σdf² branch.  The refresh
+# path is the existing ``n_docs`` parameter: callers that re-scan a
+# mutated source should pass the fresh count (or a new frame object)
+# to force re-dispatch.
 _NDOCS_MEMO: "_weakref.WeakKeyDictionary[DataFrame, int]" = (
     _weakref.WeakKeyDictionary()
 )

@@ -5,9 +5,11 @@ low-cardinality corpus windows outside the reasoned allowlist. A new
 query that hand-rolls a Window.partitionBy(event_type)-style prologue
 fails HERE instead of in the next round's verdict.
 
-This walks every catalog plan (333 as of r10, ~2 min) — the most expensive test in the
-suite, and deliberately so: it is the automated form of the judge's
-plan review.
+This walks ALL catalog plans (every QUERIES entry; ~2 min) — the most
+expensive test in the suite, and deliberately so: it is the automated
+form of the judge's plan review.  No hard-coded catalog count here:
+the r10 ADVICE caught 333-vs-324-vs-338 drift across three docs, so
+the only number that matters is len(QUERIES) at run time.
 """
 
 from __future__ import annotations

@@ -1,0 +1,209 @@
+"""Round-11 regression tests: the r10 ADVICE fixes (bench escalation
+failure semantics, the cut-frame derived-plan contract) and the bench
+artifact hardening (post-shutdown JSON as the last stdout line, the
+tracked BENCH_LOCAL twin, the --runs cross-run-min protocol)."""
+
+from __future__ import annotations
+
+import gc
+import glob
+import json
+import os
+import re
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# r10 ADVICE #1: the shared-cut lifecycle contract is "hold the CUT
+# FRAME itself"; a derived plan does not pin the blocks.
+# ---------------------------------------------------------------------------
+
+
+def test_derived_frame_only_does_not_pin_cut_blocks(spark):
+    """Pin the ACTUAL finalizer behavior the reworded docstring states:
+    weakref.finalize is registered on the Python cut-frame object, so a
+    consumer holding only a DataFrame DERIVED from the cut (which keeps
+    no Python reference to the cut object) does NOT keep the
+    localCheckpoint blocks alive once source and cut objects are
+    collected.  If a future round strengthens the mechanism (e.g.
+    ref-tracking derived plans), this test documents that as an
+    intentional contract change."""
+    from kg_etl_spark.cutpoint import SHARED_CUT_RDD_IDS, is_shared_cut
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
+
+    sc = spark.sparkContext
+
+    def build():
+        before = {
+            i for app, i in SHARED_CUT_RDD_IDS if app == sc.applicationId
+        }
+        ev = spark.range(900).select(
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+                "event_type"
+            ),
+            (F.col("id") * 37 % 101).alias("user_id"),
+            F.timestamp_seconds(F.col("id") * 7 % 99_991).alias("ts"),
+        )
+        cut = undirected_transition_edges_cut(ev)
+        cut.count()
+        mine = {
+            i for app, i in SHARED_CUT_RDD_IDS if app == sc.applicationId
+        } - before
+        ids = {
+            int(jid)
+            for jid in sc._jsc.getPersistentRDDs().keys()
+            if int(jid) in mine
+        }
+        derived = cut.groupBy("a").count()  # plan built FROM the cut
+        return derived, ids  # source ev AND the cut object die here
+
+    derived, ids = build()
+    assert ids, "shared cut registered no persisted blocks"
+    gc.collect()  # source + cut objects gone; only the derived plan is held
+    for i in ids:
+        assert not is_shared_cut(sc, i), (
+            f"cut id {i} still shielded with only a derived plan held — "
+            "the lifecycle contract strengthened; update docstring + test"
+        )
+    live = {int(jid) for jid in sc._jsc.getPersistentRDDs().keys()}
+    assert not (ids & live), (
+        f"cut blocks {ids & live} still persisted with only a derived "
+        "plan held — contract strengthened; update docstring + test"
+    )
+
+
+# ---------------------------------------------------------------------------
+# r10 ADVICE #2 + verdict directives #1/#5: bench row semantics.
+# ---------------------------------------------------------------------------
+
+
+class _FakeDF:
+    def __init__(self, fail: bool):
+        self._fail = fail
+
+    def count(self) -> int:
+        if self._fail:
+            raise RuntimeError("transient attempt failure")
+        return 7
+
+
+def _patch_bench(monkeypatch, query, escalate: bool):
+    import bench
+
+    monkeypatch.setattr(bench, "QUERIES", {"fake": query})
+    monkeypatch.setattr(bench, "HEADLINE", ["fake"])
+    monkeypatch.setattr(bench, "_drop_query_state", lambda: None)
+    monkeypatch.setattr(
+        bench, "should_escalate", lambda attempts, load: escalate
+    )
+    return bench
+
+
+def test_bench_failed_escalation_keeps_min_of_good_attempts(monkeypatch):
+    """r10 ADVICE #2: a transient error on the escalated THIRD attempt
+    must not void an otherwise valid min-of-2 row — it is 'no third
+    sample', and the row carries the error in its noise context."""
+    calls = {"n": 0}
+
+    def query(spark, sf_dir):
+        calls["n"] += 1
+        return _FakeDF(fail=calls["n"] >= 3)
+
+    bench = _patch_bench(monkeypatch, query, escalate=True)
+    timings, noise = bench._time_headline(None, "/nonexistent")
+    assert calls["n"] == 3
+    assert timings["fake"] >= 0, "row voided by a failed escalation attempt"
+    assert noise["fake"]["attempts"] == 2
+    assert noise["fake"]["attempt_errors"] == 1
+
+
+def test_bench_row_failed_only_when_no_attempt_succeeded(monkeypatch):
+    """A row is FAILED (-1) only with zero successful attempts; one
+    good attempt out of two is a valid (if unguarded) measurement."""
+    bench = _patch_bench(
+        monkeypatch, lambda spark, sf_dir: _FakeDF(fail=True), escalate=False
+    )
+    timings, noise = bench._time_headline(None, "/nonexistent")
+    assert timings["fake"] == -1.0
+    assert "fake" not in noise
+
+    calls = {"n": 0}
+
+    def second_fails(spark, sf_dir):
+        calls["n"] += 1
+        return _FakeDF(fail=calls["n"] == 2)
+
+    bench = _patch_bench(monkeypatch, second_fails, escalate=False)
+    timings, noise = bench._time_headline(None, "/nonexistent")
+    assert timings["fake"] >= 0
+    assert noise["fake"]["attempts"] == 1
+    assert noise["fake"]["attempt_errors"] == 1
+
+
+def test_bench_next_round_is_one_past_newest_official():
+    import bench
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    officials = [
+        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    assert bench._next_round() == (max(officials) + 1 if officials else 1)
+
+
+def test_bench_main_emits_json_as_last_line_and_writes_twin(
+    spark, monkeypatch, capsys
+):
+    """r10 verdict directive #1 end-to-end: main() must (a) print the
+    result JSON as the LAST stdout line, AFTER stopping the session —
+    the official artifact keeps only a 2000-char output tail — and
+    (b) write the identical object to a tracked BENCH_LOCAL_r{N}.json
+    twin.  Runs the real pipeline against one tiny query with the
+    shared test session shielded from the shutdown."""
+    import sys
+
+    import bench
+
+    class _NoStop:
+        def __init__(self, inner):
+            self._inner = inner
+            self.stopped = False
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def stop(self):
+            self.stopped = True  # shared fixture session must survive
+
+    wrapper = _NoStop(spark)
+    monkeypatch.setattr(bench, "get_spark", lambda name: wrapper)
+    monkeypatch.setattr(bench, "HEADLINE", ["filter_project"])
+    monkeypatch.setattr(bench, "CONTROLS", [])
+    monkeypatch.setattr(bench, "_next_round", lambda: 99999)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--runs", "2"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_GATE", "0")
+
+    twin = os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)),
+        "BENCH_LOCAL_r99999.json",
+    )
+    try:
+        bench.main()
+        out = capsys.readouterr().out
+        last = out.rstrip("\n").splitlines()[-1]
+        payload = json.loads(last)  # last line IS the artifact
+        assert payload["queries"]["filter_project"] > 0
+        assert payload["runs"] == 2
+        assert payload["query_noise"]["filter_project"]["runs"] == 2
+        assert len(
+            payload["query_noise"]["filter_project"]["run_mins"]
+        ) == 2
+        assert wrapper.stopped, "session must stop BEFORE the JSON prints"
+        with open(twin) as f:
+            assert json.load(f) == payload, "twin must mirror the stdout line"
+    finally:
+        if os.path.exists(twin):
+            os.remove(twin)
