@@ -146,6 +146,10 @@ HEADLINE = [
     "dup_span_source_attribution",
     "unigram_lm_char_boundary",
     "t_closeness_audit",
+    # round 11: the tokenizer families feed packing end-to-end (r10
+    # directive #4) — dedup → quality → split → unigram-LM encode →
+    # pack-by-pieces as one DAG
+    "training_pipeline_tokenized_e2e",
 ]
 
 

@@ -86,6 +86,7 @@ def pack_concat_chunk(
     text_col: str = "text",
     cap: int = 2048,
     num_partitions: "int | None" = None,
+    count_col: "str | None" = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing manifest: documents are laid
     end-to-end in id order and cut into fixed `cap`-token bins; a
@@ -110,9 +111,17 @@ def pack_concat_chunk(
     leaves empty ranges, which cost nothing (r7: same
     parallelism-ceiling fix as the rank device family).
     """
-    base = (
-        df.select(F.col(id_col), F.size(ws_tokens(F.col(text_col))).alias("n_tokens"))
-        .filter(F.col("n_tokens") > 0)
+    # ``count_col`` (r11): pack by a PRE-COMPUTED per-doc length — e.g.
+    # a tokenizer's piece count — instead of the whitespace token count
+    # derived from ``text_col``; the bin math is length-source-agnostic
+    # (output column stays ``n_tokens``, the manifest contract)
+    size_expr = (
+        F.col(count_col)
+        if count_col is not None
+        else F.size(ws_tokens(F.col(text_col)))
+    )
+    base = df.select(F.col(id_col), size_expr.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
     )
     bounds = base.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")

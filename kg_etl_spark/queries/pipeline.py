@@ -887,6 +887,108 @@ GROUP BY split
 """
 
 
+def q_training_pipeline_tokenized_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship's sibling with a TOKENIZER stage (r10 verdict
+    directive #4): exact dedup (min-id keeper) → quality gate →
+    deterministic split → unigram-LM encode → pack by PIECE count —
+    the packing cap is now denominated in tokenizer pieces, the unit a
+    trainer actually bins by, instead of whitespace words.
+
+    The vocabulary is the chars-degenerate unigram LM (seed_size=0,
+    n_iters=0 → exactly the corpus's single characters), so the
+    Viterbi piece count per doc provably equals its total word
+    characters — the same planted boundary `unigram_lm_char_boundary`
+    value-proves — which keeps this composition fully SQL-expressible
+    end-to-end while exercising the real encode plumbing (explode →
+    mapInPandas over the distinct-word vocab → unhinted re-join →
+    per-doc aggregate) INSIDE a six-stage pipeline.  Output: one row
+    per split with doc/piece totals and the packed bin count."""
+    from kg_etl_spark.operators.dedup import normalized_fingerprint
+    from kg_etl_spark.operators.packing import pack_concat_chunk
+    from kg_etl_spark.operators.textquality import quality_features
+    from kg_etl_spark.operators.unigram_lm import (
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    good = quality_features(docs).filter(F.col("quality_score") >= _MIN_QUALITY)
+    keep = (
+        good.withColumn("fp", normalized_fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(docs, "doc_id")
+        .select("doc_id", "text")
+    )
+    # tokenizer trained on the RAW corpus (the realistic order: the
+    # vocab predates per-run curation); model-sized (|charset| rows)
+    vocab = unigram_lm_train(docs, vocab_size=0, seed_size=0, n_iters=0)
+    enc = unigram_lm_encode(keep, vocab).select("doc_id", "n_pieces")
+    # cut once: three per-split packs each run bounds/totals actions
+    # that would otherwise re-execute dedup + encode per split (the
+    # flagship's measured 33→7 Exchange lesson)
+    split = train_val_test_split(keep.join(enc, "doc_id")).lineage_cut()
+    out = []
+    for name in ("train", "val", "test"):
+        part = split.filter(F.col("split") == name)
+        manifest = pack_concat_chunk(part, cap=_E2E_CAP, count_col="n_pieces")
+        out.append(
+            manifest.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_pieces"),
+                (F.max("last_bin") + 1).alias("n_bins"),
+            ).select(
+                F.lit(name).alias("split"), "n_docs", "total_pieces", "n_bins"
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.filter(F.col("n_docs") > 0)
+
+
+ORACLE_TRAINING_TOKENIZED = f"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0)) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> list_contains(['the','a','an','and','or','of','in','on','at','to','is'], t))) AS n_stop
+  FROM documents
+), good AS (
+  SELECT doc_id, text FROM q
+  WHERE ROUND(least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+        + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+        + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+        , 6) >= {_MIN_QUALITY}
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM good GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+), pieces AS (
+  SELECT k.doc_id,
+         (SELECT COALESCE(SUM(len(tok)), 0)
+          FROM unnest(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
+                                  t -> len(t) > 0)) AS u(tok)) AS np
+  FROM keep k JOIN documents d ON k.doc_id = d.doc_id
+), sized AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET_SQL} < 10 THEN 'test'
+              WHEN {_BUCKET_SQL} < 20 THEN 'val'
+              ELSE 'train' END AS split,
+         np
+  FROM pieces
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(np) AS BIGINT) AS total_pieces,
+       CAST((SUM(np) + {_E2E_CAP} - 1) // {_E2E_CAP} AS BIGINT) AS n_bins
+FROM sized WHERE np > 0
+GROUP BY split
+"""
+
+
 QUERIES = {
     "corpus_prep": q_corpus_prep,
     "pii_redact": q_pii_redact,
@@ -909,6 +1011,7 @@ QUERIES = {
     "dataset_card": q_dataset_card,
     "filter_funnel": q_filter_funnel,
     "training_pipeline_e2e": q_training_pipeline_e2e,
+    "training_pipeline_tokenized_e2e": q_training_pipeline_tokenized_e2e,
 }
 
 ORACLES = {
@@ -933,6 +1036,7 @@ ORACLES = {
     "dataset_card": ORACLE_DATASET_CARD,
     "filter_funnel": ORACLE_FILTER_FUNNEL,
     "training_pipeline_e2e": ORACLE_TRAINING_E2E,
+    "training_pipeline_tokenized_e2e": ORACLE_TRAINING_TOKENIZED,
 }
 
 

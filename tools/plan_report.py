@@ -31,7 +31,8 @@ REPORT_QUERIES = [
     "nation_pair_trade", "product_profit", "idle_rich_customers",
     "chunk_documents", "shard_manifest", "dataset_mixture", "ngram_contamination",
     "incremental_rollup", "morton_cells", "dataset_card", "filter_funnel",
-    "training_pipeline_e2e", "expectations_lineitem", "promo_revenue_share",
+    "training_pipeline_e2e", "training_pipeline_tokenized_e2e",
+    "expectations_lineitem", "promo_revenue_share",
     "disjunctive_revenue", "priority_shipping_buckets", "forecast_revenue",
     "returned_item_customers", "negative_samples", "geohash_cells", "sql_window_rank",
     "bloom_contamination", "unigram_surprisal", "semantic_dedup",
