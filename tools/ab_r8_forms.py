@@ -91,8 +91,15 @@ def main() -> None:
         dt = time.time() - t0
         best[tag] = min(best.get(tag, dt), dt)
 
-    for _ in range(ROUNDS):
-        for form in variants:
+    for rnd in range(ROUNDS):
+        # ALTERNATE which form runs first each round: a fixed order
+        # hands the second form the JVM/GC state the first one paid
+        # for — measured as a spurious ~1.5x on this box (r11: the
+        # same pair flipped sign when the order flipped)
+        forms = list(variants)
+        if rnd % 2:
+            forms.reverse()
+        for form in forms:
             timed(f"theil_sen_trend[{form}]",
                   lambda f=form: run_theil(f))
         timed("betweenness_sampled",

@@ -296,6 +296,38 @@ def main() -> None:
         "1.69 s — read future cross-round deltas on these rows "
         "against this baseline before suspecting code.",
         "",
+        "**Round-11 watch items closed (r10 verdict directive #2; "
+        "`tools/ab_r8_forms.py` — the r8 rankdev module loaded "
+        "straight from git and monkeypatched into the query, "
+        "interleaved same-process min-of-N, results bit-compared "
+        "first):** both r10 watch rows are box, not code. "
+        "(1) `theil_sen_trend` — the suspected rank-device NULL-guard "
+        "constant DOES NOT EXIST for guard-free data: with no "
+        "constant-plus-NULL cascade level, `_tie_subcell_expr([], "
+        "tbe, bnds)` collapses to exactly the r8 `_boundary_expr` "
+        "(the guard loop adds nothing), the probe aggregate differs "
+        "by one `F.count(tbd)` column in an already-collected job, "
+        "and both forms run the identical 10 jobs at sf0.1. The "
+        "timing evidence agrees once ordering bias is removed: a "
+        "FIXED-order A/B (current always first each round) showed "
+        "current 1.127 s vs r8 0.743 s, but ALTERNATING the order on "
+        "a quiet box (load 0.80, min-of-6) flipped the sign — "
+        "current 1.234 s vs r8 1.519 s — i.e. whichever form runs "
+        "second in a round inherits the GC/JIT state the first paid "
+        "for, a ±0.3–0.4 s artifact at this query's size. "
+        "`ab_r8_forms.py` now alternates per round. Verdict: par; "
+        "the 1.35× official-row delta (0.23 s absolute) is burst "
+        "regime. (2) `betweenness_sampled` — query + centrality "
+        "kernel untouched since r8 (git-verified; the r9 adjacent.py "
+        "diff only re-keys a plan memo), so the 2.67→2.96→3.23 s "
+        "official creep had no code to blame: standalone quiet-box "
+        "min-of-3 3.412 s with the controls at 1.1–1.4× their r10 "
+        "standalone pins (0.368/0.282/0.226 vs 0.302/0.306/0.203) "
+        "deflates to ~r8 par, and standalone sessions are upper "
+        "bounds on bench rows (no shared-scan amortization). Pinned "
+        "as the row's standalone baseline; both leave the watch "
+        "list.",
+        "",
         "**Session-shared derivations (round 8):** the distinct "
         "transition-edge frame is a pure function of the memoized "
         "event scan, so `transition_edges_cut` / "
