@@ -150,6 +150,15 @@ HEADLINE = [
     # directive #4) — dedup → quality → split → unigram-LM encode →
     # pack-by-pieces as one DAG
     "training_pipeline_tokenized_e2e",
+    # round 11: classical-statistics completions (ANOVA F, median
+    # Levene, Kendall tau-b, Friedman blocks) and curation planning
+    # (UniMax waterfilling, dedup threshold sweep)
+    "anova_oneway_balance",
+    "brown_forsythe_balance",
+    "kendall_tau_daily",
+    "friedman_priority_months",
+    "token_budget_unimax",
+    "dedup_threshold_curve",
 ]
 
 

@@ -4725,3 +4725,401 @@ FROM cum GROUP BY 1, 2
 
 QUERIES["t_closeness_audit"] = q_t_closeness_audit
 ORACLES["t_closeness_audit"] = ORACLE_T_CLOSENESS
+
+
+# --- One-way ANOVA F across market segments (round 11) ------------------
+
+
+def q_anova_oneway_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F: does mean account balance differ across market
+    segments? Classic sum-of-squares identity on EXACT scaled-int
+    decimal sums — SSB = Σ_g S_g²/n_g − S²/N, SSW = Q − Σ_g S_g²/n_g
+    with S_g = Σy, Q = Σy² (y = balance·100 as int, so every per-group
+    sum is exact; the scale factor cancels in F and η²). The ≤|segments|
+    per-group terms fold in pinned segment order (the catalog's fold
+    discipline); everything after is correctly-rounded scalar IEEE.
+
+    100 TB shape: ONE map-side-combined segment aggregate (≤5 rows)
+    and a 1-row fold. No window, no join, nothing quadratic."""
+    cust = read_table(spark, sf_dir, "customer")
+    DEC = "decimal(38,0)"
+    y = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
+    g = cust.select(F.col("c_mktsegment").alias("seg"), y.alias("y")).groupBy(
+        "seg"
+    ).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("y").cast(DEC)).alias("sg"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("qg"),
+    )
+    sgd = F.col("sg").cast("double")
+    term = sgd * sgd / F.col("ng").cast("double")
+    folded = g.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("seg"), term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("sb_terms"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+    )
+    nD = F.col("n").cast("double")
+    sD = F.col("s").cast("double")
+    ssb = F.col("sb_terms") - sD * sD / nD
+    ssw = F.col("q").cast("double") - F.col("sb_terms")
+    fstat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (nD - F.col("k").cast("double"))
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_cust"),
+        (F.col("k") - 1).cast("long").alias("dof_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("dof_within"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+ORACLE_ANOVA = """
+WITH g AS (
+  SELECT c_mktsegment AS seg, COUNT(*) AS ng,
+         SUM(CAST(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS DECIMAL(38,0))) AS sg,
+         SUM(CAST(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT)
+                  * CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS DECIMAL(38,0))) AS qg
+  FROM customer GROUP BY 1
+), folded AS (
+  SELECT list_reduce(
+           list_prepend(0.0, list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                  / CAST(ng AS DOUBLE) ORDER BY seg)),
+           (acc, t) -> acc + t) AS sb_terms,
+         COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_cust,
+       CAST(k - 1 AS BIGINT) AS dof_between,
+       CAST(n - k AS BIGINT) AS dof_within,
+       ROUND((sb_terms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(k - 1 AS DOUBLE)
+             / ((CAST(q AS DOUBLE) - sb_terms) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
+       ROUND((sb_terms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / ((sb_terms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(q AS DOUBLE) - sb_terms)), 6) AS eta_sq
+FROM folded
+"""
+
+QUERIES["anova_oneway_balance"] = q_anova_oneway_balance
+ORACLES["anova_oneway_balance"] = ORACLE_ANOVA
+
+
+# --- Brown–Forsythe (median-based Levene) homogeneity test (round 11) ---
+
+
+def q_brown_forsythe_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with the median center): are
+    balance VARIANCES homogeneous across market segments? Per-group
+    LOWER MEDIAN (the exact order statistic at rank (n+1) div 2 —
+    engine-identical, no interpolation) via the grouped rank device,
+    then one-way ANOVA F on z = |y − med_g| in the exact scaled-int
+    domain (z is an int, so all sums are exact decimals and the scale
+    cancels in F).
+
+    100 TB shape: the device replaces the per-segment n/|segments|
+    single-task sort (slope-bucketed parallel cells); the ≤|segments|
+    median frame re-attaches via an unhinted equi-join the planner
+    broadcasts; the F fold is the pinned ≤5-term array fold. Cites
+    rankdev.grouped_row_number — same contract as theil_sen_trend."""
+    from kg_etl_spark.operators.rankdev import grouped_row_number
+
+    cust = read_table(spark, sf_dir, "customer")
+    DEC = "decimal(38,0)"
+    rows = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("cid"),
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("y"),
+    ).lineage_cut(eager=True)
+    ranked = grouped_row_number(
+        rows, ["seg"], "y", ["cid"], out_col="rn", count_col="ng"
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(ng + 1) div 2")).select(
+        "seg", F.col("y").alias("med")
+    )
+    z = rows.join(med, "seg").select(
+        "seg", F.abs(F.col("y") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("z").cast(DEC)).alias("sg"),
+        F.sum((F.col("z") * F.col("z")).cast(DEC)).alias("qg"),
+    )
+    sgd = F.col("sg").cast("double")
+    term = sgd * sgd / F.col("ng").cast("double")
+    folded = g.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("seg"), term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("sb_terms"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+    )
+    nD = F.col("n").cast("double")
+    sD = F.col("s").cast("double")
+    ssb = F.col("sb_terms") - sD * sD / nD
+    ssw = F.col("q").cast("double") - F.col("sb_terms")
+    fstat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (nD - F.col("k").cast("double"))
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_cust"),
+        (F.col("k") - 1).cast("long").alias("dof_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("dof_within"),
+        F.round(fstat, 6).alias("bf_stat"),
+    )
+
+
+ORACLE_BROWN_FORSYTHE = """
+WITH rows_ AS (
+  SELECT c_mktsegment AS seg, c_custkey AS cid,
+         CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS y
+  FROM customer
+), ranked AS (
+  SELECT seg, y,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY y, cid) AS rn,
+         COUNT(*) OVER (PARTITION BY seg) AS ng
+  FROM rows_
+), med AS (
+  SELECT seg, y AS med FROM ranked WHERE rn = (ng + 1) // 2
+), z AS (
+  SELECT r.seg, ABS(r.y - m.med) AS z FROM rows_ r JOIN med m USING (seg)
+), g AS (
+  SELECT seg, COUNT(*) AS ng,
+         SUM(CAST(z AS DECIMAL(38,0))) AS sg,
+         SUM(CAST(z * z AS DECIMAL(38,0))) AS qg
+  FROM z GROUP BY 1
+), folded AS (
+  SELECT list_reduce(
+           list_prepend(0.0, list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                  / CAST(ng AS DOUBLE) ORDER BY seg)),
+           (acc, t) -> acc + t) AS sb_terms,
+         COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_cust,
+       CAST(k - 1 AS BIGINT) AS dof_between,
+       CAST(n - k AS BIGINT) AS dof_within,
+       ROUND((sb_terms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(k - 1 AS DOUBLE)
+             / ((CAST(q AS DOUBLE) - sb_terms) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS bf_stat
+FROM folded
+"""
+
+QUERIES["brown_forsythe_balance"] = q_brown_forsythe_balance
+ORACLES["brown_forsythe_balance"] = ORACLE_BROWN_FORSYTHE
+
+
+# --- Kendall tau-b daily trend per event type (round 11) ----------------
+
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-b) between day and daily event
+    count per event type — the concordance-based sibling of
+    `theil_sen_trend` (same calendar-bounded D² pair frame) and the
+    third rank-correlation family member next to Spearman. Days are
+    distinct within a type, so T_x = 0 and
+        tau_b = (C − D) / sqrt(n0 · (n0 − T_y)),
+    with C/D/T_y counted directly on the d1 < d2 pair stream (T_y =
+    Σ t(t−1)/2 over tied counts, equal by construction to the tied
+    pairs the stream sees). Integer-exact until the final √/÷.
+
+    100 TB shape: the daily series is calendar-bounded MODEL STATE, so
+    the per-type pair fan-out is D² bounded by the calendar — the
+    theil_sen/holt contract; corpus-scale work is the one daily hash
+    aggregate, and the pair stream reduces in ONE map-side-combined
+    per-type aggregate (no window, no device needed)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(b, "event_type").filter(F.col("d1") < F.col("d2"))
+    agg = pairs.groupBy("event_type").agg(
+        F.sum((F.col("c2") > F.col("c1")).cast("long")).alias("cc"),
+        F.sum((F.col("c2") < F.col("c1")).cast("long")).alias("dd"),
+        F.sum((F.col("c2") == F.col("c1")).cast("long")).alias("ty"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    num = (F.col("cc") - F.col("dd")).cast("double")
+    den = F.sqrt(F.col("n0").cast("double")) * F.sqrt(
+        (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n0").alias("n_pairs"),
+        F.when(den > 0, F.round(num / den, 6)).alias("tau_b"),
+    ).orderBy("event_type")
+
+
+ORACLE_KENDALL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.c AS c1, b.c AS c2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN c2 > c1 THEN 1 ELSE 0 END) AS cc,
+         SUM(CASE WHEN c2 < c1 THEN 1 ELSE 0 END) AS dd,
+         SUM(CASE WHEN c2 = c1 THEN 1 ELSE 0 END) AS ty,
+         COUNT(*) AS n0
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, CAST(n0 AS BIGINT) AS n_pairs,
+       CASE WHEN SQRT(CAST(n0 AS DOUBLE)) * SQRT(CAST(n0 - ty AS DOUBLE)) > 0
+            THEN ROUND(CAST(cc - dd AS DOUBLE)
+                       / (SQRT(CAST(n0 AS DOUBLE)) * SQRT(CAST(n0 - ty AS DOUBLE))), 6)
+            END AS tau_b
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["kendall_tau_daily"] = q_kendall_tau_daily
+ORACLES["kendall_tau_daily"] = ORACLE_KENDALL
+
+
+# --- Friedman test over month blocks x order priorities (round 11) ------
+
+
+def q_friedman_priority_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (JASA 1937): do order priorities differ in
+    mean order value, treating each calendar month as a matched block?
+    Observation = per-(month, priority) mean total price (exact
+    decimal sum → correctly-rounded double division, engine-exact);
+    only COMPLETE blocks (all k priorities present) enter, per the
+    test's matched design. Within-block average-ranks are computed
+    over the collected k-element array with higher-order functions —
+    rank_j = 1 + #{v < v_j} + (#{v = v_j} − 1)/2 — so there is NO
+    window anywhere; ranks are multiples of 0.5 (binary-exact), rank
+    sums R_j are exact doubles, and
+        chi2_F = 12/(n·k·(k+1)) · Σ R_j² − 3·n·(k+1),
+        W = chi2_F / (n·(k−1))   (Kendall's concordance).
+    The Σ R_j² fold is the pinned ≤k-term array fold.
+
+    100 TB shape: months × priorities is calendar-bounded MODEL STATE
+    (the theil_sen contract); corpus-scale work is ONE hash aggregate.
+    The global treatment count k attaches as a 1-row broadcast
+    scalar."""
+    orders = read_table(spark, sf_dir, "orders")
+    DEC = "decimal(38,0)"
+    cells = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("m"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long").cast(DEC))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("v")
+    )
+    k1 = orders.agg(
+        F.count_distinct("o_orderpriority").cast("long").alias("k")
+    )
+    blocks = (
+        cells.groupBy("m")
+        .agg(F.collect_list(F.struct("prio", "v")).alias("arr"))
+        .crossJoin(F.broadcast(k1))
+        .filter(F.size("arr") == F.col("k"))
+    )
+    ranked = blocks.select(
+        "m",
+        "k",
+        F.explode(
+            F.transform(
+                "arr",
+                lambda s: F.struct(
+                    s["prio"].alias("prio"),
+                    (
+                        F.lit(1.0)
+                        + F.size(
+                            F.filter(F.col("arr"), lambda x: x["v"] < s["v"])
+                        ).cast("double")
+                        + (
+                            F.size(
+                                F.filter(F.col("arr"), lambda x: x["v"] == s["v"])
+                            ).cast("double")
+                            - 1.0
+                        )
+                        / 2.0
+                    ).alias("r"),
+                ),
+            )
+        ).alias("pr"),
+    )
+    per_t = ranked.groupBy(F.col("pr.prio").alias("prio")).agg(
+        F.sum("pr.r").alias("rj"), F.count(F.lit(1)).alias("n"), F.max("k").alias("k")
+    )
+    folded = per_t.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("prio"), (F.col("rj") * F.col("rj")).alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("sr2"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    nD, kD = F.col("n").cast("double"), F.col("k").cast("double")
+    chi2 = F.lit(12.0) / (nD * kD * (kD + 1.0)) * F.col("sr2") - 3.0 * nD * (
+        kD + 1.0
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treatments"),
+        F.round(chi2, 6).alias("chi2_f"),
+        F.round(chi2 / (nD * (kD - 1.0)), 6).alias("kendall_w"),
+    )
+
+
+ORACLE_FRIEDMAN = """
+WITH cells AS (
+  SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority AS prio,
+         CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                       AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS v
+  FROM orders GROUP BY 1, 2
+), k1 AS (SELECT COUNT(DISTINCT o_orderpriority) AS k FROM orders),
+blocks AS (
+  SELECT m, list({'prio': prio, 'v': v}) AS arr FROM cells GROUP BY m
+), complete AS (
+  SELECT m, arr, k FROM blocks CROSS JOIN k1 WHERE len(arr) = k
+), ranked AS (
+  SELECT m, k,
+         unnest(list_transform(arr, s -> {'prio': s.prio,
+           'r': 1.0 + len(list_filter(arr, x -> x.v < s.v))
+               + (len(list_filter(arr, x -> x.v = s.v)) - 1.0) / 2.0
+         })) AS pr
+  FROM complete
+), per_t AS (
+  SELECT pr.prio AS prio, SUM(pr.r) AS rj, COUNT(*) AS n, MAX(k) AS k
+  FROM ranked GROUP BY 1
+), folded AS (
+  SELECT list_reduce(list_prepend(0.0, list(rj * rj ORDER BY prio)),
+                     (acc, t) -> acc + t) AS sr2,
+         MAX(n) AS n, MAX(k) AS k
+  FROM per_t
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+       ROUND(12.0 / (n * k * (k + 1.0)) * sr2 - 3.0 * n * (k + 1.0), 6) AS chi2_f,
+       ROUND((12.0 / (n * k * (k + 1.0)) * sr2 - 3.0 * n * (k + 1.0))
+             / (n * (k - 1.0)), 6) AS kendall_w
+FROM folded
+"""
+
+QUERIES["friedman_priority_months"] = q_friedman_priority_months
+ORACLES["friedman_priority_months"] = ORACLE_FRIEDMAN

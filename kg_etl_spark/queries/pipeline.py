@@ -1277,3 +1277,121 @@ SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
 
 QUERIES["weighted_priority_sample"] = q_weighted_priority_sample
 ORACLES["weighted_priority_sample"] = ORACLE_WEIGHTED_PRIORITY
+
+
+def q_token_budget_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style token-budget allocation (Chung et al. 2023's
+    budget-constrained uniform sampling, the waterfilling form): given
+    per-source token counts T_s, a total training budget B = Σ T_s
+    (one corpus-epoch) and a per-source repeat cap of 2 epochs
+    (cap_s = 2·T_s), allocate the budget as uniformly as possible —
+    sources are filled to a common water level L, small sources
+    saturate at their cap, and the leftover re-levels among the rest:
+        sort by cap asc;  source i saturates iff
+        cap_i·(S−i+1) + Σ_{j<i} cap_j ≤ B   (a prefix, by exchange
+        argument);  L = (B − Σ_sat cap) / (S − m);  a_s = min(cap_s, L).
+    Integer-exact until L's single division.
+
+    100 TB shape: corpus-scale work is ONE map-side token-count
+    aggregate; the waterfilling runs entirely in higher-order array
+    expressions over the ≤|sources|-row frame (sorted collect_list +
+    transform/aggregate) — NO window, NO driver loop, no collect."""
+    from kg_etl_spark.operators.textquality import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum(F.size(ws_tokens(F.col("text"))).cast("long")).alias("toks")
+    )
+    one = w.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (F.lit(2) * F.col("toks")).alias("cap"),
+                    F.col("source").alias("source"),
+                    F.col("toks").alias("toks"),
+                )
+            )
+        ).alias("arr"),
+        F.sum("toks").alias("budget"),
+    )
+    arr, bud = F.col("arr"), F.col("budget")
+    S = F.size(arr)
+    prefix = lambda n: F.aggregate(  # noqa: E731 - Σ cap over arr[1..n]
+        F.slice(arr, 1, n), F.lit(0).cast("long"), lambda acc, x: acc + x["cap"]
+    )
+    sat = F.transform(
+        F.sequence(F.lit(1), S),
+        lambda i: (
+            F.element_at(arr, i)["cap"] * (S - i + 1).cast("long") + prefix(i - 1)
+        )
+        <= bud,
+    )
+    staged = one.select(
+        arr,
+        bud,
+        F.size(F.filter(sat, lambda x: x)).alias("m"),
+    )
+    m = F.col("m")
+    level = (bud - prefix(m)).cast("double") / (S - m).cast("double")
+    rows = staged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr)),
+                lambda i: F.struct(
+                    F.element_at(arr, i)["source"].alias("source"),
+                    F.element_at(arr, i)["toks"].alias("n_tokens"),
+                    F.element_at(arr, i)["cap"].alias("cap_tokens"),
+                    F.when(
+                        i <= m, F.element_at(arr, i)["cap"].cast("double")
+                    )
+                    .otherwise(level)
+                    .alias("alloc"),
+                ),
+            )
+        ).alias("s")
+    )
+    return rows.select(
+        F.col("s.source").alias("source"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.cap_tokens").alias("cap_tokens"),
+        F.round(F.col("s.alloc"), 6).alias("alloc_tokens"),
+        F.round(F.col("s.alloc") / F.col("s.n_tokens").cast("double"), 6).alias(
+            "epochs"
+        ),
+    ).orderBy("source")
+
+
+ORACLE_TOKEN_BUDGET = """
+WITH w AS (
+  SELECT source,
+         SUM(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> len(t) > 0))) AS toks
+  FROM documents GROUP BY source
+), b AS (SELECT SUM(toks) AS budget FROM w),
+sorted AS (
+  SELECT source, toks, 2 * toks AS cap,
+         ROW_NUMBER() OVER (ORDER BY 2 * toks, source) AS i,
+         COUNT(*) OVER () AS s,
+         COALESCE(SUM(2 * toks) OVER (ORDER BY 2 * toks, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev
+  FROM w
+), sat AS (
+  SELECT sorted.*, budget,
+         CASE WHEN cap * (s - i + 1) + p_prev <= budget THEN 1 ELSE 0 END AS is_sat
+  FROM sorted CROSS JOIN b
+), msum AS (
+  SELECT SUM(is_sat) AS m, COALESCE(SUM(CASE WHEN is_sat = 1 THEN cap END), 0) AS pm
+  FROM sat
+)
+SELECT source, CAST(toks AS BIGINT) AS n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+       ROUND(CASE WHEN is_sat = 1 THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(budget - pm AS DOUBLE) / CAST(s - m AS DOUBLE) END, 6) AS alloc_tokens,
+       ROUND(CASE WHEN is_sat = 1 THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(budget - pm AS DOUBLE) / CAST(s - m AS DOUBLE) END
+             / CAST(toks AS DOUBLE), 6) AS epochs
+FROM sat CROSS JOIN msum
+ORDER BY source
+"""
+
+QUERIES["token_budget_unimax"] = q_token_budget_unimax
+ORACLES["token_budget_unimax"] = ORACLE_TOKEN_BUDGET

@@ -2354,3 +2354,95 @@ FROM w GROUP BY doc_id
 
 QUERIES["unigram_lm_char_boundary"] = q_unigram_lm_char_boundary
 ORACLES["unigram_lm_char_boundary"] = ORACLE_UNIGRAM_LM_CHARS
+
+
+# --- Dedup threshold-sweep curve (round 11) -----------------------------
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection curve for near-dup dedup: one verified
+    Jaccard pair stream at the lowest candidate threshold (0.5),
+    bucketed into 0.1-wide similarity bands, with the cumulative pair
+    count at-or-above each band — i.e. "how many pairs would a dedup
+    run at threshold t act on", the curve a curation engineer reads
+    before picking t (the filter_yield_curve sibling for dedup). Band
+    assignment floor(jaccard·10) runs on the 6dp-rounded jaccard both
+    engines already agree on bit-for-bit.
+
+    100 TB shape: rides the size-adaptive pair generator (plain
+    inverted index below 100k docs, prefix ssjoin above — the
+    doc_dup_groups dispatch); the band rollup is ONE ≤6-row aggregate
+    and the cumulative is a higher-order fold over the collected band
+    array — no window, no second pass over the pair stream."""
+    from kg_etl_spark.operators.dedup import ngram_jaccard_pairs_adaptive
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(docs, "doc_id", n=3, threshold=0.5)
+    bands = pairs.groupBy(
+        F.floor(F.col("jaccard") * 10.0).cast("long").alias("db")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    one = bands.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("db"), F.col("n_pairs").alias("n")))
+        ).alias("arr")
+    )
+    return (
+        one.select(
+            F.explode(
+                F.transform(
+                    F.col("arr"),
+                    lambda s: F.struct(
+                        s["db"].alias("db"),
+                        s["n"].alias("n_pairs"),
+                        F.aggregate(
+                            F.filter(
+                                F.col("arr"), lambda x: x["db"] >= s["db"]
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x["n"],
+                        ).alias("cum_pairs"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select(
+            (F.col("s.db").cast("double") / 10.0).alias("band"),
+            F.col("s.n_pairs").alias("n_pairs"),
+            F.col("s.cum_pairs").alias("cum_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_DEDUP_CURVE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.sh, b.sh)) AS n_common,
+         len(a.sh) AS a_sz, len(b.sh) AS b_sz
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+),
+j AS (
+  SELECT ROUND(CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common), 6) AS jac
+  FROM p
+  WHERE n_common > 0
+    AND CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common) >= 0.5
+),
+bands AS (
+  SELECT CAST(FLOOR(jac * 10.0) AS BIGINT) AS db, COUNT(*) AS n_pairs
+  FROM j GROUP BY 1
+)
+SELECT CAST(b.db AS DOUBLE) / 10.0 AS band,
+       CAST(b.n_pairs AS BIGINT) AS n_pairs,
+       CAST((SELECT SUM(b2.n_pairs) FROM bands b2 WHERE b2.db >= b.db) AS BIGINT) AS cum_pairs
+FROM bands b ORDER BY band
+"""
+
+QUERIES["dedup_threshold_curve"] = q_dedup_threshold_curve
+ORACLES["dedup_threshold_curve"] = ORACLE_DEDUP_CURVE

@@ -196,6 +196,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("scalar", "1-row max day"),
     "kg_etl_spark/queries/analytic.py::q_kaplan_meier_retention::tot":
         ("scalar", "1-row cohort size"),
+    "kg_etl_spark/queries/analytic.py::q_friedman_priority_months::k1":
+        ("scalar", "1-row global treatment count"),
     "kg_etl_spark/queries/analytic.py::q_kruskal_wallis_spend::ties":
         ("scalar", "1-row tie-correction sum"),
     "kg_etl_spark/queries/analytic.py::q_ks_two_sample::tot":

@@ -111,6 +111,9 @@ REPORT_QUERIES = [
     "filter_yield_curve", "dup_span_source_attribution",
     "unigram_lm_char_boundary",
     "t_closeness_audit",
+    "anova_oneway_balance", "brown_forsythe_balance", "kendall_tau_daily",
+    "friedman_priority_months", "token_budget_unimax",
+    "dedup_threshold_curve",
 ]
 
 
