@@ -159,6 +159,12 @@ HEADLINE = [
     "friedman_priority_months",
     "token_budget_unimax",
     "dedup_threshold_curve",
+    # round 11 (cont.): effect size, corpus novelty, duplication
+    # provenance
+    "cramers_v_segment_nation",
+    "ngram_novelty_curve",
+    "dup_cluster_size_histogram",
+    "source_overlap_matrix",
 ]
 
 

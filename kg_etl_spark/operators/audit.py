@@ -328,3 +328,52 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V effect size (+ the Bergsma 2013 bias-corrected Ṽ)
+    for two categorical columns — the companion :func:`chi_square`
+    deliberately doesn't emit (its output schema is oracle-pinned):
+    V = √(χ²/n / min(r−1, c−1)), Ṽ from φ̃² = max(0, φ² −
+    (r−1)(c−1)/(n−1)) with the shrunken r̃/c̃. Same densified-grid
+    cell construction, same 6dp-decimal contribution fold; everything
+    after the fold is scalar IEEE on exact integers."""
+    cells = (
+        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .lineage_cut(eager=True)
+    )
+    row_t = cells.groupBy("a").agg(F.sum("obs").alias("rt"))
+    col_t = cells.groupBy("b").agg(F.sum("obs").alias("ct"))
+    n = cells.agg(
+        F.sum("obs").alias("n"),
+        F.count_distinct("a").alias("na"),
+        F.count_distinct("b").alias("nb"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    obs = F.coalesce(F.col("obs"), F.lit(0)).cast("double")
+    contrib = F.round((obs - exp) * (obs - exp) / exp, 6).cast("decimal(28,6)")
+    folded = (
+        row_t.crossJoin(col_t)
+        .join(F.broadcast(cells), ["a", "b"], "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_c", contrib)
+        .groupBy("n", "na", "nb")
+        .agg(F.sum("_c").cast("double").alias("chi2"))
+    )
+    nD = F.col("n").cast("double")
+    naD, nbD = F.col("na").cast("double"), F.col("nb").cast("double")
+    phi2 = F.col("chi2") / nD
+    v = F.sqrt(phi2 / F.least(naD - 1.0, nbD - 1.0))
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (naD - 1.0) * (nbD - 1.0) / (nD - 1.0)
+    )
+    rsh = naD - (naD - 1.0) * (naD - 1.0) / (nD - 1.0)
+    csh = nbD - (nbD - 1.0) * (nbD - 1.0) / (nD - 1.0)
+    vc = F.sqrt(phi2c / F.least(rsh - 1.0, csh - 1.0))
+    return folded.select(
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.col("n").cast("long").alias("n"),
+        F.round(v, 6).alias("cramers_v"),
+        F.round(vc, 6).alias("cramers_v_corrected"),
+    )

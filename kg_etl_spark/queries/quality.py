@@ -606,3 +606,47 @@ FROM b GROUP BY bin
 
 QUERIES["brier_reliability"] = q_brier_reliability
 ORACLES["brier_reliability"] = ORACLE_BRIER_RELIABILITY
+
+
+def q_cramers_v_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (+ Bergsma bias-corrected Ṽ) between customer
+    market segment and nation — the effect-size companion to the
+    chi-square independence audit (operators/audit.py `cramers_v`;
+    r11). A dataset-card correlation number that, unlike raw χ²,
+    is comparable across table sizes."""
+    from kg_etl_spark.operators.audit import cramers_v
+
+    cust = read_table(spark, sf_dir, "customer")
+    return cramers_v(cust, "c_mktsegment", "c_nationkey")
+
+
+ORACLE_CRAMERS_V = """
+WITH cells AS (
+  SELECT c_mktsegment AS a, c_nationkey AS b, COUNT(*) AS obs
+  FROM customer GROUP BY 1, 2
+), rt AS (SELECT a, SUM(obs) AS rt FROM cells GROUP BY a),
+   ct AS (SELECT b, SUM(obs) AS ct FROM cells GROUP BY b),
+   n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb
+         FROM cells),
+   contrib AS (
+  SELECT CAST(ROUND(
+           (CAST(COALESCE(cells.obs, 0) AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+           * (CAST(COALESCE(cells.obs, 0) AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+           / (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)), 6) AS DECIMAL(28,6)) AS c
+  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b, n
+), folded AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS chi2, MAX(n.n) AS n, MAX(n.na) AS na, MAX(n.nb) AS nb
+  FROM contrib, n
+)
+SELECT ROUND(chi2, 6) AS chi2,
+       CAST(n AS BIGINT) AS n,
+       ROUND(SQRT(chi2 / n / LEAST(na - 1.0, nb - 1.0)), 6) AS cramers_v,
+       ROUND(SQRT(GREATEST(0.0, chi2 / n - (na - 1.0) * (nb - 1.0) / (n - 1.0))
+                  / LEAST(na - (na - 1.0) * (na - 1.0) / (n - 1.0) - 1.0,
+                          nb - (nb - 1.0) * (nb - 1.0) / (n - 1.0) - 1.0)), 6) AS cramers_v_corrected
+FROM folded
+"""
+
+QUERIES["cramers_v_segment_nation"] = q_cramers_v_segment_nation
+ORACLES["cramers_v_segment_nation"] = ORACLE_CRAMERS_V

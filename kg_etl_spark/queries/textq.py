@@ -2446,3 +2446,223 @@ FROM bands b ORDER BY band
 
 QUERIES["dedup_threshold_curve"] = q_dedup_threshold_curve
 ORACLES["dedup_threshold_curve"] = ORACLE_DEDUP_CURVE
+
+
+# --- Corpus novelty / duplication provenance (round 11) -----------------
+
+
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-trigram curve by corpus decile: split the corpus into 10
+    contiguous doc-id buckets (ingestion order) and report, per
+    bucket, how many distinct word 3-grams it contains and what
+    fraction of them FIRST appear there — the saturation curve that
+    tells a data-acquisition team when new crawl slices stop adding
+    novel text (the corpus twin of vocab_growth_curve, at shingle
+    grain with a first-seen attribution).
+
+    100 TB shape: one (bucket, shingle) distinct shuffle + two hash
+    aggregates; the bucket bound is an integer division against the
+    1-row max-id broadcast scalar. Nothing quadratic, no window."""
+    from kg_etl_spark.functions.text import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    b = (F.col("doc_id") * 10 / (F.col("mx") + 1)).cast("long").alias("b")
+    pres = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(b, F.explode(word_shingles(ws_tokens(F.col("text")), 3)).alias("s"))
+        .distinct()
+        .lineage_cut(eager=True)
+    )
+    per_bucket = pres.groupBy("b").agg(F.count(F.lit(1)).alias("n_distinct"))
+    novel = (
+        pres.groupBy("s")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        per_bucket.join(novel, "b", "left")
+        .select(
+            F.col("b").alias("bucket"),
+            "n_distinct",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_distinct").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_NOVELTY = f"""
+WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+pres AS (
+  SELECT DISTINCT CAST(FLOOR(d.doc_id * 10.0 / (mx.mx + 1)) AS BIGINT) AS b, s.s
+  FROM t d CROSS JOIN mx,
+       unnest(list_transform(range(1, len(d.toks) - 1),
+              i -> d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2])) AS s(s)
+  WHERE len(d.toks) >= 3
+), per_bucket AS (
+  SELECT b, COUNT(*) AS n_distinct FROM pres GROUP BY b
+), novel AS (
+  SELECT b, COUNT(*) AS n_novel
+  FROM (SELECT s, MIN(b) AS b FROM pres GROUP BY s) GROUP BY b
+)
+SELECT p.b AS bucket, CAST(p.n_distinct AS BIGINT) AS n_distinct,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_distinct, 6) AS novelty_rate
+FROM per_bucket p LEFT JOIN novel n ON p.b = n.b
+ORDER BY bucket
+"""
+
+QUERIES["ngram_novelty_curve"] = q_ngram_novelty_curve
+ORACLES["ngram_novelty_curve"] = ORACLE_NOVELTY
+
+
+def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram: per cluster size s, how
+    many normalized-fingerprint clusters have exactly s members, how
+    many documents they hold, and how many a keep-one dedup would
+    remove — the one-glance duplication profile (is duplication a few
+    mega-clusters or a long tail of pairs?) that sizes the win before
+    running the dedup itself.
+
+    The synthetic corpus is dup-free by construction, so the query
+    PLANTS its duplication (the flagship's footer pattern): every 5th
+    document is re-issued once and every 15th once more — expected
+    cluster sizes 1, 2 and 3 with exactly known counts, making the
+    oracle value-bearing instead of a single all-singletons row.
+
+    100 TB shape: two hash aggregates (fingerprint → size →
+    histogram), both map-side combined; output ≤ max cluster size."""
+    from kg_etl_spark.operators.dedup import normalized_fingerprint
+
+    base = read_table(spark, sf_dir, "documents")
+    docs = (
+        base.select("text")
+        .unionAll(base.filter(F.col("doc_id") % 5 == 0).select("text"))
+        .unionAll(base.filter(F.col("doc_id") % 15 == 0).select("text"))
+    )
+    sizes = docs.groupBy(
+        normalized_fingerprint(F.col("text")).alias("fp")
+    ).agg(F.count(F.lit(1)).alias("s"))
+    return (
+        sizes.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("s").alias("cluster_size"),
+            "n_clusters",
+            (F.col("s") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("s") - 1) * F.col("n_clusters")).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_DUP_HISTOGRAM = """
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % 15 = 0
+), sizes AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         COUNT(*) AS s
+  FROM corpus GROUP BY 1
+)
+SELECT CAST(s AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(s * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((s - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM sizes GROUP BY s ORDER BY cluster_size
+"""
+
+QUERIES["dup_cluster_size_histogram"] = q_dup_cluster_size_histogram
+ORACLES["dup_cluster_size_histogram"] = ORACLE_DUP_HISTOGRAM
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix on exact-dedup fingerprints:
+    for every source pair, the count of normalized fingerprints both
+    contain and their fingerprint-set Jaccard — the provenance view
+    of cross-source duplication (which feeds license auditing and
+    "drop the mirror, keep the original" curation calls;
+    `dup_span_source_attribution` is the span-grain sibling).
+
+    100 TB shape: one (source, fp) distinct, one fp-keyed self-join
+    whose per-key fan-out is bounded by |sources| (≤ S² rows per
+    fingerprint), and ≤ S² output rows; per-source set sizes attach
+    via unhinted model-sized joins.
+
+    The synthetic corpus has no cross-source duplication, so the
+    query PLANTS a partial mirror: every 4th document re-enters under
+    source 'mirror' — every real source then overlaps 'mirror' on
+    exactly its doc_id%4==0 fingerprints, and real-source pairs stay
+    at zero overlap (asserting the ABSENCE of organic cross-source
+    dups is part of the contract)."""
+    from kg_etl_spark.operators.dedup import normalized_fingerprint
+
+    base = read_table(spark, sf_dir, "documents")
+    docs = base.select("source", "text").unionAll(
+        base.filter(F.col("doc_id") % 4 == 0).select(
+            F.lit("mirror").alias("source"), "text"
+        )
+    )
+    sfp = docs.select(
+        "source", normalized_fingerprint(F.col("text")).alias("fp")
+    ).distinct().lineage_cut(eager=True)
+    sizes = sfp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sfp.alias("a")
+        .join(sfp.alias("b"), "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("fp_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 4 = 0
+), sfp AS (
+  SELECT DISTINCT source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM corpus
+), sizes AS (SELECT source, COUNT(*) AS n FROM sfp GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared), 6) AS fp_jaccard
+FROM pairs p JOIN sizes sa ON p.src_a = sa.source
+             JOIN sizes sb ON p.src_b = sb.source
+ORDER BY src_a, src_b
+"""
+
+QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
+ORACLES["source_overlap_matrix"] = ORACLE_SOURCE_OVERLAP

@@ -170,6 +170,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
     # --- 1-row (or 2-row) scalar aggregates ---------------------------
     "kg_etl_spark/operators/audit.py::chi_square::n":
         ("scalar", "1-row grand total"),
+    "kg_etl_spark/operators/audit.py::cramers_v::n":
+        ("scalar", "1-row grand total"),
     "kg_etl_spark/operators/audit.py::equi_width_histogram::stats":
         ("scalar", "1-row global min/max"),
     "kg_etl_spark/operators/centrality.py::hits_scores::tot":
@@ -198,6 +200,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("scalar", "1-row cohort size"),
     "kg_etl_spark/queries/analytic.py::q_friedman_priority_months::k1":
         ("scalar", "1-row global treatment count"),
+    "kg_etl_spark/queries/textq.py::q_ngram_novelty_curve::mx":
+        ("scalar", "1-row max doc id"),
     "kg_etl_spark/queries/analytic.py::q_kruskal_wallis_spend::ties":
         ("scalar", "1-row tie-correction sum"),
     "kg_etl_spark/queries/analytic.py::q_ks_two_sample::tot":
@@ -292,6 +296,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
     "kg_etl_spark/operators/adjacent.py::with_prefix_max::carry":
         ("model", "<= |range partitions| carry rows"),
     "kg_etl_spark/operators/audit.py::chi_square::cells":
+        ("model", "|dom(x)| x |dom(y)| contingency cells"),
+    "kg_etl_spark/operators/audit.py::cramers_v::cells":
         ("model", "|dom(x)| x |dom(y)| contingency cells"),
     "kg_etl_spark/operators/datapipe.py::dsir_weights::ratios":
         ("model", "2^n_buckets hashed-feature ratio table (fixed)"),

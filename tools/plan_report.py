@@ -113,7 +113,9 @@ REPORT_QUERIES = [
     "t_closeness_audit",
     "anova_oneway_balance", "brown_forsythe_balance", "kendall_tau_daily",
     "friedman_priority_months", "token_budget_unimax",
-    "dedup_threshold_curve",
+    "dedup_threshold_curve", "cramers_v_segment_nation",
+    "ngram_novelty_curve", "dup_cluster_size_histogram",
+    "source_overlap_matrix",
 ]
 
 
