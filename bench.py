@@ -165,6 +165,10 @@ HEADLINE = [
     "ngram_novelty_curve",
     "dup_cluster_size_histogram",
     "source_overlap_matrix",
+    # round 11 (cont.): survival comparison + tail-sensitive
+    # distribution test on the cumsum device
+    "log_rank_test",
+    "anderson_darling_two_sample",
 ]
 
 

@@ -5123,3 +5123,260 @@ FROM folded
 
 QUERIES["friedman_priority_months"] = q_friedman_priority_months
 ORACLES["friedman_priority_months"] = ORACLE_FRIEDMAN
+
+
+# --- Log-rank test between user arms (round 11) -------------------------
+
+
+def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test between two user arms (user_id
+    parity — the deterministic A/B assignment) on the same
+    churn-lifetime construction as `q_kaplan_meier_retention` (t =
+    days between first and last event; the final 7 days are
+    right-censored): at every pooled churn time, observed arm-A
+    deaths vs the hypergeometric expectation E = d·n_A/n and variance
+    d·(n_A/n)(1−n_A/n)(n−d)/(n−1), summed into the classic
+        chi2 = (O_A − E_A)² / V.
+    Per-time double terms fold in pinned time order (the catalog's
+    fold discipline); counts stay integers until the E/V divisions.
+
+    100 TB shape: per-user aggregate → lifetime-grain frame (t is
+    calendar-bounded MODEL STATE, the KM contract); the at-risk
+    counts come from ONE cumulative window over the ≤2·|lifetimes|
+    grid, not a per-time re-scan."""
+    ev = read_table(spark, sf_dir, "events")
+    day = (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long")
+    per_user = ev.select(
+        "user_id", day.alias("day")
+    ).groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    max_day = per_user.agg(F.max("last_day").alias("mx"))
+    lab = per_user.crossJoin(F.broadcast(max_day)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        (F.col("last_day") - F.col("first_day")).alias("t"),
+        F.when(F.col("last_day") <= F.col("mx") - 7, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("churn"),
+    )
+    exits = lab.groupBy("grp", "t").agg(
+        F.count(F.lit(1)).alias("exits"), F.sum("churn").alias("d")
+    ).lineage_cut(eager=True)
+    tot = lab.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grp"))
+    pooled = exits.select("t").distinct()
+    grid = pooled.join(tot)  # |lifetimes| x 2 model-sized cross
+    wt = Window.partitionBy("grp").orderBy("t")
+    atrisk = (
+        grid.join(exits, ["grp", "t"], "left")
+        .select(
+            "grp",
+            "t",
+            "n_grp",
+            F.coalesce(F.col("exits"), F.lit(0)).alias("exits"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        )
+        .withColumn(
+            "n_at_risk",
+            F.col("n_grp")
+            - F.coalesce(
+                F.sum("exits").over(
+                    wt.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    per_t = atrisk.groupBy("t").agg(
+        F.sum("d").alias("dt"),
+        F.sum("n_at_risk").alias("nt"),
+        F.sum(F.when(F.col("grp") == 0, F.col("d")).otherwise(F.lit(0))).alias("da"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("n_at_risk")).otherwise(F.lit(0))
+        ).alias("na"),
+    ).filter(F.col("dt") > 0)
+    dtD, ntD, naD = (
+        F.col("dt").cast("double"),
+        F.col("nt").cast("double"),
+        F.col("na").cast("double"),
+    )
+    e_term = dtD * naD / ntD
+    v_term = F.when(
+        F.col("nt") > 1,
+        dtD
+        * (naD / ntD)
+        * (1.0 - naD / ntD)
+        * (ntD - dtD)
+        / (ntD - 1.0),
+    ).otherwise(F.lit(0.0))
+    folded = per_t.agg(
+        F.sum("da").alias("o1"),
+        F.count(F.lit(1)).alias("n_times"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("t"), e_term.alias("e"), v_term.alias("v"))
+                )
+            ),
+            F.struct(F.lit(0.0).alias("e"), F.lit(0.0).alias("v")),
+            lambda acc, s: F.struct(
+                (acc["e"] + s["e"]).alias("e"), (acc["v"] + s["v"]).alias("v")
+            ),
+        ).alias("ev"),
+    )
+    o1D = F.col("o1").cast("double")
+    return folded.select(
+        F.col("o1").cast("long").alias("observed_a"),
+        F.round(F.col("ev.e"), 6).alias("expected_a"),
+        F.col("n_times").cast("long").alias("n_churn_times"),
+        F.round(
+            (o1D - F.col("ev.e")) * (o1D - F.col("ev.e")) / F.col("ev.v"), 6
+        ).alias("chi2"),
+    )
+
+
+ORACLE_LOG_RANK = """
+WITH per_user AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day,
+         MAX(epoch_us(ts) // 86400000000) AS last_day
+  FROM events GROUP BY user_id
+), mx AS (SELECT MAX(last_day) AS mx FROM per_user),
+lab AS (
+  SELECT user_id % 2 AS grp, last_day - first_day AS t,
+         CASE WHEN last_day <= mx - 7 THEN 1 ELSE 0 END AS churn
+  FROM per_user CROSS JOIN mx
+), exits AS (
+  SELECT grp, t, COUNT(*) AS exits, SUM(churn) AS d FROM lab GROUP BY 1, 2
+), tot AS (SELECT grp, COUNT(*) AS n_grp FROM lab GROUP BY grp),
+pooled AS (SELECT DISTINCT t FROM exits),
+grid AS (SELECT p.t, tt.grp, tt.n_grp FROM pooled p CROSS JOIN tot tt),
+atrisk AS (
+  SELECT g.grp, g.t, g.n_grp,
+         COALESCE(e.exits, 0) AS exits, COALESCE(e.d, 0) AS d,
+         g.n_grp - COALESCE(SUM(COALESCE(e.exits, 0)) OVER (
+           PARTITION BY g.grp ORDER BY g.t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM grid g LEFT JOIN exits e ON e.grp = g.grp AND e.t = g.t
+), per_t AS (
+  SELECT t, SUM(d) AS dt, SUM(n_at_risk) AS nt,
+         SUM(CASE WHEN grp = 0 THEN d ELSE 0 END) AS da,
+         SUM(CASE WHEN grp = 0 THEN n_at_risk ELSE 0 END) AS na
+  FROM atrisk GROUP BY t HAVING SUM(d) > 0
+), folded AS (
+  SELECT SUM(da) AS o1, COUNT(*) AS n_times,
+         list_reduce(list_prepend(0.0,
+           list(CAST(dt AS DOUBLE) * na / nt ORDER BY t)), (a, b) -> a + b) AS e1,
+         list_reduce(list_prepend(0.0,
+           list(CASE WHEN nt > 1
+                     THEN CAST(dt AS DOUBLE) * (CAST(na AS DOUBLE) / nt)
+                          * (1.0 - CAST(na AS DOUBLE) / nt)
+                          * (nt - CAST(dt AS DOUBLE)) / (nt - 1.0)
+                     ELSE 0.0 END ORDER BY t)), (a, b) -> a + b) AS v
+  FROM per_t
+)
+SELECT CAST(o1 AS BIGINT) AS observed_a,
+       ROUND(e1, 6) AS expected_a,
+       CAST(n_times AS BIGINT) AS n_churn_times,
+       ROUND((o1 - e1) * (o1 - e1) / v, 6) AS chi2
+FROM folded
+"""
+
+QUERIES["log_rank_test"] = q_log_rank_test
+ORACLES["log_rank_test"] = ORACLE_LOG_RANK
+
+
+# --- Anderson-Darling two-sample (tie-aware midrank form; round 11) -----
+
+
+def q_anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling statistic (Scholz–Stephens 1987,
+    the tie-aware midrank form A²_akN, k=2) between the 'click' and
+    'view' value distributions — KS's tail-sensitive sibling on the
+    IDENTICAL scale path (`q_ks_two_sample`'s distinct-value aggregate
+    + the two-phase exact cumsum device): per distinct pooled value z
+    with multiplicities m₁/m₂ (l = m₁+m₂), inclusive cumulatives
+    a₁/a₂ (b = a₁+a₂), midranks Mᵢ = aᵢ − mᵢ/2 and B = b − l/2,
+        A² = (N−1)/N · Σ_z (l/N) Σᵢ (N·Mᵢ − nᵢ·B)² / nᵢ
+                               / (B(N−B) − N·l/4).
+    Midranks are integer halves (binary-exact); the per-value double
+    terms round to 9 dp and sum as DECIMAL(38,9) — the KM/chi-square
+    order-independent float idiom, required here because the value
+    grain is corpus-scale (a pinned collect-fold would not be).
+
+    100 TB shape: identical to ks_two_sample — one distinct-value
+    aggregate, the cumsum device, one decimal total. No window beyond
+    the device's range cells, nothing collected."""
+    from kg_etl_spark.operators.rankdev import global_cumsum
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_v = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("m1"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("m2"),
+    ).lineage_cut(eager=True)
+    tot = per_v.agg(F.sum("m1").alias("n1"), F.sum("m2").alias("n2"))
+    cum = global_cumsum(per_v, "value", ["m1", "m2"], prefix="_a")
+    j = cum.crossJoin(F.broadcast(tot))
+    n1D, n2D = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nD = n1D + n2D
+    lD = (F.col("m1") + F.col("m2")).cast("double")
+    m1D, m2D = F.col("m1").cast("double"), F.col("m2").cast("double")
+    b = (F.col("_am1") + F.col("_am2")).cast("double") - lD / 2.0
+    M1 = F.col("_am1").cast("double") - m1D / 2.0
+    M2 = F.col("_am2").cast("double") - m2D / 2.0
+    den = b * (nD - b) - nD * lD / 4.0
+    inner = (
+        (nD * M1 - n1D * b) * (nD * M1 - n1D * b) / n1D
+        + (nD * M2 - n2D * b) * (nD * M2 - n2D * b) / n2D
+    )
+    term = F.when(den > 0, (lD / nD) * inner / den).otherwise(F.lit(0.0))
+    totals = j.groupBy("n1", "n2").agg(
+        F.sum(F.round(term, 9).cast("decimal(38,9)")).alias("s")
+    )
+    nD2 = (F.col("n1") + F.col("n2")).cast("double")
+    return totals.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round((nD2 - 1.0) / nD2 * F.col("s").cast("double"), 6).alias(
+            "a2_akn"
+        ),
+    )
+
+
+ORACLE_ANDERSON_DARLING = """
+WITH per_v AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS m2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value
+), tot AS (SELECT CAST(SUM(m1) AS BIGINT) AS n1, CAST(SUM(m2) AS BIGINT) AS n2 FROM per_v),
+cum AS (
+  SELECT m1, m2,
+         CAST(SUM(m1) OVER w AS BIGINT) AS a1, CAST(SUM(m2) OVER w AS BIGINT) AS a2
+  FROM per_v
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), terms AS (
+  SELECT n1, n2,
+         CAST(ROUND(
+           CASE WHEN (a1 + a2 - (m1 + m2) / 2.0)
+                     * (n1 + n2 - (a1 + a2 - (m1 + m2) / 2.0))
+                     - (n1 + n2) * (m1 + m2) / 4.0 > 0
+                THEN (CAST(m1 + m2 AS DOUBLE) / (n1 + n2))
+                     * (((n1 + n2) * (a1 - m1 / 2.0) - n1 * (a1 + a2 - (m1 + m2) / 2.0))
+                        * ((n1 + n2) * (a1 - m1 / 2.0) - n1 * (a1 + a2 - (m1 + m2) / 2.0)) / n1
+                        + ((n1 + n2) * (a2 - m2 / 2.0) - n2 * (a1 + a2 - (m1 + m2) / 2.0))
+                        * ((n1 + n2) * (a2 - m2 / 2.0) - n2 * (a1 + a2 - (m1 + m2) / 2.0)) / n2)
+                     / ((a1 + a2 - (m1 + m2) / 2.0)
+                        * (n1 + n2 - (a1 + a2 - (m1 + m2) / 2.0))
+                        - (n1 + n2) * (m1 + m2) / 4.0)
+                ELSE 0.0 END, 9) AS DECIMAL(38,9)) AS term
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2,
+       ROUND((n1 + n2 - 1.0) / (n1 + n2) * CAST(SUM(term) AS DOUBLE), 6) AS a2_akn
+FROM terms GROUP BY n1, n2
+"""
+
+QUERIES["anderson_darling_two_sample"] = q_anderson_darling_two_sample
+ORACLES["anderson_darling_two_sample"] = ORACLE_ANDERSON_DARLING

@@ -297,3 +297,29 @@ def test_kendall_tau_perfect_monotone(spark):
     for r in rows:
         if r["tau_b"] is not None:
             assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_anderson_darling_identical_samples_zero(spark, tmp_path):
+    """Planted exactness: identical 'click'/'view' value multisets make
+    every midrank numerator N·M_i − n_i·B vanish algebraically, so
+    A²_akN must be EXACTLY 0.0 — any drift in the midrank arithmetic
+    or the decimal term fold breaks the zero."""
+    import pandas as pd
+
+    from kg_etl_spark.queries.analytic import q_anderson_darling_two_sample
+
+    vals = [1.0, 2.0, 2.0, 3.5, 7.25, 7.25, 9.0, 1.0]
+    rows = []
+    for i, v in enumerate(vals):
+        rows.append(("click", v, i))
+        rows.append(("view", v, 10_000 + i))
+    pdf = pd.DataFrame(rows, columns=["event_type", "value", "event_id"])
+    sf = str(tmp_path / "sfad")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    out = q_anderson_darling_two_sample(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n1"] == len(vals) and r["n2"] == len(vals)
+    assert r["a2_akn"] == 0.0

@@ -202,9 +202,13 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("scalar", "1-row global treatment count"),
     "kg_etl_spark/queries/textq.py::q_ngram_novelty_curve::mx":
         ("scalar", "1-row max doc id"),
+    "kg_etl_spark/queries/analytic.py::q_log_rank_test::max_day":
+        ("scalar", "1-row max day"),
     "kg_etl_spark/queries/analytic.py::q_kruskal_wallis_spend::ties":
         ("scalar", "1-row tie-correction sum"),
     "kg_etl_spark/queries/analytic.py::q_ks_two_sample::tot":
+        ("scalar", "1-row per-sample totals"),
+    "kg_etl_spark/queries/analytic.py::q_anderson_darling_two_sample::tot":
         ("scalar", "1-row per-sample totals"),
     "kg_etl_spark/queries/analytic.py::q_loo_group_influence::tot":
         ("scalar", "1-row grand totals"),

@@ -115,7 +115,8 @@ REPORT_QUERIES = [
     "friedman_priority_months", "token_budget_unimax",
     "dedup_threshold_curve", "cramers_v_segment_nation",
     "ngram_novelty_curve", "dup_cluster_size_histogram",
-    "source_overlap_matrix",
+    "source_overlap_matrix", "log_rank_test",
+    "anderson_darling_two_sample",
 ]
 
 
