@@ -169,6 +169,8 @@ HEADLINE = [
     # distribution test on the cumsum device
     "log_rank_test",
     "anderson_darling_two_sample",
+    "holm_bonferroni_nations",
+    "durbin_watson_daily",
 ]
 
 

@@ -5380,3 +5380,211 @@ FROM terms GROUP BY n1, n2
 
 QUERIES["anderson_darling_two_sample"] = q_anderson_darling_two_sample
 ORACLES["anderson_darling_two_sample"] = ORACLE_ANDERSON_DARLING
+
+
+# --- Holm-Bonferroni step-down over nations (round 11) ------------------
+
+
+def q_holm_bonferroni_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm–Bonferroni step-down (Holm 1979) on the same per-nation
+    Chebyshev-bound p-values as `q_bh_fdr_nations` — the FWER control
+    next to BH's FDR control, completing the multiple-testing family:
+    walk p-values ascending; the FIRST rank j with p_(j) > α/(m−j+1)
+    stops the procedure and everything before it is rejected. The
+    Chebyshev bound keeps every comparison rational IEEE (no libm erf
+    ulp-flips), so the discrete reject set is bit-stable cross-engine.
+
+    100 TB shape: one nation-keyed decimal power-sum aggregate, a
+    1-row roll-up, and step-down windows over the m = |nations|
+    MODEL-SIZED frame (the documented partition-less exception class,
+    same as BH)."""
+    cust = read_table(spark, sf_dir, "customer")
+    p6 = lambda k: F.round(F.col("c_acctbal") ** k, 6).cast("decimal(28,6)")
+    per = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p6(1)).alias("s1"),
+        F.sum(p6(2)).alias("s2"),
+    )
+    glob = per.agg(
+        F.sum("n").alias("_N"), F.sum("s1").alias("_S1"), F.sum("s2").alias("_S2")
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    gm = F.col("_S1").cast("double") / F.col("_N").cast("double")
+    gvar = F.col("_S2").cast("double") / F.col("_N").cast("double") - gm * gm
+    z = (F.col("s1").cast("double") / F.col("n").cast("double") - gm) / F.sqrt(
+        gvar / F.col("n").cast("double")
+    )
+    scored = j.select(
+        "c_nationkey",
+        F.col("n").cast("long").alias("n_cust"),
+        z.alias("_z"),
+    ).withColumn(
+        "_p",
+        F.when(
+            F.col("_z") * F.col("_z") > 1.0, 1.0 / (F.col("_z") * F.col("_z"))
+        ).otherwise(F.lit(1.0)),
+    )
+    m = 25  # TPC-H nation domain — fixed test count, pinned in the oracle
+    alpha = 0.10
+    wr = Window.orderBy(F.col("_p").asc(), F.col("c_nationkey").asc())
+    ranked = scored.withColumn("rk", F.row_number().over(wr).cast("long"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    thresh = F.lit(alpha) / (F.lit(m) - F.col("rk") + 1).cast("double")
+    first_fail = F.min(F.when(F.col("_p") > thresh, F.col("rk"))).over(wall)
+    return ranked.select(
+        "c_nationkey",
+        "n_cust",
+        F.round("_z", 6).alias("z"),
+        F.round("_p", 6).alias("p_bound"),
+        "rk",
+        F.round(thresh, 6).alias("holm_alpha"),
+        (F.col("rk") < F.coalesce(first_fail, F.lit(m + 1))).alias("rejected"),
+    )
+
+
+ORACLE_HOLM = """
+WITH per AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(ROUND(c_acctbal * c_acctbal, 6) AS DECIMAL(28,6))) AS s2
+  FROM customer GROUP BY c_nationkey
+), gtot AS (
+  SELECT SUM(n) AS N, SUM(s1) AS S1, SUM(s2) AS S2 FROM per
+), scored AS (
+  SELECT p.c_nationkey, p.n,
+         (CAST(p.s1 AS DOUBLE) / CAST(p.n AS DOUBLE)
+          - CAST(g.S1 AS DOUBLE) / CAST(g.N AS DOUBLE))
+         / SQRT((CAST(g.S2 AS DOUBLE) / CAST(g.N AS DOUBLE)
+                 - (CAST(g.S1 AS DOUBLE) / CAST(g.N AS DOUBLE))
+                   * (CAST(g.S1 AS DOUBLE) / CAST(g.N AS DOUBLE)))
+                / CAST(p.n AS DOUBLE)) AS z
+  FROM per p, gtot g
+), pv AS (
+  SELECT c_nationkey, n, z,
+         CASE WHEN z * z > 1.0 THEN 1.0 / (z * z) ELSE 1.0 END AS p
+  FROM scored
+), ranked AS (
+  SELECT c_nationkey, n, z, p,
+         ROW_NUMBER() OVER (ORDER BY p ASC, c_nationkey ASC) AS rk
+  FROM pv
+), ff AS (
+  SELECT MIN(CASE WHEN p > 0.10 / (25 - rk + 1) THEN rk END) AS first_fail
+  FROM ranked
+)
+SELECT c_nationkey, CAST(n AS BIGINT) AS n_cust,
+       ROUND(z, 6) AS z, ROUND(p, 6) AS p_bound, CAST(rk AS BIGINT) AS rk,
+       ROUND(0.10 / (25 - rk + 1), 6) AS holm_alpha,
+       rk < COALESCE(first_fail, 26) AS rejected
+FROM ranked CROSS JOIN ff
+"""
+
+QUERIES["holm_bonferroni_nations"] = q_holm_bonferroni_nations
+ORACLES["holm_bonferroni_nations"] = ORACLE_HOLM
+
+
+# --- Durbin-Watson autocorrelation diagnostic (round 11) ----------------
+
+
+def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic on the residuals of the per-type daily
+    OLS trend (the `ols_trend` construction): DW = Σ(e_t − e_{t−1})² /
+    Σ e_t² over consecutive days — the standard "are my trend
+    residuals serially correlated" regression diagnostic (≈2 = none,
+    →0 positive, →4 negative). Slope/intercept come closed-form from
+    exact integer sums; residuals are correctly-rounded doubles; both
+    quadratic sums round per-term to 6 dp and fold as DECIMAL(38,6)
+    (order-independent).
+
+    100 TB shape: the daily frame is calendar-bounded MODEL STATE —
+    one corpus hash aggregate, then a per-type lag window over the
+    daily grain (the documented daily-aggregate window class)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    DEC = "decimal(38,0)"
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("day").cast(DEC)).alias("sx"),
+        F.sum(F.col("c").cast(DEC)).alias("sy"),
+        F.sum((F.col("day") * F.col("day")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("day") * F.col("c")).cast(DEC)).alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    b = (
+        nD * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nD * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nD
+    fitted = daily.join(
+        sums.select("event_type", b.alias("_b"), a.alias("_a")), "event_type"
+    ).select(
+        "event_type",
+        "day",
+        (
+            F.col("c").cast("double")
+            - (F.col("_a") + F.col("_b") * F.col("day").cast("double"))
+        ).alias("e"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    lagged = fitted.withColumn("e_prev", F.lag("e").over(wl))
+    DEC6 = "decimal(38,6)"
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.round(F.col("e") * F.col("e"), 6).cast(DEC6)).alias("sse"),
+        F.sum(
+            F.round(
+                (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")), 6
+            ).cast(DEC6)
+        ).alias("sdd"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(
+            F.col("sdd").cast("double") / F.col("sse").cast("double"), 6
+        ).alias("dw"),
+    ).orderBy("event_type")
+
+
+ORACLE_DURBIN_WATSON = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(day AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(c AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(day * day AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(day * c AS DECIMAL(38,0))) AS sxy
+  FROM daily GROUP BY event_type
+), coef AS (
+  SELECT event_type,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+         (CAST(sy AS DOUBLE)
+          - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / n AS a
+  FROM sums
+), resid AS (
+  SELECT d.event_type, d.day,
+         CAST(d.c AS DOUBLE) - (coef.a + coef.b * d.day) AS e
+  FROM daily d JOIN coef USING (event_type)
+), lagged AS (
+  SELECT event_type, e,
+         LAG(e) OVER (PARTITION BY event_type ORDER BY day) AS e_prev
+  FROM resid
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(CAST(ROUND((e - e_prev) * (e - e_prev), 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(38,6))) AS DOUBLE), 6) AS dw
+FROM lagged GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["durbin_watson_daily"] = q_durbin_watson_daily
+ORACLES["durbin_watson_daily"] = ORACLE_DURBIN_WATSON

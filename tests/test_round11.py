@@ -323,3 +323,34 @@ def test_anderson_darling_identical_samples_zero(spark, tmp_path):
     r = out[0]
     assert r["n1"] == len(vals) and r["n2"] == len(vals)
     assert r["a2_akn"] == 0.0
+
+
+def test_pack_concat_chunk_count_col_matches_text_grain(spark):
+    """pack_concat_chunk(count_col=...) must produce bin math
+    identical to the text path when the supplied counts equal the
+    whitespace token counts — the passthrough changes the length
+    SOURCE, never the packing."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.operators.packing import pack_concat_chunk
+    from kg_etl_spark.operators.textquality import ws_tokens
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": [" ".join(["w"] * (3 + (i * 7) % 11)) for i in range(10)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    via_text = pack_concat_chunk(df, cap=16).orderBy("doc_id").collect()
+    counted = df.select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("npc")
+    )
+    via_count = (
+        pack_concat_chunk(counted, cap=16, count_col="npc")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in via_text] == [tuple(r) for r in via_count]

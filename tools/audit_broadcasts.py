@@ -190,6 +190,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("scalar", "1-row max centrality scalar"),
     "kg_etl_spark/queries/analytic.py::q_bh_fdr_nations::glob":
         ("scalar", "1-row global stats"),
+    "kg_etl_spark/queries/analytic.py::q_holm_bonferroni_nations::glob":
+        ("scalar", "1-row grand totals"),
     "kg_etl_spark/queries/analytic.py::q_cuped_adjustment::day0":
         ("scalar", "1-row min-day scalar"),
     "kg_etl_spark/queries/analytic.py::q_exact_global_quantiles::n":

@@ -54,6 +54,8 @@ LOW_CARD_COLS = (
 ALLOW_PARTITIONLESS = {
     # ≤|nations|-row p-value frame (BH step-up needs the full ranking)
     "bh_fdr_nations": "per-nation p-value frame",
+    # ≤|nations|-row p-value frame (Holm step-down, same class)
+    "holm_bonferroni_nations": "per-nation p-value frame",
     # fused top-k search-result frame (post-LIMIT per retriever)
     "hybrid_rrf_search": "top-k result frame",
     # top-100 token frame (post-LIMIT TakeOrdered)
@@ -74,6 +76,7 @@ ALLOW_LOWCARD = {
     "range_frame_sum": "daily-aggregate frame",
     "rolling_correlation": "daily-aggregate frame",
     "rolling_daily_value": "daily-aggregate frame",
+    "durbin_watson_daily": "daily-aggregate frame",
     "weekday_seasonal_anomaly": "daily-aggregate frame",
     # ≤|flag|x|status| aggregate (8 rows)
     "sql_window_rank": "grouped-aggregate frame",

@@ -116,7 +116,8 @@ REPORT_QUERIES = [
     "dedup_threshold_curve", "cramers_v_segment_nation",
     "ngram_novelty_curve", "dup_cluster_size_histogram",
     "source_overlap_matrix", "log_rank_test",
-    "anderson_darling_two_sample",
+    "anderson_darling_two_sample", "holm_bonferroni_nations",
+    "durbin_watson_daily",
 ]
 
 
