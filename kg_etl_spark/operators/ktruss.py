@@ -49,24 +49,32 @@ def _triangle_support(edges: DataFrame) -> DataFrame:
     triangle — the inner core of :func:`_edge_support` (every tri_edge
     row is an existing edge, so no join back is needed to know
     membership)."""
-    sym = edges.select(F.col("u"), F.col("v")).union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
 
+    # attach both endpoint degrees to the |E| canonical edges (half the
+    # rows of the former symmetric-frame attach) and orient by a
+    # conditional swap instead of filtering the 2|E| frame: the same
+    # (lower-rank -> higher-rank) edge comes out exactly once either way
     ranked = (
-        sym.join(deg.withColumnRenamed("u", "u_"), F.col("u") == F.col("u_"))
-        .drop("u_")
-        .withColumnRenamed("deg", "du")
-        .join(
-            deg.select(F.col("u").alias("v_"), F.col("deg").alias("dv")),
-            F.col("v") == F.col("v_"),
-        )
-        .drop("v_")
+        edges.select("u", "v")
+        .join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
     )
     key_u = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
     key_v = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
-    oriented = ranked.filter(key_u < key_v).select("u", "v", key_v.alias("vk"))
+    lo_first = key_u < key_v
+    # three consumers (wedge e1/e2 + the closing-edge probe) would each
+    # re-run the degree aggregate and both attach joins — cut once
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        F.when(lo_first, key_v).otherwise(key_u).alias("vk"),
+    ).lineage_cut(eager=True)
 
     # wedges x->y, x->z (rank(y) < rank(z)); the closing oriented edge
     # y->z completes triangle {x,y,z}. Each triangle closes exactly one
@@ -86,12 +94,19 @@ def _triangle_support(edges: DataFrame) -> DataFrame:
         ["y", "z"],
         "left_semi",
     )
-    # triangle {x,y,z} -> its three edges in canonical u<v form
-    tri_edges = (
-        tri.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
-        .union(tri.select(F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")))
-        .union(tri.select(F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")))
-    )
+    # triangle {x,y,z} -> its three edges in canonical u<v form, emitted
+    # by ONE explode over the triangle stream: the former 3-way union
+    # re-executed the whole wedge-join subtree per branch (3x the join
+    # CPU; exchange reuse does not dedupe the join itself)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")),
+                F.struct(F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")),
+                F.struct(F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     return tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
 
 
