@@ -913,36 +913,56 @@ def q_training_pipeline_tokenized_e2e(
         unigram_lm_train,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     good = quality_features(docs).filter(F.col("quality_score") >= _MIN_QUALITY)
-    keep = (
-        good.withColumn("fp", normalized_fingerprint(F.col("text")))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .join(docs, "doc_id")
-        .select("doc_id", "text")
-    )
     # tokenizer trained on the RAW corpus (the realistic order: the
-    # vocab predates per-run curation); model-sized (|charset| rows)
-    vocab = unigram_lm_train(docs, vocab_size=0, seed_size=0, n_iters=0)
+    # vocab predates per-run curation); model-sized (|charset| rows).
+    # Its charset scan is independent of the curation chain, so it runs
+    # on a driver thread while the keep cut materializes — two jobs
+    # overlapping instead of back-to-back (the scheduler back-fills the
+    # keep job's tail with the scan's tasks).
+    with ThreadPoolExecutor(max_workers=1) as trainer:
+        train_fut = trainer.submit(
+            unigram_lm_train, docs, vocab_size=0, seed_size=0, n_iters=0
+        )
+        # cut once: THREE consumers (the encode's distinct-vocab pass,
+        # its token-stream join probe, and the doc_id re-join below)
+        # would each re-run the whole quality+dedup subtree otherwise
+        keep = (
+            good.withColumn("fp", normalized_fingerprint(F.col("text")))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .join(docs, "doc_id")
+            .select("doc_id", "text")
+            .lineage_cut(eager=True)
+        )
+        vocab = train_fut.result()
     enc = unigram_lm_encode(keep, vocab).select("doc_id", "n_pieces")
     # cut once: three per-split packs each run bounds/totals actions
     # that would otherwise re-execute dedup + encode per split (the
     # flagship's measured 33→7 Exchange lesson)
     split = train_val_test_split(keep.join(enc, "doc_id")).lineage_cut()
-    out = []
-    for name in ("train", "val", "test"):
+
+    def _pack(name: str) -> DataFrame:
         part = split.filter(F.col("split") == name)
         manifest = pack_concat_chunk(part, cap=_E2E_CAP, count_col="n_pieces")
-        out.append(
-            manifest.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_tokens").alias("total_pieces"),
-                (F.max("last_bin") + 1).alias("n_bins"),
-            ).select(
-                F.lit(name).alias("split"), "n_docs", "total_pieces", "n_bins"
-            )
+        return manifest.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_pieces"),
+            (F.max("last_bin") + 1).alias("n_bins"),
+        ).select(
+            F.lit(name).alias("split"), "n_docs", "total_pieces", "n_bins"
         )
+
+    # the three splits' packing plans are independent (each runs its own
+    # bounds/totals actions over the SAME materialized cut): build them
+    # concurrently so the six small driver-collect jobs overlap instead
+    # of serializing (guide-§2.6 back-fill; result order is pinned by
+    # the map order, not completion order)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        out = list(pool.map(_pack, ("train", "val", "test")))
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)
