@@ -2251,16 +2251,35 @@ def q_dup_span_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "source",
         F.explode(word_shingles(ws_tokens(F.col("text")), 5)).alias("_span"),
     ).lineage_cut(eager=False)
-    dfreq = spans.groupBy("_span").agg(F.count(F.lit(1)).alias("_df"))
-    joined = spans.join(dfreq, "_span")
+    # only the df>=2 MEMBERSHIP matters per instance, so the span
+    # stream never joins the full Heaps'-law DF table: totals come from
+    # a map-side-partial aggregate with no join at all, and dup counts
+    # from a semi-join against the far smaller duplicated-span set
+    # (the flags/excision operators' established shape — planner
+    # broadcasts it at bench SF, shuffles at scale)
+    dup_set = (
+        spans.groupBy("_span")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("_span")
+    )
+    totals = spans.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    dups = (
+        spans.join(dup_set, "_span", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_spans"))
+    )
     return (
-        joined.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum((F.col("_df") >= 2).cast("long")).cast("long").alias("dup_spans"),
+        totals.join(dups, "source", "left")
+        .select(
+            "source",
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
             F.round(
-                F.sum((F.col("_df") >= 2).cast("long")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
+                F.coalesce(F.col("dup_spans"), F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double"),
                 6,
             ).alias("dup_share"),
         )
