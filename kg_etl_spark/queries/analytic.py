@@ -2750,6 +2750,10 @@ def q_spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def doubled_ranks(col: str) -> DataFrame:
+        # no cut on `per`: its upstream is already the `rows` cut, so
+        # the device's stats re-reads are cheap re-aggregates of
+        # materialized blocks — an extra eager cut here measured
+        # slower (two standalone jobs) than the re-aggregation
         per = rows.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
         cum = global_cumsum(per, col, ["_n"])
         return cum.select(
@@ -2974,6 +2978,7 @@ def q_exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("c"))
+        .lineage_cut(eager=True)  # the cumsum device re-reads it
     )
     cum = global_cumsum(per, "v", ["c"])
     n = cum.agg(F.sum("c").alias("n"))
@@ -3270,26 +3275,41 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64-value sort is driver-free model state. The textbook
     at-scale bootstrap."""
     orders = read_table(spark, sf_dir, "orders")
-    DEC = "decimal(38,0)"
-    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
-    key = F.col("o_orderkey").bitwiseAND(F.lit(0x7FFFFFFF))
+    # the 129 replicate aggregates are built as SQL expression STRINGS
+    # (one JVM parse each) rather than py4j Column algebra: the former
+    # Column form cost ~15 driver round-trips per node over 64
+    # replicates — ~3.4s of pure query-CONSTRUCTION time per bench
+    # attempt, 20x the job's own execution (guide §5: the driver should
+    # do almost no work). The parsed expressions are identical.
+    base = orders.select(
+        F.expr("o_orderkey & 2147483647").alias("_k"),
+        F.expr("CAST(ROUND(o_totalprice * 100.0, 0) AS LONG)").alias("_cents"),
+    )
     aggs = [
-        F.count(F.lit(1)).alias("n"),
-        F.sum(cents.cast(DEC)).alias("s"),
+        F.expr("COUNT(1)").alias("n"),
+        F.expr("SUM(CAST(_cents AS DECIMAL(38,0)))").alias("s"),
     ]
     for j in range(1, _BOOT_R + 1):
-        inb = ((F.lit(_BOOT_A) * key + F.lit(_BOOT_B * j)) % F.lit(_BOOT_P)) % 2 == 0
-        aggs.append(F.sum(F.when(inb, cents).otherwise(0).cast(DEC)).alias(f"s{j}"))
-        aggs.append(F.sum(inb.cast("long")).cast(DEC).alias(f"n{j}"))
-    a = orders.agg(*aggs)
-    means = F.array_sort(
-        F.array(
-            *[
-                F.col(f"s{j}").cast("double")
-                / (F.lit(100.0) * F.col(f"n{j}").cast("double"))
-                for j in range(1, _BOOT_R + 1)
-            ]
+        inb = f"(({_BOOT_A} * _k + {_BOOT_B * j}) % {_BOOT_P}) % 2 = 0"
+        aggs.append(
+            F.expr(
+                f"SUM(CAST(CASE WHEN {inb} THEN _cents ELSE 0 END"
+                " AS DECIMAL(38,0)))"
+            ).alias(f"s{j}")
         )
+        aggs.append(
+            F.expr(
+                f"CAST(SUM(CAST(({inb}) AS LONG)) AS DECIMAL(38,0))"
+            ).alias(f"n{j}")
+        )
+    a = base.agg(*aggs)
+    means = F.expr(
+        "array_sort(array("
+        + ", ".join(
+            f"CAST(s{j} AS DOUBLE) / (100.0D * CAST(n{j} AS DOUBLE))"
+            for j in range(1, _BOOT_R + 1)
+        )
+        + "))"
     )
     lo_i = max(1, int(0.025 * _BOOT_R + 0.999999))  # ceil
     hi_i = int(0.975 * _BOOT_R + 0.999999)

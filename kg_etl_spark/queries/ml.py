@@ -839,6 +839,7 @@ def q_roc_auc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("score")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
         .withColumn("neg", F.col("n") - F.col("pos"))
+        .lineage_cut(eager=True)  # the cumsum device re-reads it
     )
     cum = global_cumsum(per, "score", ["neg"])  # cum_neg INCLUDES this row
     DEC = "decimal(38,0)"
