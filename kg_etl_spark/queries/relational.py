@@ -2084,15 +2084,25 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every part qualifies (|l1| -> |part|, SF-scaled — NOT model
     # state): unhinted semi-join, planner broadcasts at bench SF
     bf = b.join(l1, "p", "left_semi")
-    a2 = bf.select("o", F.col("p").alias("pb"))
-    a3 = bf.select("o", F.col("p").alias("pc"))
+    # enumerate the C(|basket|,3) ordered triples INSIDE each basket:
+    # one per-basket collect + a map-side nested-slice fan-out instead
+    # of the former two basket-keyed self-joins (which scanned the
+    # pruned basket stream three times and ran two join executions for
+    # the same fan-out). The basket array is distinct and sorted, so
+    # positions i<j<k enumerate exactly the pa<pb<pc triples.
+    baskets = bf.groupBy("o").agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) ->"
+                " flatten(transform(slice(ps, i + 2, size(ps)), (b, j) ->"
+                "  transform(slice(ps, i + j + 3, size(ps)), c ->"
+                "   struct(a AS pa, b AS pb, c AS pc))))))"
+            )
+        ).alias("t")
+    ).select("t.pa", "t.pb", "t.pc")
     return (
-        bf.select("o", F.col("p").alias("pa"))
-        .join(a2, "o")
-        .filter(F.col("pb") > F.col("pa"))
-        .join(a3, "o")
-        .filter(F.col("pc") > F.col("pb"))
-        .groupBy("pa", "pb", "pc")
+        triples.groupBy("pa", "pb", "pc")
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(
             F.col("support").desc(),
