@@ -1261,9 +1261,17 @@ def link_scores_from_edges(e0: DataFrame, hub_cap: int = _LP_HUB_CAP) -> DataFra
     fresh = cand.join(
         e0, (cand["x"] == e0["a"]) & (cand["y"] == e0["b"]), "left_anti"
     )
+    # TakeOrdered FIRST: the ranking keys (cn, pair) never touch the
+    # degrees, so the PA attach joins run on the 100 surviving rows
+    # instead of the full candidate-pair stream (two corpus-scale
+    # joins dropped to model-state joins; (cn, x, y) is a total order,
+    # so the selected subset is identical)
+    top = fresh.orderBy(
+        F.col("cn").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(100)
     DEC = "decimal(38,0)"
     scored = (
-        fresh.join(deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x")
+        top.join(deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x")
         .join(deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y")
         .select(
             F.col("x").alias("u"),
@@ -1273,7 +1281,7 @@ def link_scores_from_edges(e0: DataFrame, hub_cap: int = _LP_HUB_CAP) -> DataFra
             "ra",
         )
     )
-    return scored.orderBy(F.col("cn").desc(), F.col("u").asc(), F.col("v").asc()).limit(100)
+    return scored.orderBy(F.col("cn").desc(), F.col("u").asc(), F.col("v").asc())
 
 
 ORACLE_LINK_PREDICTION = f"""
