@@ -847,33 +847,52 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEVER shuffles — same posture as embedding_topk), one
     (query, neighbor)-keyed join of two k-row-per-query lists, one
     ≤|queries|-row aggregate."""
-    from kg_etl_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import Window
+
+    from kg_etl_spark.operators.similarity import cosine
 
     emb = read_table(spark, sf_dir, "embeddings")
     qf = emb.filter(F.col("vec_id") < _MRL_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
     )
-    full = brute_force_topk(emb, qf, k=_MRL_K)
-    trunc_corpus = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding"))
-    qt = qf.select("query_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding"))
-    trunc = brute_force_topk(trunc_corpus, qt, k=_MRL_K)
-    hits = (
-        full.select("query_id", "neighbor_id")
-        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE fused corpus pass (formerly two brute_force_topk scans): each
+    # (query, candidate) row carries BOTH the full-dim and the
+    # truncated cosine, the two rank windows share the same
+    # query-keyed exchange, and the rank-list intersection join
+    # collapses into a conditional sum — the rank definitions (score
+    # desc on the UNROUNDED cosine, id asc) are exactly the device's
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cvec"))
+        .join(F.broadcast(qf))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_sf", cosine(F.col("_qvec"), F.col("_cvec")))
+        .withColumn(
+            "_st",
+            cosine(
+                F.slice(F.col("_qvec"), 1, _MRL_DIMS),
+                F.slice(F.col("_cvec"), 1, _MRL_DIMS),
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("_sf").desc(), F.col("neighbor_id").asc()
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_st").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("_rf", F.row_number().over(wf)).withColumn(
+        "_rt", F.row_number().over(wt)
     )
     return (
-        full.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
+        ranked.filter(F.col("_rf") <= _MRL_K)
+        .groupBy("query_id")
+        .agg(F.sum((F.col("_rt") <= _MRL_K).cast("long")).alias("n_hits"))
         .select(
             "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(_MRL_K)),
-                6,
-            ).alias("recall_at_k"),
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.lit(float(_MRL_K)), 6).alias(
+                "recall_at_k"
+            ),
         )
     )
 
