@@ -268,9 +268,12 @@ def remove_duplicate_spans(
     """
     from kg_etl_spark.functions.text import word_shingles
 
+    # five consumers (dspans, pos_spans, untouched, words, sizes) would
+    # each re-scan and re-tokenize the corpus — cut once so the token
+    # arrays materialize a single time (22 scans -> 1 at bench SF)
     docs = corpus.select(
         F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
-    )
+    ).lineage_cut(eager=True)
     key = (lambda c: F.xxhash64(c)) if hash_spans else (lambda c: c)
     dspans = docs.select(
         "_id", F.explode(word_shingles(F.col("_toks"), n)).alias("_raw")

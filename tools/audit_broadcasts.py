@@ -375,6 +375,8 @@ ALLOWED: dict[str, tuple[str, str]] = {
         ("probe", "benchmark table (eval suite, corpus-independent)"),
     "kg_etl_spark/queries/vector.py::q_negative_samples::anchors":
         ("probe", "anchor sample (fixed-size draw)"),
+    "kg_etl_spark/queries/vector.py::q_matryoshka_recall::qf":
+        ("probe", "query-vector set (_MRL_QUERIES-bounded id filter)"),
     "kg_etl_spark/operators/pq.py::pq_ann_topk::qv":
         ("probe", "query-vector frame (caller-bounded)"),
     # --- threshold/cap-bounded skew frames -----------------------------
