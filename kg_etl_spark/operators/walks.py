@@ -77,23 +77,35 @@ def deterministic_walks(
     (one job, Catalyst fuses the per-step joins; measured 2.5 s → 1.1 s
     at sf0.1 for length 3), long walks cut lineage periodically so the
     recompute-per-emitted-step branch stays O(checkpoint_every) deep."""
-    e = edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
-    ).distinct()
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     w = Window.partitionBy("src").orderBy("dst")
-    nbrs = e.select(
-        "src",
-        "dst",
-        F.row_number().over(w).alias("rank"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("src").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("deg"),
-    ).lineage_cut(eager=True)
+    # dedup (src, dst) INSIDE the window's own src-partitioning via a
+    # lag filter instead of a standalone .distinct(): duplicates sort
+    # adjacent, so this removes the extra (src, dst)-keyed exchange +
+    # hash-dedup the distinct would add before the rank/deg windows
+    # (the windows re-count AFTER the filter — same exchange, same
+    # sort, so rank/deg are exactly the distinct-edge-list values)
+    nbrs = (
+        e.withColumn("_dup", F.lag("dst").over(w).eqNullSafe(F.col("dst")))
+        .filter(~F.col("_dup"))
+        .select(
+            "src",
+            "dst",
+            F.row_number().over(w).alias("rank"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("src").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("deg"),
+        )
+        .lineage_cut(eager=True)
+    )
+    # derive the vertex set from the MATERIALIZED cut, not the raw
+    # edge input — the upstream edge lineage (often a window over an
+    # event log) is then computed exactly once per walk build
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        nbrs.select(F.col("src").alias("node"))
+        .union(nbrs.select(F.col("dst").alias("node")))
         .distinct()
     )
     frontier = nodes.select(F.col("node").alias("origin"), F.col("node").alias("cur"))
@@ -164,22 +176,34 @@ def node2vec_walks(
     cost of second-order bias. The frontier never exceeds |V| rows;
     lineage is cut every `checkpoint_every` steps as in
     `deterministic_walks`."""
-    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     w = Window.partitionBy("src").orderBy("dst")
-    nbrs = e.select(
-        "src",
-        "dst",
-        F.row_number().over(w).alias("rank"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("src").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("deg"),
-    ).lineage_cut(eager=True)
-    marker = e.select(F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("_d1"))
+    # same in-partition lag dedup as deterministic_walks: duplicates
+    # sort adjacent under the windows' own (src, dst) order, so the
+    # standalone .distinct() exchange is redundant
+    nbrs = (
+        e.withColumn("_dup", F.lag("dst").over(w).eqNullSafe(F.col("dst")))
+        .filter(~F.col("_dup"))
+        .select(
+            "src",
+            "dst",
+            F.row_number().over(w).alias("rank"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("src").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("deg"),
+        )
+        .lineage_cut(eager=True)
+    )
+    # marker/nodes read the MATERIALIZED deduped cut: marker must be
+    # duplicate-free (a dup (prev, dst) row would fan out the _d1
+    # left join), and neither needs a second pass over the raw edge
+    # lineage
+    marker = nbrs.select(F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("_d1"))
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        nbrs.select(F.col("src").alias("node"))
+        .union(nbrs.select(F.col("dst").alias("node")))
         .distinct()
     )
 

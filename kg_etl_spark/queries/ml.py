@@ -1691,28 +1691,28 @@ def q_gnn_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop1, hop2 = _sage_plan(e0)
     c1 = hop1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop1"))
     c2 = hop2.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop2"))
-    # stage b: walk endpoint per origin (depth-3 deterministic walk)
+    # stage b+c fused: walk endpoint AND seed-centered skip-gram pair
+    # count from ONE origin-keyed aggregate.  The ±2 skip-gram window
+    # over the fixed positions 0..3 is closed-form: a step i whose node
+    # IS the origin contributes |{j != i, |i-j| <= 2}| = [2,3,3,2][i]
+    # pairs — identical to the former walks-self-join + center==origin
+    # filter + count, without the self-join's exchange or the 10x
+    # pair fan-out (every origin emits all 4 steps, so the aggregate
+    # covers the same seed domain the two old left joins did)
     edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    walks = deterministic_walks(edges, length=3).lineage_cut(eager=True)
-    endp = walks.filter(F.col("step") == 3).select(
-        F.col("origin").alias("seed"), F.col("node").alias("walk_end")
-    )
-    # stage c: skip-gram pairs whose CENTER is the seed (window ±2)
-    a = walks.select("origin", F.col("step").alias("i"), F.col("node").alias("center"))
-    b = walks.select("origin", F.col("step").alias("j"), F.col("node").alias("context"))
-    sgc = (
-        a.join(b, "origin")
-        .filter((F.col("i") != F.col("j")) & (F.abs(F.col("i") - F.col("j")) <= 2))
-        .filter(F.col("center") == F.col("origin"))
-        .groupBy(F.col("origin").alias("seed"))
-        .agg(F.count(F.lit(1)).alias("n_center_pairs"))
+    walks = deterministic_walks(edges, length=3)
+    _pair_w = F.when(F.col("step").isin(0, 3), F.lit(1)).otherwise(F.lit(2)) + 1
+    wagg = walks.groupBy(F.col("origin").alias("seed")).agg(
+        F.max(F.when(F.col("step") == 3, F.col("node"))).alias("walk_end"),
+        F.sum(
+            F.when(F.col("node") == F.col("origin"), _pair_w).otherwise(F.lit(0))
+        ).alias("n_center_pairs"),
     )
     return (
         c1.join(c2, "seed", "left")
-        .join(endp, "seed", "left")
-        .join(sgc, "seed", "left")
+        .join(wagg, "seed", "left")
         .select(
             "seed",
             "n_hop1",
