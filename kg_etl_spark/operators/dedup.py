@@ -189,6 +189,65 @@ def _shingle_stream(
     return s.dropDuplicates(["_id", "_s"])
 
 
+def _sized_shingle_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hashed: bool,
+    max_df: int | None,
+) -> DataFrame:
+    """(_id, _s, _sz) distinct-shingle stream with the per-doc
+    distinct-shingle COUNT attached as a column, so the inverted-index
+    self-join can carry both docs' sizes through the shingle key and
+    the pair stream never joins a corpus-sized size table afterwards
+    (two pair-keyed exchanges saved at scale; the ≤16 extra bytes ride
+    a shuffle that is already string/8-byte keyed).
+
+    The size window runs over spread()'s existing _id partitioning —
+    one in-partition sort at cut-materialization time, zero cost per
+    consumer.  Under max_df the sizes are recomputed AFTER the
+    boilerplate anti-join (capped-universe semantics: both the
+    intersection and the sizes drop capped shingles), again without an
+    exchange — the broadcast anti-join preserves the cut's
+    partitioning."""
+    from pyspark.sql import Window
+
+    szw = Window.partitionBy("_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ex = _shingle_stream(df, id_col, text_col, n, hashed=hashed)
+    if max_df is None:
+        return ex.withColumn("_sz", F.count(F.lit(1)).over(szw)).lineage_cut(
+            eager=False
+        )
+    ex = ex.lineage_cut(eager=False)
+    dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        ex.join(F.broadcast(dfreq.filter(F.col("_df") > max_df)), "_s", "left_anti")
+        .withColumn("_sz", F.count(F.lit(1)).over(szw))
+        .lineage_cut(eager=True)
+    )
+
+
+def _sized_pair_counts(ex: DataFrame) -> DataFrame:
+    """(a_id, b_id, n_common, a_sz, b_sz) from a sized shingle stream:
+    the one inverted-index self-join shuffle, sizes carried through as
+    max() aggregates (each is functionally determined by its id)."""
+    a = ex.select(F.col("_id").alias("a_id"), "_s", F.col("_sz").alias("a_sz"))
+    b = ex.select(F.col("_id").alias("b_id"), "_s", F.col("_sz").alias("b_sz"))
+    return (
+        a.join(b, "_s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("a_sz").alias("a_sz"),
+            F.max("b_sz").alias("b_sz"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -219,31 +278,14 @@ def ngram_jaccard_pairs(
     boilerplate docs drop out entirely. Set None for the exact
     small-corpus behavior.
     """
-    # materialize the distinct shingle stream once: it feeds both
-    # sides of the inverted-index self-join AND the size lookup —
-    # without a cut the (CPU-heavy) tokenize+shingle pass runs once
-    # per branch. LAZY checkpoint: the first consuming job
-    # materializes it inline (one fewer scheduling round than eager).
-    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).lineage_cut(
-        eager=False
-    )
-    if max_df is not None:
-        dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-        ex = ex.join(
-            F.broadcast(dfreq.filter(F.col("_df") > max_df)), "_s", "left_anti"
-        ).lineage_cut(eager=True)
-    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = ex.select(F.col("_id").alias("a_id"), "_s")
-    b = ex.select(F.col("_id").alias("b_id"), "_s")
-    common = (
-        a.join(b, "_s")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # materialize the distinct shingle stream (with per-doc sizes
+    # attached — see _sized_shingle_stream) once: it feeds both sides
+    # of the inverted-index self-join. LAZY checkpoint: the first
+    # consuming job materializes it inline (one fewer scheduling round
+    # than eager).
+    ex = _sized_shingle_stream(df, id_col, text_col, n, hash_shingles, max_df)
     out = (
-        common.join(sizes.select(F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz")), "a_id")
-        .join(sizes.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz")), "b_id")
+        _sized_pair_counts(ex)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -277,26 +319,9 @@ def ngram_containment_pairs(
     universe semantics. Reference parity: the reference has no
     containment operator; this extends its dedup family per the
     training-pipeline brief."""
-    ex = _shingle_stream(df, id_col, text_col, n, hashed=hash_shingles).lineage_cut(
-        eager=False
-    )
-    if max_df is not None:
-        dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-        ex = ex.join(
-            F.broadcast(dfreq.filter(F.col("_df") > max_df)), "_s", "left_anti"
-        ).lineage_cut(eager=True)
-    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = ex.select(F.col("_id").alias("a_id"), "_s")
-    b = ex.select(F.col("_id").alias("b_id"), "_s")
-    common = (
-        a.join(b, "_s")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    ex = _sized_shingle_stream(df, id_col, text_col, n, hash_shingles, max_df)
     out = (
-        common.join(sizes.select(F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz")), "a_id")
-        .join(sizes.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz")), "b_id")
+        _sized_pair_counts(ex)
         .withColumn(
             "containment",
             F.col("n_common").cast("double")
