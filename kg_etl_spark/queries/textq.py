@@ -2479,36 +2479,42 @@ def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel text (the corpus twin of vocab_growth_curve, at shingle
     grain with a first-seen attribution).
 
-    100 TB shape: one (bucket, shingle) distinct shuffle + two hash
-    aggregates; the bucket bound is an integer division against the
-    1-row max-id broadcast scalar. Nothing quadratic, no window."""
+    100 TB shape: ONE shingle-keyed shuffle (collect_set of the ≤10
+    bucket ids per shingle, deduped map-side by partial aggregation)
+    + a 10-row rollup; the bucket bound is an integer division against
+    the 1-row max-id broadcast scalar. Nothing quadratic, no window."""
     from kg_etl_spark.functions.text import word_shingles
 
     docs = read_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id").alias("mx"))
     b = (F.col("doc_id") * 10 / (F.col("mx") + 1)).cast("long").alias("b")
-    pres = (
+    # ONE corpus exchange: collect the (≤10-element) bucket set per
+    # shingle straight off the raw explode — partial aggregation
+    # dedups map-side, so this subsumes the former distinct + eager
+    # cut + two cut scans + bucket join. n_distinct(b) = #shingles
+    # whose set contains b; a shingle is novel in its set's minimum
+    # bucket — same values as the old per-bucket/first-seen pair.
+    g = (
         docs.crossJoin(F.broadcast(mx))
         .select(b, F.explode(word_shingles(ws_tokens(F.col("text")), 3)).alias("s"))
-        .distinct()
-        .lineage_cut(eager=True)
-    )
-    per_bucket = pres.groupBy("b").agg(F.count(F.lit(1)).alias("n_distinct"))
-    novel = (
-        pres.groupBy("s")
-        .agg(F.min("b").alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .groupBy("s")
+        .agg(F.collect_set("b").alias("bs"))
     )
     return (
-        per_bucket.join(novel, "b", "left")
+        g.select(F.array_min("bs").alias("mb"), F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.when(F.col("b") == F.col("mb"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
         .select(
             F.col("b").alias("bucket"),
             "n_distinct",
-            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            "n_novel",
             F.round(
-                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
-                / F.col("n_distinct").cast("double"),
+                F.col("n_novel").cast("double") / F.col("n_distinct").cast("double"),
                 6,
             ).alias("novelty_rate"),
         )
