@@ -125,13 +125,18 @@ def resolve_entities(
     # Materialize the (small) link set once: everything downstream —
     # components, the canonical window, the members count — re-reads it,
     # and without a cut here each action re-runs the blocking self-join.
+    # LAZY cut: connected_components' own eager edge cut materializes
+    # these blocks inline as part of its first job, so an eager cut
+    # here would only add a serial scheduling round that re-runs the
+    # blocking self-join a second time.
     links = cands.filter(banded_accept(F.col("meters"), F.col(sim_col), bands)).lineage_cut(
-        eager=True
+        eager=False
     )
 
+    # no cut on comp: it has exactly one consumer (the asg join below)
     comp = connected_components(
         links.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    ).lineage_cut(eager=True)
+    )
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     asg = base.join(comp.withColumnRenamed("node", "id"), "id", "left").withColumn(
         "canonical_id", F.coalesce(F.col("comp"), F.col("id"))
