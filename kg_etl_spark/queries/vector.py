@@ -603,7 +603,7 @@ def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         ex.join(F.broadcast(means), "i")
         .select("vec_id", "i", (F.col("x") - F.col("m")).alias("d"))
-        .repartition(32, "vec_id")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .lineage_cut(eager=True)
     )
     b = d.select("vec_id", F.col("i").alias("j"), F.col("d").alias("e"))
