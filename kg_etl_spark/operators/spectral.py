@@ -83,6 +83,12 @@ def spectral_bisection(edges: DataFrame, *, iterations: int = 3) -> DataFrame:
                     / F.col("d").cast("double")
                 ).alias("u"),
             )
+            # three consumers per iteration (the mnum scalar, the mx
+            # scalar via centered, and the next iterate) — without a
+            # cut each broadcast build re-runs the e ⋈ v join+agg, so
+            # the one corpus-scale join of the step ran 3x. LAZY: the
+            # mnum job materializes it inline, no standalone round.
+            .lineage_cut(eager=False)
         )
         # deflate the trivial eigenvector: m = Σ dᵢuᵢ / Σ dᵢ. The
         # numerator scales at 10⁶ (not 10⁹): per-row magnitude is ≤ dᵢ,
