@@ -390,19 +390,16 @@ ALLOWED: dict[str, tuple[str, str]] = {
     "kg_etl_spark/operators/dedup.py::minhash_lsh_pairs_incremental::over":
         ("bounded", "overloaded bucket ids, <= rows/max_bucket (same "
                     "bound as the batch variant)"),
-    "kg_etl_spark/operators/dedup.py::ngram_containment_pairs::dfreq.filter(F.col('_df') > max_df)":
-        ("bounded", "stop-shingles with df > max_df; this is the "
-                    "SMALL-CORPUS branch of "
-                    "ngram_containment_pairs_adaptive (r10) — large "
-                    "corpora route to the prefix x full ssjoin"),
+    "kg_etl_spark/operators/dedup.py::_sized_shingle_stream::dfreq.filter(F.col('_df') > max_df)":
+        ("bounded", "stop-shingles with df > max_df; shared by the "
+                    "SMALL-CORPUS branches of ngram_jaccard_pairs_adaptive "
+                    "and ngram_containment_pairs_adaptive (< "
+                    "PREFIX_JOIN_MIN_DOCS docs by dispatch — large corpora "
+                    "route to the prefix x full ssjoin)"),
     "kg_etl_spark/operators/dedup.py::ngram_containment_pairs_prefix::dfreq.filter(F.col('_df') > max_df)":
         ("bounded", "stop-shingles with df > max_df: <= occurrences/"
                     "max_df distinct hashes excluded via anti-join "
                     "(Zipf head in practice)"),
-    "kg_etl_spark/operators/dedup.py::ngram_jaccard_pairs::dfreq.filter(F.col('_df') > max_df)":
-        ("bounded", "stop-shingles with df > max_df; this is the "
-                    "SMALL-CORPUS branch of ngram_jaccard_pairs_adaptive "
-                    "(< PREFIX_JOIN_MIN_DOCS docs by dispatch)"),
     "kg_etl_spark/operators/dedup.py::simhash_pairs::over":
         ("bounded", "overloaded simhash buckets: <= n/max_bucket rows"),
     "kg_etl_spark/operators/dedup.py::winnowing_pairs::hot":
