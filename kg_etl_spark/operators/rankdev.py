@@ -92,6 +92,60 @@ def _memo_get(df: DataFrame, key, fn):
     return m[key]
 
 
+def _propagate_memo(src: DataFrame, out: DataFrame, seeds=None) -> DataFrame:
+    """Carry the statistics memo across a device's output frame.
+
+    Every device returns the SAME rows with the original columns
+    unchanged (projection + partitioned window + broadcast-offset
+    attach only — never a filter), so stats/plan entries computed on
+    the input stay valid on the output.  ``seeds`` adds entries known
+    by construction (a fresh global rank column is exactly 1..n).
+    Chained devices — a rank feeding a cumsum, or a multi-key rank
+    cascade — then find their bounds/count statistics memoized instead
+    of scheduling one serial probe job per device (guide §1.2: the
+    serial driver rounds were the measured cost, not the scans)."""
+    try:
+        out_m = _STATS_MEMO.setdefault(out, {})
+    except TypeError:  # non-weakrefable frame stub
+        return out
+    src_m = _STATS_MEMO.get(src)
+    if src_m:
+        for k, v in src_m.items():
+            out_m.setdefault(k, v)
+    if seeds:
+        for k, v in seeds.items():
+            out_m.setdefault(k, v)
+    return out
+
+
+def prime_stats(df: DataFrame, cols: Sequence[str]) -> None:
+    """Seed the device stats memo for several key columns in ONE
+    aggregate job (count once + min/max per column).  A query chaining
+    devices on DIFFERENT keys of the same frame otherwise pays one
+    serial bounds-probe collect per key; with :func:`_propagate_memo`
+    carrying entries through each device's output, priming the source
+    frame collapses those probes into this single job."""
+    try:
+        m = _STATS_MEMO.setdefault(df, {})
+    except TypeError:  # non-weakrefable frame stub
+        return
+    todo = [c for c in cols if ("stats", c) not in m]
+    if not todo:
+        return
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(todo):
+        kd = F.col(c).cast("double")
+        aggs.append(F.min(kd).alias(f"_lo{i}"))
+        aggs.append(F.max(kd).alias(f"_hi{i}"))
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["_n"])
+    for i, c in enumerate(todo):
+        lo = row[f"_lo{i}"]
+        m[("stats", c)] = (
+            (n, None, None) if lo is None else (n, float(lo), float(row[f"_hi{i}"]))
+        )
+
+
 def _range_expr(key: Column, lo: float, hi: float, num_ranges: int) -> Column:
     width = max((hi - lo) / num_ranges, 1e-12)
     return F.least(
@@ -628,7 +682,11 @@ def global_row_number(
     """
     n_total, lo, hi = _stats(df, key)
     if lo is None:  # empty frame (or all-null key)
-        return df.withColumn(out_col, F.lit(None).cast("long")), 0
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        return (
+            _propagate_memo(df, out, {("stats", out_col): (n_total, None, None)}),
+            0,
+        )
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
     bucket_key = key
@@ -738,6 +796,10 @@ def global_row_number(
     out = _shift_columns(
         local, "_rdrng", plan["size"], {out_col: (F.col("_rdlrn"), offsets)}
     ).drop("_rdrng", "_rdlrn")
+    # ranks cover exactly 1..running (every row is offset + local rank)
+    _propagate_memo(
+        df, out, {("stats", out_col): (running, 1.0, float(running))}
+    )
     return out, running
 
 
@@ -791,9 +853,10 @@ def grouped_row_number(
     n_total, lo, hi = _stats(df, key)
     if lo is None:  # empty frame (or all-null key: single leading cell)
         if n_total == 0:
-            return df.withColumn(out_col, F.lit(None).cast("long")).withColumn(
+            out = df.withColumn(out_col, F.lit(None).cast("long")).withColumn(
                 count_col, F.lit(None).cast("long")
             )
+            return _propagate_memo(df, out)
         lo = hi = 0.0
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
@@ -901,7 +964,7 @@ def grouped_row_number(
         gkeys + ["_grr"],
     )
     out = out.withColumn(out_col, F.col("_grl") + F.col("_off"))
-    return out.select(*df.columns, out_col, count_col)
+    return _propagate_memo(df, out.select(*df.columns, out_col, count_col))
 
 
 def global_row_number_by(
@@ -955,11 +1018,18 @@ def global_row_number_by(
         offsets[r["_rbp"]] = running
         running += r["_n"]
     if not offsets:  # empty frame
-        return df.withColumn(out_col, F.lit(None).cast("long"))
+        return _propagate_memo(
+            df, df.withColumn(out_col, F.lit(None).cast("long"))
+        )
     out = _shift_columns(
         local, "_rbp", num_parts, {out_col: (F.col("_rbl"), offsets)}
     )
-    return out.select(*df.columns, out_col)
+    # ranks cover exactly 1..running (total order over every row)
+    return _propagate_memo(
+        df,
+        out.select(*df.columns, out_col),
+        {("stats", out_col): (running, 1.0, float(running))},
+    )
 
 
 def ntile_expr(rn: Column, n_total: int, k: int) -> Column:
@@ -1032,7 +1102,10 @@ def global_ntile(
         df, key, ascending=ascending, tiebreaks=tiebreaks,
         out_col="_rdgrn", num_ranges=num_ranges, subkey=subkey,
     )
-    return ranked.withColumn(out_col, ntile_expr(F.col("_rdgrn"), n, k)).drop("_rdgrn")
+    out = ranked.withColumn(out_col, ntile_expr(F.col("_rdgrn"), n, k)).drop(
+        "_rdgrn"
+    )
+    return _propagate_memo(df, out)
 
 
 def global_cumsum(
@@ -1058,7 +1131,7 @@ def global_cumsum(
         out = df
         for c in sum_cols:
             out = out.withColumn(prefix + c, F.col(c))
-        return out
+        return _propagate_memo(df, out)
     if num_ranges is None:
         num_ranges = _auto_num_ranges(n_total, df.sparkSession)
 
@@ -1110,4 +1183,5 @@ def global_cumsum(
             offsets[int(r["_rdrng"])] = running
             running += r[c] or 0
         shifts[prefix + c] = (F.col(prefix + c), offsets)
-    return _shift_columns(local, "_rdrng", plan["size"], shifts).drop("_rdrng")
+    out = _shift_columns(local, "_rdrng", plan["size"], shifts).drop("_rdrng")
+    return _propagate_memo(df, out)

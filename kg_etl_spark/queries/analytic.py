@@ -2177,7 +2177,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile_expr — range-bucketed parallel windows + broadcast prefix
     offsets; no single-partition window); the max-day scalar
     broadcasts."""
-    from kg_etl_spark.operators.rankdev import global_row_number, ntile_expr
+    from kg_etl_spark.operators.rankdev import (
+        global_row_number,
+        ntile_expr,
+        prime_stats,
+    )
 
     orders = read_table(spark, sf_dir, "orders")
     day = (F.unix_micros(F.col("o_orderdate")) / F.lit(DAY_US)).cast("long")
@@ -2190,6 +2194,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = per_cust.crossJoin(F.broadcast(mx)).withColumn(
         "recency_days", F.col("mxd") - F.col("last_day")
     ).lineage_cut(eager=True)  # three rank devices re-read it
+    # one bounds job for all three rank keys; the memo rides each
+    # device's output, so the chained devices schedule no stats probes
+    prime_stats(base, ["recency_days", "freq", "monetary"])
     # recency: LOWER is better → score 5 for the most recent quintile
     base, n = global_row_number(
         base, "recency_days", tiebreaks=["o_custkey"], out_col="_rr",

@@ -215,3 +215,52 @@ def test_global_row_number_by_string_key(spark):
     empty = spark.createDataFrame([], "id long, name string")
     out = global_row_number_by(empty, ["name", "id"])
     assert out.count() == 0 and "rn" in out.columns
+
+
+def test_memo_propagation_and_prime_stats(spark):
+    """Chained devices must find their statistics memoized: priming N
+    keys is ONE aggregate job, each device's output carries the memo
+    forward, and a fresh rank column's stats are seeded (1..n) without
+    any job — while values stay bit-identical to the plain windows."""
+    from kg_etl_spark.operators.rankdev import (
+        _STATS_MEMO,
+        _key_stats,
+        prime_stats,
+    )
+
+    df = _frame(spark, n=211)
+    prime_stats(df, ["v", "x"])
+    memo = _STATS_MEMO[df]
+    # primed entries match what the per-key probe would compute
+    for c in ("v", "x"):
+        assert memo[("stats", c)] == _key_stats(df, c)
+    # rank device: seeds its out_col stats and carries the memo forward
+    r1, n = global_row_number(df, "v", tiebreaks=["id"], out_col="r1")
+    m1 = _STATS_MEMO[r1]
+    assert m1[("stats", "r1")] == (n, 1.0, float(n))
+    assert m1[("stats", "x")] == memo[("stats", "x")]  # propagated
+    # second device on the derived frame: stats pre-seeded, no probe
+    r2, _ = global_row_number(r1, "x", tiebreaks=["id"], out_col="r2")
+    assert _STATS_MEMO[r2][("stats", "r2")] == (n, 1.0, float(n))
+    # cumsum ordered by the seeded rank: stats probe skipped, values exact
+    cum = global_cumsum(r1, "r1", ["x"])
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn("cum_x", F.sum("x").over(w))
+    assert (
+        cum.select("id", "cum_x").subtract(want.select("id", "cum_x")).count()
+        == 0
+    )
+    # chained ranks stay bit-identical to the plain windows
+    w1 = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    w2 = Window.orderBy(F.col("x").asc(), F.col("id").asc())
+    want2 = df.withColumn("r1", F.row_number().over(w1).cast("long")).withColumn(
+        "r2", F.row_number().over(w2).cast("long")
+    )
+    assert (
+        r2.select("id", "r1", "r2")
+        .subtract(want2.select("id", "r1", "r2"))
+        .count()
+        == 0
+    )
