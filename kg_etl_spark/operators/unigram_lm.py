@@ -93,6 +93,7 @@ def unigram_lm_train(
     n_iters: int = 3,
     max_piece_len: int = 8,
     text_col: str = "text",
+    word_counts: DataFrame | None = None,
 ) -> list[tuple[str, float]]:
     """EM-train a unigram piece vocabulary; returns [(piece, logp)]
     sorted by (logp desc, piece asc).
@@ -108,8 +109,13 @@ def unigram_lm_train(
        driver.  Pieces with zero usage keep a floor count of 1 (the
        +1 class of smoothing) so single chars never hit -inf.
     3. PRUNE to `vocab_size` by (count desc, piece asc), single chars
-       always retained, then renormalize."""
-    wc = _word_counts(corpus, text_col)
+       always retained, then renormalize.
+
+    ``word_counts`` lets a caller that ALSO encodes the same corpus
+    share one materialized (_w, _n) table (see
+    :func:`unigram_lm_encode`'s ``words``) instead of tokenizing the
+    corpus twice."""
+    wc = word_counts if word_counts is not None else _word_counts(corpus, text_col)
 
     def substrings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,20 +191,33 @@ def unigram_lm_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_piece_len: int = 8,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Viterbi-encode every document with a fixed vocabulary; returns
     (id, n_words, n_pieces, pieces_md5) — the same witness contract as
     `bpe_encode`, so the two tokenizer families are directly
     comparable.  With a single-characters-only vocab the encoding
     provably degenerates to characters (n_pieces == total characters),
-    which is the SQL-expressible planted oracle for the plumbing."""
+    which is the SQL-expressible planted oracle for the plumbing.
+
+    ``words`` (optional): a distinct-word frame (column ``_w``) for the
+    Viterbi side — a caller that trained on the same (or a SUPERSET)
+    corpus already holds the materialized distinct-word cut, and
+    passing it here skips a second full corpus tokenize + distinct
+    exchange.  Any word set covering the corpus's words is
+    value-identical (the re-attach is an inner equi-join, so extra
+    rows never match) as long as every extra word is itself
+    segmentable under ``vocab`` — guaranteed when vocab and word table
+    derive from the same training corpus, the sharing contract."""
     logp = dict(vocab)
 
     toks = corpus.select(
         F.col(id_col),
         F.posexplode(ws_tokens(F.col(text_col))).alias("_pos", "_w"),
     )
-    vocab_words = toks.select("_w").distinct()
+    vocab_words = (
+        words.select("_w") if words is not None else toks.select("_w").distinct()
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -909,6 +909,7 @@ def q_training_pipeline_tokenized_e2e(
     from kg_etl_spark.operators.packing import pack_concat_chunk
     from kg_etl_spark.operators.textquality import quality_features
     from kg_etl_spark.operators.unigram_lm import (
+        _word_counts,
         unigram_lm_encode,
         unigram_lm_train,
     )
@@ -917,19 +918,27 @@ def q_training_pipeline_tokenized_e2e(
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     good = quality_features(docs).filter(F.col("quality_score") >= _MIN_QUALITY)
+
     # tokenizer trained on the RAW corpus (the realistic order: the
     # vocab predates per-run curation); model-sized (|charset| rows).
     # Its charset scan is independent of the curation chain, so it runs
     # on a driver thread while the keep cut materializes — two jobs
     # overlapping instead of back-to-back (the scheduler back-fills the
-    # keep job's tail with the scan's tasks).
-    with ThreadPoolExecutor(max_workers=1) as trainer:
-        train_fut = trainer.submit(
-            unigram_lm_train, docs, vocab_size=0, seed_size=0, n_iters=0
+    # keep job's tail with the scan's tasks).  The RAW distinct-word
+    # cut it builds doubles as the encode's Viterbi side below (a
+    # superset of keep's words — the inner re-attach join drops the
+    # rest), so the encode never re-tokenizes the curated corpus.
+    def _train_with_words():
+        wc = _word_counts(docs, "text")
+        return wc, unigram_lm_train(
+            docs, vocab_size=0, seed_size=0, n_iters=0, word_counts=wc
         )
-        # cut once: THREE consumers (the encode's distinct-vocab pass,
-        # its token-stream join probe, and the doc_id re-join below)
-        # would each re-run the whole quality+dedup subtree otherwise
+
+    with ThreadPoolExecutor(max_workers=1) as trainer:
+        train_fut = trainer.submit(_train_with_words)
+        # cut once: the encode's token-stream join probe and the doc_id
+        # re-join below would each re-run the whole quality+dedup
+        # subtree otherwise
         keep = (
             good.withColumn("fp", normalized_fingerprint(F.col("text")))
             .groupBy("fp")
@@ -938,8 +947,10 @@ def q_training_pipeline_tokenized_e2e(
             .select("doc_id", "text")
             .lineage_cut(eager=True)
         )
-        vocab = train_fut.result()
-    enc = unigram_lm_encode(keep, vocab).select("doc_id", "n_pieces")
+        words, vocab = train_fut.result()
+    enc = unigram_lm_encode(keep, vocab, words=words).select(
+        "doc_id", "n_pieces"
+    )
     # cut once: three per-split packs each run bounds/totals actions
     # that would otherwise re-execute dedup + encode per split (the
     # flagship's measured 33→7 Exchange lesson)

@@ -2347,16 +2347,22 @@ def q_unigram_lm_char_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over the explode → mapInPandas-over-vocab → unhinted
     re-join → per-doc aggregate pipeline."""
     from kg_etl_spark.operators.unigram_lm import (
+        _word_counts,
         unigram_lm_encode,
         unigram_lm_train,
     )
 
     docs = read_table(spark, sf_dir, "documents")
     # seed_size=0, n_iters=0 -> vocabulary = exactly the corpus's
-    # single characters (uniform logp)
-    vocab = unigram_lm_train(docs, vocab_size=0, seed_size=0, n_iters=0)
+    # single characters (uniform logp); train and encode share ONE
+    # materialized distinct-word table (the encode side otherwise pays
+    # a second full corpus tokenize + distinct exchange)
+    wc = _word_counts(docs, "text")
+    vocab = unigram_lm_train(
+        docs, vocab_size=0, seed_size=0, n_iters=0, word_counts=wc
+    )
     return (
-        unigram_lm_encode(docs, vocab)
+        unigram_lm_encode(docs, vocab, words=wc)
         .select("doc_id", "n_words", "n_pieces")
         .orderBy("doc_id")
     )

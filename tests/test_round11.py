@@ -354,3 +354,36 @@ def test_pack_concat_chunk_count_col_matches_text_grain(spark):
         .collect()
     )
     assert [tuple(r) for r in via_text] == [tuple(r) for r in via_count]
+
+
+def test_unigram_encode_shared_word_table(spark):
+    """Passing a precomputed word table (or a SUPERSET of the corpus's
+    words) to unigram_lm_encode must be value-identical to the
+    self-computed distinct — the inner re-attach join drops unused
+    vocabulary rows."""
+    from pyspark.sql import functions as F
+
+    from kg_etl_spark.operators.unigram_lm import (
+        _word_counts,
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    rows = [(i, f"alpha beta{i % 3} gamma delta{i % 5}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = _word_counts(docs, "text")
+    vocab = unigram_lm_train(
+        docs, vocab_size=0, seed_size=0, n_iters=0, word_counts=wc
+    )
+    plain = unigram_lm_encode(docs, vocab).orderBy("doc_id").collect()
+    shared = (
+        unigram_lm_encode(docs, vocab, words=wc).orderBy("doc_id").collect()
+    )
+    assert [tuple(r) for r in plain] == [tuple(r) for r in shared]
+    # superset word table (extra segmentable words never in the
+    # corpus — the e2e's raw-vocab-over-curated-corpus case): identical
+    extra = wc.select("_w").unionByName(
+        spark.createDataFrame([("alphagamma",)], "_w string")
+    )
+    sup = unigram_lm_encode(docs, vocab, words=extra).orderBy("doc_id").collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in sup]
