@@ -3051,6 +3051,11 @@ def q_walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks = deterministic_walks(edges, length=3).lineage_cut(eager=True)
     a = walks.select("origin", F.col("step").alias("i"), F.col("node").alias("center"))
     b = walks.select("origin", F.col("step").alias("j"), F.col("node").alias("context"))
+    # cut once (lazy — it materializes inside the first consumer's job):
+    # the two margins, the total and the scored join would otherwise
+    # each re-run the walk self-join + pair aggregate (the per-consumer
+    # column pruning makes the four subtrees non-identical, so
+    # ReuseExchange never fires — 4 SortMergeJoin+agg passes in one plan)
     pairs = (
         a.join(b, "origin")
         .filter(
@@ -3059,6 +3064,7 @@ def q_walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("c"))
+        .lineage_cut(eager=False)
     )
     ctr = pairs.groupBy("center").agg(F.sum("c").alias("cc"))
     ctx = pairs.groupBy("context").agg(F.sum("c").alias("cx"))
