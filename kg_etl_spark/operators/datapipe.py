@@ -418,13 +418,20 @@ def ngram_contamination(
     from kg_etl_spark.functions.text import word_shingles
     from kg_etl_spark.operators.textquality import ws_tokens
 
+    # tokenize once per row: an inline ws_tokens is re-inlined 2n+1
+    # times into the shingle slices (27x at n=13 — generator inputs see
+    # no codegen subexpression elimination; measured on span_df_histogram)
     bench_grams = benchmark.select(
-        F.col(bench_id_col),
-        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_gram"),
+        F.col(bench_id_col), ws_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        bench_id_col,
+        F.explode(word_shingles(F.col("_toks"), n)).alias("_gram"),
     )
     corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_gram"),
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.explode(word_shingles(F.col("_toks"), n)).alias("_gram"),
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "_gram")
@@ -476,9 +483,12 @@ def bloom_ngram_contamination(
     assert m_bits % 64 == 0 and m_bits > 0
     n_words = m_bits // 64
 
+    # tokenize once per row (see ngram_contamination)
     bench_grams = benchmark.select(
-        F.col(bench_id_col),
-        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_gram"),
+        F.col(bench_id_col), ws_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        bench_id_col,
+        F.explode(word_shingles(F.col("_toks"), n)).alias("_gram"),
     )
 
     def probe_bits(gh):
@@ -510,8 +520,10 @@ def bloom_ngram_contamination(
     bitmap = F.lit(words)
 
     corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_gram"),
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.explode(word_shingles(F.col("_toks"), n)).alias("_gram"),
     ).withColumn("_gh", F.xxhash64("_gram"))
 
     hit = None

@@ -178,9 +178,14 @@ def duplicate_span_flags(
     """
     from kg_etl_spark.functions.text import word_shingles
 
+    # tokenize once per row: an inline ws_tokens is re-inlined 2n+1
+    # times into the shingle slices (generator inputs see no codegen
+    # subexpression elimination — measured on span_df_histogram)
     spans = corpus.select(
-        F.col(id_col),
-        F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("_span"),
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.explode(word_shingles(F.col("_toks"), n)).alias("_span"),
     )
     if hash_spans:
         # Scale path: 8-byte xxhash64 keys instead of ~n-word strings —
@@ -208,8 +213,10 @@ def duplicate_span_flags(
         .agg(F.count(F.lit(1)).alias("_n_dup"))
     )
     n_spans_df = corpus.select(
-        F.col(id_col),
-        F.size(word_shingles(ws_tokens(F.col(text_col)), n)).cast("long").alias("n_spans"),
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.size(word_shingles(F.col("_toks"), n)).cast("long").alias("n_spans"),
     )
     return (
         n_spans_df.join(per_doc_dup, id_col, "left")
