@@ -2768,7 +2768,16 @@ def q_spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2) * F.col("cum__n") - F.col("_n") + 1).alias(f"r2_{col}"),
         )
 
-    ranked = rows.join(doubled_ranks("x"), "x").join(doubled_ranks("y"), "y")
+    # the two rank builds are independent pipelines over the same cut:
+    # construct them from a thread pool so their device probe collects
+    # (bounds + partials per device) overlap instead of serializing
+    # (guide §2.6 back-fill — the cumsum devices collect four small
+    # jobs between them during CONSTRUCTION)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rx_df, ry_df = pool.map(doubled_ranks, ("x", "y"))
+    ranked = rows.join(rx_df, "x").join(ry_df, "y")
     DEC = "decimal(38,0)"
     rx, ry = F.col("r2_x").cast(DEC), F.col("r2_y").cast(DEC)
     agg = ranked.agg(
