@@ -2669,7 +2669,10 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     edges = transition_edges_cut(ev)
-    out = hits_scores(edges, iterations=2)
+    # the shared transition-edge cut is already a distinct materialized
+    # (src, dst) frame — skip the operator's defensive re-distinct +
+    # second checkpoint (r11)
+    out = hits_scores(edges, iterations=2, edges_distinct=True)
     # the operator accumulates/returns exact decimal(38,0) (overflow-
     # safe default); the catalog contract casts back to long for the
     # DuckDB side-by-side — DuckDB's pandas bridge renders DECIMAL as
