@@ -576,7 +576,14 @@ def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
       but ~3x faster through codegen); one vec_id-keyed self-join of
       the exploded (row, dim, value) frame with map-side partial
       aggregation — the only distributed work, one shuffle of 4096
-      keys. The centered frame is explicitly repartitioned by vec_id
+      keys. Only the UPPER triangle (j >= i) is aggregated — the
+      rounded product commutes bit-exactly (d*e == e*d in IEEE, so
+      round(round(d*e,9)*1e9) is the same integer both ways) and the
+      lower triangle is mirrored on the driver, halving the product
+      fan-out (r11; attaching the means as a collected literal map
+      instead of the broadcast join was measured SLOWER — the extra
+      serial collect job costs more than the join).
+      The centered frame is explicitly repartitioned by vec_id
       BEFORE the 64x fan-out: AQE sizes the stage by the small
       pre-explosion input and would otherwise run the 8M-row
       product aggregation in one task (measured 18.4 s -> ~2 s);
@@ -611,9 +618,11 @@ def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within 1e-5 of its integer, so the outer round recovers it
     # exactly on both engines; long partial sums stay exact up to
     # ~9e18 (n*|d*e|*1e9 — fine through corpus scale, and the sum is
-    # the same integer on every partitioning)
+    # the same integer on every partitioning). j >= i only: the
+    # rounded product is symmetric bit-for-bit, mirror on the driver.
     cov = (
         d.join(b, "vec_id")
+        .where(F.col("j") >= F.col("i"))
         .groupBy("i", "j")
         .agg(
             F.sum(
@@ -623,6 +632,9 @@ def q_pca_power_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = cov.collect()
     C = {(r["i"], r["j"]): (float(r["s"]) / 1.0e9) / float(n) for r in rows}
+    for (i, j), v in list(C.items()):
+        if i != j:
+            C[(j, i)] = v
     dims = sorted({r["i"] for r in rows})
     x = {i: 1.0 / float(len(dims)) for i in dims}
 
