@@ -1939,6 +1939,14 @@ def q_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("gap_us"),
     )
+    # lazy lineage cut (r11): the rank device's stats probe is the first
+    # consumer and otherwise re-executes the whole stream-lead pipeline
+    # (its shuffle included) just for count/min/max of gap_us — the same
+    # uncut-device-input cost 2d8606a removed from the AUC/quantile
+    # queries. Lazy: the probe job materializes the narrow (type, gap)
+    # frame inline and the ranking pass scans blocks instead of
+    # re-running the device.
+    gaps = gaps.lineage_cut(eager=False)
     ranked = grouped_row_number(
         gaps, ["event_type"], "gap_us", [], out_col="rn", count_col="n"
     )
