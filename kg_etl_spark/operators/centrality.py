@@ -36,6 +36,7 @@ def betweenness_sampled(
     *,
     k_pivots: int = 8,
     max_depth: int = 6,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(node, bc): raw sampled betweenness — Σ over the k lowest-id
     pivots of Brandes' dependency δ_pivot(node). ``edges``: directed
@@ -43,10 +44,22 @@ def betweenness_sampled(
     Pivots are the k LOWEST node ids (TakeOrderedAndProject — an O(k)
     heap per partition, not a sort; the id-deterministic choice keeps
     planted twins engine-replayable, the `clustering.py` seeding
-    contract)."""
-    e = edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
-    ).distinct().lineage_cut(eager=True)
+    contract).
+
+    ``edges_distinct``: the caller asserts ``edges`` is ALREADY a
+    distinct edge frame derived from a reusable materialization (the
+    catalog's shared undirected-edge cut, symmetrized as a
+    duplicate-free union of the two directions) — skips the redundant
+    distinct exchange + a per-call |E| checkpoint, the same contract
+    as ``hits_scores`` (r11). The per-level joins then re-derive the
+    cheap projection over the shared cut's blocks instead of scanning
+    a second copy."""
+    if edges_distinct:
+        e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    else:
+        e = edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        ).distinct().lineage_cut(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -55,11 +68,15 @@ def betweenness_sampled(
     pivots = nodes.orderBy("node").limit(k_pivots)
 
     # forward: level-synchronous BFS counting shortest paths
+    # lazy (r11): the first level's count job materializes the k-row
+    # frontier inline — an EAGER cut of k rows paid a whole serial
+    # scheduling round for nothing (measured ~0.4s of the query's
+    # wall at bench SF, pure driver latency)
     frontier = pivots.select(
         F.col("node").alias("pivot"),
         F.col("node"),
         F.lit(1).cast("long").alias("sigma"),
-    ).lineage_cut(eager=True)
+    ).lineage_cut(eager=False)
     levels = [frontier]  # levels[d] = (pivot, node, sigma) at depth d
     seen = frontier.select("pivot", "node")
     for d in range(1, max_depth + 1):
@@ -81,7 +98,10 @@ def betweenness_sampled(
         levels.append(nxt)
         seen = seen.union(nxt.select("pivot", "node"))
         if d % 2 == 0:
-            seen = seen.lineage_cut(eager=True)
+            # lazy: the next level's anti-join materializes the capped
+            # union inline (one fewer serial round per even level; if
+            # the loop ends here the cut never even materializes)
+            seen = seen.lineage_cut(eager=False)
 
     # backward: accumulate δ from the deepest level inward
     deltas = [None] * len(levels)

@@ -2605,13 +2605,21 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     output non-SQL-expressible in general → rows-only; the planted
     star twin below value-checks the identical kernel on a shape where
     σ ≡ 1 keeps every δ integral."""
-    from kg_etl_spark.operators.adjacent import transition_edges_cut
+    from kg_etl_spark.operators.adjacent import undirected_transition_edges_cut
     from kg_etl_spark.operators.centrality import betweenness_sampled
 
     ev = read_table(spark, sf_dir, "events")
-    edges = transition_edges_cut(ev)
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return betweenness_sampled(sym, k_pivots=8, max_depth=6)
+    # the SHARED undirected cut (a < b, distinct, memoized across the
+    # ml/graph family): symmetrizing it as und ∪ rev(und) is
+    # duplicate-free BY CONSTRUCTION (a < b strictly), so the kernel's
+    # per-call distinct exchange + |E| re-checkpoint are skipped via
+    # the edges_distinct contract — the same edge SET the directed-cut
+    # symmetrization produced, bit-identical results (r11)
+    und = undirected_transition_edges_cut(ev)
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return betweenness_sampled(sym, k_pivots=8, max_depth=6, edges_distinct=True)
 
 
 _BETW_K = 8
