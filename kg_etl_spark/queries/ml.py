@@ -1208,16 +1208,26 @@ def q_user_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free decimal SUM above (plain codegen SUM, no interpreted
     array fold), an anti join against the edge list, two degree
     attaches, TakeOrdered(100)."""
-    return link_scores_from_edges(_user_graph(spark, sf_dir))
+    return link_scores_from_edges(_user_graph(spark, sf_dir), edges_cut=True)
 
 
-def link_scores_from_edges(e0: DataFrame, hub_cap: int = _LP_HUB_CAP) -> DataFrame:
+def link_scores_from_edges(
+    e0: DataFrame, hub_cap: int = _LP_HUB_CAP, *, edges_cut: bool = False
+) -> DataFrame:
     """CN/PA/RA link-prediction scores for the top non-adjacent pairs
     of an undirected edge frame (a < b, distinct) — the reusable core
-    of q_user_link_prediction (planted-graph tests feed it directly)."""
-    # e0 is the multi-consumer cut (slots x2, the anti join): materialize
-    # once so the corpus-scale window that built it never re-executes
-    e0 = e0.lineage_cut(eager=True)
+    of q_user_link_prediction (planted-graph tests feed it directly).
+
+    ``edges_cut``: the caller asserts ``e0`` is ALREADY materialized at
+    a reusable lineage cut (the catalog's shared undirected-edge cut) —
+    skips a redundant per-call re-checkpoint of the identical |E| rows
+    (one serial scheduling round + one block copy; the hits/betweenness
+    edges_distinct contract, r11)."""
+    if not edges_cut:
+        # e0 is the multi-consumer cut (slots x2, the anti join):
+        # materialize once so the corpus-scale window that built it
+        # never re-executes
+        e0 = e0.lineage_cut(eager=True)
     slots = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
         e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
