@@ -528,8 +528,14 @@ def main() -> None:
     # AFTER the final JSON and the driver keeps only a 2000-char tail.
     # Stop the session FIRST (absorbing its shutdown chatter), flush
     # both streams, then emit the JSON as the genuinely last line —
-    # and write the same object to a tracked BENCH_LOCAL_r{N}.json
-    # twin so the per-query timings survive any tail truncation.
+    # and write the same object to a tracked BENCH_LOCAL twin so the
+    # per-query timings survive any tail truncation.
+    # r11 verdict directive #5: the twin filename used to be just
+    # BENCH_LOCAL_r{N}.json, so a driver re-run (or a second builder
+    # run) clobbered the committed artifact of the same round. The name
+    # now carries the run configuration ({cpus}c_{runs}r) and, if that
+    # exact file already exists, a numeric suffix — the writer never
+    # overwrites an existing artifact.
     _SPARK = None  # _drop_query_state must not touch the stopped session
     try:
         spark.stop()
@@ -537,10 +543,14 @@ def main() -> None:
         pass
     line = json.dumps(payload)
     try:
-        twin = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_LOCAL_r{_next_round()}.json",
-        )
+        here = os.path.dirname(os.path.abspath(__file__))
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        base = f"BENCH_LOCAL_r{_next_round()}_{cpus}c_{runs}r"
+        twin = os.path.join(here, f"{base}.json")
+        k = 2
+        while os.path.exists(twin):
+            twin = os.path.join(here, f"{base}_{k}.json")
+            k += 1
         with open(twin, "w") as f:
             f.write(line + "\n")
     except Exception:  # noqa: BLE001 - the stdout line is the primary artifact
