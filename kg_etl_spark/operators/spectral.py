@@ -41,7 +41,9 @@ def _exact_sum(col):
     return F.sum(F.round(col * F.lit(_SCALE), 0).cast("long"))
 
 
-def spectral_bisection(edges: DataFrame, *, iterations: int = 3) -> DataFrame:
+def spectral_bisection(
+    edges: DataFrame, *, iterations: int = 3, edges_distinct: bool = False
+) -> DataFrame:
     """(node, val, side) — approximate Fiedler-vector bisection of the
     undirected graph given as (a_id, b_id) pairs (symmetrized and
     dedup'd internally). `val` is the iterate after `iterations`
@@ -49,17 +51,36 @@ def spectral_bisection(edges: DataFrame, *, iterations: int = 3) -> DataFrame:
 
     Start vector: v₀ = ±1 by node parity (deterministic, never
     d-orthogonal to a nontrivial component in practice; parity is the
-    catalog's seedless-determinism contract)."""
-    e = (
-        edges.select(F.col("a_id").cast("long").alias("s"), F.col("b_id").cast("long").alias("t"))
-        .union(
-            edges.select(F.col("b_id").cast("long").alias("s"), F.col("a_id").cast("long").alias("t"))
+    catalog's seedless-determinism contract).
+
+    ``edges_distinct``: the caller asserts ``edges`` is ALREADY a
+    distinct strict a_id < b_id pair frame at a reusable
+    materialization (the catalog's shared undirected-edge cut) — the
+    two-direction union is then duplicate- and self-loop-free by
+    construction, so the per-call distinct exchange + |E| checkpoint
+    copy are skipped and every consumer re-derives the cheap
+    projection over the shared cut's blocks instead (the r11
+    hits/betweenness contract, r12)."""
+    e = edges.select(
+        F.col("a_id").cast("long").alias("s"), F.col("b_id").cast("long").alias("t")
+    ).union(
+        edges.select(
+            F.col("b_id").cast("long").alias("s"), F.col("a_id").cast("long").alias("t")
         )
-        .filter(F.col("s") != F.col("t"))
-        .distinct()
-        .lineage_cut(eager=True)
     )
-    deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    if not edges_distinct:
+        e = e.filter(F.col("s") != F.col("t")).distinct().lineage_cut(eager=True)
+    # the degree table is consumed ~5x per call (v0, tot, and the
+    # per-iteration left join) and per-consumer pruning kept
+    # ReuseExchange from firing — each consumer re-ran the |E| degree
+    # aggregate (r12; guide §1.2). LAZY cut: |V| rows, the first
+    # consumer materializes it inline. Interleaved A/B at sf0.1
+    # (with edges_distinct): 2.81 -> 2.20 s, bit-identical.
+    deg = (
+        e.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .lineage_cut(eager=False)
+    )
     # total degree = 2|E| — a constant across iterations, one scalar agg
     tot = deg.agg(F.sum("d").alias("td"))
 

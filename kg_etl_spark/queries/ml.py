@@ -385,7 +385,10 @@ def q_spectral_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = undirected_transition_edges_cut(ev).select(
         F.col("a").alias("a_id"), F.col("b").alias("b_id")
     )
-    return spectral_bisection(pairs, iterations=3)
+    # the shared undirected cut is distinct strict a<b by construction
+    # (operators/adjacent.py:307 least/greatest + src!=dst + distinct),
+    # so the kernel's re-distinct + per-call |E| checkpoint are skipped
+    return spectral_bisection(pairs, iterations=3, edges_distinct=True)
 
 
 def _spectral_step_sql(t: int) -> str:
