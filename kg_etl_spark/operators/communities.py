@@ -71,8 +71,11 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     # the tagged edge list is the multi-consumer cut (m, intra, deg all
     # read it): materialize ONCE so an expensive upstream edge plan —
     # a blocked spatial self-join, an LSH band join — is not re-executed
-    # per consumer
-    tagged = edges.join(asg_a, "a_id").join(asg_b, "b_id").lineage_cut(eager=True)
+    # per consumer. LAZY (r12): the count() right below is the first
+    # consumer and materializes it inline — the eager form paid a whole
+    # standalone scheduling round for the same blocks (guide §5,
+    # the e0d3c28 pattern).
+    tagged = edges.join(asg_a, "a_id").join(asg_b, "b_id").lineage_cut(eager=False)
 
     # m from the TAGGED frame: edges with an unassigned endpoint drop
     # out of the inner joins and must not count toward 2m either

@@ -279,7 +279,10 @@ def dsir_weights(
             F.count(F.lit(1)).alias("_cr"),
             F.sum("_t").alias("_ct"),
         )
-        .lineage_cut(eager=True)
+        # LAZY (r12): the totals collect right below is the first
+        # consumer and materializes the cut inline — eager paid a
+        # standalone scheduling round for the same blocks (guide §5)
+        .lineage_cut(eager=False)
     )
     tot = counts.agg(
         F.sum("_cr").alias("nr"), F.sum("_ct").alias("nt"), F.count(F.lit(1)).alias("v")

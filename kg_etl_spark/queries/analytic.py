@@ -2435,21 +2435,14 @@ def fellegi_sunter_em(cust_raw: DataFrame) -> DataFrame:
         (F.col("c_custkey") % 10).alias("_dig"),
         F.floor(F.col("c_acctbal") / 1000.0).alias("_blk"),
     )
-    dropped = (
+    # the dropped-count probe rides the pattern-count job below as one
+    # extra union branch (r12; guide §5 — each standalone collect is a
+    # full serial scheduling round): see the `probe` union after `pat`.
+    dropped_agg = (
         cust.groupBy("c_nationkey", "_blk")
         .agg(F.count(F.lit(1)).alias("_n"))
         .agg(F.sum(F.greatest(F.col("_n") - _FS_BLOCK_CAP, F.lit(0))).alias("_d"))
-        .collect()[0]["_d"]
     )
-    if dropped:
-        warnings.warn(
-            f"fellegi_sunter_em: {dropped} customers beyond the per-block "
-            f"cap of {_FS_BLOCK_CAP} excluded from pair generation "
-            "(deterministic first-by-custkey subsample; EM pattern "
-            "frequencies are insensitive to the cap)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
     wb = Window.partitionBy("c_nationkey", "_blk").orderBy("c_custkey")
     cust = (
         cust.withColumn("_rnb", F.row_number().over(wb))
@@ -2476,8 +2469,30 @@ def fellegi_sunter_em(cust_raw: DataFrame) -> DataFrame:
         .groupBy("g1", "g2", "g3")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # ONE job for both model-sized frames: the ≤8 pattern counts plus a
+    # marker row carrying the dropped count (was a standalone collect —
+    # one full serial round — before the pattern job; r12)
+    probe = pat.select(F.lit(False).alias("_m"), "g1", "g2", "g3", "n").unionByName(
+        dropped_agg.select(
+            F.lit(True).alias("_m"),
+            F.lit(None).cast("boolean").alias("g1"),
+            F.lit(None).cast("boolean").alias("g2"),
+            F.lit(None).cast("boolean").alias("g3"),
+            F.coalesce(F.col("_d"), F.lit(0)).alias("n"),
+        )
+    ).collect()
+    dropped = next(int(r["n"]) for r in probe if r["_m"])
+    if dropped:
+        warnings.warn(
+            f"fellegi_sunter_em: {dropped} customers beyond the per-block "
+            f"cap of {_FS_BLOCK_CAP} excluded from pair generation "
+            "(deterministic first-by-custkey subsample; EM pattern "
+            "frequencies are insensitive to the cap)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     rows = sorted(
-        [((r["g1"], r["g2"], r["g3"]), r["n"]) for r in pat.collect()],
+        [((r["g1"], r["g2"], r["g3"]), r["n"]) for r in probe if not r["_m"]],
         key=lambda kv: kv[0],
     )
     gs = [k for k, _ in rows]
