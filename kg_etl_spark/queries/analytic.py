@@ -5083,6 +5083,11 @@ def q_friedman_priority_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar."""
     orders = read_table(spark, sf_dir, "orders")
     DEC = "decimal(38,0)"
+    # NOTE (r12, measured and REJECTED): cutting `cells` lazily and
+    # deriving k from it removed the duplicate corpus aggregate but ran
+    # 0.58 -> 0.75 s at sf0.1 — the k1 scan previously overlapped the
+    # cells aggregate as an independent AQE stage, and the cut
+    # serialized them (guide §1.3: the parallel duplicate stays).
     cells = orders.groupBy(
         F.trunc("o_orderdate", "month").alias("m"),
         F.col("o_orderpriority").alias("prio"),
@@ -5214,11 +5219,15 @@ def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, not a per-time re-scan."""
     ev = read_table(spark, sf_dir, "events")
     day = (F.unix_micros(F.col("ts")) / F.lit(DAY_US)).cast("long")
+    # the per-user lifetime aggregate feeds THREE consumers (the
+    # max-day scalar, exits via lab, tot via lab) — without a cut the
+    # corpus aggregate ran once per consumer (r12; guide §1.2). LAZY:
+    # the max-day broadcast build materializes it inline.
     per_user = ev.select(
         "user_id", day.alias("day")
     ).groupBy("user_id").agg(
         F.min("day").alias("first_day"), F.max("day").alias("last_day")
-    )
+    ).lineage_cut(eager=False)
     max_day = per_user.agg(F.max("last_day").alias("mx"))
     lab = per_user.crossJoin(F.broadcast(max_day)).select(
         (F.col("user_id") % 2).alias("grp"),
@@ -5227,9 +5236,12 @@ def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("churn"),
     )
+    # LAZY (r12): exits' two consumers (pooled grid, at-risk join) sit
+    # inside the query's one action — eager paid a standalone
+    # scheduling round for the same blocks
     exits = lab.groupBy("grp", "t").agg(
         F.count(F.lit(1)).alias("exits"), F.sum("churn").alias("d")
-    ).lineage_cut(eager=True)
+    ).lineage_cut(eager=False)
     tot = lab.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grp"))
     pooled = exits.select("t").distinct()
     grid = pooled.join(tot)  # |lifetimes| x 2 model-sized cross
