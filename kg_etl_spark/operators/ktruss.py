@@ -130,11 +130,18 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     if k < 3:
         raise ValueError(f"k-truss requires k >= 3, got {k}")
     need = k - 2
+    # LAZY (r12): the first support pass materializes the canonical
+    # frame inline — the eager form paid a standalone scheduling round
+    # for the same blocks (its consumers, deg + the two ranked
+    # attaches, all sit inside that one job). Interleaved A/B at sf0.1
+    # (k=3 spatial graph): 2.96 -> 2.62 s, bit-identical; flipping the
+    # ORIENTED cut lazy too was measured slower (2.89 s) and stays
+    # eager.
     cur = (
         edges.select(
             F.least("a_id", "b_id").alias("u"), F.greatest("a_id", "b_id").alias("v")
         )
-        .lineage_cut(eager=True)
+        .lineage_cut(eager=False)
     )
     if k == 3:
         # Closed form, no peel: a support-0 edge lies in NO triangle, so
