@@ -842,7 +842,10 @@ def q_roc_auc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("score")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
         .withColumn("neg", F.col("n") - F.col("pos"))
-        .lineage_cut(eager=True)  # the cumsum device re-reads it
+        # LAZY (r12): the cumsum device's first stats probe is the
+        # first consumer and materializes it inline — eager paid a
+        # standalone round (jobs 8 -> 7, A/B 1.48 -> 1.46 s)
+        .lineage_cut(eager=False)  # the cumsum device re-reads it
     )
     cum = global_cumsum(per, "score", ["neg"])  # cum_neg INCLUDES this row
     DEC = "decimal(38,0)"
