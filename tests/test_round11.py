@@ -146,9 +146,12 @@ def test_bench_next_round_is_one_past_newest_official():
     import bench
 
     here = os.path.dirname(os.path.abspath(bench.__file__))
+    # mirror _next_round's tolerance: the driver also drops officials
+    # whose names don't carry a bare round number (e.g. BENCH_r11_c8.json)
     officials = [
-        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        int(m.group(1))
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     assert bench._next_round() == (max(officials) + 1 if officials else 1)
 
