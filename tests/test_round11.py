@@ -162,9 +162,12 @@ def test_bench_main_emits_json_as_last_line_and_writes_twin(
     """r10 verdict directive #1 end-to-end: main() must (a) print the
     result JSON as the LAST stdout line, AFTER stopping the session —
     the official artifact keeps only a 2000-char output tail — and
-    (b) write the identical object to a tracked BENCH_LOCAL_r{N}.json
-    twin.  Runs the real pipeline against one tiny query with the
-    shared test session shielded from the shutdown."""
+    (b) write the identical object to a tracked BENCH_LOCAL twin whose
+    name carries the run configuration (r11 verdict directive #5:
+    BENCH_LOCAL_r{N}_{cpus}c_{runs}r.json) WITHOUT overwriting an
+    existing artifact at that name.  Runs the real pipeline against one
+    tiny query with the shared test session shielded from the
+    shutdown."""
     import sys
 
     import bench
@@ -188,12 +191,15 @@ def test_bench_main_emits_json_as_last_line_and_writes_twin(
     monkeypatch.setattr(sys, "argv", ["bench.py", "--runs", "2"])
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_LOAD_GATE", "0")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
 
-    twin = os.path.join(
-        os.path.dirname(os.path.abspath(bench.__file__)),
-        "BENCH_LOCAL_r99999.json",
-    )
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    twin = os.path.join(here, "BENCH_LOCAL_r99999_32c_2r.json")
+    twin2 = os.path.join(here, "BENCH_LOCAL_r99999_32c_2r_2.json")
     try:
+        # occupy the primary twin name: the writer must NOT clobber it
+        with open(twin, "w") as f:
+            f.write("sentinel\n")
         bench.main()
         out = capsys.readouterr().out
         last = out.rstrip("\n").splitlines()[-1]
@@ -206,10 +212,13 @@ def test_bench_main_emits_json_as_last_line_and_writes_twin(
         ) == 2
         assert wrapper.stopped, "session must stop BEFORE the JSON prints"
         with open(twin) as f:
+            assert f.read() == "sentinel\n", "existing artifact clobbered"
+        with open(twin2) as f:
             assert json.load(f) == payload, "twin must mirror the stdout line"
     finally:
-        if os.path.exists(twin):
-            os.remove(twin)
+        for p in (twin, twin2):
+            if os.path.exists(p):
+                os.remove(p)
 
 
 # ---------------------------------------------------------------------------
