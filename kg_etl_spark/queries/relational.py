@@ -1252,14 +1252,17 @@ def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier finished orders. A row engine re-probes lineitem
     twice per candidate row (exists: another supplier in the order;
     not-exists: another supplier who also returned); here both
-    predicates collapse into ONE per-order aggregate — countDistinct of
-    suppliers overall and among returned lines — joined back to the
-    returned lines. Two shuffles total (per-order agg, final count),
-    and the per-order aggregate is reused for both predicates.
+    predicates collapse into per-order WINDOW aggregates over the
+    (order, supplier) grain — no per-order aggregate table, no join
+    back, no lineage cut (the grain stream is consumed exactly once).
+    r12 A/B: window 0.98 s vs eager-cut join form 1.08 vs lazy-cut
+    1.16 (the cut's two consumers race without a shared exchange),
+    bit-identical top-25.
 
-    At 100 TB: the order-grain aggregate is the natural pre-partition
-    (hash by orderkey); no fact-table re-scan, no correlated probe
-    storm. Top-25 suppliers by blamed-order count, name tie-break.
+    At 100 TB: the order-grain window rides the natural orderkey
+    partition; ≤7 lines per order means no window skew; no fact-table
+    re-scan, no correlated probe storm. Top-25 suppliers by
+    blamed-order count, name tie-break.
     """
     li = read_table(spark, sf_dir, "lineitem")
     finished = (
@@ -1268,23 +1271,22 @@ def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     # ONE pass over the fact: collapse to (order, supplier, returned?)
-    # grain first — both countDistincts and the returned-lines probe
-    # derive from this much smaller table (localCheckpoint so the two
-    # consumers don't re-scan lineitem; measured 35% faster at sf0.1)
+    # grain, then both exists/not-exists predicates as window counts
+    w = Window.partitionBy("l_orderkey")
     per_os = (
         li.groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_ret"))
-        .lineage_cut()
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "_ret",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum("_ret").over(w).alias("n_supp_ret"),
+        )
     )
-    per_order = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("_ret").alias("n_supp_ret"),
-    )
-    blamed = (
-        per_os.filter(F.col("_ret") == 1)
-        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_supp_ret") == 1)), "l_orderkey")
-        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
-    )
+    blamed = per_os.filter(
+        (F.col("_ret") == 1) & (F.col("n_supp") >= 2) & (F.col("n_supp_ret") == 1)
+    ).join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
     supp = read_table(spark, sf_dir, "supplier")
     return (
         blamed.groupBy("l_suppkey")
